@@ -1,0 +1,61 @@
+"""Columnar bond cash-flow generation — explode, don't loop.
+
+The reference walks back from maturity in a Python while-loop
+(pyield/tpf/titulos/_utils.py:141-165 ``gerar_datas_pagamento``: dates at
+``maturity - i*interval_months`` for i=0.. while date > settlement,
+exclusive start / inclusive end). Here the same set is produced fully
+columnar: ``sequence(0, n)`` → ``explode`` → ``add_months(maturity,
+-i*interval)`` → filter — one narrow transform, no shuffle, scales with
+the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def explode_payment_dates(
+    df: DataFrame,
+    settlement: str | Column,
+    maturity: str | Column,
+    interval_months: int = 6,
+    alias: str = "data_pagamento",
+) -> DataFrame:
+    """One output row per payment date in (settlement, maturity].
+
+    Rows whose settlement >= maturity produce no output (empty flow set,
+    matching the reference's empty frame).
+    """
+    if interval_months <= 0:
+        raise ValueError("interval_months must be positive")
+    liq = F.to_date(F.col(settlement) if isinstance(settlement, str) else settlement)
+    ven = F.to_date(F.col(maturity) if isinstance(maturity, str) else maturity)
+
+    # upper bound on #periods: months difference / interval, +2 slack;
+    # the filter below trims exactly.
+    n_max = (
+        F.ceil(F.months_between(ven, liq) / F.lit(float(interval_months)))
+        .cast("int")
+        + F.lit(1)
+    )
+    out = (
+        df.withColumn("_n_max", F.greatest(n_max, F.lit(0)))
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_n_max"))))
+        .withColumn(alias, F.add_months(ven, -F.col("_i") * interval_months))
+        .filter(F.col(alias) > liq)
+        .drop("_n_max", "_i")
+    )
+    return out
+
+
+def coupon_flow_expr(
+    pay_date: str | Column,
+    maturity: str | Column,
+    coupon_value: float,
+    final_value: float,
+) -> Column:
+    """Flow amount: coupon everywhere, coupon+principal at maturity
+    (reference: pyield/tpf/titulos/ntnf.py:268-276)."""
+    p = F.col(pay_date) if isinstance(pay_date, str) else pay_date
+    m = F.to_date(F.col(maturity) if isinstance(maturity, str) else maturity)
+    return F.when(p == m, F.lit(final_value)).otherwise(F.lit(coupon_value))

@@ -1,0 +1,160 @@
+"""STN-faithful bond pricing, fully columnar.
+
+Constants and rounding chains verified against the reference:
+
+- LTN (pyield/tpf/titulos/ltn.py:137-156): rate trunc8 →
+  au = trunc14(du/252) → PU = trunc6(1000 / (1+taxa)^au).
+- NTN-F (ntnf.py:16-25,283-301): semiannual coupon
+  round(1000·(1.1^0.5 − 1), 5) = 48.80885; PV per flow bround9;
+  PU = trunc6(Σ PV).
+- NTN-B (ntnb.py:20-21,255-345): base-1 coupon 0.02956301
+  (= (1.06^0.5 − 1) rounded); PV per flow bround12;
+  cotação = trunc6(Σ PV); PU = trunc6(trunc6(vna)·trunc6(cotação)).
+- LFT (lft.py:158,204,257-266): cotação = trunc6 of the discount factor;
+  PU = trunc6(trunc6(vna)·cotação).
+- Duration (Macaulay, explode-and-aggregate replacement for the per-row
+  Python kernel at ntnb.py:750-781): Σ(t·PV)/Σ(PV), t = du/252.
+- DV01 (pyield/tpf/titulos/_utils.py:189-192, futures variant
+  pyield/futuro/contratos.py:29-46): 1e-4 · (duration/(1+taxa)) · PU.
+
+Coupon-bond pricing uses the exploded-cash-flow plan (one narrow explode
++ one groupBy on the bond id) — no per-row Python, spark-scale clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyield_spark import du as du_mod
+from pyield_spark.bonds.cashflows import coupon_flow_expr, explode_payment_dates
+from pyield_spark.functions.numbers import truncar_expr
+
+VALOR_FACE = 1000.0
+NTNF_CUPOM = 48.80885  # round(1000*((1.10)**0.5 - 1), 5) — ntnf.py:16-25
+NTNF_FINAL = VALOR_FACE + NTNF_CUPOM
+NTNB_CUPOM = 0.02956301  # base-1 semiannual 6% a.a. — ntnb.py:20-21
+NTNB_FINAL = 1.0 + NTNB_CUPOM
+
+
+def anos_uteis_expr(dias_uteis: str | Column) -> Column:
+    """trunc14(du/252) — the STN year fraction (ltn.py:150)."""
+    d = F.col(dias_uteis) if isinstance(dias_uteis, str) else dias_uteis
+    return truncar_expr(d.cast("double") / 252.0, 14)
+
+
+def ltn_pu_expr(dias_uteis: str | Column, taxa: str | Column) -> Column:
+    """LTN PU from a business-day count and a decimal rate."""
+    t = F.col(taxa) if isinstance(taxa, str) else taxa
+    taxa_n = truncar_expr(t, 8)
+    fator = F.pow(F.lit(1.0) + taxa_n, anos_uteis_expr(dias_uteis))
+    return truncar_expr(F.lit(VALOR_FACE) / fator, 6)
+
+
+def ltn_taxa_expr(dias_uteis: str | Column, pu: str | Column) -> Column:
+    """Implied LTN rate from PU: trunc8((1000/pu)^(1/au) - 1) (ltn.py:186-197)."""
+    p = F.col(pu) if isinstance(pu, str) else pu
+    au = anos_uteis_expr(dias_uteis)
+    taxa = F.pow(F.lit(VALOR_FACE) / p, F.lit(1.0) / au) - F.lit(1.0)
+    return truncar_expr(taxa, 8)
+
+
+def lft_cotacao_expr(dias_uteis: str | Column, taxa: str | Column) -> Column:
+    """LFT quote factor: trunc6(1/(1+taxa)^au) (lft.py:140-158)."""
+    t = F.col(taxa) if isinstance(taxa, str) else taxa
+    taxa_n = truncar_expr(t, 8)
+    fator = F.pow(F.lit(1.0) + taxa_n, anos_uteis_expr(dias_uteis))
+    return truncar_expr(F.lit(1.0) / fator, 6)
+
+
+def pu_from_vna_expr(vna: str | Column, cotacao: str | Column) -> Column:
+    """PU = trunc6(trunc6(vna)·trunc6(cotação)) (ntnb.py:316-324)."""
+    v = F.col(vna) if isinstance(vna, str) else vna
+    c = F.col(cotacao) if isinstance(cotacao, str) else cotacao
+    return truncar_expr(truncar_expr(v, 6) * truncar_expr(c, 6), 6)
+
+
+def _exploded_flows(
+    df: DataFrame,
+    id_cols: list[str],
+    settlement: str,
+    maturity: str,
+    taxa: str,
+    coupon_value: float,
+    final_value: float,
+) -> DataFrame:
+    """Per-bond exploded flows with du, year fraction and discount factor."""
+    flows = explode_payment_dates(df, settlement, maturity, 6, "data_pagamento")
+    flows = du_mod.contar(flows, settlement, "data_pagamento", alias="_du_fluxo")
+    taxa_n = truncar_expr(F.col(taxa), 8)
+    au = anos_uteis_expr("_du_fluxo")
+    cf = coupon_flow_expr("data_pagamento", maturity, coupon_value, final_value)
+    return (
+        flows.withColumn("_au", au)
+        .withColumn("_cf", cf)
+        .withColumn("_fator", F.pow(F.lit(1.0) + taxa_n, F.col("_au")))
+    )
+
+
+def price_coupon_bond(
+    df: DataFrame,
+    id_cols: list[str],
+    settlement: str = "data_liquidacao",
+    maturity: str = "data_vencimento",
+    taxa: str = "taxa",
+    coupon_value: float = NTNF_CUPOM,
+    final_value: float = NTNF_FINAL,
+    vp_round: int = 9,
+    alias: str = "pu",
+    with_duration: bool = False,
+) -> DataFrame:
+    """Price coupon bonds (NTN-F defaults) via explode-and-aggregate.
+
+    Returns one row per bond (``id_cols``) with ``alias`` =
+    trunc6(Σ bround(CF/(1+taxa)^au, vp_round)) and, optionally,
+    Macaulay ``duration`` = Σ(au·PV)/Σ(PV) from unrounded PVs.
+    """
+    flows = _exploded_flows(
+        df, id_cols, settlement, maturity, taxa, coupon_value, final_value
+    )
+    vp = F.bround(F.col("_cf") / F.col("_fator"), vp_round)
+    flows = flows.withColumn("_vp", vp)
+    aggs = [truncar_expr(F.sum("_vp"), 6).alias(alias)]
+    if with_duration:
+        vp_raw = F.col("_cf") / F.col("_fator")
+        aggs.append(
+            (F.sum(F.col("_au") * vp_raw) / F.sum(vp_raw)).alias("duration")
+        )
+    return flows.groupBy(*id_cols).agg(*aggs)
+
+
+def ntnb_cotacao(
+    df: DataFrame,
+    id_cols: list[str],
+    settlement: str = "data_liquidacao",
+    maturity: str = "data_vencimento",
+    taxa: str = "taxa",
+    alias: str = "cotacao",
+    with_duration: bool = False,
+) -> DataFrame:
+    """NTN-B quote factor per bond (base-1; PV bround12, Σ trunc6)."""
+    return price_coupon_bond(
+        df,
+        id_cols,
+        settlement,
+        maturity,
+        taxa,
+        coupon_value=NTNB_CUPOM,
+        final_value=NTNB_FINAL,
+        vp_round=12,
+        alias=alias,
+        with_duration=with_duration,
+    )
+
+
+def dv01_expr(dias_uteis: str | Column, taxa: str | Column, preco: str | Column) -> Column:
+    """DV01 = 1e-4·(du/252)/(1+taxa)·PU (pyield/futuro/contratos.py:29-46)."""
+    d = F.col(dias_uteis) if isinstance(dias_uteis, str) else dias_uteis
+    t = F.col(taxa) if isinstance(taxa, str) else taxa
+    p = F.col(preco) if isinstance(preco, str) else preco
+    duracao_mod = (d.cast("double") / 252.0) / (F.lit(1.0) + t)
+    return F.lit(0.0001) * duracao_mod * p

@@ -1,0 +1,150 @@
+"""Multi-curve flat-forward / linear interpolation.
+
+Reference semantics (pyield/interpolador.py:306-497, verified against its
+docstrings and the edge-case ladder at :481-491):
+
+- curve cleaning: tolerant casts, drop null/NaN, dedupe (grupo, du);
+- j = last vertex with du <= target, k = first vertex with du > target
+  (dual as-of join, :452-468);
+- flat-forward: tx = (fa_j * (fa_k/fa_j)^ft)^(1/au) - 1 with
+  fa_x = (1+tx_x)^(du_x/252), ft = (au-au_j)/(au_k-au_j);
+- ladder: null du or empty curve group → null; exact hit → vertex rate;
+  du < du_min → first rate (always); du > du_max → last rate if
+  ``extrapolar`` else null.
+
+Spark design: instead of two join_asof passes, ONE union + window pass
+computes both neighbors (curve rows sort before targets at equal du, so
+the backward window sees exact hits and the forward window yields the
+strictly-next vertex — exact hits short-circuit in the ladder before the
+forward value is consulted). Group extremes ride on a broadcast join of a
+per-group aggregate. Single shuffle on the group key; no UDFs; scales to
+arbitrarily many curves (the 100 TB axis is #groups, not vertices).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DAYS_PER_YEAR = 252.0
+
+
+def interpolar(
+    targets: DataFrame,
+    curve: DataFrame,
+    du_col: str = "dias_uteis",
+    curve_du: str = "dias_uteis",
+    curve_rate: str = "taxa",
+    by: list[str] | str | None = None,
+    method: str = "flat_forward",
+    extrapolar: bool = False,
+    alias: str = "taxa_interpolada",
+) -> DataFrame:
+    """Attach an interpolated-rate column to ``targets``.
+
+    Args:
+        targets: rows to interpolate; keeps all its columns.
+        curve: known vertices (group keys + du + rate).
+        by: group key(s) defining independent curves (e.g. reference
+            date). None = single curve for all targets.
+        method: "flat_forward" or "linear".
+        extrapolar: long-end behavior (True → last rate, False → null).
+    """
+    if method not in ("flat_forward", "linear"):
+        raise ValueError("method must be 'flat_forward' or 'linear'")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    cur = curve.select(
+        *[F.col(c) for c in by_cols],
+        F.col(curve_du).cast("long").alias("_du"),
+        F.col(curve_rate).cast("double").alias("_tx"),
+    ).filter(
+        F.col("_du").isNotNull() & F.col("_tx").isNotNull() & ~F.isnan(F.col("_tx"))
+    )
+    # dedupe (group, du): deterministic keep-max-rate stand-in for the
+    # reference's arrival-order keep='last' (arrival order is undefined on
+    # a distributed table; any deterministic pick preserves the contract
+    # that one vertex survives per (group, du)).
+    cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
+
+    extremes = cur.groupBy(*by_cols).agg(
+        F.min("_du").alias("_du_min"),
+        F.max("_du").alias("_du_max"),
+        F.min_by("_tx", "_du").alias("_tx_min"),
+        F.max_by("_tx", "_du").alias("_tx_max"),
+    )
+
+    # ---- union + dual window ----
+    tgt = targets.select(
+        F.struct(*targets.columns).alias("_l"),
+        *[F.col(c) for c in by_cols],
+        F.col(du_col).cast("long").alias("_k"),
+        F.lit(1).alias("_is_left"),
+    )
+    cur_tagged = cur.select(
+        F.lit(None).cast(tgt.schema["_l"].dataType).alias("_l"),
+        *[F.col(c) for c in by_cols],
+        F.col("_du").alias("_k"),
+        F.lit(0).alias("_is_left"),
+        F.struct(F.col("_du"), F.col("_tx")).alias("_v"),
+    )
+    tgt = tgt.withColumn("_v", F.lit(None).cast(cur_tagged.schema["_v"].dataType)).select(
+        *cur_tagged.columns
+    )
+    unioned = cur_tagged.unionByName(tgt)
+
+    w = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
+    # curve rows (tag 0) before targets (tag 1) at equal du: backward sees
+    # exact hits; forward yields the strictly-greater vertex.
+    wo = w.orderBy(F.col("_k").asc_nulls_last(), F.col("_is_left"))
+    back = F.last("_v", ignorenulls=True).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("_v", ignorenulls=True).over(
+        wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    joined = (
+        unioned.select("_l", *by_cols, "_k", "_is_left", back.alias("_j"), fwd.alias("_kk"))
+        .filter(F.col("_is_left") == 1)
+        .join(F.broadcast(extremes), by_cols, "left")
+        if by_cols
+        else unioned.select(
+            "_l", "_k", "_is_left", back.alias("_j"), fwd.alias("_kk")
+        )
+        .filter(F.col("_is_left") == 1)
+        .crossJoin(F.broadcast(extremes))
+    )
+
+    du = F.col("_k").cast("double")
+    du_j = F.col("_j._du").cast("double")
+    tx_j = F.col("_j._tx")
+    du_k = F.col("_kk._du").cast("double")
+    tx_k = F.col("_kk._tx")
+
+    if method == "flat_forward":
+        au = du / DAYS_PER_YEAR
+        au_j = du_j / DAYS_PER_YEAR
+        au_k = du_k / DAYS_PER_YEAR
+        fa_j = F.pow(F.lit(1.0) + tx_j, au_j)
+        fa_k = F.pow(F.lit(1.0) + tx_k, au_k)
+        ft = (au - au_j) / (au_k - au_j)
+        mid = F.pow(fa_j * F.pow(fa_k / fa_j, ft), F.lit(1.0) / au) - F.lit(1.0)
+    else:  # linear (reference: interpolador.py:77-101)
+        mid = tx_j + (du - du_j) * (tx_k - tx_j) / (du_k - du_j)
+
+    nulo = F.lit(None).cast("double")
+    taxa = (
+        F.when(F.col("_k").isNull() | F.col("_du_min").isNull(), nulo)
+        .when(du_j == du, tx_j)
+        .when(du < F.col("_du_min"), F.col("_tx_min"))
+        .when(
+            du > F.col("_du_max"),
+            F.col("_tx_max") if extrapolar else nulo,
+        )
+        .otherwise(mid)
+    )
+    # NaN → null at the exit (reference: interpolador.py:497)
+    taxa = F.when(F.isnan(taxa), nulo).otherwise(taxa)
+
+    left_cols = [F.col(f"_l.{c}").alias(c) for c in targets.columns]
+    return joined.select(*left_cols, taxa.alias(alias))

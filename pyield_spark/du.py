@@ -1,0 +1,206 @@
+"""Business-day arithmetic as broadcast-join DataFrame operations.
+
+Reference semantics (pyield/du/core.py):
+- ``contar(inicio, fim)``: business days in [inicio, fim) — start
+  inclusive, end exclusive; negative when fim < inicio (core.py:154-157);
+  the holiday regime (antigo/novo) is chosen per row from the *start*
+  date vs the 2023-12-26 transition (core.py:20-25,116-119).
+- ``deslocar(data, n, rolagem)``: roll the date to a business day first
+  ("forward" → next, "backward" → previous; no-op if already a business
+  day), then move |n| business days in the sign direction
+  (core.py:324-346).
+- ``eh_dia_util(data)``: weekday and not holiday (core.py:598-600).
+
+Spark design: a ~40k-row business-day dimension is broadcast and each
+operation is 1-2 broadcast hash joins plus pure column math — no UDFs, no
+shuffles of the fact table, safe at 100 TB. Scalar convenience wrappers
+run driver-side on the same generated calendar (mirroring the reference's
+scalar/vector dual API, core.py:89-98).
+"""
+
+from __future__ import annotations
+
+import bisect
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyield_spark import calendar_br as cal
+
+_TRANSITION = cal.TRANSITION_DATE
+
+
+def _cal_prefixed(spark, prefix: str, date_alias: str) -> DataFrame:
+    c = cal.calendar_df(spark)
+    return c.select(
+        F.col("data").alias(date_alias),
+        *[F.col(n).alias(prefix + n) for n in c.columns if n != "data"],
+    )
+
+
+def _regime_pick(start_col: Column, ant: Column, nov: Column) -> Column:
+    return F.when(start_col < F.lit(_TRANSITION), ant).otherwise(nov)
+
+
+def contar(
+    df: DataFrame,
+    inicio: str | Column,
+    fim: str | Column,
+    alias: str = "dias_uteis",
+) -> DataFrame:
+    """Add a business-day-count column: [inicio, fim), regime by inicio.
+
+    Implemented as two broadcast joins against the calendar dimension:
+    count = cum[fim] - cum[inicio] on the regime selected by inicio.
+    Null inicio/fim (or dates outside the 1990-2099 calendar) yield null.
+    """
+    spark = df.sparkSession
+    ini = F.col(inicio) if isinstance(inicio, str) else inicio
+    fm = F.col(fim) if isinstance(fim, str) else fim
+    df2 = df.withColumn("_du_ini", F.to_date(ini)).withColumn("_du_fim", F.to_date(fm))
+    cal_ini = _cal_prefixed(spark, "_i_", "_du_ini").select(
+        "_du_ini", "_i_cum_ant", "_i_cum_nov"
+    )
+    cal_fim = _cal_prefixed(spark, "_f_", "_du_fim").select(
+        "_du_fim", "_f_cum_ant", "_f_cum_nov"
+    )
+    out = (
+        df2.join(F.broadcast(cal_ini), "_du_ini", "left")
+        .join(F.broadcast(cal_fim), "_du_fim", "left")
+        .withColumn(
+            alias,
+            _regime_pick(
+                F.col("_du_ini"),
+                F.col("_f_cum_ant") - F.col("_i_cum_ant"),
+                F.col("_f_cum_nov") - F.col("_i_cum_nov"),
+            ),
+        )
+    )
+    return out.drop("_du_ini", "_du_fim", "_i_cum_ant", "_i_cum_nov", "_f_cum_ant", "_f_cum_nov")
+
+
+def deslocar(
+    df: DataFrame,
+    data: str | Column,
+    deslocamento: str | Column | int,
+    rolagem: str = "forward",
+    alias: str = "data_deslocada",
+) -> DataFrame:
+    """Add a business-day-shifted date column (roll first, then add n).
+
+    Two broadcast joins: date → roll ordinal; (regime, ordinal+n) → date.
+    """
+    if rolagem not in ("forward", "backward"):
+        raise ValueError("rolagem must be 'forward' or 'backward'")
+    spark = df.sparkSession
+    d = F.col(data) if isinstance(data, str) else data
+    n = F.lit(deslocamento) if isinstance(deslocamento, int) else (
+        F.col(deslocamento) if isinstance(deslocamento, str) else deslocamento
+    )
+    idx = "idx_fwd_" if rolagem == "forward" else "idx_bwd_"
+    df2 = df.withColumn("_du_data", F.to_date(d)).withColumn("_du_n", n.cast("long"))
+    cal_d = _cal_prefixed(spark, "_d_", "_du_data").select(
+        "_du_data", f"_d_{idx}ant", f"_d_{idx}nov"
+    )
+    inv = cal.business_dates_df(spark).select(
+        F.col("regime").alias("_du_regime"),
+        F.col("ordinal").alias("_du_target"),
+        F.col("data").alias(alias),
+    )
+    out = (
+        df2.join(F.broadcast(cal_d), "_du_data", "left")
+        .withColumn(
+            "_du_regime",
+            F.when(F.col("_du_data").isNull(), F.lit(None).cast("string")).otherwise(
+                F.when(F.col("_du_data") < F.lit(_TRANSITION), F.lit("antigo")).otherwise(F.lit("novo"))
+            ),
+        )
+        .withColumn(
+            "_du_target",
+            _regime_pick(F.col("_du_data"), F.col(f"_d_{idx}ant"), F.col(f"_d_{idx}nov"))
+            + F.col("_du_n"),
+        )
+        .join(F.broadcast(inv), ["_du_regime", "_du_target"], "left")
+    )
+    return out.drop(
+        "_du_data", "_du_n", "_du_regime", "_du_target", f"_d_{idx}ant", f"_d_{idx}nov"
+    )
+
+
+def eh_dia_util(df: DataFrame, data: str | Column, alias: str = "eh_dia_util") -> DataFrame:
+    """Add a boolean business-day flag (regime selected by the date itself)."""
+    spark = df.sparkSession
+    d = F.col(data) if isinstance(data, str) else data
+    df2 = df.withColumn("_du_data", F.to_date(d))
+    cal_d = _cal_prefixed(spark, "_d_", "_du_data").select(
+        "_du_data", "_d_is_bd_ant", "_d_is_bd_nov"
+    )
+    out = df2.join(F.broadcast(cal_d), "_du_data", "left").withColumn(
+        alias,
+        _regime_pick(F.col("_du_data"), F.col("_d_is_bd_ant"), F.col("_d_is_bd_nov")),
+    )
+    return out.drop("_du_data", "_d_is_bd_ant", "_d_is_bd_nov")
+
+
+# --- scalar fast path (driver-side, mirrors the reference's scalar API) ---
+
+
+def _regime_of(d: dt.date) -> str:
+    return "antigo" if d < _TRANSITION else "novo"
+
+
+def contar_scalar(inicio: dt.date | None, fim: dt.date | None) -> int | None:
+    """Business days in [inicio, fim); None propagates (core.py:120-127)."""
+    if inicio is None or fim is None:
+        return None
+    hol = cal.holidays(_regime_of(inicio))
+    sign = 1
+    a, b = inicio, fim
+    if fim < inicio:
+        a, b, sign = fim, inicio, -1
+    # weekday count in [a, b)
+    days = (b - a).days
+    full_weeks, rem = divmod(days, 7)
+    count = full_weeks * 5
+    wd = a.weekday()
+    for i in range(rem):
+        if (wd + i) % 7 < 5:
+            count += 1
+    # subtract weekday holidays in [a, b)
+    lo = bisect.bisect_left(hol, a)
+    hi = bisect.bisect_left(hol, b)
+    count -= sum(1 for h in hol[lo:hi] if h.weekday() < 5)
+    return sign * count
+
+
+def deslocar_scalar(
+    data: dt.date | None, n: int | None, rolagem: str = "forward"
+) -> dt.date | None:
+    """Roll then add n business days, driver-side."""
+    if data is None or n is None:
+        return None
+    regime = _regime_of(data)
+    step = dt.timedelta(days=1)
+    d = data
+    if not cal.is_business_day(d, regime):
+        while not cal.is_business_day(d, regime):
+            d = d + step if rolagem == "forward" else d - step
+    remaining = abs(n)
+    direction = step if n >= 0 else -step
+    while remaining > 0:
+        d += direction
+        if cal.is_business_day(d, regime):
+            remaining -= 1
+    return d
+
+
+def gerar(inicio: dt.date, fim: dt.date) -> list[dt.date]:
+    """Business days in [inicio, fim], driver-side (core.py:546 analogue)."""
+    regime = _regime_of(inicio)
+    out = []
+    d = inicio
+    while d <= fim:
+        if cal.is_business_day(d, regime):
+            out.append(d)
+        d += dt.timedelta(days=1)
+    return out

@@ -1,0 +1,58 @@
+"""Numeric semantics of the reference, as Column expressions.
+
+- ``truncar_expr``: truncate toward zero at n decimals — the STN pricing
+  rule (reference: pyield/_internal/numbers.py:15-45; used as trunc14 on
+  year fractions, trunc6 on prices, trunc8 on rates —
+  pyield/tpf/titulos/ltn.py:150-155,197).
+- ``bround_expr``: half-to-even rounding — Polars ``round`` semantics
+  (Spark's ``round`` is half-up; ``bround`` is the parity-correct one,
+  SURVEY §4.3).
+- BR-number parsing: '1.234,56' → 1234.56; percent → decimal rounded
+  10dp (reference: pyield/_internal/br_numbers.py:10-53).
+
+All pure built-ins — whole-stage-codegen friendly, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def truncar_expr(col: Column | str, decimals: int) -> Column:
+    """Truncate toward zero at ``decimals`` places.
+
+    sign(x) * floor(|x| * 10^d) / 10^d — exact for the magnitudes the
+    pricing rules touch (|x|·10^d < 2^53). NaN/null pass through.
+    """
+    if decimals < 0:
+        raise ValueError("decimals must be non-negative")
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(float(10**decimals))
+    truncated = F.signum(c) * F.floor(F.abs(c) * s) / s
+    return F.when(F.isnan(c), c).otherwise(truncated)
+
+
+def bround_expr(col: Column | str, decimals: int) -> Column:
+    """Half-to-even rounding (Polars ``round`` parity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.bround(c, decimals)
+
+
+def br_num_expr(col: Column | str) -> Column:
+    """Parse '1.234,56'-style Brazilian numbers to double (invalid → null)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.regexp_replace(F.trim(c), r"\.", ""), ",", ".")
+    return cleaned.cast("double")
+
+
+def br_int_expr(col: Column | str) -> Column:
+    """Parse '1.234'-style Brazilian integers to long (invalid → null)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(c), r"\.", "").cast("long")
+
+
+def pct_para_decimal_expr(col: Column | str, decimals: int = 10) -> Column:
+    """Percent → decimal, rounded (reference rounds 10dp at ingestion:
+    pyield/_internal/br_numbers.py:10-16)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.bround(c.cast("double") / 100.0, decimals)

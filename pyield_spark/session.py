@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local tests run on ``local[N]`` but every knob here is chosen so the same
+code is correct on a 1000-executor cluster: AQE for runtime re-planning
+(skew joins, partition coalescing), Arrow for the few pandas-UDF kernels,
+and a shuffle-partition count that callers can override per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "pyield_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    Defaults: ``local[$SPARK_GRAFT_CPUS]`` (32 if unset) with
+    ``spark.sql.shuffle.partitions`` matched to the core count —
+    the 200-partition default over-parallelizes local runs and
+    under-parallelizes large clusters; at scale this should be set to
+    ~2-3x total cores by the deployment, not hardcoded.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Oracle comparisons (DuckDB) use naive/UTC timestamps; ANSI off so
+        # malformed casts yield null (reference uses strict=False casts:
+        # pyield/b3/boletim.py:306).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-provided parquet tables."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
