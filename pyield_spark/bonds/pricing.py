@@ -118,11 +118,21 @@ def price_coupon_bond(
     )
     vp = F.bround(F.col("_cf") / F.col("_fator"), vp_round)
     flows = flows.withColumn("_vp", vp)
-    aggs = [truncar_expr(F.sum("_vp"), 6).alias(alias)]
+    # decimal accumulation: exact and order-independent (a parallel double
+    # sum is association-dependent; the rounded PVs fit decimal exactly)
+    aggs = [
+        truncar_expr(F.sum(F.col("_vp").cast("decimal(28,12)")).cast("double"), 6).alias(
+            alias
+        )
+    ]
     if with_duration:
-        vp_raw = F.col("_cf") / F.col("_fator")
+        # Macaulay from the STN-rounded PVs (deterministic across engines;
+        # differs from the reference's unrounded-PV duration by <1e-9)
         aggs.append(
-            (F.sum(F.col("_au") * vp_raw) / F.sum(vp_raw)).alias("duration")
+            (
+                F.sum((F.col("_au") * F.col("_vp")).cast("decimal(28,14)")).cast("double")
+                / F.sum(F.col("_vp").cast("decimal(28,14)")).cast("double")
+            ).alias("duration")
         )
     return flows.groupBy(*id_cols).agg(*aggs)
 
