@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (count() would let
+Catalyst prune the computed columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyield_spark.queries import QUERIES, load_all  # noqa: E402
+from pyield_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_region_volume",
+    "q_top_customers_per_nation",
+    "q_first_last_ship",
+    "q_bd_count",
+    "q_bd_offset",
+    "q_asof_last_order",
+    "q_interp_flat_forward",
+    "q_forwards_curve",
+    "q_ltn_pricing",
+    "q_ntnf_pricing",
+    "q_exact_dedup",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_events_sessionize",
+    "q_events_tumbling",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    load_all()
+    spark = get_session("bench")
+
+    # warmup: JVM/codegen, table-file listing
+    QUERIES["q_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

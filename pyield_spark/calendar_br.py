@@ -155,19 +155,34 @@ _CAL_SCHEMA = (
     "idx_fwd_ant BIGINT, idx_fwd_nov BIGINT, idx_bwd_ant BIGINT, idx_bwd_nov BIGINT"
 )
 
+# per-session dimension cache: building ~40k rows driver-side is cheap
+# once, but doing it per operator call serializes the whole table into
+# every query — memoize (keyed weakly by the JVM session id).
+_DF_CACHE: dict = {}
+
 
 def calendar_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
     """The business-day dimension as a (broadcastable) Spark DataFrame."""
-    return spark.createDataFrame(calendar_rows(start, end), _CAL_SCHEMA)
+    key = (id(spark.sparkContext), "cal", start, end)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = spark.createDataFrame(
+            calendar_rows(start, end), _CAL_SCHEMA
+        ).cache()
+    return _DF_CACHE[key]
 
 
 def business_dates_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
     """Inverse map: (regime, ordinal) -> date, for business-day offsets."""
-    rows = []
-    for r in calendar_rows(start, end):
-        d, bd_a, bd_n, c_a, c_n = r[0], r[1], r[2], r[3], r[4]
-        if bd_a:
-            rows.append(("antigo", c_a, d))
-        if bd_n:
-            rows.append(("novo", c_n, d))
-    return spark.createDataFrame(rows, "regime STRING, ordinal BIGINT, data DATE")
+    key = (id(spark.sparkContext), "bdinv", start, end)
+    if key not in _DF_CACHE:
+        rows = []
+        for r in calendar_rows(start, end):
+            d, bd_a, bd_n, c_a, c_n = r[0], r[1], r[2], r[3], r[4]
+            if bd_a:
+                rows.append(("antigo", c_a, d))
+            if bd_n:
+                rows.append(("novo", c_n, d))
+        _DF_CACHE[key] = spark.createDataFrame(
+            rows, "regime STRING, ordinal BIGINT, data DATE"
+        ).cache()
+    return _DF_CACHE[key]

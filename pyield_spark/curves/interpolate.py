@@ -66,13 +66,6 @@ def interpolar(
     # that one vertex survives per (group, du)).
     cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
 
-    extremes = cur.groupBy(*by_cols).agg(
-        F.min("_du").alias("_du_min"),
-        F.max("_du").alias("_du_max"),
-        F.min_by("_tx", "_du").alias("_tx_min"),
-        F.max_by("_tx", "_du").alias("_tx_max"),
-    )
-
     # ---- union + dual window ----
     tgt = targets.select(
         F.struct(*targets.columns).alias("_l"),
@@ -94,26 +87,38 @@ def interpolar(
 
     w = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
     # curve rows (tag 0) before targets (tag 1) at equal du: backward sees
-    # exact hits; forward yields the strictly-greater vertex.
+    # exact hits; forward yields the strictly-greater vertex. BOTH
+    # neighbors use GROWING frames (unbounded preceding → current), which
+    # Spark streams in O(n); the forward side runs over descending du —
+    # a shrinking current→unbounded-following frame would rescan per row
+    # (O(n²), measured 2-4× slower at sf0.1). Ties in the descending
+    # pass put targets first so equal-du vertices stay excluded (strict >).
     wo = w.orderBy(F.col("_k").asc_nulls_last(), F.col("_is_left"))
     back = F.last("_v", ignorenulls=True).over(
         wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = F.first("_v", ignorenulls=True).over(
-        wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wo_desc = w.orderBy(F.col("_k").desc_nulls_last(), (1 - F.col("_is_left")))
+    fwd = F.last("_v", ignorenulls=True).over(
+        wo_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    joined = (
-        unioned.select("_l", *by_cols, "_k", "_is_left", back.alias("_j"), fwd.alias("_kk"))
-        .filter(F.col("_is_left") == 1)
-        .join(F.broadcast(extremes), by_cols, "left")
-        if by_cols
-        else unioned.select(
-            "_l", "_k", "_is_left", back.alias("_j"), fwd.alias("_kk")
-        )
-        .filter(F.col("_is_left") == 1)
-        .crossJoin(F.broadcast(extremes))
-    )
+    # group extremes as whole-partition window aggs over the same
+    # partitioning (unordered frame → single-pass aggregate buffers; an
+    # ordered unbounded-following frame with ignorenulls degrades to
+    # per-row scans, measured 4× slower). No second curve aggregation,
+    # no extra join.
+    curve_du = F.when(F.col("_is_left") == 0, F.col("_k"))
+    curve_tx = F.when(F.col("_is_left") == 0, F.col("_v._tx"))
+    joined = unioned.select(
+        "_l",
+        "_k",
+        "_is_left",
+        back.alias("_j"),
+        fwd.alias("_kk"),
+        F.min(curve_du).over(w).alias("_du_min"),
+        F.max(curve_du).over(w).alias("_du_max"),
+        F.min_by(curve_tx, curve_du).over(w).alias("_tx_min"),
+        F.max_by(curve_tx, curve_du).over(w).alias("_tx_max"),
+    ).filter(F.col("_is_left") == 1)
 
     du = F.col("_k").cast("double")
     du_j = F.col("_j._du").cast("double")

@@ -87,23 +87,25 @@ def asof_join(
 
     unioned = right_tagged.unionByName(left_tagged)
 
-    # Tag order at equal keys decides whether exact matches are visible.
+    # Both strategies use GROWING frames (unbounded preceding → current):
+    # Spark streams those in O(n), while a shrinking
+    # current→unbounded-following frame rescans per row (O(n²)). Forward
+    # therefore runs over DESCENDING keys. The tag order at equal keys
+    # decides whether exact matches are visible.
     if strategy == "backward":
         right_first = allow_exact_matches  # right before left ⇒ equal key matches
+        order = [F.col("_k").asc_nulls_last()]
     else:
-        right_first = not allow_exact_matches  # right after left ⇒ equal key matches
+        right_first = allow_exact_matches  # right before left (desc) ⇒ equal key matches
+        order = [F.col("_k").desc_nulls_last()]
     tag_order = F.when(F.col("_is_left") == 0, F.lit(0 if right_first else 2)).otherwise(
         F.lit(1)
     )
 
     w = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
-    w = w.orderBy(F.col("_k").asc_nulls_last(), tag_order)
-    if strategy == "backward":
-        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        matched = F.last("_v", ignorenulls=True).over(wf)
-    else:
-        wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        matched = F.first("_v", ignorenulls=True).over(wf)
+    w = w.orderBy(*order, tag_order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched = F.last("_v", ignorenulls=True).over(wf)
 
     out = unioned.select("_l", "_is_left", matched.alias("_m")).filter(
         F.col("_is_left") == 1

@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB axis is #documents):
+
+- exact: one hash-groupBy on a 128-bit content hash — single shuffle.
+- n-gram Jaccard: shingle-explode → equi-join on shingle → per-pair
+  intersection counts. Quadratic blowup is contained by (a) distinct
+  shingles, (b) an optional blocking key (e.g. source bucket), and at
+  real scale by running it only on LSH candidate pairs.
+- MinHash+LSH: k portable affine hashes over md5-derived shingle ids;
+  band signatures bucket-join candidates — linear in corpus size.
+- SimHash: bit-vote aggregation over token hashes → 32-bit fingerprint;
+  near-dups = equal fingerprint (or small Hamming distance via
+  bit_count(xor) at join time).
+
+Everything is built from portable arithmetic (md5, integer mod) so the
+DuckDB oracle can replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyield_spark.operators.text import h32_expr, tokens_expr
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+# deterministic affine hash family (a, b) — public small constants
+MINHASH_COEFFS = [
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 67867967),
+    (86028121, 93827561),
+]
+
+
+def normalize_text_expr(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def content_hash_expr(text: str | Column) -> Column:
+    """128-bit content hash of normalized text (md5 hex)."""
+    return F.md5(normalize_text_expr(text))
+
+
+def shingles_expr(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Built from n aligned array slices zipped together — NOT by indexing
+    the token array from inside a lambda, which would re-evaluate the
+    whole tokenizer expression per element (higher-order-function
+    lambdas re-execute captured subtrees; with ~150 tokens/doc that is a
+    150× blowup measured in the LSH benchmark). ``zip_with`` pads the
+    shorter side with null and ``concat`` propagates it, so the ragged
+    tail drops out in the null filter.
+    """
+    toks = tokens_expr(text)
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda g, z: F.concat(g, F.lit(" "), z))
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+
+def exact_dup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Group identical (normalized) texts: content hash → keep-min id,
+    duplicate count."""
+    return (
+        df.select(F.col(id_col), content_hash_expr(text).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exploded_shingles(df: DataFrame, text: str, id_col: str, n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(text, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block: str | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram Jaccard >= threshold.
+
+    ``block`` optionally restricts comparisons to equal-key groups —
+    at full scale, feed LSH candidates instead of blocking.
+    """
+    blk = [block] if block else []
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(b) for b in blk],
+        F.explode(shingles_expr(text, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(
+        F.col("_id").alias("id_a"), *[F.col(b).alias(f"_ba_{b}") for b in blk], "shingle"
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), *[F.col(b).alias(f"_bb_{b}") for b in blk], "shingle"
+    )
+    cond = [a.shingle == b.shingle] + [
+        F.col(f"_ba_{k}") == F.col(f"_bb_{k}") for k in blk
+    ]
+    inter = (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, text: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """k-wide MinHash signature per document (portable affine family)."""
+    sh = exploded_shingles(df, text, id_col, n).withColumn(
+        "sid", h32_expr("shingle")
+    )
+    aggs = [
+        F.min((F.col("sid") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text: str, id_col: str, n: int = 3, band_size: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing any MinHash band."""
+    sig = minhash_signatures(df, text, id_col, n)
+    k = len(MINHASH_COEFFS)
+    band_keys = [
+        F.concat_ws(
+            "_", *[f"mh{i}" for i in range(b0, min(b0 + band_size, k))]
+        )
+        for b0 in range(0, k, band_size)
+    ]
+    # single-pass band expansion (posexplode) — signatures are computed
+    # once, not once per band branch
+    allb = sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*band_keys)).alias("band", "bkey"),
+    )
+    a = allb.select(F.col("_id").alias("id_a"), "band", "bkey")
+    b = allb.select(F.col("_id").alias("id_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_expr_input(df: DataFrame, text: str, id_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document from distinct-token hash bit votes."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr(text))).alias("tok"),
+    ).withColumn("h", h32_expr("tok"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # bit extraction via exact double arithmetic (h < 2^32 ≪ 2^53):
+    # floor(h / 2^bit) % 2 — portable to any SQL engine, no shift builtins
+    pow2 = F.pow(F.lit(2.0), F.col("bit"))
+    votes = (
+        toks.select(id_col, "h", bit)
+        .withColumn(
+            "vote",
+            F.when(F.floor(F.col("h") / pow2) % 2 == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

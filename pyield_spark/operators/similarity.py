@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force top-k neighbors for a query subset —
+  the exactness baseline. Dot products accumulate through DECIMAL so
+  results are order-independent and bit-identical across engines.
+- ``lsh_bucket_expr``: random-hyperplane (sign-LSH) bucketing with a
+  deterministic portable pseudo-hyperplane family — the 100 TB path:
+  bucket-join candidates first, score only candidates.
+
+At scale the brute-force variant is O(Q·N); keep Q bounded (it's meant
+for re-ranking LSH/IVF candidates, not full scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+# decimal(30,12): headroom so each addition's widened result (31,12)
+# casts back EXACTLY — never triggers Spark's precision-cap rounding at
+# (38,s), keeping the fold bit-identical to any exact-decimal engine.
+_DEC = "decimal(30,12)"
+
+
+def norm_sq_dec(vec: Column) -> Column:
+    """Σx² accumulated in decimal (exact, order-independent)."""
+    return F.aggregate(
+        _as_double(vec),
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + (x * x).cast(_DEC)).cast(_DEC),
+    ).cast("double")
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Σaᵢbᵢ via decimal accumulation over zipped arrays."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x * y).cast(_DEC)),
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + x).cast(_DEC),
+    ).cast("double")
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (brute force).
+
+    Returns (query_id, neighbor_id, cosine, rnk); ties broken by
+    neighbor id for determinism.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    queries = base.filter(
+        query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
+    ).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm2").alias("_qnorm2"),
+    )
+    pairs = queries.crossJoin(base).filter(F.col("_vid") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(
+            dot_dec(F.col("_qvec"), F.col("_vec"))
+            / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_vid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("_vid").alias("neighbor_id"),
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def lsh_bucket_expr(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-LSH bucket id from deterministic pseudo-hyperplanes.
+
+    Plane p weights component i by w(p,i) = ((1299721·p + 104729·i)
+    mod 97) − 48 (a fixed, portable integer family ≈ centered uniform).
+    Bucket = Σ_p 2^p·[⟨w_p, v⟩ > 0]. Same formula is expressible in the
+    SQL oracle; at scale, equi-join on the bucket id prunes candidates.
+    """
+    v = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x * (((F.lit(1299721 * p) + F.lit(104729) * i) % 97) - 48).cast("double"),
+            ),
+            F.lit(0).cast(_DEC),
+            lambda acc, x: (acc + x.cast(_DEC)).cast(_DEC),
+        ).cast("double")
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket

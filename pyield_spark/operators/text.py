@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no UDFs): token
+counting, quality scoring (length/punctuation/stopword ratios),
+n-gram-heuristic language ID, and polynomial rolling-hash document
+fingerprinting. Designed so an exact SQL twin exists for the DuckDB
+oracle (portable arithmetic only: md5-derived hashes, small-modulus
+rolling hash that can't overflow, decimal-free integer math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# small inline stopword lists per language (public common words)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "pour", "les"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist", "mit", "von"],
+    "pt": ["o", "a", "de", "e", "que", "em", "um", "para", "com", "os"],
+}
+
+ROLLING_BASE = 131
+ROLLING_MOD = 1048573  # < 2^20: acc*131 + 255 < 2^28, never overflows
+
+
+def tokens_expr(text: str | Column) -> Column:
+    """Whitespace tokenization of lower-cased trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_expr(text: str | Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def stopword_hits_expr(text: str | Column, words: list[str]) -> Column:
+    """How many tokens are in the given stopword list."""
+    toks = tokens_expr(text)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def punct_ratio_expr(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, r"[^.,;:!?]", "")) / F.length(c)
+
+
+def quality_score_expr(text: str | Column, lang_words: list[str] | None = None) -> Column:
+    """Heuristic quality in [0, 1]: rewards stopword presence and
+    moderate token length, penalizes punctuation soup. Rounded 6dp for
+    cross-engine determinism."""
+    words = lang_words or STOPWORDS["en"]
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count_expr(c).cast("double")
+    sw_ratio = stopword_hits_expr(c, words).cast("double") / n_tok
+    p_ratio = punct_ratio_expr(c)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = F.lit(0.4) * len_score + F.lit(0.4) * sw_ratio + F.lit(0.2) * (1 - p_ratio)
+    return F.round(score, 6)
+
+
+def lang_scores_expr(text: str | Column) -> dict[str, Column]:
+    """Stopword-hit count per language."""
+    return {lang: stopword_hits_expr(text, ws) for lang, ws in STOPWORDS.items()}
+
+
+def lang_id_expr(text: str | Column) -> Column:
+    """Argmax language by stopword hits, deterministic tie-break by
+    language-code order; 'und' when nothing matches."""
+    scores = lang_scores_expr(text)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang in reversed(langs):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def char_codes_expr(text: str | Column) -> Column:
+    """Array of character codes (portable: no empty-string artifacts).
+
+    Guarded: Spark's ``sequence(1, 0)`` would yield a DESCENDING [1, 0]
+    for empty strings — empty text maps to an empty array instead.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(c)), lambda i: F.ascii(F.substring(c, i, 1))
+    )
+    return F.when(F.length(c) >= 1, codes).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def fingerprint_expr(text: str | Column) -> Column:
+    """Polynomial rolling hash over characters mod a small prime —
+    a portable document fingerprint (same arithmetic is expressible in
+    any SQL engine without overflow)."""
+    codes = char_codes_expr(text)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )
+
+
+def h32_expr(s: str | Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5 as integer."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")

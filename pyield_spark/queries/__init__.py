@@ -44,8 +44,24 @@ def load_all() -> None:
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str):
+    from pyspark.sql import functions as F
+
+    # Defensive session confs (runtime-settable): the driver may hand us
+    # a vanilla SparkSession. events.parquet is TIMESTAMP(NANOS) —
+    # unreadable without nanosAsLong; UTC keeps timestamp→date casts
+    # aligned with the (tz-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     out = []
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        # events.ts is TIMESTAMP(NANOS) parquet — read as LONG (see
+        # session conf nanosAsLong) and converted to micros here, exactly
+        # matching DuckDB's own nanos→micros truncation.
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
         out.append(df)
     return out if len(out) > 1 else out[0]

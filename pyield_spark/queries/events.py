@@ -1,1 +1,148 @@
-"""(populated in a later batch)"""
+"""Event-stream queries: windowed aggregation, sessionization, dedup —
+batch twins (oracle-checked) plus true Structured Streaming variants
+(rows-only checks; the driver records the weaker gate for those).
+
+The reference's "streaming" is snapshot polling (SURVEY §2.10); these
+are the Spark-native extension over the driver's ``events`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from pyield_spark.queries import query, tables
+from pyield_spark.streaming import windows as sw
+
+
+# === tumbling window aggregation (batch twin of the streaming op) =========
+
+
+@query(
+    "q_events_tumbling",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000)
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    ev = tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# === sessionization: gap > 30 min splits a session ========================
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    ev = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .withColumn(
+            "new_s",
+            F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1800000000), 1).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_s").over(wc))
+        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# === keep-latest dedup per (user, event_type) =============================
+
+
+@query(
+    "q_events_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_events_dedup_latest(spark, sf_dir):
+    ev = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# === true Structured Streaming variants (rows-only checks) ================
+
+
+@query("q_stream_tumbling")
+def q_stream_tumbling(spark, sf_dir):
+    ev = sw.read_events_stream(spark, sf_dir)
+    agg = sw.tumbling_counts(ev, "5 minutes", "10 minutes")
+    return sw.run_to_memory(agg, "stream_tumbling_out", mode="complete")
+
+
+@query("q_stream_sessions")
+def q_stream_sessions(spark, sf_dir):
+    ev = sw.read_events_stream(spark, sf_dir)
+    agg = sw.session_windows(ev, "30 minutes", "10 minutes")
+    return sw.run_to_memory(agg, "stream_sessions_out", mode="complete")
+
+
+@query("q_stream_dedup")
+def q_stream_dedup(spark, sf_dir):
+    ev = sw.read_events_stream(spark, sf_dir)
+    dedup = sw.dedup_within_watermark(ev, "10 minutes")
+    return sw.run_to_memory(dedup, "stream_dedup_out", mode="append")

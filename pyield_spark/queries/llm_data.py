@@ -1,1 +1,292 @@
-"""(populated in a later batch)"""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — over the ``documents`` and ``embeddings`` tables.
+
+Every hash/shingle/signature uses portable arithmetic (md5-derived ids,
+small-modulus rolling hashes, decimal-accumulated dot products) so the
+DuckDB oracle replays the exact computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import dedup as dd
+from pyield_spark.operators import multimodal as mm
+from pyield_spark.operators import similarity as sim
+from pyield_spark.operators import text as tx
+from pyield_spark.queries import query, tables
+
+# shared SQL fragments ------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SW_EN = "['the','a','of','and','to','in','is','it','for','on']"
+
+_GRAMS3 = f"""
+  list_distinct(list_transform(
+    range(1, greatest(len({_TOKS}) - 2, 0) + 1),
+    i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))
+""".strip()
+
+
+# === text analysis: token counts, quality, fingerprint, lang-id ===========
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+      CAST(len({_TOKS}) AS INT) AS n_tokens,
+      CAST(len(list_filter({_TOKS}, t -> list_contains({_SW_EN}, t))) AS INT) AS en_stopword_hits,
+      round(0.4 * least(len({_TOKS}) / 100.0, 1.0)
+          + 0.4 * (len(list_filter({_TOKS}, t -> list_contains({_SW_EN}, t)))
+                   / CAST(len({_TOKS}) AS DOUBLE))
+          + 0.2 * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(length(text) AS DOUBLE)),
+          6) AS quality_score,
+      CAST(list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        (a, b) -> (a * 131 + b) % 1048573) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tx.token_count_expr("text").cast("int").alias("n_tokens"),
+        tx.stopword_hits_expr("text", tx.STOPWORDS["en"]).cast("int").alias(
+            "en_stopword_hits"
+        ),
+        tx.quality_score_expr("text").alias("quality_score"),
+        tx.fingerprint_expr("text").alias("fingerprint"),
+    )
+
+
+# === exact dedup: content-hash groups (hash-groupBy — one shuffle) ========
+
+
+@query(
+    "q_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    return dd.exact_dup_groups(docs, "text", "doc_id")
+
+
+# === n-gram Jaccard near-dup pairs (blocked by source) ====================
+
+
+@query(
+    "q_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS _id, source, unnest({_GRAMS3}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT _id, COUNT(*) AS _n FROM sh GROUP BY _id),
+    inter AS (
+      SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+      WHERE a._id < b._id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa._n AS BIGINT) AS n_a, CAST(sb._n AS BIGINT) AS n_b,
+           round(n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa._id = id_a
+    JOIN sizes sb ON sb._id = id_b
+    WHERE round(n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE), 6) >= 0.1
+    """,
+)
+def q_jaccard_pairs(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, block="source"
+    )
+
+
+# === MinHash + LSH candidate pairs ========================================
+
+
+@query(
+    "q_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_GRAMS3}) AS shingle FROM documents
+    ),
+    sid AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS sid
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        MIN((sid * 1299721 + 104729) % 2147483647) AS mh0,
+        MIN((sid * 15485863 + 32452843) % 2147483647) AS mh1,
+        MIN((sid * 49979687 + 67867967) % 2147483647) AS mh2,
+        MIN((sid * 86028121 + 93827561) % 2147483647) AS mh3
+      FROM sid GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id AS _id, 0 AS band,
+             concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR)) AS bkey FROM sig
+      UNION ALL
+      SELECT doc_id, 1, concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR)) FROM sig
+    )
+    SELECT DISTINCT a._id AS id_a, b._id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a._id < b._id
+    """,
+)
+def q_minhash_lsh(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(docs, "text", "doc_id", n=3, band_size=2)
+
+
+# === SimHash fingerprints =================================================
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN CAST(floor(h / power(2.0, bit)) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM h, generate_series(0, 31) t(bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+        AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    return dd.simhash_expr_input(docs, "text", "doc_id")
+
+
+# === brute-force cosine top-k over embeddings =============================
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, v,
+        CAST(list_reduce(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12))),
+                         (a, b) -> a + b) AS DOUBLE) AS norm2
+      FROM base
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+        round(
+          CAST(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.v[i] * b.v[i] AS DECIMAL(38,12))), (a, b) -> a + b) AS DOUBLE)
+          / (sqrt(q.norm2) * sqrt(b.norm2)), 6) AS cosine
+      FROM norms q JOIN norms b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, "vec_id", "embedding", k=5)
+
+
+# === sign-LSH bucketing (the ANN scale path) ==============================
+
+
+@query(
+    "q_lsh_buckets",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, label, p,
+        CAST(list_reduce(list_transform(range(1, 65),
+          i -> CAST(v[i] * (((1299721 * p + 104729 * (i - 1)) % 97) - 48) AS DECIMAL(38,12))),
+          (a, b) -> a + b) AS DOUBLE) AS pr
+      FROM base, generate_series(0, 7) t(p)
+    )
+    SELECT vec_id, CAST(MIN(label) AS INT) AS label,
+      CAST(SUM(CASE WHEN pr > 0 THEN CAST(power(2.0, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+        AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+)
+def q_lsh_buckets(spark, sf_dir):
+    emb = tables(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        sim.lsh_bucket_expr(F.col("embedding"), n_planes=8, dim=64).alias("bucket"),
+    )
+
+
+# === multimodal metadata (binary payloads, no decode) =====================
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      sha256(text) AS sha256,
+      CASE WHEN unicode(substr(text, 1, 1)) % 3 = 0 THEN 'png'
+           WHEN unicode(substr(text, 1, 1)) % 3 = 1 THEN 'jpeg'
+           ELSE 'webp' END AS format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    payload = mm.pack_binary_expr("text")
+    meta = mm.media_metadata_exprs(payload)
+    return docs.select(
+        "doc_id",
+        meta["n_bytes"].alias("n_bytes"),
+        meta["sha256"].alias("sha256"),
+        meta["format"].alias("format"),
+    )
+
+
+# === multimodal feature extraction (Arrow-batched stub decode) ============
+# No oracle: the mapInPandas fake-decode kernel is not SQL-expressible;
+# the driver records the weaker rows-only check.
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
+    return mm.extract_features(payloads, "payload", "doc_id")

@@ -46,6 +46,9 @@ def get_session(
         # pyield/b3/boletim.py:306).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        # driver testdata stores TIMESTAMP(NANOS) parquet, which Spark
+        # cannot read natively; surface nanos as LONG and convert at load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1,0 +1,138 @@
+"""Structured Streaming layer over the ``events`` table.
+
+The reference has no real streaming engine — its "live" surface is
+TTL-cached snapshot polling (SURVEY §2.10: 10s intradia TTL
+pyield/b3/derivativos_intradia.py:80, market-hours gate
+pyield/b3/_validar_pregao.py:35-44). This module is the Spark-native
+extension: tumbling/sliding/session windows with watermarks, stateful
+dedup, and a foreachBatch hook so every batch operator of the engine
+can run inside a stream.
+
+For tests/local verification the parquet events table drives a real
+``readStream`` to completion via the memory sink
+(``processAllAvailable``) — the same topology works against Kafka by
+swapping the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)  # ts arrives as raw nanos (TIMESTAMP(NANOS) parquet + nanosAsLong)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events parquet as a (bounded) stream source.
+
+    The file-stream source requires a directory, so a symlink to the
+    (read-only) events file is staged under the repo's gitignored
+    stream-cache dir.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".stream_cache",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with a late-data
+    watermark (append-safe)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window_size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("win"))
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful duplicate suppression keyed by event_id."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink and
+    return the materialized result (test/local harness only).
+
+    mode="complete" for windowed aggregations (emits every window even
+    though the watermark never passes the last one on a bounded replay);
+    mode="append" for row streams like stateful dedup.
+    """
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
