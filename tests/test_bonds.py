@@ -1,0 +1,107 @@
+"""Bond pricing vs reference docstring goldens (pyield/tpf/titulos/*)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyield_spark import du
+from pyield_spark.bonds.cashflows import explode_payment_dates
+from pyield_spark.bonds.pricing import (
+    ltn_pu_expr,
+    ltn_taxa_expr,
+    lft_cotacao_expr,
+    ntnb_cotacao,
+    price_coupon_bond,
+    pu_from_vna_expr,
+)
+
+
+def test_ltn_pu_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.date(2024, 7, 5), dt.date(2030, 1, 1), 0.12145, 535.279902),
+            (dt.date(2008, 5, 21), dt.date(2010, 7, 1), 0.143600009, 753.315323),
+        ],
+        "liq DATE, ven DATE, taxa DOUBLE, want DOUBLE",
+    )
+    df = du.contar(df, "liq", "ven")
+    rows = df.withColumn("pu", ltn_pu_expr("dias_uteis", "taxa")).collect()
+    for r in rows:
+        assert r.pu == r.want
+
+
+def test_ltn_taxa_inverts_pu(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 535.279902, 0.12145)],
+        "liq DATE, ven DATE, pu DOUBLE, want DOUBLE",
+    )
+    df = du.contar(df, "liq", "ven")
+    got = df.withColumn("taxa", ltn_taxa_expr("dias_uteis", "pu")).collect()[0]
+    assert got.taxa == got.want
+
+
+def test_ntnf_flow_dates_golden(spark):
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 5, 15), dt.date(2027, 1, 1))], "id INT, liq DATE, ven DATE"
+    )
+    got = [
+        r.data_pagamento
+        for r in explode_payment_dates(df, "liq", "ven").orderBy("data_pagamento").collect()
+    ]
+    assert got == [
+        dt.date(2024, 7, 1),
+        dt.date(2025, 1, 1),
+        dt.date(2025, 7, 1),
+        dt.date(2026, 1, 1),
+        dt.date(2026, 7, 1),
+        dt.date(2027, 1, 1),
+    ]
+
+
+def test_ntnb_cotacao_goldens(spark):
+    cases = [
+        (1, dt.date(2024, 5, 31), dt.date(2035, 5, 15), 0.061490, 0.993651),
+        (2, dt.date(2024, 5, 31), dt.date(2060, 8, 15), 0.061878, 0.995341),
+        (3, dt.date(2024, 8, 15), dt.date(2032, 8, 15), 0.05929, 1.006409),
+        (4, dt.date(2024, 5, 15), dt.date(2025, 5, 15), 0.10, 0.964454),
+        (5, dt.date(2008, 5, 21), dt.date(2010, 8, 15), 0.082900009, 0.970813),
+    ]
+    df = spark.createDataFrame(
+        cases, "id INT, data_liquidacao DATE, data_vencimento DATE, taxa DOUBLE, want DOUBLE"
+    )
+    got = ntnb_cotacao(df, ["id"]).join(df.select("id", "want"), "id").collect()
+    for r in got:
+        assert r.cotacao == r.want, r.id
+
+
+def test_pu_from_vna_truncation_chain(spark):
+    df = spark.createDataFrame(
+        [(4738.922274123, 0.88671299)], "vna DOUBLE, cot DOUBLE"
+    )
+    got = df.select(pu_from_vna_expr("vna", "cot").alias("pu")).collect()[0].pu
+    # trunc6(trunc6(vna)·trunc6(cot))
+    import math
+
+    vna_t = math.floor(4738.922274123 * 1e6) / 1e6
+    cot_t = math.floor(0.88671299 * 1e6) / 1e6
+    assert got == math.floor(vna_t * cot_t * 1e6) / 1e6
+
+
+def test_lft_cotacao_discount(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 2), dt.date(2025, 1, 2), 0.0002)],
+        "liq DATE, ven DATE, taxa DOUBLE",
+    )
+    df = du.contar(df, "liq", "ven")
+    got = df.withColumn("cot", lft_cotacao_expr("dias_uteis", "taxa")).collect()[0]
+    assert 0.999 < got.cot < 1.0
+
+
+def test_coupon_bond_duration_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 5, 15), dt.date(2027, 1, 1), 0.10)],
+        "id INT, data_liquidacao DATE, data_vencimento DATE, taxa DOUBLE",
+    )
+    got = price_coupon_bond(df, ["id"], with_duration=True).collect()[0]
+    assert 0 < got.duration < 3  # Macaulay duration below maturity in years
+    assert got.pu > 900

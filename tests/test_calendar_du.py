@@ -1,0 +1,89 @@
+"""Business-day engine vs reference docstring goldens
+(pyield/du/core.py examples) and scalar/vector parity (§1.4 contract)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyield_spark import calendar_br as cal
+from pyield_spark import du
+
+
+def test_holidays_match_reference_rules():
+    hs = cal.holidays("novo")
+    assert dt.date(2024, 11, 20) in hs  # novo regime adds Nov 20 from 2024
+    assert dt.date(2023, 11, 20) not in hs
+    assert dt.date(2024, 11, 20) not in cal.holidays("antigo")
+    # Easter-derived: Good Friday 2024 = Mar 29
+    assert dt.date(2024, 3, 29) in hs
+    # ANBIMA data quirks excluded
+    assert dt.date(2000, 4, 21) not in hs
+
+
+def test_contar_docstring_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1), dt.date(2024, 1, 5)),
+            (dt.date(2024, 2, 9), dt.date(2024, 2, 12)),
+        ],
+        "inicio DATE, fim DATE",
+    )
+    got = [r.dias_uteis for r in du.contar(df, "inicio", "fim").orderBy("inicio").collect()]
+    assert got == [3, 1]
+    got = [
+        r.dias_uteis
+        for r in du.contar(df, "inicio", F.lit(dt.date(2024, 12, 31))).orderBy("inicio").collect()
+    ]
+    assert got == [252, 224]
+
+
+def test_contar_negative_null_and_range(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 5), dt.date(2024, 1, 1)),
+            (None, dt.date(2024, 1, 1)),
+            (dt.date(1850, 1, 1), dt.date(2024, 1, 1)),
+        ],
+        "inicio DATE, fim DATE",
+    )
+    got = {
+        (str(r.inicio), str(r.fim)): r.dias_uteis
+        for r in du.contar(df, "inicio", "fim").collect()
+    }
+    assert got[("2024-01-05", "2024-01-01")] == -3
+    assert got[("None", "2024-01-01")] is None
+    assert got[("1850-01-01", "2024-01-01")] is None  # outside calendar
+
+
+def test_deslocar_roll_and_offset(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2023, 12, 22), 1), (dt.date(2023, 12, 29), 5)], "data DATE, n INT"
+    )
+    got = [r.data_deslocada for r in du.deslocar(df, "data", "n").orderBy("data").collect()]
+    assert got == [dt.date(2023, 12, 26), dt.date(2024, 1, 8)]
+
+
+def test_scalar_vector_parity(spark):
+    pairs = [
+        (dt.date(2024, 1, 1), dt.date(2024, 6, 30)),
+        (dt.date(2023, 12, 20), dt.date(2024, 1, 10)),  # crosses regime switch
+        (dt.date(2008, 5, 21), dt.date(2010, 7, 1)),
+    ]
+    df = spark.createDataFrame(pairs, "inicio DATE, fim DATE")
+    vec = {
+        (r.inicio, r.fim): r.dias_uteis
+        for r in du.contar(df, "inicio", "fim").collect()
+    }
+    for a, b in pairs:
+        assert vec[(a, b)] == du.contar_scalar(a, b)
+
+
+def test_eh_dia_util(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 11, 20),), (dt.date(2023, 11, 20),), (dt.date(2024, 1, 6),)],
+        "d DATE",
+    )
+    got = {str(r.d): r.eh_dia_util for r in du.eh_dia_util(df, "d").collect()}
+    assert got["2024-11-20"] is False  # novo-regime holiday
+    assert got["2023-11-20"] is True  # pre-transition: not a holiday
+    assert got["2024-01-06"] is False  # Saturday

@@ -1,0 +1,95 @@
+"""Interpolation + forwards vs reference docstring goldens
+(pyield/interpolador.py, pyield/fwd.py) and edge-ladder contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyield_spark.curves.forwards import forwards_expr
+from pyield_spark.curves.interpolate import interpolar
+from pyield_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def curve(spark):
+    return spark.createDataFrame(
+        [(30, 0.045), (60, 0.05), (90, 0.055)], "dias_uteis INT, taxa DOUBLE"
+    )
+
+
+def test_flat_forward_golden(spark, curve):
+    tgt = spark.createDataFrame([(45,)], "dias_uteis INT")
+    got = interpolar(tgt, curve).collect()[0].taxa_interpolada
+    assert got == pytest.approx(0.04833068080970859, abs=1e-15)
+
+
+def test_edge_ladder(spark, curve):
+    tgt = spark.createDataFrame([(10,), (30,), (100,)], "dias_uteis INT")
+    got = {r.dias_uteis: r.taxa_interpolada for r in interpolar(tgt, curve).collect()}
+    assert got[10] == 0.045  # short end → first rate, always
+    assert got[30] == 0.045  # exact hit → vertex rate
+    assert got[100] is None  # long end without extrapolation
+    got = {
+        r.dias_uteis: r.taxa_interpolada
+        for r in interpolar(tgt, curve, extrapolar=True).collect()
+    }
+    assert got[100] == 0.055  # long end with extrapolation → last rate
+
+
+def test_linear_golden(spark, curve):
+    tgt = spark.createDataFrame([(45,)], "dias_uteis INT")
+    got = interpolar(tgt, curve, method="linear").collect()[0].taxa_interpolada
+    assert got == pytest.approx(0.0475, abs=1e-15)
+
+
+def test_multi_curve_groups(spark):
+    curve = spark.createDataFrame(
+        [("a", 5, 0.10), ("a", 20, 0.12), ("a", 50, 0.13)],
+        "g STRING, dias_uteis INT, taxa DOUBLE",
+    )
+    tgt = spark.createDataFrame([("a", 10), ("a", 25), ("zz", 10)], "g STRING, dias_uteis INT")
+    got = {
+        (r.g, r.dias_uteis): r.taxa_interpolada
+        for r in interpolar(tgt, curve, by="g").collect()
+    }
+    assert round(got[("a", 10)], 6) == 0.113293  # reference docstring value
+    assert round(got[("a", 25)], 6) == 0.123323
+    assert got[("zz", 10)] is None  # group absent from curve
+
+
+def test_forwards_docstring_and_cascade(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 0.05), ("a", 20, 0.06), ("a", 30, 0.07)],
+        "g STRING, du INT, tx DOUBLE",
+    )
+    got = {r.du: r.fwd for r in df.withColumn("fwd", forwards_expr("du", "tx", "g")).collect()}
+    assert got[10] == 0.05  # first row = spot
+    assert round(got[20], 6) == 0.070095
+    assert round(got[30], 6) == 0.090284
+    # duplicate vertex → nulls on dup rows + one-row cascade
+    df2 = spark.createDataFrame(
+        [("b", 10, 0.05), ("b", 20, 0.06), ("b", 20, 0.061), ("b", 30, 0.07), ("b", 40, 0.08)],
+        "g STRING, du INT, tx DOUBLE",
+    )
+    rows = (
+        df2.withColumn("fwd", forwards_expr("du", "tx", "g")).orderBy("du", "tx").collect()
+    )
+    assert rows[0].fwd == 0.05
+    assert rows[1].fwd is None and rows[2].fwd is None  # dup rows
+    assert rows[3].fwd is None  # cascade
+    assert rows[4].fwd is not None  # recovery
+
+
+def test_asof_backward_forward(spark):
+    left = spark.createDataFrame([(1, 5), (2, 10), (3, 17)], "id INT, k INT")
+    right = spark.createDataFrame([(10, 1.0), (15, 2.0)], "k INT, v DOUBLE")
+    b = {r.id: r.v for r in asof_join(left, right, on="k").collect()}
+    assert b == {1: None, 2: 1.0, 3: 2.0}
+    f = {r.id: r.v for r in asof_join(left, right, on="k", strategy="forward").collect()}
+    assert f == {1: 1.0, 2: 1.0, 3: None}
+    fx = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on="k", strategy="forward", allow_exact_matches=False
+        ).collect()
+    }
+    assert fx == {1: 1.0, 2: 2.0, 3: None}

@@ -1,0 +1,62 @@
+"""Driver-contract sanity: entry/queries/oracle_sql shapes, plus a fast
+oracle-parity spot check on a few queries at sf0.001."""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SPOT = ["q_pricing_summary", "q_bd_count", "q_interp_flat_forward", "q_exact_dedup"]
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_registry_shapes():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # most queries must be oracle-checked (rows-only is the exception)
+    assert len(oracles) >= 0.8 * len(qs)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    return sorted("|".join(cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_oracle_spot_parity(spark, sf_dir, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    sdf = qs[name](spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    res = con.execute(oracles[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert _canon(sdf.columns, s_rows) == _canon(d_cols, d_rows)

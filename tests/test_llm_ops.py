@@ -1,0 +1,108 @@
+"""Dedup / similarity / text / multimodal operator behavior."""
+
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import dedup as dd
+from pyield_spark.operators import multimodal as mm
+from pyield_spark.operators import similarity as sim
+from pyield_spark.operators import text as tx
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id INT, text STRING",
+    )
+    got = {r.keep_id: r.n_docs for r in dd.exact_dup_groups(df, "text", "doc_id").collect()}
+    assert got == {1: 2, 3: 1}  # whitespace/case-normalized dup folded
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the quick brown fox jumps over the lazy dog"),
+            (2, "a", "the quick brown fox jumps over a lazy dog"),
+            (3, "a", "completely different words here now ok fine yes"),
+            (4, "a", "xy"),  # < 3 tokens → no shingles
+        ],
+        "doc_id INT, src STRING, text STRING",
+    )
+    sh = df.select(dd.shingles_expr("text").alias("s")).collect()
+    assert len(sh[0].s) == 7 and sh[3].s == []
+    pairs = dd.jaccard_pairs(df, "text", "doc_id", threshold=0.3, block="src").collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0].jaccard < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated content with other words entirely here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(df, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
+        "doc_id INT, text STRING",
+    )
+    got = {r.doc_id: r.simhash for r in dd.simhash_expr_input(df, "text", "doc_id").collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert 0 <= got[1] < 2**32
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = sim.cosine_topk(df, "vec_id", "embedding", k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id, r.cosine))
+    assert by_q[0][0][1] == 100 and by_q[0][0][2] == 1.0  # identical vector first
+    assert by_q[0][1][1] == 2  # then the near one
+
+
+def test_text_analysis_exprs(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat."), (2, "el gato es un gato")],
+        "doc_id INT, text STRING",
+    )
+    got = df.select(
+        "doc_id",
+        tx.token_count_expr("text").alias("n"),
+        tx.lang_id_expr("text").alias("lang"),
+        tx.fingerprint_expr("text").alias("fp"),
+        tx.quality_score_expr("text").alias("q"),
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].n == 6
+    assert by_id[1].lang == "en"
+    assert by_id[2].lang == "es"
+    assert 0 <= by_id[1].fp < 1048573
+    assert 0 < by_id[1].q <= 1
+
+
+def test_multimodal_features_shape(spark):
+    df = spark.createDataFrame([(1, "some text"), (2, "other payload")], "doc_id LONG, text STRING")
+    payloads = df.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
+    feats = mm.extract_features(payloads, "payload", "doc_id").collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert len(r.features) == mm.FEATURE_DIM
+        assert all(0 <= v <= 1 for v in r.features)
+    # determinism
+    again = mm.extract_features(payloads, "payload", "doc_id").collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
