@@ -40,7 +40,13 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import all query modules (populates the registry)."""
-    from pyield_spark.queries import core, fixed_income, llm_data, events  # noqa: F401
+    from pyield_spark.queries import (  # noqa: F401
+        analytics,
+        core,
+        events,
+        fixed_income,
+        llm_data,
+    )
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str):

@@ -1,0 +1,371 @@
+"""Analytics-pipeline queries: futures enrichment (ticker dissection →
+maturity roll → DV01 → forwards), COPOM probabilities, VNA pro-rata,
+implied rates (K4 kernel), zero-curve bootstrap (K5 kernel), and the
+pivot/rollup extensions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window, functions as F
+
+from pyield_spark import du as du_mod
+from pyield_spark.analytics.futuro import enrich
+from pyield_spark.analytics.selic import probabilities
+from pyield_spark.bonds.bootstrap import bootstrap_zero_curve, implied_rates
+from pyield_spark.bonds.pricing import price_coupon_bond
+from pyield_spark.functions.numbers import truncar_expr
+from pyield_spark.operators.asof import asof_join
+from pyield_spark.queries import query, tables
+from pyield_spark.queries.fixed_income import _CAL, _CURVE_SQL, _curve_df
+from pyield_spark.queries.oracle_helpers import bd_count_sql, trunc_sql
+
+DEC = "decimal(18,6)"
+
+
+# === futures enrichment pipeline (§3.1 analogue) ==========================
+
+_FUT_PANEL_SQL = """
+panel AS (
+  SELECT CAST(o_orderdate AS DATE) AS data_referencia,
+         CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+              + TO_MONTHS(CAST(72 + (o_orderkey % 8) * 3 AS INT)) AS DATE) AS ven_raw,
+         round(o_totalprice, 2) AS preco_ajuste,
+         round(8 + (o_orderkey % 1000) / 100.0, 4) AS taxa_ajuste_pct,
+         o_orderkey
+  FROM orders
+),
+panel2 AS (
+  SELECT *,
+    concat('DI1', substr('FGHJKMNQUVXZ', month(ven_raw), 1),
+           lpad(CAST(year(ven_raw) % 100 AS VARCHAR), 2, '0')) AS codigo_negociacao
+  FROM panel
+)"""
+
+
+@query(
+    "q_futures_enrich",
+    oracle=f"""
+    WITH {_CAL},
+    {_FUT_PANEL_SQL.lstrip()},
+    rolled AS (
+      SELECT p.*, bf.data AS data_vencimento
+      FROM panel2 p
+      JOIN cal c ON c.data = p.ven_raw
+      LEFT JOIN bdinv bf ON bf.regime = (CASE WHEN p.ven_raw < DATE '2023-12-26'
+                                         THEN 'antigo' ELSE 'novo' END)
+        AND bf.ordinal = (CASE WHEN p.ven_raw < DATE '2023-12-26'
+                          THEN c.cum_ant ELSE c.cum_nov END)
+    ),
+    counted AS (
+      SELECT r.*,
+        CAST({bd_count_sql("r.data_referencia", "r.data_vencimento")} AS BIGINT) AS dias_uteis,
+        datediff('day', r.data_referencia, r.data_vencimento) AS dias_corridos,
+        round(r.taxa_ajuste_pct / 100.0, 10) AS taxa_ajuste
+      FROM rolled r
+      JOIN cal cs ON cs.data = r.data_referencia
+      JOIN cal ce ON ce.data = r.data_vencimento
+    ),
+    flagged AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY data_referencia, dias_uteis) > 1 AS is_dup
+      FROM counted
+    ),
+    valid AS (
+      SELECT *, CASE WHEN is_dup THEN NULL ELSE taxa_ajuste END AS tx_valid,
+             dias_uteis / 252.0 AS au
+      FROM flagged
+    ),
+    lagged AS (
+      SELECT *, LAG(tx_valid) OVER (PARTITION BY data_referencia ORDER BY dias_uteis) AS tx_j,
+             LAG(au) OVER (PARTITION BY data_referencia ORDER BY dias_uteis) AS au_j,
+             MIN(dias_uteis) OVER (PARTITION BY data_referencia) AS du_min
+      FROM valid
+    )
+    SELECT o_orderkey, data_referencia, codigo_negociacao, data_vencimento,
+      dias_uteis, CAST(dias_corridos AS INT) AS dias_corridos, taxa_ajuste, preco_ajuste,
+      round(0.0001 * (dias_uteis / 252.0) / (1 + taxa_ajuste) * preco_ajuste, 6) AS dv01,
+      round(CASE WHEN dias_uteis = du_min THEN tx_valid
+        ELSE power(power(1 + tx_valid, au) / power(1 + tx_j, au_j),
+                   1.0 / (au - au_j)) - 1 END, 6) AS taxa_forward
+    FROM lagged
+    """,
+)
+def q_futures_enrich(spark, sf_dir):
+    od = tables(spark, sf_dir, "orders")
+    # +72 months keeps every synthetic maturity in 20xx so the
+    # reference's 2-digit-year "+2000" dissection rule round-trips
+    ven_raw = F.add_months(
+        F.date_trunc("month", "o_orderdate").cast("date"),
+        F.lit(72) + (F.col("o_orderkey") % 8).cast("int") * 3,
+    )
+    panel = od.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("data_referencia"),
+        F.round("o_totalprice", 2).alias("preco_ajuste"),
+        F.round(F.lit(8) + (F.col("o_orderkey") % 1000) / 100.0, 4).alias(
+            "taxa_ajuste_pct"
+        ),
+        F.concat(
+            F.lit("DI1"),
+            F.substring(F.lit("FGHJKMNQUVXZ"), F.month(ven_raw), 1),
+            F.lpad((F.year(ven_raw) % 100).cast("string"), 2, "0"),
+        ).alias("codigo_negociacao"),
+        ven_raw.alias("_ven_hint"),
+    )
+    # dissect the ticker (string → maturity), roll, count, enrich; the
+    # year hint disambiguates the 2-digit year exactly like the
+    # reference's +2000 rule (all synthetic maturities are 20xx)
+    out = enrich(
+        panel,
+        "DI1",
+        data_ref="data_referencia",
+        ticker="codigo_negociacao",
+        preco_ajuste="preco_ajuste",
+        taxa_ajuste_pct="taxa_ajuste_pct",
+    )
+    return out.select(
+        "o_orderkey",
+        "data_referencia",
+        "codigo_negociacao",
+        "data_vencimento",
+        "dias_uteis",
+        F.col("dias_corridos").cast("int").alias("dias_corridos"),
+        "taxa_ajuste",
+        "preco_ajuste",
+        F.round("dv01", 6).alias("dv01"),
+        F.round("taxa_forward", 6).alias("taxa_forward"),
+    )
+
+
+# === COPOM probabilities (W4 dense_rank + A2 window-sum + W5 cumsum) ======
+
+
+@query(
+    "q_copom_probs",
+    oracle="""
+    WITH opts AS (
+      SELECT DISTINCT
+        CAST(CAST(date_trunc('month', l_shipdate) AS DATE) + TO_MONTHS(1) AS DATE)
+          AS data_expiracao,
+        CAST((day(CAST(l_shipdate AS DATE)) - 15) * 25 AS INT) AS variacao_strike_bps
+      FROM lineitem
+    ),
+    priced AS (
+      SELECT *, round(100.0 * power(0.99, (variacao_strike_bps + 400) / 25.0), 6)
+             AS preco_ajuste
+      FROM opts
+    ),
+    weighted AS (
+      SELECT *,
+        preco_ajuste - LEAD(preco_ajuste, 1, 0.0)
+          OVER (PARTITION BY data_expiracao ORDER BY variacao_strike_bps) AS _w
+      FROM priced
+    ),
+    totaled AS (
+      SELECT *,
+        SUM(_w) OVER (PARTITION BY data_expiracao) AS _tot,
+        SUM(_w) OVER (PARTITION BY data_expiracao ORDER BY variacao_strike_bps
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+      FROM weighted
+    )
+    SELECT data_expiracao, variacao_strike_bps, preco_ajuste,
+           round(_w / _tot, 6) AS prob,
+           round(_cum / _tot, 6) AS prob_acumulada,
+           CAST(DENSE_RANK() OVER (ORDER BY data_expiracao) AS BIGINT) AS rank_reuniao
+    FROM totaled
+    """,
+)
+def q_copom_probs(spark, sf_dir):
+    li = tables(spark, sf_dir, "lineitem")
+    opts = li.select(
+        F.add_months(F.date_trunc("month", "l_shipdate").cast("date"), 1).alias(
+            "data_expiracao"
+        ),
+        ((F.dayofmonth(F.to_date("l_shipdate")) - 15) * 25)
+        .cast("int")
+        .alias("variacao_strike_bps"),
+    ).distinct()
+    opts = opts.withColumn(
+        "preco_ajuste",
+        F.round(
+            100.0 * F.pow(F.lit(0.99), (F.col("variacao_strike_bps") + 400) / 25.0), 6
+        ),
+    )
+    out = probabilities(opts)
+    return out.select(
+        "data_expiracao",
+        "variacao_strike_bps",
+        "preco_ajuste",
+        "prob",
+        "prob_acumulada",
+        F.col("rank_reuniao").cast("long").alias("rank_reuniao"),
+    )
+
+
+# === VNA pro-rata between monthly publications (J7 bracketing) ============
+
+
+@query(
+    "q_vna_prorata",
+    oracle=f"""
+    WITH pubs AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) + 14 AS data_pub,
+             round(1000 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 1000000.0, 6)
+               AS vna_pub
+      FROM lineitem GROUP BY 1
+    ),
+    alvo AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS data FROM orders
+    ),
+    prev AS (
+      SELECT a.o_orderkey, a.data, p.data_pub AS pub_prev, p.vna_pub AS vna_prev
+      FROM alvo a ASOF LEFT JOIN pubs p ON a.data > p.data_pub
+    ),
+    nxt AS (
+      SELECT pr.*, p.data_pub AS pub_next, p.vna_pub AS vna_next
+      FROM prev pr ASOF LEFT JOIN
+        (SELECT -datediff('day', DATE '1990-01-01', data_pub) AS nd, data_pub, vna_pub
+         FROM pubs) p
+        ON -datediff('day', DATE '1990-01-01', pr.data) > p.nd
+    )
+    SELECT o_orderkey, data, pub_prev, vna_prev, pub_next, vna_next,
+      {trunc_sql(
+          "vna_prev * power(vna_next / vna_prev, "
+          "datediff('day', pub_prev, data) / CAST(datediff('day', pub_prev, pub_next) AS DOUBLE))",
+          6,
+      )} AS vna_prorata
+    FROM nxt
+    """,
+)
+def q_vna_prorata(spark, sf_dir):
+    li, od = tables(spark, sf_dir, "lineitem", "orders")
+    pubs = li.groupBy(
+        F.date_add(F.date_trunc("month", "l_shipdate").cast("date"), 14).alias(
+            "data_pub"
+        )
+    ).agg(
+        F.round(
+            F.lit(1000)
+            + F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 1000000.0,
+            6,
+        ).alias("vna_pub")
+    )
+    alvo = od.select("o_orderkey", F.to_date("o_orderdate").alias("data"))
+    prev = asof_join(
+        alvo,
+        pubs.select(F.col("data_pub").alias("pub_prev"), F.col("vna_pub").alias("vna_prev")),
+        on="data",
+        right_on="pub_prev",
+        strategy="backward",
+        values=["pub_prev", "vna_prev"],
+        allow_exact_matches=False,
+    )
+    both = asof_join(
+        prev,
+        pubs.select(F.col("data_pub").alias("pub_next"), F.col("vna_pub").alias("vna_next")),
+        on="data",
+        right_on="pub_next",
+        strategy="forward",
+        values=["pub_next", "vna_next"],
+        allow_exact_matches=False,
+    )
+    frac = F.datediff(F.col("data"), F.col("pub_prev")) / F.datediff(
+        F.col("pub_next"), F.col("pub_prev")
+    )
+    vna = truncar_expr(
+        F.col("vna_prev") * F.pow(F.col("vna_next") / F.col("vna_prev"), frac), 6
+    )
+    return both.select(
+        "o_orderkey", "data", "pub_prev", "vna_prev", "pub_next", "vna_next",
+        vna.alias("vna_prorata"),
+    )
+
+
+# === K4: implied rate via bisection kernel ================================
+# Oracle: the pricing round-trip must recover the input rate to 6dp —
+# a closed-form check of the iterative kernel.
+
+
+@query(
+    "q_implied_rate",
+    oracle="""
+    SELECT o_orderkey, round(round(0.09 + (o_orderkey % 500) / 10000.0, 6), 6) AS taxa_implicita
+    FROM orders WHERE o_orderkey % 37 = 0
+      AND CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+          + TO_MONTHS(CAST(24 + (o_orderkey % 4) * 12 AS INT)) > CAST(o_orderdate AS DATE)
+    """,
+)
+def q_implied_rate(spark, sf_dir):
+    od = tables(spark, sf_dir, "orders")
+    bonds = od.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("liq"),
+        F.add_months(
+            F.date_trunc("month", "o_orderdate").cast("date"),
+            F.lit(24) + (F.col("o_orderkey") % 4).cast("int") * 12,
+        ).alias("ven"),
+        F.round(F.lit(0.09) + (F.col("o_orderkey") % 500) / 10000.0, 6).alias("taxa"),
+    )
+    priced = price_coupon_bond(
+        bonds, ["o_orderkey"], settlement="liq", maturity="ven", taxa="taxa"
+    )
+    full = bonds.join(priced, "o_orderkey")
+    implied = implied_rates(
+        full, ["o_orderkey"], settlement="liq", maturity="ven", price="pu"
+    )
+    return implied.select(
+        "o_orderkey", F.round("taxa_implicita", 6).alias("taxa_implicita")
+    )
+
+
+# === K5: sequential zero-curve bootstrap (rows-only: iterative kernel) ====
+
+
+@query("q_bootstrap_zero")
+def q_bootstrap_zero(spark, sf_dir):
+    curve = _curve_df(spark, sf_dir)
+    out = bootstrap_zero_curve(
+        curve, by="grupo", du_col="du", par_rate="taxa", coupon_interval_du=126
+    )
+    return out.select(
+        "grupo", "du", "taxa", F.round("taxa_zero", 9).alias("taxa_zero")
+    )
+
+
+# === pivot / rollup extensions (§2.4 beyond-reference surface) ============
+
+
+@query(
+    "q_pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_linestatus(spark, sf_dir):
+    li = tables(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+    )
+
+
+@query(
+    "q_rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_revenue(spark, sf_dir):
+    li = tables(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+    )
