@@ -1,0 +1,103 @@
+"""Scalar convenience API (§1.1 scalar duality).
+
+The reference's public functions accept scalars or arrays and return
+matching shapes (overloads in pyield/du/core.py:89-98,287-316). On
+Spark, array workloads are DataFrame operations; these scalar twins run
+DRIVER-SIDE on the same generated calendar and the same truncation
+rules — no Spark session needed, mirroring PYield's scalar fast path.
+
+Parity between these and the DataFrame operators is asserted in
+tests/test_scalar_parity.py (the reference's own test pattern:
+tests/tpf/test_expr_titulos.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyield_spark import du as du_mod
+
+VALOR_FACE = 1000.0
+NTNF_CUPOM = 48.80885
+NTNB_CUPOM = 0.02956301
+
+
+def truncar(x: float, decimals: int) -> float:
+    if isinstance(x, float) and math.isnan(x):
+        return x
+    s = 10**decimals
+    return math.copysign(math.floor(abs(x) * s), x) / s
+
+
+def _payment_dates(liq: dt.date, ven: dt.date, interval_months: int = 6) -> list[dt.date]:
+    out = []
+    d = ven
+    while d > liq:
+        out.append(d)
+        m = d.month - interval_months
+        y = d.year + (m - 1) // 12
+        m = (m - 1) % 12 + 1
+        d = d.replace(year=y, month=m)
+    return sorted(out)
+
+
+def ltn_pu(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float) -> float:
+    """STN LTN price (pyield/tpf/titulos/ltn.py:137-156)."""
+    du = du_mod.contar_scalar(data_liquidacao, data_vencimento)
+    if du is None:
+        return float("nan")
+    au = truncar(du / 252.0, 14)
+    return truncar(VALOR_FACE / (1 + truncar(taxa, 8)) ** au, 6)
+
+
+def ltn_taxa(data_liquidacao: dt.date, data_vencimento: dt.date, pu: float) -> float:
+    du = du_mod.contar_scalar(data_liquidacao, data_vencimento)
+    if du is None or pu <= 0:
+        return float("nan")
+    au = truncar(du / 252.0, 14)
+    return truncar((VALOR_FACE / pu) ** (1 / au) - 1, 8)
+
+
+def ntnf_pu(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float) -> float:
+    """STN NTN-F price (ntnf.py:283-301): PV bround9 per flow, trunc6."""
+    taxa = truncar(taxa, 8)
+    total = 0.0
+    dates = _payment_dates(data_liquidacao, data_vencimento)
+    if not dates:
+        return float("nan")
+    for d in dates:
+        du = du_mod.contar_scalar(data_liquidacao, d)
+        au = truncar(du / 252.0, 14)
+        cf = VALOR_FACE + NTNF_CUPOM if d == data_vencimento else NTNF_CUPOM
+        # bround9 (half-to-even) on the discounted flow
+        vp = cf / (1 + taxa) ** au
+        total += _bround(vp, 9)
+    return truncar(total, 6)
+
+
+def ntnb_cotacao(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float) -> float:
+    """STN NTN-B quote factor (ntnb.py:255-316): PV bround12, trunc6."""
+    taxa = truncar(taxa, 8)
+    dates = _payment_dates(data_liquidacao, data_vencimento)
+    if not dates:
+        return float("nan")
+    total = 0.0
+    for d in dates:
+        du = du_mod.contar_scalar(data_liquidacao, d)
+        au = truncar(du / 252.0, 14)
+        cf = 1.0 + NTNB_CUPOM if d == data_vencimento else NTNB_CUPOM
+        total += _bround(cf / (1 + taxa) ** au, 12)
+    return truncar(total, 6)
+
+
+def pu_from_vna(vna: float, cotacao: float) -> float:
+    return truncar(truncar(vna, 6) * truncar(cotacao, 6), 6)
+
+
+def _bround(x: float, decimals: int) -> float:
+    """Half-to-even rounding matching Spark bround / Polars round."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal(10) ** -decimals
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN))

@@ -1,0 +1,198 @@
+"""Source connectors (§2.1) — the reference's 15 messy external feeds
+re-expressed as Spark readers.
+
+In this environment the driver's parquet tables stand in for the remote
+endpoints (S1), but the parsing semantics the reference implements are
+real and reusable:
+
+- S2  headerless CSV with '#' comments and %d/%m/%Y dates
+- S3  ANBIMA '@'-separated latin1 CSV, 2 header lines skipped, '--'→null,
+      all-string parse then tolerant cast (pyield/anbima/taxas.py:98-166)
+- S4/S14 zip-wrapped members via binaryFile + an Arrow-batched unzip
+- S7  CSV with ''/'null' null markers (pyield/bc/_olinda.py:21-33)
+- S8  JSON {data, valor} series with dd/MM/yyyy dates (pyield/bc/sgs.py)
+- S12 fixed-width single-value text (int / 10^4, pyield/b3/di_over.py)
+- S13 plain-text table slicing by marker lines (pyield/bc/lft.py:44-79)
+
+All readers parse all-string first and cast tolerantly (ANSI off →
+invalid → null), mirroring the reference's ``infer_schema=False`` +
+``strict=False`` habit (§1.3). The bronze→silver naming the reference
+uses for its monthly zips (pyield/tpf/secundario/_mensal.py:192-236) is
+kept: ``*_bronze`` returns raw strings, ``*_silver`` the typed frame.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyield_spark.functions.dates import converter_datas_expr
+from pyield_spark.functions.numbers import br_num_expr
+
+
+def read_holidays_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: headerless date-per-line CSV with '#' comments, dd/MM/yyyy."""
+    raw = spark.read.csv(path, comment="#", schema="data_str STRING")
+    return raw.select(F.to_date(F.trim("data_str"), "dd/MM/yyyy").alias("data"))
+
+
+def read_anbima_csv_bronze(
+    spark: SparkSession, path: str, skip_lines: int = 2
+) -> DataFrame:
+    """S3 bronze: '@'-separated latin1 with meta lines before the header.
+
+    Spark's CSV reader has no skip-rows option, so the file is read
+    headerless/all-string, rows are numbered per file, the header row is
+    fetched (one tiny driver action) and the meta+header rows dropped —
+    the same all-string-then-cast discipline as the reference.
+    """
+    from pyspark.sql import Window
+
+    # a wide all-string schema: schema inference would lock onto the
+    # single-field meta line and drop every other column
+    max_cols = 24
+    wide = ", ".join(f"_c{i} STRING" for i in range(max_cols))
+    raw = (
+        spark.read.option("sep", "@")
+        .option("encoding", "iso-8859-1")
+        .option("nullValue", "--")
+        .option("header", False)
+        .option("mode", "PERMISSIVE")
+        .schema(wide)
+        .csv(path)
+    )
+    raw = raw.withColumn("_f", F.input_file_name()).withColumn(
+        "_i", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("_f").orderBy("_i")
+    numbered = raw.withColumn("_rn", F.row_number().over(w))
+    header_row = numbered.filter(F.col("_rn") == skip_lines + 1).first()
+    data = numbered.filter(F.col("_rn") > skip_lines + 1)
+    return data.select(
+        *[
+            F.col(f"_c{i}").alias(str(header_row[f"_c{i}"]))
+            for i in range(max_cols)
+            if header_row[f"_c{i}"] is not None
+        ]
+    )
+
+
+def anbima_silver(bronze: DataFrame) -> DataFrame:
+    """S3 silver: canonical names + tolerant typed casts (BR numbers,
+    multi-format dates) following pyield/anbima/taxas.py:148-166."""
+    cols = {c.lower().strip().replace(" ", "_"): c for c in bronze.columns}
+
+    def has(name):
+        return name in cols
+
+    out = bronze
+    rename = {
+        "titulo": "titulo",
+        "data_referencia": "data_referencia",
+        "codigo_selic": "codigo_selic",
+        "data_base/emissao": "data_base",
+        "data_de_vencimento": "data_vencimento",
+        "tx._compra": "taxa_compra",
+        "tx._venda": "taxa_venda",
+        "tx._indicativas": "taxa_indicativa",
+        "pu": "pu",
+    }
+    selected = []
+    for src, dst in rename.items():
+        if has(src):
+            selected.append(F.col(f"`{cols[src]}`").alias(dst))
+    out = out.select(*selected) if selected else out
+    casts = {}
+    for c, t in [
+        ("data_referencia", "date"),
+        ("data_base", "date"),
+        ("data_vencimento", "date"),
+    ]:
+        if c in out.columns:
+            casts[c] = converter_datas_expr(c)
+    for c in ("taxa_compra", "taxa_venda", "taxa_indicativa", "pu"):
+        if c in out.columns:
+            casts[c] = F.round(br_num_expr(c) / 100.0, 10) if c.startswith("taxa") else br_num_expr(c)
+    if "codigo_selic" in out.columns:
+        casts["codigo_selic"] = F.col("codigo_selic").cast("long")
+    return out.withColumns(casts)
+
+
+def read_zip_members(
+    spark: SparkSession, path: str, member_suffix: str = ".csv", encoding: str = "latin1"
+) -> DataFrame:
+    """S4/S14: zip archives via binaryFile + Arrow-batched unzip —
+    returns (source_file, member_name, line) rows, parallel per archive.
+
+    At scale: archives distribute across executors; no driver-side I/O.
+    """
+    bin_df = spark.read.format("binaryFile").load(path)
+
+    def unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"source_file": [], "member_name": [], "line": []}
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for member in zf.namelist():
+                        if not member.lower().endswith(member_suffix):
+                            continue
+                        text = zf.read(member).decode(encoding, errors="replace")
+                        for line in text.splitlines():
+                            out["source_file"].append(fname)
+                            out["member_name"].append(member)
+                            out["line"].append(line)
+            yield pd.DataFrame(out)
+
+    return bin_df.select("path", "content").mapInPandas(
+        unzip, "source_file string, member_name string, line string"
+    )
+
+
+def read_semicolon_lines_silver(lines: DataFrame, min_cols: int = 2) -> DataFrame:
+    """S14 silver step: ';'-separated lines → validated column arrays."""
+    out = lines.withColumn("fields", F.split("line", ";"))
+    return out.filter(F.size("fields") >= min_cols)
+
+
+def read_sgs_json(spark: SparkSession, path: str) -> DataFrame:
+    """S8: JSON list of {data, valor} with dd/MM/yyyy dates → typed."""
+    raw = spark.read.json(path)
+    return raw.select(
+        F.to_date("data", "dd/MM/yyyy").alias("data"),
+        F.col("valor").cast("double").alias("valor"),
+    )
+
+
+def read_fixed_width_rate(spark: SparkSession, path: str) -> DataFrame:
+    """S12: single fixed-width integer value → value / 10^4 rounded 4dp
+    (pyield/b3/di_over.py:31-47)."""
+    raw = spark.read.text(path)
+    return raw.select(
+        F.round(F.trim("value").cast("long") / 10000.0, 4).alias("taxa")
+    ).filter(F.col("taxa").isNotNull())
+
+
+def slice_text_table(
+    spark: SparkSession, path: str, start_marker: str, n_cols: int = 2
+) -> DataFrame:
+    """S13: plain-text report → rows after a marker line, whitespace-split
+    (pyield/bc/lft.py:44-79 shape). Line order is made explicit with a
+    per-file line index (Spark text reads are unordered otherwise)."""
+    raw = spark.read.text(path).select(
+        F.col("value"), F.monotonically_increasing_id().alias("_idx")
+    )
+    marker_idx = (
+        raw.filter(F.col("value").contains(start_marker))
+        .agg(F.min("_idx").alias("m"))
+    )
+    out = (
+        raw.crossJoin(F.broadcast(marker_idx))
+        .filter(F.col("_idx") > F.col("m"))
+        .withColumn("fields", F.split(F.trim("value"), r"\s+"))
+        .filter(F.size("fields") >= n_cols)
+    )
+    return out.select("_idx", "fields")

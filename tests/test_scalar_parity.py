@@ -1,0 +1,54 @@
+"""Scalar/DataFrame dual-API parity (§1.1) — the reference's
+expression-vs-scalar test pattern (tests/tpf/test_expr_titulos.py)."""
+
+import datetime as dt
+
+from pyield_spark import scalar
+from pyield_spark import du
+from pyield_spark.bonds.pricing import ltn_pu_expr
+from pyield_spark.bonds.pricing import ntnb_cotacao as ntnb_cotacao_df
+
+
+def test_ltn_scalar_goldens():
+    assert scalar.ltn_pu(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 0.12145) == 535.279902
+    assert scalar.ltn_pu(dt.date(2008, 5, 21), dt.date(2010, 7, 1), 0.143600009) == 753.315323
+    assert scalar.ltn_taxa(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 535.279902) == 0.12145
+
+
+def test_ntnb_scalar_goldens():
+    assert scalar.ntnb_cotacao(dt.date(2024, 5, 31), dt.date(2035, 5, 15), 0.061490) == 0.993651
+    assert scalar.ntnb_cotacao(dt.date(2008, 5, 21), dt.date(2010, 8, 15), 0.082900009) == 0.970813
+
+
+def test_scalar_matches_dataframe(spark):
+    cases = [
+        (dt.date(2024, 7, 5), dt.date(2030, 1, 1), 0.12145),
+        (dt.date(2025, 3, 13), dt.date(2027, 1, 1), 0.148307),
+    ]
+    df = spark.createDataFrame(cases, "liq DATE, ven DATE, taxa DOUBLE")
+    df = du.contar(df, "liq", "ven")
+    got = {
+        (r.liq, r.ven): r.pu
+        for r in df.withColumn("pu", ltn_pu_expr("dias_uteis", "taxa")).collect()
+    }
+    for liq, ven, taxa in cases:
+        assert got[(liq, ven)] == scalar.ltn_pu(liq, ven, taxa)
+
+
+def test_ntnb_scalar_matches_dataframe(spark):
+    cases = [
+        (1, dt.date(2024, 5, 31), dt.date(2035, 5, 15), 0.061490),
+        (2, dt.date(2024, 8, 15), dt.date(2032, 8, 15), 0.05929),
+    ]
+    df = spark.createDataFrame(
+        cases, "id INT, data_liquidacao DATE, data_vencimento DATE, taxa DOUBLE"
+    )
+    got = {r.id: r.cotacao for r in ntnb_cotacao_df(df, ["id"]).collect()}
+    for i, liq, ven, taxa in cases:
+        assert got[i] == scalar.ntnb_cotacao(liq, ven, taxa)
+
+
+def test_pu_from_vna_parity():
+    assert scalar.pu_from_vna(4738.922274, 0.886713) == scalar.truncar(
+        scalar.truncar(4738.922274, 6) * scalar.truncar(0.886713, 6), 6
+    )
