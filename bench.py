@@ -48,10 +48,9 @@ def main():
     load_all()
     spark = get_session("bench")
 
-    # warmup: JVM/codegen, table-file listing
-    QUERIES["q_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warmup: JVM/codegen, table-file listing, calendar-dimension cache
+    for warm in ("q_pricing_summary", "q_bd_offset"):
+        QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

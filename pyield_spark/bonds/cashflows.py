@@ -51,11 +51,41 @@ def explode_payment_dates(
 def coupon_flow_expr(
     pay_date: str | Column,
     maturity: str | Column,
-    coupon_value: float,
-    final_value: float,
+    coupon_value: float | Column,
+    final_value: float | Column,
 ) -> Column:
     """Flow amount: coupon everywhere, coupon+principal at maturity
-    (reference: pyield/tpf/titulos/ntnf.py:268-276)."""
+    (reference: pyield/tpf/titulos/ntnf.py:268-276). Column-valued
+    coupons support per-row conventions (NTN-C's 2031 12% exception,
+    pyield/tpf/titulos/ntnc.py:24-40)."""
     p = F.col(pay_date) if isinstance(pay_date, str) else pay_date
     m = F.to_date(F.col(maturity) if isinstance(maturity, str) else maturity)
-    return F.when(p == m, F.lit(final_value)).otherwise(F.lit(coupon_value))
+    cv = F.lit(coupon_value) if isinstance(coupon_value, (int, float)) else coupon_value
+    fv = F.lit(final_value) if isinstance(final_value, (int, float)) else final_value
+    return F.when(p == m, fv).otherwise(cv)
+
+
+def amortization_flows(
+    df,
+    settlement: str | Column,
+    maturity: str | Column,
+    n_amort: int,
+    alias: str = "data_pagamento",
+    value_alias: str = "valor_amortizacao",
+):
+    """Monthly amortization schedule — NTN-B1 Renda+/Educa+ pattern
+    (240 / 60 equal monthly payments ending at maturity,
+    pyield/tpf/titulos/ntnb1.py:28-31,55-118).
+
+    Emits one row per payment in (settlement, maturity] with the base-1
+    amortization fraction 1/n_amort; payments before settlement have
+    already been received by prior holders and drop out (the schedule
+    itself always spans n_amort months back from maturity).
+    """
+    out = explode_payment_dates(df, settlement, maturity, 1, alias)
+    liq = F.to_date(F.col(settlement) if isinstance(settlement, str) else settlement)
+    ven = F.to_date(F.col(maturity) if isinstance(maturity, str) else maturity)
+    first_pay = F.add_months(ven, -(n_amort - 1))
+    return out.filter(F.col(alias) >= first_pay).withColumn(
+        value_alias, F.lit(1.0 / n_amort)
+    )

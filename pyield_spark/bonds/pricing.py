@@ -161,6 +161,42 @@ def ntnb_cotacao(
     )
 
 
+NTNC_CUPOM = 0.02956301  # 6% a.a. semiannual, base 1 (ntnc.py:24-31)
+NTNC_CUPOM_2031 = 0.05830052  # the 12%-coupon 2031 maturity exception (ntnc.py:31-40)
+
+
+def ntnc_coupon_expr(maturity: str | Column) -> Column:
+    """NTN-C coupon: 6% a.a. except the 2031 maturity's 12%
+    (pyield/tpf/titulos/ntnc.py:24-40)."""
+    m = F.to_date(F.col(maturity) if isinstance(maturity, str) else maturity)
+    return F.when(F.year(m) == 2031, F.lit(NTNC_CUPOM_2031)).otherwise(
+        F.lit(NTNC_CUPOM)
+    )
+
+
+def ntnc_cotacao(
+    df: DataFrame,
+    id_cols: list[str],
+    settlement: str = "data_liquidacao",
+    maturity: str = "data_vencimento",
+    taxa: str = "taxa",
+    alias: str = "cotacao",
+) -> DataFrame:
+    """NTN-C quote factor — per-row coupon convention via Column flows."""
+    coupon = ntnc_coupon_expr(maturity)
+    return price_coupon_bond(
+        df,
+        id_cols,
+        settlement,
+        maturity,
+        taxa,
+        coupon_value=coupon,
+        final_value=F.lit(1.0) + coupon,
+        vp_round=12,
+        alias=alias,
+    )
+
+
 def dv01_expr(dias_uteis: str | Column, taxa: str | Column, preco: str | Column) -> Column:
     """DV01 = 1e-4·(du/252)/(1+taxa)·PU (pyield/futuro/contratos.py:29-46)."""
     d = F.col(dias_uteis) if isinstance(dias_uteis, str) else dias_uteis

@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import all query modules (populates the registry)."""
     from pyield_spark.queries import (  # noqa: F401
         analytics,
+        bonds_extra,
         core,
         events,
         fixed_income,

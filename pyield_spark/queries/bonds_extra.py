@@ -1,0 +1,292 @@
+"""NTN-B and LFT full pricing chains (§4.3 truncation semantics
+end-to-end: quote factor → VNA multiplication → PU).
+
+- NTN-B (pyield/tpf/titulos/ntnb.py:255-345): cotação =
+  trunc6(Σ bround12(CF/(1+trunc8(taxa))^trunc14(du/252))),
+  PU = trunc6(trunc6(vna)·trunc6(cotação)).
+- LFT (pyield/tpf/lft.py:140-266): cotação = trunc6 of the single
+  discount factor; same PU chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyield_spark import du as du_mod
+from pyield_spark.bonds.pricing import (
+    lft_cotacao_expr,
+    ntnb_cotacao,
+    pu_from_vna_expr,
+)
+from pyield_spark.queries import query, tables
+from pyield_spark.queries.fixed_income import _CAL
+from pyield_spark.queries.oracle_helpers import bd_count_sql, trunc_sql
+
+_NTNB_COT = trunc_sql("CAST(SUM(CAST(vp AS DECIMAL(28,12))) AS DOUBLE)", 6)
+_PU_CHAIN = trunc_sql(f"{trunc_sql('vna', 6)} * {trunc_sql('cotacao', 6)}", 6)
+_LFT_COT = trunc_sql(
+    f"1.0 / power(1 + {trunc_sql('taxa', 8)}, {trunc_sql('dias_uteis / 252.0', 14)})", 6
+)
+_NTNB_DU = "CAST(" + bd_count_sql("f.liq", "f.pay_date") + " AS BIGINT) / 252.0"
+_NTNB_VP = (
+    "round_even((CASE WHEN f.pay_date = f.ven THEN 1.02956301 ELSE 0.02956301 END)"
+    + " / power(1 + "
+    + trunc_sql("f.taxa", 8)
+    + ", "
+    + trunc_sql(_NTNB_DU, 14)
+    + "), 12)"
+)
+
+
+@query(
+    "q_ntnb_pricing",
+    oracle=f"""
+    WITH {_CAL},
+    bonds AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS liq,
+             CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                  + TO_MONTHS(CAST(36 + (o_orderkey % 3) * 24 AS INT)) AS DATE) + 14 AS ven,
+             round(0.05 + (o_orderkey % 300) / 10000.0, 6) AS taxa,
+             round(4000 + (o_orderkey % 100000) / 100.0, 6) AS vna
+      FROM orders WHERE o_orderkey % 53 = 0
+    ),
+    flows AS (
+      SELECT b.*, CAST(b.ven - TO_MONTHS(CAST(6 * i AS INT)) AS DATE) AS pay_date
+      FROM bonds b, generate_series(0, 20) t(i)
+      WHERE CAST(b.ven - TO_MONTHS(CAST(6 * i AS INT)) AS DATE) > b.liq
+    ),
+    pv AS (
+      SELECT f.o_orderkey, f.liq, f.ven, f.taxa, f.vna, {_NTNB_VP} AS vp
+      FROM flows f
+      JOIN cal cs ON cs.data = f.liq
+      JOIN cal ce ON ce.data = f.pay_date
+    ),
+    quoted AS (
+      SELECT o_orderkey, MIN(liq) AS liq, MIN(ven) AS ven,
+             MIN(taxa) AS taxa, MIN(vna) AS vna,
+             {_NTNB_COT} AS cotacao
+      FROM pv GROUP BY o_orderkey
+    )
+    SELECT o_orderkey, liq, ven, taxa, vna, cotacao, {_PU_CHAIN} AS pu
+    FROM quoted
+    """,
+)
+def q_ntnb_pricing(spark, sf_dir):
+    od = tables(spark, sf_dir, "orders")
+    bonds = od.filter(F.col("o_orderkey") % 53 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("liq"),
+        F.date_add(
+            F.add_months(
+                F.date_trunc("month", "o_orderdate").cast("date"),
+                F.lit(36) + (F.col("o_orderkey") % 3).cast("int") * 24,
+            ),
+            14,
+        ).alias("ven"),
+        F.round(F.lit(0.05) + (F.col("o_orderkey") % 300) / 10000.0, 6).alias("taxa"),
+        F.round(F.lit(4000) + (F.col("o_orderkey") % 100000) / 100.0, 6).alias("vna"),
+    )
+    quoted = ntnb_cotacao(
+        bonds, ["o_orderkey"], settlement="liq", maturity="ven", taxa="taxa"
+    )
+    out = bonds.join(quoted, "o_orderkey").withColumn(
+        "pu", pu_from_vna_expr("vna", "cotacao")
+    )
+    return out.select("o_orderkey", "liq", "ven", "taxa", "vna", "cotacao", "pu")
+
+
+@query(
+    "q_lft_pricing",
+    oracle=f"""
+    WITH {_CAL},
+    bonds AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS liq,
+             CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                  + TO_MONTHS(CAST(24 + (o_orderkey % 6) * 6 AS INT)) AS DATE) AS ven,
+             round((o_orderkey % 40) / 100000.0 - 0.0002, 6) AS taxa,
+             round(10000 + (o_orderkey % 900000) / 100.0, 6) AS vna
+      FROM orders WHERE o_orderkey % 41 = 0
+    ),
+    wdu AS (
+      SELECT b.*, CAST({bd_count_sql("b.liq", "b.ven")} AS BIGINT) AS dias_uteis
+      FROM bonds b
+      JOIN cal cs ON cs.data = b.liq
+      JOIN cal ce ON ce.data = b.ven
+    ),
+    quoted AS (
+      SELECT *, {_LFT_COT} AS cotacao FROM wdu
+    )
+    SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, {_PU_CHAIN} AS pu
+    FROM quoted
+    """,
+)
+def q_lft_pricing(spark, sf_dir):
+    od = tables(spark, sf_dir, "orders")
+    bonds = od.filter(F.col("o_orderkey") % 41 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("liq"),
+        F.add_months(
+            F.date_trunc("month", "o_orderdate").cast("date"),
+            F.lit(24) + (F.col("o_orderkey") % 6).cast("int") * 6,
+        ).alias("ven"),
+        F.round((F.col("o_orderkey") % 40) / 100000.0 - 0.0002, 6).alias("taxa"),
+        F.round(F.lit(10000) + (F.col("o_orderkey") % 900000) / 100.0, 6).alias("vna"),
+    )
+    bonds = du_mod.contar(bonds, "liq", "ven", alias="dias_uteis")
+    out = bonds.withColumn("cotacao", lft_cotacao_expr("dias_uteis", "taxa")).withColumn(
+        "pu", pu_from_vna_expr("vna", "cotacao")
+    )
+    return out.select(
+        "o_orderkey", "liq", "ven", "taxa", "vna", "dias_uteis", "cotacao", "pu"
+    )
+
+
+# === NTN-C: per-row coupon convention incl. the 2031 12% exception ========
+
+from pyield_spark.queries.oracle_helpers import calendar_cte as _calendar_cte
+import datetime as _dt
+
+_CAL_WIDE = _calendar_cte(_dt.date(1994, 1, 1), _dt.date(2035, 12, 31))
+
+_NTNC_VP = (
+    "round_even((CASE WHEN f.pay_date = f.ven THEN 1 ELSE 0 END"
+    " + CASE WHEN year(f.ven) = 2031 THEN 0.05830052 ELSE 0.02956301 END)"
+    " / power(1 + " + trunc_sql("f.taxa", 8) + ", "
+    + trunc_sql("CAST(" + bd_count_sql("f.liq", "f.pay_date") + " AS BIGINT) / 252.0", 14)
+    + "), 12)"
+)
+
+_NTNC_ORACLE = f"""
+    WITH {_CAL_WIDE},
+    bonds AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS liq,
+             make_date(2029 + CAST(o_orderkey % 4 AS INT), 7, 1) AS ven,
+             round(0.055 + (o_orderkey % 200) / 10000.0, 6) AS taxa
+      FROM orders WHERE o_orderkey % 59 = 0
+    ),
+    flows AS (
+      SELECT b.*, CAST(b.ven - TO_MONTHS(CAST(6 * i AS INT)) AS DATE) AS pay_date
+      FROM bonds b, generate_series(0, 80) t(i)
+      WHERE CAST(b.ven - TO_MONTHS(CAST(6 * i AS INT)) AS DATE) > b.liq
+    ),
+    pv AS (
+      SELECT f.o_orderkey, f.liq, f.ven, f.taxa, {_NTNC_VP} AS vp
+      FROM flows f
+      JOIN cal cs ON cs.data = f.liq
+      JOIN cal ce ON ce.data = f.pay_date
+    )
+    SELECT o_orderkey, MIN(liq) AS liq, MIN(ven) AS ven, MIN(taxa) AS taxa,
+           {_NTNB_COT} AS cotacao
+    FROM pv GROUP BY o_orderkey
+"""
+
+
+@query("q_ntnc_pricing", oracle=_NTNC_ORACLE)
+def q_ntnc_pricing(spark, sf_dir):
+    from pyield_spark.bonds.pricing import ntnc_cotacao
+
+    od = tables(spark, sf_dir, "orders")
+    bonds = od.filter(F.col("o_orderkey") % 59 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("liq"),
+        F.make_date(
+            F.lit(2029) + (F.col("o_orderkey") % 4).cast("int"), F.lit(7), F.lit(1)
+        ).alias("ven"),
+        F.round(F.lit(0.055) + (F.col("o_orderkey") % 200) / 10000.0, 6).alias("taxa"),
+    )
+    quoted = ntnc_cotacao(
+        bonds, ["o_orderkey"], settlement="liq", maturity="ven", taxa="taxa"
+    )
+    return bonds.join(quoted, "o_orderkey").select(
+        "o_orderkey", "liq", "ven", "taxa", "cotacao"
+    )
+
+
+# === NTN-B1 Renda+/Educa+ monthly amortization schedule ===================
+
+_NTNB1_ORACLE = f"""
+    WITH {_CAL_WIDE},
+    bonds AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS liq,
+             CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                  + TO_MONTHS(CAST(240 + (o_orderkey % 5) * 12 AS INT)) AS DATE) AS ven,
+             CASE WHEN o_orderkey % 2 = 0 THEN 60 ELSE 240 END AS n_amort,
+             round(0.05 + (o_orderkey % 100) / 10000.0, 6) AS taxa
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    flows AS (
+      SELECT b.*, CAST(b.ven - TO_MONTHS(CAST(i AS INT)) AS DATE) AS pay_date
+      FROM bonds b, generate_series(0, 239) t(i)
+      WHERE CAST(b.ven - TO_MONTHS(CAST(i AS INT)) AS DATE) > b.liq
+        AND CAST(b.ven - TO_MONTHS(CAST(i AS INT)) AS DATE)
+            >= CAST(b.ven - TO_MONTHS(CAST(b.n_amort - 1 AS INT)) AS DATE)
+    ),
+    pv AS (
+      SELECT f.o_orderkey, f.liq, f.ven, f.n_amort, f.taxa,
+        round_even((1.0 / f.n_amort)
+          / power(1 + {trunc_sql("f.taxa", 8)},
+                  {trunc_sql("CAST(" + bd_count_sql("f.liq", "f.pay_date") + " AS BIGINT) / 252.0", 14)}),
+          12) AS vp
+      FROM flows f
+      JOIN cal cs ON cs.data = f.liq
+      JOIN cal ce ON ce.data = f.pay_date
+    )
+    SELECT o_orderkey, MIN(liq) AS liq, MIN(ven) AS ven,
+           CAST(MIN(n_amort) AS INT) AS n_amort, MIN(taxa) AS taxa,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           round(CAST(COUNT(*) AS DOUBLE) / MIN(n_amort), 9) AS fracao_restante,
+           {_NTNB_COT} AS valor_presente
+    FROM pv GROUP BY o_orderkey
+"""
+
+
+@query("q_ntnb1_schedule", oracle=_NTNB1_ORACLE)
+def q_ntnb1_schedule(spark, sf_dir):
+    from pyield_spark.bonds.cashflows import amortization_flows
+    from pyield_spark.bonds.pricing import anos_uteis_expr
+    from pyield_spark.functions.numbers import truncar_expr as _trunc
+
+    od = tables(spark, sf_dir, "orders")
+    bonds = od.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("liq"),
+        F.add_months(
+            F.date_trunc("month", "o_orderdate").cast("date"),
+            F.lit(240) + (F.col("o_orderkey") % 5).cast("int") * 12,
+        ).alias("ven"),
+        F.when(F.col("o_orderkey") % 2 == 0, 60).otherwise(240).alias("n_amort"),
+        F.round(F.lit(0.05) + (F.col("o_orderkey") % 100) / 10000.0, 6).alias("taxa"),
+    )
+    # schedule: monthly payments in (liq, ven] no earlier than the
+    # n_amort-month window ending at maturity
+    from pyield_spark.bonds.cashflows import explode_payment_dates
+
+    flows = explode_payment_dates(bonds, "liq", "ven", 1, "pay_date")
+    flows = flows.filter(
+        F.col("pay_date")
+        >= F.add_months(F.col("ven"), -(F.col("n_amort").cast("int") - 1))
+    )
+    flows = du_mod.contar(flows, "liq", "pay_date", alias="_du")
+    vp = F.bround(
+        (F.lit(1.0) / F.col("n_amort"))
+        / F.pow(F.lit(1.0) + _trunc(F.col("taxa"), 8), anos_uteis_expr("_du")),
+        12,
+    )
+    flows = flows.withColumn("_vp", vp)
+    return flows.groupBy("o_orderkey").agg(
+        F.min("liq").alias("liq"),
+        F.min("ven").alias("ven"),
+        F.min("n_amort").cast("int").alias("n_amort"),
+        F.min("taxa").alias("taxa"),
+        F.count("*").alias("n_flows"),
+        F.round(F.count("*").cast("double") / F.min("n_amort"), 9).alias(
+            "fracao_restante"
+        ),
+        _trunc(F.sum(F.col("_vp").cast("decimal(28,12)")).cast("double"), 6).alias(
+            "valor_presente"
+        ),
+    )

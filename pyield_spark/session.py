@@ -40,6 +40,11 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local test files are single small parquets; without this the
+        # scan runs 1-3 tasks on a 32-core box. At cluster scale the
+        # deployment overrides (default 128m is right for HDFS/S3).
+        .config("spark.sql.files.maxPartitionBytes", "2097152")
+        .config("spark.sql.files.openCostInBytes", "524288")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Oracle comparisons (DuckDB) use naive/UTC timestamps; ANSI off so
         # malformed casts yield null (reference uses strict=False casts:
