@@ -23,15 +23,20 @@ def probabilities(
     price: str = "preco_ajuste",
 ) -> DataFrame:
     """Per-strike move probabilities from digital-option prices."""
+    from pyield_spark.functions.numbers import pround_expr
+
     opt = options.filter(F.col(price).isNotNull())
     w_strike = Window.partitionBy(meeting).orderBy(strike)
     # weight of strike s = price(s) − price(next s); the last strike
-    # keeps its own price (tail mass)
-    diff = F.col(price) - F.lead(price, 1, 0.0).over(w_strike)
+    # keeps its own price (tail mass). Weights accumulate in DECIMAL so
+    # the normalization total is order-independent and the probability
+    # rounding is portable across engines.
+    diff = (F.col(price) - F.lead(price, 1, 0.0).over(w_strike)).cast("decimal(18,6)")
     opt = opt.withColumn("_w", diff)
-    total = F.sum("_w").over(Window.partitionBy(meeting))
-    opt = opt.withColumn("prob", F.round(F.col("_w") / total, 6))
+    total = F.sum("_w").over(Window.partitionBy(meeting)).cast("double")
     wc = w_strike.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    opt = opt.withColumn("prob_acumulada", F.round(F.sum(F.col("_w")).over(wc) / total, 6))
+    cum = F.sum("_w").over(wc).cast("double")
+    opt = opt.withColumn("prob", pround_expr(F.col("_w").cast("double") / total, 6))
+    opt = opt.withColumn("prob_acumulada", pround_expr(cum / total, 6))
     rank = F.dense_rank().over(Window.orderBy(meeting))
     return opt.withColumn("rank_reuniao", rank).drop("_w")

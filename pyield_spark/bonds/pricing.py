@@ -67,10 +67,23 @@ def lft_cotacao_expr(dias_uteis: str | Column, taxa: str | Column) -> Column:
 
 
 def pu_from_vna_expr(vna: str | Column, cotacao: str | Column) -> Column:
-    """PU = trunc6(trunc6(vna)·trunc6(cotação)) (ntnb.py:316-324)."""
+    """PU = trunc6(trunc6(vna)·trunc6(cotação)) (ntnb.py:316-324).
+
+    The outer truncation runs in EXACT decimal: trunc6 outputs lie on
+    the 1e-6 grid, so their product often lands exactly on a truncation
+    boundary where double noise (±1 ulp) would flip the floor — the
+    decimal path is deterministic across engines/platforms (the
+    reference's float64 chain is itself platform-dependent there).
+    Positive prices assumed (floor == toward-zero).
+    """
     v = F.col(vna) if isinstance(vna, str) else vna
     c = F.col(cotacao) if isinstance(cotacao, str) else cotacao
-    return truncar_expr(truncar_expr(v, 6) * truncar_expr(c, 6), 6)
+    v6 = truncar_expr(v, 6).cast("decimal(18,6)")
+    c6 = truncar_expr(c, 6).cast("decimal(18,6)")
+    # re-narrow the exact product before scaling so neither engine hits
+    # its precision cap (values < 1e12; (24,12) holds them exactly)
+    prod = (v6 * c6).cast("decimal(24,12)")
+    return (F.floor(prod * F.lit(1000000)) / F.lit(1000000.0)).cast("double")
 
 
 def _exploded_flows(
@@ -119,21 +132,30 @@ def price_coupon_bond(
     vp = F.bround(F.col("_cf") / F.col("_fator"), vp_round)
     flows = flows.withColumn("_vp", vp)
     # decimal accumulation: exact and order-independent (a parallel double
-    # sum is association-dependent; the rounded PVs fit decimal exactly)
+    # sum is association-dependent; the rounded PVs fit decimal exactly).
+    # The STN truncation stays in the decimal domain — decimal→double
+    # casts diverge across engines exactly on the truncation grid.
+    from pyield_spark.functions.numbers import trunc_decimal_sum_expr
+
     aggs = [
-        truncar_expr(F.sum(F.col("_vp").cast("decimal(28,12)")).cast("double"), 6).alias(
-            alias
-        )
+        trunc_decimal_sum_expr(
+            F.sum(F.col("_vp").cast("decimal(28,12)")), 6
+        ).alias(alias)
     ]
     if with_duration:
-        # Macaulay from the STN-rounded PVs (deterministic across engines;
-        # differs from the reference's unrounded-PV duration by <1e-9)
-        aggs.append(
-            (
-                F.sum((F.col("_au") * F.col("_vp")).cast("decimal(28,14)")).cast("double")
-                / F.sum(F.col("_vp").cast("decimal(28,14)")).cast("double")
-            ).alias("duration")
-        )
+        # Macaulay from the STN-rounded PVs. Both factors sit on decimal
+        # grids (au: trunc14, vp: bround-vp_round), so casting each to
+        # its grid scale recovers the exact decimal on any engine, and
+        # the product/sum stay exact; only the final quotient returns to
+        # double, under a portable round. (Casting arbitrary PRODUCTS to
+        # decimal is NOT portable — engines disagree near halfway.)
+        from pyield_spark.functions.numbers import pround_expr
+
+        au_dec = F.col("_au").cast("decimal(16,14)")
+        vp_dec = F.col("_vp").cast(f"decimal(20,{vp_round})")
+        num = F.sum(au_dec * vp_dec).cast("double")
+        den = F.sum(vp_dec).cast("double")
+        aggs.append(pround_expr(num / den, 9).alias("duration"))
     return flows.groupBy(*id_cols).agg(*aggs)
 
 

@@ -32,6 +32,39 @@ def truncar_expr(col: Column | str, decimals: int) -> Column:
     return F.when(F.isnan(c), c).otherwise(truncated)
 
 
+def pround_expr(col: Column | str, decimals: int) -> Column:
+    """Portable round-half-away-from-zero in pure double arithmetic:
+    sign(x)·floor(|x|·10^d + 0.5)/10^d.
+
+    Spark's ``round``/``bround`` convert through the double's shortest
+    string repr (BigDecimal.valueOf) while other engines scale in
+    binary; the two disagree when the repr shows an exact halfway digit
+    the binary value sits just under (observed flipping a DV01 at
+    sf0.1). This formula is the same IEEE ops on both sides —
+    bit-identical by construction. NaN/null pass through.
+    """
+    if decimals < 0:
+        raise ValueError("decimals must be non-negative")
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(float(10**decimals))
+    r = F.signum(c) * F.floor(F.abs(c) * s + F.lit(0.5)) / s
+    return F.when(F.isnan(c), c).otherwise(r)
+
+
+def trunc_decimal_sum_expr(sum_col: Column, decimals: int = 6) -> Column:
+    """Truncate a DECIMAL aggregate toward zero at ``decimals`` WITHOUT
+    leaving the decimal domain first.
+
+    Casting the sum to double before flooring is non-portable: decimal→
+    double conversion differs across engines in the last ulp exactly
+    when the sum lies on (or next to) the truncation grid — which
+    decimal-accumulated STN PVs frequently do. Positive totals assumed.
+    """
+    s = 10**decimals
+    narrowed = sum_col.cast("decimal(24,12)")
+    return (F.floor(narrowed * F.lit(s)) / F.lit(float(s))).cast("double")
+
+
 def bround_expr(col: Column | str, decimals: int) -> Column:
     """Half-to-even rounding (Polars ``round`` parity)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pyield_spark.functions.numbers import pround_expr
 from pyield_spark.operators.text import h32_expr, tokens_expr
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1
@@ -121,7 +122,7 @@ def jaccard_pairs(
         .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            pround_expr(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
                 6,

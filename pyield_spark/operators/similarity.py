@@ -69,9 +69,11 @@ def cosine_topk(
         F.col("_norm2").alias("_qnorm2"),
     )
     pairs = queries.crossJoin(base).filter(F.col("_vid") != F.col("query_id"))
+    from pyield_spark.functions.numbers import pround_expr
+
     scored = pairs.withColumn(
         "cosine",
-        F.round(
+        pround_expr(
             dot_dec(F.col("_qvec"), F.col("_vec"))
             / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
             6,

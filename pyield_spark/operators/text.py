@@ -58,7 +58,9 @@ def quality_score_expr(text: str | Column, lang_words: list[str] | None = None) 
     p_ratio = punct_ratio_expr(c)
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     score = F.lit(0.4) * len_score + F.lit(0.4) * sw_ratio + F.lit(0.2) * (1 - p_ratio)
-    return F.round(score, 6)
+    from pyield_spark.functions.numbers import pround_expr
+
+    return pround_expr(score, 6)
 
 
 def lang_scores_expr(text: str | Column) -> dict[str, Column]:

@@ -15,11 +15,11 @@ from pyield_spark.analytics.futuro import enrich
 from pyield_spark.analytics.selic import probabilities
 from pyield_spark.bonds.bootstrap import bootstrap_zero_curve, implied_rates
 from pyield_spark.bonds.pricing import price_coupon_bond
-from pyield_spark.functions.numbers import truncar_expr
+from pyield_spark.functions.numbers import pround_expr, truncar_expr
 from pyield_spark.operators.asof import asof_join
 from pyield_spark.queries import query, tables
 from pyield_spark.queries.fixed_income import _CAL, _CURVE_SQL, _curve_df
-from pyield_spark.queries.oracle_helpers import bd_count_sql, trunc_sql
+from pyield_spark.queries.oracle_helpers import bd_count_sql, pround_sql, trunc_sql
 
 DEC = "decimal(18,6)"
 
@@ -84,10 +84,8 @@ panel2 AS (
     )
     SELECT o_orderkey, data_referencia, codigo_negociacao, data_vencimento,
       dias_uteis, CAST(dias_corridos AS INT) AS dias_corridos, taxa_ajuste, preco_ajuste,
-      round(0.0001 * (dias_uteis / 252.0) / (1 + taxa_ajuste) * preco_ajuste, 6) AS dv01,
-      round(CASE WHEN dias_uteis = du_min THEN tx_valid
-        ELSE power(power(1 + tx_valid, au) / power(1 + tx_j, au_j),
-                   1.0 / (au - au_j)) - 1 END, 6) AS taxa_forward
+      {pround_sql("0.0001 * (dias_uteis / 252.0) / (1 + taxa_ajuste) * preco_ajuste", 6)} AS dv01,
+      {pround_sql("CASE WHEN dias_uteis = du_min THEN tx_valid ELSE power(power(1 + tx_valid, au) / power(1 + tx_j, au_j), 1.0 / (au - au_j)) - 1 END", 6)} AS taxa_forward
     FROM lagged
     """,
 )
@@ -133,8 +131,8 @@ def q_futures_enrich(spark, sf_dir):
         F.col("dias_corridos").cast("int").alias("dias_corridos"),
         "taxa_ajuste",
         "preco_ajuste",
-        F.round("dv01", 6).alias("dv01"),
-        F.round("taxa_forward", 6).alias("taxa_forward"),
+        pround_expr("dv01", 6).alias("dv01"),
+        pround_expr("taxa_forward", 6).alias("taxa_forward"),
     )
 
 
@@ -143,7 +141,7 @@ def q_futures_enrich(spark, sf_dir):
 
 @query(
     "q_copom_probs",
-    oracle="""
+    oracle=f"""
     WITH opts AS (
       SELECT DISTINCT
         CAST(CAST(date_trunc('month', l_shipdate) AS DATE) + TO_MONTHS(1) AS DATE)
@@ -158,20 +156,20 @@ def q_futures_enrich(spark, sf_dir):
     ),
     weighted AS (
       SELECT *,
-        preco_ajuste - LEAD(preco_ajuste, 1, 0.0)
-          OVER (PARTITION BY data_expiracao ORDER BY variacao_strike_bps) AS _w
+        CAST(preco_ajuste - LEAD(preco_ajuste, 1, 0.0)
+          OVER (PARTITION BY data_expiracao ORDER BY variacao_strike_bps) AS DECIMAL(18,6)) AS _w
       FROM priced
     ),
     totaled AS (
       SELECT *,
-        SUM(_w) OVER (PARTITION BY data_expiracao) AS _tot,
-        SUM(_w) OVER (PARTITION BY data_expiracao ORDER BY variacao_strike_bps
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+        CAST(SUM(_w) OVER (PARTITION BY data_expiracao) AS DOUBLE) AS _tot,
+        CAST(SUM(_w) OVER (PARTITION BY data_expiracao ORDER BY variacao_strike_bps
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS _cum
       FROM weighted
     )
     SELECT data_expiracao, variacao_strike_bps, preco_ajuste,
-           round(_w / _tot, 6) AS prob,
-           round(_cum / _tot, 6) AS prob_acumulada,
+           {pround_sql("CAST(_w AS DOUBLE) / _tot", 6)} AS prob,
+           {pround_sql("_cum / _tot", 6)} AS prob_acumulada,
            CAST(DENSE_RANK() OVER (ORDER BY data_expiracao) AS BIGINT) AS rank_reuniao
     FROM totaled
     """,
@@ -211,7 +209,7 @@ def q_copom_probs(spark, sf_dir):
     oracle=f"""
     WITH pubs AS (
       SELECT CAST(date_trunc('month', l_shipdate) AS DATE) + 14 AS data_pub,
-             round(1000 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 1000000.0, 6)
+             {pround_sql("1000 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 1000000.0", 6)}
                AS vna_pub
       FROM lineitem GROUP BY 1
     ),
@@ -245,7 +243,7 @@ def q_vna_prorata(spark, sf_dir):
             "data_pub"
         )
     ).agg(
-        F.round(
+        pround_expr(
             F.lit(1000)
             + F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 1000000.0,
             6,

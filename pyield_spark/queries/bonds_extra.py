@@ -20,10 +20,21 @@ from pyield_spark.bonds.pricing import (
 )
 from pyield_spark.queries import query, tables
 from pyield_spark.queries.fixed_income import _CAL
-from pyield_spark.queries.oracle_helpers import bd_count_sql, trunc_sql
+from pyield_spark.queries.oracle_helpers import (
+    bd_count_sql,
+    pround_sql,
+    trunc_decimal_sum_sql,
+    trunc_sql,
+)
 
-_NTNB_COT = trunc_sql("CAST(SUM(CAST(vp AS DECIMAL(28,12))) AS DOUBLE)", 6)
-_PU_CHAIN = trunc_sql(f"{trunc_sql('vna', 6)} * {trunc_sql('cotacao', 6)}", 6)
+_NTNB_COT = trunc_decimal_sum_sql("SUM(CAST(vp AS DECIMAL(28,12)))", 6)
+# exact-decimal outer truncation (see pu_from_vna_expr): grid-product
+# boundaries are deterministic only in decimal arithmetic
+_PU_CHAIN = (
+    "CAST(floor(CAST(CAST(" + trunc_sql("vna", 6) + " AS DECIMAL(18,6))"
+    " * CAST(" + trunc_sql("cotacao", 6) + " AS DECIMAL(18,6)) AS DECIMAL(24,12))"
+    " * 1000000) / 1000000.0 AS DOUBLE)"
+)
 _LFT_COT = trunc_sql(
     f"1.0 / power(1 + {trunc_sql('taxa', 8)}, {trunc_sql('dias_uteis / 252.0', 14)})", 6
 )
@@ -238,7 +249,7 @@ _NTNB1_ORACLE = f"""
     SELECT o_orderkey, MIN(liq) AS liq, MIN(ven) AS ven,
            CAST(MIN(n_amort) AS INT) AS n_amort, MIN(taxa) AS taxa,
            CAST(COUNT(*) AS BIGINT) AS n_flows,
-           round(CAST(COUNT(*) AS DOUBLE) / MIN(n_amort), 9) AS fracao_restante,
+           {pround_sql("CAST(COUNT(*) AS DOUBLE) / MIN(n_amort)", 9)} AS fracao_restante,
            {_NTNB_COT} AS valor_presente
     FROM pv GROUP BY o_orderkey
 """
@@ -248,6 +259,7 @@ _NTNB1_ORACLE = f"""
 def q_ntnb1_schedule(spark, sf_dir):
     from pyield_spark.bonds.cashflows import amortization_flows
     from pyield_spark.bonds.pricing import anos_uteis_expr
+    from pyield_spark.functions.numbers import pround_expr, trunc_decimal_sum_expr
     from pyield_spark.functions.numbers import truncar_expr as _trunc
 
     od = tables(spark, sf_dir, "orders")
@@ -283,10 +295,10 @@ def q_ntnb1_schedule(spark, sf_dir):
         F.min("n_amort").cast("int").alias("n_amort"),
         F.min("taxa").alias("taxa"),
         F.count("*").alias("n_flows"),
-        F.round(F.count("*").cast("double") / F.min("n_amort"), 9).alias(
+        pround_expr(F.count("*").cast("double") / F.min("n_amort"), 9).alias(
             "fracao_restante"
         ),
-        _trunc(F.sum(F.col("_vp").cast("decimal(28,12)")).cast("double"), 6).alias(
+        trunc_decimal_sum_expr(F.sum(F.col("_vp").cast("decimal(28,12)")), 6).alias(
             "valor_presente"
         ),
     )

@@ -26,7 +26,13 @@ from pyield_spark.curves.interpolate import interpolar
 from pyield_spark.functions.numbers import truncar_expr
 from pyield_spark.operators.asof import asof_join
 from pyield_spark.queries import query, tables
-from pyield_spark.queries.oracle_helpers import bd_count_sql, calendar_cte, trunc_sql
+from pyield_spark.queries.oracle_helpers import (
+    bd_count_sql,
+    calendar_cte,
+    pround_sql,
+    trunc_decimal_sum_sql,
+    trunc_sql,
+)
 
 _CAL_LO = dt.date(1994, 1, 1)
 _CAL_HI = dt.date(2012, 12, 31)
@@ -195,6 +201,17 @@ def _curve_df(spark, sf_dir):
 # === J3+J4+flat-forward: the flagship interpolation pipeline
 # (pyield/interpolador.py:306-497) =========================================
 
+_INTERP_LADDER = """CASE
+        WHEN du_alvo IS NULL OR du_min IS NULL THEN NULL
+        WHEN du_j = du_alvo THEN tx_j
+        WHEN du_alvo < du_min THEN tx_min
+        WHEN du_alvo > du_max THEN NULL
+        ELSE power(power(1 + tx_j, au_j)
+                   * power(power(1 + tx_k, au_k) / power(1 + tx_j, au_j),
+                           (au - au_j) / (au_k - au_j)),
+                   1.0 / au) - 1
+      END"""
+
 
 @query(
     "q_interp_flat_forward",
@@ -227,16 +244,7 @@ def _curve_df(spark, sf_dir):
       FROM jk LEFT JOIN extremes e ON jk.grupo = e.grupo
     )
     SELECT o_orderkey, grupo, du_alvo,
-      round(CASE
-        WHEN du_alvo IS NULL OR du_min IS NULL THEN NULL
-        WHEN du_j = du_alvo THEN tx_j
-        WHEN du_alvo < du_min THEN tx_min
-        WHEN du_alvo > du_max THEN NULL
-        ELSE power(power(1 + tx_j, au_j)
-                   * power(power(1 + tx_k, au_k) / power(1 + tx_j, au_j),
-                           (au - au_j) / (au_k - au_j)),
-                   1.0 / au) - 1
-      END, 6) AS taxa_interpolada
+      {pround_sql(_INTERP_LADDER, 6)} AS taxa_interpolada
     FROM fin
     """,
 )
@@ -259,8 +267,13 @@ def q_interp_flat_forward(spark, sf_dir):
         by="grupo",
         extrapolar=False,
     )
+    from pyield_spark.functions.numbers import pround_expr
+
     return out.select(
-        "o_orderkey", "grupo", "du_alvo", F.round("taxa_interpolada", 6).alias("taxa_interpolada")
+        "o_orderkey",
+        "grupo",
+        "du_alvo",
+        pround_expr("taxa_interpolada", 6).alias("taxa_interpolada"),
     )
 
 
@@ -297,9 +310,7 @@ def q_interp_flat_forward(spark, sf_dir):
       FROM valid
     )
     SELECT grupo, du, taxa,
-      round(CASE WHEN du = du_min THEN tx_valid
-        ELSE power(power(1 + tx_valid, au) / power(1 + tx_j, au_j),
-                   1.0 / (au - au_j)) - 1 END, 6) AS taxa_forward
+      {pround_sql("CASE WHEN du = du_min THEN tx_valid ELSE power(power(1 + tx_valid, au) / power(1 + tx_j, au_j), 1.0 / (au - au_j)) - 1 END", 6)} AS taxa_forward
     FROM lagged
     """,
 )
@@ -309,8 +320,10 @@ def q_forwards_curve(spark, sf_dir):
         (F.month("grupo") % 3 == 0) & (F.col("du") == 150)
     ).withColumn("taxa", F.round(F.col("taxa") + 0.001, 6))
     curve2 = curve.unionByName(dups)
+    from pyield_spark.functions.numbers import pround_expr
+
     return curve2.withColumn(
-        "taxa_forward", F.round(forwards_expr("du", "taxa", "grupo"), 6)
+        "taxa_forward", pround_expr(forwards_expr("du", "taxa", "grupo"), 6)
     )
 
 
@@ -355,8 +368,7 @@ def _bonds_df(spark, sf_dir):
     )
     SELECT o_orderkey, liq, ven, taxa, dias_uteis,
       {trunc_sql(f"1000.0 / power(1 + {trunc_sql('taxa', 8)}, {trunc_sql('dias_uteis / 252.0', 14)})", 6)} AS pu,
-      round(0.0001 * (dias_uteis / 252.0) / (1 + taxa)
-        * {trunc_sql(f"1000.0 / power(1 + {trunc_sql('taxa', 8)}, {trunc_sql('dias_uteis / 252.0', 14)})", 6)}, 6) AS dv01
+      {pround_sql(f"0.0001 * (dias_uteis / 252.0) / (1 + taxa) * ({trunc_sql(f'1000.0 / power(1 + ' + trunc_sql('taxa', 8) + ', ' + trunc_sql('dias_uteis / 252.0', 14) + ')', 6)})", 6)} AS dv01
     FROM wdu
     """,
 )
@@ -364,8 +376,10 @@ def q_ltn_pricing(spark, sf_dir):
     bonds = _bonds_df(spark, sf_dir)
     bonds = du_mod.contar(bonds, "liq", "ven", alias="dias_uteis")
     bonds = bonds.withColumn("pu", ltn_pu_expr("dias_uteis", "taxa"))
+    from pyield_spark.functions.numbers import pround_expr
+
     return bonds.withColumn(
-        "dv01", F.round(dv01_expr("dias_uteis", "taxa", "pu"), 6)
+        "dv01", pround_expr(dv01_expr("dias_uteis", "taxa", "pu"), 6)
     ).select("o_orderkey", "liq", "ven", "taxa", "dias_uteis", "pu", "dv01")
 
 
@@ -406,9 +420,10 @@ def q_ltn_pricing(spark, sf_dir):
     )
     SELECT o_orderkey, MIN(liq) AS liq, MIN(ven) AS ven, MIN(taxa) AS taxa,
       CAST(COUNT(*) AS BIGINT) AS n_flows,
-      {trunc_sql("CAST(SUM(CAST(vp AS DECIMAL(28,12))) AS DOUBLE)", 6)} AS pu,
-      round(CAST(SUM(CAST(au * vp AS DECIMAL(28,14))) AS DOUBLE)
-        / CAST(SUM(CAST(vp AS DECIMAL(28,14))) AS DOUBLE), 12) AS duration
+      {trunc_decimal_sum_sql("SUM(CAST(vp AS DECIMAL(28,12)))", 6)} AS pu,
+      {pround_sql(
+          "CAST(SUM(CAST(au AS DECIMAL(16,14)) * CAST(vp AS DECIMAL(20,9))) AS DOUBLE)"
+          " / CAST(SUM(CAST(vp AS DECIMAL(20,9))) AS DOUBLE)", 9)} AS duration
     FROM pv GROUP BY o_orderkey
     """,
 )
@@ -443,7 +458,6 @@ def q_ntnf_pricing(spark, sf_dir):
         meta.join(counts, "o_orderkey")
         .join(priced, "o_orderkey")
         .select(
-            "o_orderkey", "liq", "ven", "taxa", "n_flows", "pu",
-            F.round("duration", 12).alias("duration"),
+            "o_orderkey", "liq", "ven", "taxa", "n_flows", "pu", "duration"
         )
     )

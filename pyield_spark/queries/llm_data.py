@@ -15,6 +15,7 @@ from pyield_spark.operators import multimodal as mm
 from pyield_spark.operators import similarity as sim
 from pyield_spark.operators import text as tx
 from pyield_spark.queries import query, tables
+from pyield_spark.queries.oracle_helpers import pround_sql
 
 # shared SQL fragments ------------------------------------------------------
 
@@ -38,11 +39,12 @@ _GRAMS3 = f"""
     SELECT doc_id, lang, source,
       CAST(len({_TOKS}) AS INT) AS n_tokens,
       CAST(len(list_filter({_TOKS}, t -> list_contains({_SW_EN}, t))) AS INT) AS en_stopword_hits,
-      round(0.4 * least(len({_TOKS}) / 100.0, 1.0)
-          + 0.4 * (len(list_filter({_TOKS}, t -> list_contains({_SW_EN}, t)))
-                   / CAST(len({_TOKS}) AS DOUBLE))
-          + 0.2 * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(length(text) AS DOUBLE)),
-          6) AS quality_score,
+      {pround_sql(
+          "0.4 * least(len(" + _TOKS + ") / 100.0, 1.0)"
+          " + 0.4 * (len(list_filter(" + _TOKS + ", t -> list_contains(" + _SW_EN + ", t)))"
+          "          / CAST(len(" + _TOKS + ") AS DOUBLE))"
+          " + 0.2 * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(length(text) AS DOUBLE))",
+          6)} AS quality_score,
       CAST(list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(range(1, length(text) + 1), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
@@ -102,11 +104,11 @@ def q_exact_dedup(spark, sf_dir):
     )
     SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
            CAST(sa._n AS BIGINT) AS n_a, CAST(sb._n AS BIGINT) AS n_b,
-           round(n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE), 6) AS jaccard
+           {pround_sql("n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE)", 6)} AS jaccard
     FROM inter
     JOIN sizes sa ON sa._id = id_a
     JOIN sizes sb ON sb._id = id_b
-    WHERE round(n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE), 6) >= 0.1
+    WHERE {pround_sql("n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE)", 6)} >= 0.1
     """,
 )
 def q_jaccard_pairs(spark, sf_dir):
@@ -189,7 +191,7 @@ def q_simhash(spark, sf_dir):
 
 @query(
     "q_cosine_topk",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -201,10 +203,10 @@ def q_simhash(spark, sf_dir):
     ),
     pairs AS (
       SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-        round(
-          CAST(list_reduce(list_transform(range(1, 65),
-                 i -> CAST(q.v[i] * b.v[i] AS DECIMAL(38,12))), (a, b) -> a + b) AS DOUBLE)
-          / (sqrt(q.norm2) * sqrt(b.norm2)), 6) AS cosine
+        {pround_sql(
+          "CAST(list_reduce(list_transform(range(1, 65),"
+          " i -> CAST(q.v[i] * b.v[i] AS DECIMAL(38,12))), (a, b) -> a + b) AS DOUBLE)"
+          " / (sqrt(q.norm2) * sqrt(b.norm2))", 6)} AS cosine
       FROM norms q JOIN norms b ON b.vec_id <> q.vec_id
       WHERE q.vec_id % 100 = 0
     ),

@@ -77,3 +77,18 @@ TRUNC14 = "sign({x}) * floor(abs({x}) * 100000000000000.0) / 100000000000000.0"
 def trunc_sql(x: str, decimals: int) -> str:
     s = f"{10**decimals}.0"
     return f"sign({x}) * floor(abs({x}) * {s}) / {s}"
+
+
+def pround_sql(x: str, decimals: int) -> str:
+    """Portable half-away-from-zero round (see pround_expr rationale)."""
+    s = f"{10**decimals}.0"
+    return f"sign({x}) * floor(abs({x}) * {s} + 0.5) / {s}"
+
+
+def trunc_decimal_sum_sql(sum_expr: str, decimals: int = 6) -> str:
+    """Decimal-domain truncation of a DECIMAL aggregate (positive
+    totals) — twin of trunc_decimal_sum_expr."""
+    s = 10**decimals
+    return (
+        f"CAST(floor(CAST({sum_expr} AS DECIMAL(24,12)) * {s}) / {s}.0 AS DOUBLE)"
+    )

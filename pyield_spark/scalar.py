@@ -92,7 +92,13 @@ def ntnb_cotacao(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float
 
 
 def pu_from_vna(vna: float, cotacao: float) -> float:
-    return truncar(truncar(vna, 6) * truncar(cotacao, 6), 6)
+    """Exact-decimal outer truncation — see pu_from_vna_expr rationale."""
+    from decimal import ROUND_FLOOR, Decimal
+
+    v6 = Decimal(repr(truncar(vna, 6)))
+    c6 = Decimal(repr(truncar(cotacao, 6)))
+    prod = v6 * c6
+    return float(prod.scaleb(6).to_integral_value(rounding=ROUND_FLOOR).scaleb(-6))
 
 
 def _bround(x: float, decimals: int) -> float:

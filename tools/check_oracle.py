@@ -21,7 +21,9 @@ sys.path.insert(0, "/root/repo")
 from pyield_spark.queries import QUERIES, ORACLES, load_all  # noqa: E402
 from pyield_spark.session import get_session  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
