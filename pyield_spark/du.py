@@ -194,6 +194,27 @@ def deslocar_scalar(
     return d
 
 
+def gerar_df(spark, inicio: dt.date, fim: dt.date) -> DataFrame:
+    """Business days in [inicio, fim] as a DataFrame (core.py:546
+    analogue — calendar generation, regime by inicio)."""
+    regime = _regime_of(inicio)
+    flag = "is_bd_ant" if regime == "antigo" else "is_bd_nov"
+    c = cal.calendar_df(spark)
+    return (
+        c.filter(
+            (F.col("data") >= F.lit(inicio))
+            & (F.col("data") <= F.lit(fim))
+            & F.col(flag)
+        )
+        .select("data")
+    )
+
+
+def ultimo_dia_util(df: DataFrame, data: str | Column, alias: str = "ultimo_dia_util") -> DataFrame:
+    """Latest business day at-or-before the date (roll backward, n=0)."""
+    return deslocar(df, data, 0, "backward", alias=alias)
+
+
 def gerar(inicio: dt.date, fim: dt.date) -> list[dt.date]:
     """Business days in [inicio, fim], driver-side (core.py:546 analogue)."""
     regime = _regime_of(inicio)

@@ -119,6 +119,35 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def enrich_with_batch_ops(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """T4 (SURVEY §2.10): every batch operator of the engine is
+    stream-safe via ``foreachBatch`` — here each micro-batch of events
+    is enriched with the business-day engine (eh_dia_util on the event
+    date), exactly the reference's intraday-snapshot enrichment pattern
+    (pyield/futuro/intradia.py:143-172) restated on a real stream.
+    """
+    from pyield_spark import du as du_mod
+
+    ev = read_events_stream(spark, sf_dir)
+    sink: list = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        enriched = du_mod.eh_dia_util(
+            batch_df.withColumn("event_date", F.to_date("ts")), "event_date"
+        )
+        sink.append(
+            enriched.groupBy("event_date", "eh_dia_util").count().collect()
+        )
+
+    q = ev.writeStream.foreachBatch(handle).start()
+    q.processAllAvailable()
+    q.stop()
+    rows = [r for batch in sink for r in batch]
+    return spark.createDataFrame(
+        rows, "event_date DATE, eh_dia_util BOOLEAN, count BIGINT"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a bounded stream to completion into a memory sink and
     return the materialized result (test/local harness only).

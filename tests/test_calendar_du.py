@@ -87,3 +87,17 @@ def test_eh_dia_util(spark):
     assert got["2024-11-20"] is False  # novo-regime holiday
     assert got["2023-11-20"] is True  # pre-transition: not a holiday
     assert got["2024-01-06"] is False  # Saturday
+
+
+def test_gerar_df_and_ultimo_dia_util(spark):
+    from pyield_spark.du import gerar, gerar_df, ultimo_dia_util
+
+    lo, hi = dt.date(2024, 1, 1), dt.date(2024, 1, 31)
+    df_days = [r.data for r in gerar_df(spark, lo, hi).orderBy("data").collect()]
+    assert df_days == gerar(lo, hi)
+    assert len(df_days) == 22  # Jan 2024: 23 weekdays - Jan 1 holiday
+
+    d = spark.createDataFrame([(dt.date(2024, 1, 6),), (dt.date(2024, 1, 5),)], "d DATE")
+    got = {str(r.d): r.ultimo_dia_util for r in ultimo_dia_util(d, "d").collect()}
+    assert got["2024-01-06"] == dt.date(2024, 1, 5)  # Saturday rolls back
+    assert got["2024-01-05"] == dt.date(2024, 1, 5)  # already a business day
