@@ -45,6 +45,7 @@ def load_all() -> None:
         bonds_extra,
         core,
         events,
+        extras,
         fixed_income,
         llm_data,
     )

@@ -114,3 +114,20 @@ def test_probabilities_invariants(spark):
         assert max(r.prob_acumulada for r in rows) == pytest.approx(1.0, abs=1e-6)
     ranks = {r.data_expiracao: r.rank_reuniao for r in out}
     assert ranks[dt.date(2025, 12, 11)] == 1 and ranks[dt.date(2026, 1, 29)] == 2
+
+
+def test_curva_pre_composition(spark, sf_dir):
+    """§7 step 6: LTN ∪ bootstrap with anti-join — no duplicate vertices,
+    short end sourced from LTN."""
+    from pyield_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_curva_pre"](spark, sf_dir)
+    rows = out.collect()
+    seen = {}
+    for r in rows:
+        key = (r.grupo, r.du)
+        assert key not in seen, f"duplicate vertex {key}"
+        seen[key] = r.fonte
+    assert all(f == "LTN" for (g, du), f in seen.items() if du <= 100)
+    assert any(f == "NTN-F" for f in seen.values())
