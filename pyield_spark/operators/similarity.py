@@ -20,28 +20,31 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-# decimal(30,12): headroom so each addition's widened result (31,12)
-# casts back EXACTLY — never triggers Spark's precision-cap rounding at
-# (38,s), keeping the fold bit-identical to any exact-decimal engine.
+# Array folds evaluate LEFT-TO-RIGHT in both Spark (aggregate) and
+# SQL engines (list_reduce) — a fixed association order — so plain
+# double accumulation is already bit-deterministic across engines here,
+# unlike groupBy sums (whose partial-aggregation order is arbitrary and
+# does need decimal). Double folds are ~5× cheaper than decimal in the
+# interpreted higher-order-function path.
 _DEC = "decimal(30,12)"
 
 
 def norm_sq_dec(vec: Column) -> Column:
-    """Σx² accumulated in decimal (exact, order-independent)."""
+    """Σx² — sequential double fold (deterministic order)."""
     return F.aggregate(
         _as_double(vec),
-        F.lit(0).cast(_DEC),
-        lambda acc, x: (acc + (x * x).cast(_DEC)).cast(_DEC),
-    ).cast("double")
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
 
 
 def dot_dec(a: Column, b: Column) -> Column:
-    """Σaᵢbᵢ via decimal accumulation over zipped arrays."""
+    """Σaᵢbᵢ — sequential double fold over zipped arrays."""
     return F.aggregate(
-        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x * y).cast(_DEC)),
-        F.lit(0).cast(_DEC),
-        lambda acc, x: (acc + x).cast(_DEC),
-    ).cast("double")
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def cosine_topk(
@@ -111,8 +114,8 @@ def lsh_bucket_expr(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda x, i: x * (((F.lit(1299721 * p) + F.lit(104729) * i) % 97) - 48).cast("double"),
             ),
-            F.lit(0).cast(_DEC),
-            lambda acc, x: (acc + x.cast(_DEC)).cast(_DEC),
-        ).cast("double")
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket

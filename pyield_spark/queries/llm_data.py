@@ -197,15 +197,15 @@ def q_simhash(spark, sf_dir):
     ),
     norms AS (
       SELECT vec_id, v,
-        CAST(list_reduce(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12))),
-                         (a, b) -> a + b) AS DOUBLE) AS norm2
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (a, b) -> a + b) AS norm2
       FROM base
     ),
     pairs AS (
       SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
         {pround_sql(
-          "CAST(list_reduce(list_transform(range(1, 65),"
-          " i -> CAST(q.v[i] * b.v[i] AS DECIMAL(38,12))), (a, b) -> a + b) AS DOUBLE)"
+          "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+          " i -> q.v[i] * b.v[i])), (a, b) -> a + b)"
           " / (sqrt(q.norm2) * sqrt(b.norm2))", 6)} AS cosine
       FROM norms q JOIN norms b ON b.vec_id <> q.vec_id
       WHERE q.vec_id % 100 = 0
@@ -235,9 +235,9 @@ def q_cosine_topk(spark, sf_dir):
     ),
     proj AS (
       SELECT vec_id, label, p,
-        CAST(list_reduce(list_transform(range(1, 65),
-          i -> CAST(v[i] * (((1299721 * p + 104729 * (i - 1)) % 97) - 48) AS DECIMAL(38,12))),
-          (a, b) -> a + b) AS DOUBLE) AS pr
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+          i -> v[i] * (((1299721 * p + 104729 * (i - 1)) % 97) - 48))),
+          (a, b) -> a + b) AS pr
       FROM base, generate_series(0, 7) t(p)
     )
     SELECT vec_id, CAST(MIN(label) AS INT) AS label,
