@@ -42,8 +42,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(f"{sf_dir}/events.parquet", link)
+    except FileExistsError:
+        pass
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -117,6 +119,22 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def market_hours_filter(
+    ts: str = "ts",
+    open_time: str = "09:16:00",
+    close_time: str = "18:00:00",
+):
+    """T1 (SURVEY §2.10): event-time trading-session gate — within
+    opening hours and not on the Dec 24/31 half-holidays
+    (pyield/b3/_validar_pregao.py:7-44 restated as a stream-safe
+    Column predicate)."""
+    t = F.date_format(F.col(ts), "HH:mm:ss")
+    not_special = ~(
+        (F.month(ts) == 12) & (F.dayofmonth(ts).isin(24, 31))
+    )
+    return (t >= open_time) & (t <= close_time) & not_special
 
 
 def enrich_with_batch_ops(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

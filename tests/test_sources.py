@@ -65,3 +65,42 @@ def test_slice_text_table(spark, tmp_path):
     rows = rd.slice_text_table(spark, str(p), "EMISSAO", n_cols=2).collect()
     assert len(rows) == 2
     assert rows[0].fields[1].endswith("000000")
+
+
+def test_ttl_dataset_cache(spark, sf_dir):
+    from pyield_spark.sources import cache
+
+    calls = []
+
+    def loader(s):
+        calls.append(1)
+        return s.read.parquet(f"{sf_dir}/region.parquet")
+
+    cache.clear()
+    a = cache.get_dataset(spark, "region", loader, ttl_seconds=60, now=1000.0)
+    b = cache.get_dataset(spark, "region", loader, ttl_seconds=60, now=1010.0)
+    assert len(calls) == 1  # same bucket → cached
+    assert a is b
+    c = cache.get_dataset(spark, "region", loader, ttl_seconds=60, now=1070.0)
+    assert len(calls) == 2  # bucket rolled → refreshed
+    assert c.count() == 5
+    cache.clear()
+
+
+def test_market_hours_filter(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pyield_spark.streaming.windows import market_hours_filter
+
+    rows = [
+        (1, dt.datetime(2024, 3, 4, 10, 0, 0)),   # in session
+        (2, dt.datetime(2024, 3, 4, 8, 0, 0)),    # before open
+        (3, dt.datetime(2024, 3, 4, 19, 0, 0)),   # after close
+        (4, dt.datetime(2024, 12, 24, 10, 0, 0)), # Dec 24 half-holiday
+        (5, dt.datetime(2024, 12, 31, 10, 0, 0)), # Dec 31 half-holiday
+    ]
+    df = spark.createDataFrame(rows, "id INT, ts TIMESTAMP")
+    got = sorted(r.id for r in df.filter(market_hours_filter("ts")).collect())
+    assert got == [1]
