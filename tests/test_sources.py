@@ -104,3 +104,70 @@ def test_market_hours_filter(spark):
     df = spark.createDataFrame(rows, "id INT, ts TIMESTAMP")
     got = sorted(r.id for r in df.filter(market_hours_filter("ts")).collect())
     assert got == [1]
+
+
+def test_price_report_xml(spark, tmp_path):
+    import zipfile as _zf
+
+    from pyield_spark.sources.xml_report import read_price_report_xml
+
+    xml = """<?xml version="1.0"?>
+<Doc xmlns="urn:b3:pricereport">
+  <Body>
+    <PricRpt>
+      <TradDt><Dt>2025-02-03</Dt></TradDt>
+      <SctyId><TckrSymb>DI1F27</TckrSymb></SctyId>
+      <FinInstrmAttrbts>
+        <OpnIntrst>64037</OpnIntrst>
+        <TradQty>36</TradQty>
+        <NtlFinVol>5272867.79</NtlFinVol>
+        <BestBidPric>14.10</BestBidPric>
+        <BestAskPric>14.13</BestAskPric>
+        <AdjstdQt>98321.47</AdjstdQt>
+        <AdjstdQtTax>14.127</AdjstdQtTax>
+      </FinInstrmAttrbts>
+    </PricRpt>
+    <PricRpt>
+      <TradDt><Dt>2025-02-03</Dt></TradDt>
+      <SctyId><TckrSymb>DAPK26</TckrSymb></SctyId>
+      <FinInstrmAttrbts>
+        <OpnIntrst>bogus</OpnIntrst>
+        <AdjstdQt>5123.44</AdjstdQt>
+      </FinInstrmAttrbts>
+    </PricRpt>
+  </Body>
+</Doc>"""
+    # nested zip→zip→xml, like the reference's containers
+    inner = tmp_path / "inner.zip"
+    with _zf.ZipFile(inner, "w") as z:
+        z.writestr("report.xml", xml)
+    outer = tmp_path / "outer.zip"
+    with _zf.ZipFile(outer, "w") as z:
+        z.write(inner, "inner.zip")
+
+    df = read_price_report_xml(spark, str(outer))
+    rows = {r.TckrSymb: r for r in df.collect()}
+    assert set(rows) == {"DI1F27", "DAPK26"}
+    di = rows["DI1F27"]
+    assert str(di.TradDt) == "2025-02-03"
+    assert di.OpnIntrst == 64037 and di.AdjstdQt == 98321.47
+    assert di.BestBidPric == 14.10 and di.AdjstdQtTax == 14.127
+    assert rows["DAPK26"].OpnIntrst is None  # tolerant cast: 'bogus' → null
+
+
+def test_html_tables(spark, tmp_path):
+    from pyield_spark.sources.html_table import read_html_tables
+
+    html = """<html><body>
+    <table><tr><th>ISIN</th><th>PU</th></tr>
+    <tr><td>BRSTNCLTN7U7</td><td>963,00</td></tr>
+    <tr><td>BRSTNCNTB123</td><td>4.123,45</td></tr></table>
+    <table><tr><td>other</td></tr></table>
+    </body></html>"""
+    p = tmp_path / "estoque.html"
+    p.write_bytes(html.encode("latin1"))
+    df = read_html_tables(spark, str(p))
+    rows = df.orderBy("table_idx", "row_idx").collect()
+    assert [r.table_idx for r in rows] == [0, 0, 0, 1]
+    assert rows[0].cells == ["ISIN", "PU"]
+    assert rows[2].cells == ["BRSTNCNTB123", "4.123,45"]
