@@ -292,3 +292,80 @@ def q_multimodal_features(spark, sf_dir):
     docs = tables(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
     return mm.extract_features(payloads, "payload", "doc_id")
+
+
+# === embedding-cosine near-dup: LSH bucket-join candidates, exact
+# rescoring, threshold — the scale path composition (bucket prune keeps
+# the pair space linear; brute force only inside buckets) ===============
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, v, p,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+          i -> v[i] * (((1299721 * p + 104729 * (i - 1)) % 97) - 48))),
+          (a, b) -> a + b) AS pr
+      FROM base, generate_series(0, 7) t(p)
+    ),
+    bucketed AS (
+      SELECT vec_id, MIN(v) AS v,
+        CAST(SUM(CASE WHEN pr > 0 THEN CAST(power(2.0, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+          AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    norms AS (
+      SELECT vec_id, v, bucket,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (a, b) -> a + b) AS norm2
+      FROM bucketed
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {pround_sql(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+            " i -> a.v[i] * b.v[i])), (x, y) -> x + y)"
+            " / (sqrt(a.norm2) * sqrt(b.norm2))", 6)} AS cosine
+      FROM norms a JOIN norms b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    from pyield_spark.functions.numbers import pround_expr
+    from pyield_spark.operators.similarity import dot_dec, lsh_bucket_expr, norm_sq_dec
+
+    emb = tables(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bucketed = base.withColumn(
+        "bucket", lsh_bucket_expr(F.col("v"), n_planes=8, dim=64)
+    ).withColumn("norm2", norm_sq_dec(F.col("v")))
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm2").alias("na"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm2").alias("nb"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine",
+        pround_expr(
+            dot_dec(F.col("va"), F.col("vb"))
+            / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+            6,
+        ),
+    )
+    return scored.filter(F.col("cosine") >= 0.2).select("id_a", "id_b", "cosine")
