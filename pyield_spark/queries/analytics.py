@@ -6,11 +6,7 @@ pivot/rollup extensions.
 
 from __future__ import annotations
 
-import datetime as dt
-
-from pyspark.sql import Window, functions as F
-
-from pyield_spark import du as du_mod
+from pyspark.sql import functions as F
 from pyield_spark.analytics.futuro import enrich
 from pyield_spark.analytics.selic import probabilities
 from pyield_spark.bonds.bootstrap import bootstrap_zero_curve, implied_rates
@@ -18,7 +14,7 @@ from pyield_spark.bonds.pricing import price_coupon_bond
 from pyield_spark.functions.numbers import pround_expr, truncar_expr
 from pyield_spark.operators.asof import asof_join
 from pyield_spark.queries import query, tables
-from pyield_spark.queries.fixed_income import _CAL, _CURVE_SQL, _curve_df
+from pyield_spark.queries.fixed_income import _CAL, _curve_df
 from pyield_spark.queries.oracle_helpers import bd_count_sql, pround_sql, trunc_sql
 
 DEC = "decimal(18,6)"

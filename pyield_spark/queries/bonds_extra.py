@@ -257,7 +257,6 @@ _NTNB1_ORACLE = f"""
 
 @query("q_ntnb1_schedule", oracle=_NTNB1_ORACLE)
 def q_ntnb1_schedule(spark, sf_dir):
-    from pyield_spark.bonds.cashflows import amortization_flows
     from pyield_spark.bonds.pricing import anos_uteis_expr
     from pyield_spark.functions.numbers import pround_expr, trunc_decimal_sum_expr
     from pyield_spark.functions.numbers import truncar_expr as _trunc

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from pyield_spark import du as du_mod
 from pyield_spark.bonds.pricing import (
@@ -23,7 +23,6 @@ from pyield_spark.bonds.pricing import (
 )
 from pyield_spark.curves.forwards import forwards_expr
 from pyield_spark.curves.interpolate import interpolar
-from pyield_spark.functions.numbers import truncar_expr
 from pyield_spark.operators.asof import asof_join
 from pyield_spark.queries import query, tables
 from pyield_spark.queries.oracle_helpers import (

@@ -105,3 +105,18 @@ def test_coupon_bond_duration_bounds(spark):
     got = price_coupon_bond(df, ["id"], with_duration=True).collect()[0]
     assert 0 < got.duration < 3  # Macaulay duration below maturity in years
     assert got.pu > 900
+
+
+def test_amortization_flows_schedule(spark):
+    from pyield_spark.bonds.cashflows import amortization_flows
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 6, 10), dt.date(2026, 1, 15))], "id INT, liq DATE, ven DATE"
+    )
+    rows = amortization_flows(df, "liq", "ven", n_amort=12).orderBy("data_pagamento").collect()
+    # schedule spans the last 12 months ending at maturity; settlement
+    # falls mid-schedule → only the remaining payments appear
+    assert rows[0].data_pagamento == dt.date(2025, 2, 15)
+    assert rows[-1].data_pagamento == dt.date(2026, 1, 15)
+    assert len(rows) == 12
+    assert all(abs(r.valor_amortizacao - 1 / 12) < 1e-12 for r in rows)
