@@ -106,3 +106,20 @@ def test_multimodal_features_shape(spark):
     # determinism
     again = mm.extract_features(payloads, "payload", "doc_id").collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from pyield_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    salted = salted_join(li, pa, on="l_partkey", num_salts=4)
+    plain = li.join(pa, "l_partkey")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("p_brand").count().collect()
+    b = plain.groupBy("p_brand").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

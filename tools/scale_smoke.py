@@ -1,0 +1,99 @@
+"""Scale smoke: run the flagship operators at ~10× sf0.1 (≈6M lineitem
+rows) by unioning shifted copies of the data — evidence the plans hold
+beyond the driver's benchmark sizes (more groups, more vertices, more
+targets; same shuffle structure).
+
+Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyield_spark import du  # noqa: E402
+from pyield_spark.curves.interpolate import interpolar  # noqa: E402
+from pyield_spark.operators.asof import asof_join  # noqa: E402
+from pyield_spark.session import get_session  # noqa: E402
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF = "/root/testdata/sf0.1"
+
+
+def replicate(df, key_cols):
+    """Union FACTOR shifted copies — distinct keys per copy so group
+    counts scale with the factor."""
+    out = None
+    for i in range(FACTOR):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def timed(name, fn):
+    t0 = time.perf_counter()
+    n = fn()
+    print(f"{name}: {time.perf_counter() - t0:.2f}s rows={n}")
+
+
+def main():
+    spark = get_session("scale_smoke")
+    li = replicate(spark.read.parquet(f"{SF}/lineitem.parquet"), ["l_orderkey"])
+    od = replicate(spark.read.parquet(f"{SF}/orders.parquet"), ["o_orderkey", "o_custkey"])
+    print(f"scaled lineitem={li.count():,} orders={od.count():,}")
+
+    # business-day counting over the scaled fact table (broadcast joins)
+    def bd():
+        df = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            F.to_date("o_orderdate").alias("a"), F.to_date("l_shipdate").alias("b")
+        )
+        return du.contar(df, "a", "b").agg(F.sum("dias_uteis")).collect()[0][0]
+
+    timed("bd_count_10x", bd)
+
+    # multi-curve interpolation: 10× the curve groups and targets
+    def interp():
+        curve = li.groupBy(
+            ((F.col("l_orderkey") / 10_000_000).cast("int")).alias("rep"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("m"),
+            (F.dayofmonth(F.to_date("l_shipdate")) * 10).cast("long").alias("du"),
+        ).agg(F.avg("l_discount").alias("taxa")).withColumn(
+            "grupo", F.concat_ws("_", "rep", "m")
+        )
+        targets = od.select(
+            ((F.col("o_orderkey") / 10_000_000) % FACTOR).cast("int").alias("rep"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+            (F.dayofmonth(F.to_date("o_orderdate")) * 10 + 3).cast("long").alias("du_alvo"),
+        ).withColumn("grupo", F.concat_ws("_", "rep", "m"))
+        out = interpolar(
+            targets, curve, du_col="du_alvo", curve_du="du", curve_rate="taxa",
+            by="grupo",
+        )
+        return out.filter(F.col("taxa_interpolada").isNotNull()).count()
+
+    timed("interp_10x", interp)
+
+    # grouped as-of join at 10× groups
+    def asof():
+        left = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "o_custkey", F.to_date("l_shipdate").alias("ship_date")
+        )
+        right = od.groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("d")
+        ).agg(F.max("o_totalprice").alias("p"))
+        out = asof_join(
+            left, right, on="ship_date", right_on="d", by="o_custkey", values=["d", "p"]
+        )
+        return out.filter(F.col("p").isNotNull()).count()
+
+    timed("asof_10x", asof)
+
+
+if __name__ == "__main__":
+    main()
