@@ -183,6 +183,23 @@ def ntnb_cotacao(
     )
 
 
+def rentabilidade_expr(taxa_titulo: str | Column, taxa_di: str | Column) -> Column:
+    """Bond-over-DI daily-rate ratio (pyield/tpf/titulos/ltn.py:200-227):
+    ((1+tx)^(1/252) − 1) / ((1+di)^(1/252) − 1)."""
+    t = F.col(taxa_titulo) if isinstance(taxa_titulo, str) else taxa_titulo
+    d = F.col(taxa_di) if isinstance(taxa_di, str) else taxa_di
+    daily = lambda r: F.pow(F.lit(1.0) + r, F.lit(1.0 / 252.0)) - F.lit(1.0)  # noqa: E731
+    return daily(t) / daily(d)
+
+
+def premio_bps_expr(taxa_titulo: str | Column, taxa_di: str | Column) -> Column:
+    """Raw rate premium over DI in basis points (premios_pre shape,
+    pyield/tpf/titulos/_utils.py:51)."""
+    t = F.col(taxa_titulo) if isinstance(taxa_titulo, str) else taxa_titulo
+    d = F.col(taxa_di) if isinstance(taxa_di, str) else taxa_di
+    return (t - d) * 10000.0
+
+
 NTNC_CUPOM = 0.02956301  # 6% a.a. semiannual, base 1 (ntnc.py:24-31)
 NTNC_CUPOM_2031 = 0.05830052  # the 12%-coupon 2031 maturity exception (ntnc.py:31-40)
 

@@ -83,3 +83,50 @@ def q_curva_pre(spark, sf_dir):
     # out (reference: pre.py:88-91)
     boot_only = boot.join(ltn_points.select("grupo", "du"), ["grupo", "du"], "left_anti")
     return ltn_points.unionByName(boot_only)
+
+
+# === bond-over-DI relative value (rentabilidade + premio, reference:
+# pyield/tpf/titulos/ltn.py:200-258, _utils.py:51) ========================
+
+from pyield_spark.queries.oracle_helpers import pround_sql
+
+
+@query(
+    "q_rentabilidade",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             round(0.08 + (o_orderkey % 1000) / 10000.0, 6) AS taxa_titulo,
+             round(0.075 + (o_orderkey % 900) / 10000.0, 6) AS taxa_di
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey, taxa_titulo, taxa_di,
+      {pround_sql("(power(1 + taxa_titulo, 1.0/252.0) - 1) / (power(1 + taxa_di, 1.0/252.0) - 1)", 9)}
+        AS rentabilidade,
+      {pround_sql("(taxa_titulo - taxa_di) * 10000.0", 4)} AS premio_bps
+    FROM base
+    """,
+)
+def q_rentabilidade(spark, sf_dir):
+    from pyield_spark.bonds.pricing import premio_bps_expr, rentabilidade_expr
+    from pyield_spark.functions.numbers import pround_expr
+
+    od = tables(spark, sf_dir, "orders")
+    base = od.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.round(F.lit(0.08) + (F.col("o_orderkey") % 1000) / 10000.0, 6).alias(
+            "taxa_titulo"
+        ),
+        F.round(F.lit(0.075) + (F.col("o_orderkey") % 900) / 10000.0, 6).alias(
+            "taxa_di"
+        ),
+    )
+    return base.select(
+        "o_orderkey",
+        "taxa_titulo",
+        "taxa_di",
+        pround_expr(rentabilidade_expr("taxa_titulo", "taxa_di"), 9).alias(
+            "rentabilidade"
+        ),
+        pround_expr(premio_bps_expr("taxa_titulo", "taxa_di"), 4).alias("premio_bps"),
+    )

@@ -120,3 +120,16 @@ def test_amortization_flows_schedule(spark):
     assert rows[-1].data_pagamento == dt.date(2026, 1, 15)
     assert len(rows) == 12
     assert all(abs(r.valor_amortizacao - 1 / 12) < 1e-12 for r in rows)
+
+
+def test_rentabilidade_docstring_golden(spark):
+    from pyield_spark.bonds.pricing import premio_bps_expr, rentabilidade_expr
+
+    df = spark.createDataFrame([(0.118746, 0.11725)], "t DOUBLE, d DOUBLE")
+    got = df.select(
+        rentabilidade_expr("t", "d").alias("r"),
+        premio_bps_expr("t", "d").alias("p"),
+    ).collect()[0]
+    # reference docstring: ltn.rentabilidade(0.118746, 0.11725)
+    assert abs(got.r - 1.0120718007994287) < 1e-12
+    assert abs(got.p - 14.96) < 0.01
