@@ -92,81 +92,159 @@ def implied_rates(
     return packed.mapInPandas(kernel, out_schema)
 
 
-def bootstrap_zero_curve(
-    curve: DataFrame,
-    by: str,
-    du_col: str = "dias_uteis",
-    par_rate: str = "taxa",
-    coupon_interval_du: int = 126,
+NTNB_CUPOM = 0.02956301  # base-1 semiannual 6% a.a. — ntnb.py:20-21
+NTNB_FINAL = 1.02956301
+
+
+def _pround(x: float, decimals: int) -> float:
+    """Portable half-away round — same IEEE ops as pround_expr/pround_sql."""
+    import math
+
+    s = float(10**decimals)
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def ntnb_taxas_zero(
+    bonds: DataFrame,
+    by: list[str] | str,
+    settlement: str = "data_liquidacao",
+    maturity: str = "data_vencimento",
+    tir: str = "taxa",
+    include_coupons: bool = False,
     alias: str = "taxa_zero",
 ) -> DataFrame:
-    """Zero curve from par coupon-bond yields (K5), per group.
+    """Real zero rates from NTN-B indicative yields — the reference's
+    sequential bootstrap, faithfully (pyield/tpf/titulos/ntnb.py:454-578).
 
-    Model (a Spark-shaped restatement of the reference's sequential
-    bootstrap loop, ntnb.py:557-574): each input row is a par bond with
-    semiannual coupons ``par/2 · 100`` paid every ``coupon_interval_du``
-    business days and redemption 100 at ``du``. Vertices are solved in
-    ascending ``du``; coupon dates discount at the zero curve built so
-    far (linear interpolation between solved vertices, flat at the short
-    end) and the final vertex's rate is bisected so PV == 100.
+    Semantics mirrored from ``ntnb.taxas_zero``:
+
+    - payment grid: 3-month chain back from the last maturity, exclusive
+      of settlement (``_criar_df_bootstrap`` → ``gerar_datas_pagamento``,
+      _utils.py:141-165). NTN-B coupons are 6-month, so every bond's
+      coupon dates are exactly the same-parity grid indices — the basis
+      for the O(1)-state recursion below.
+    - TIRs at grid dates: flat-forward interpolation over the input
+      vertices (ntnb.py:397-402).
+    - cotação per grid date at its interpolated TIR with the full STN
+      rounding chain (ntnb.py:255-313: trunc8 rate, trunc14 year
+      fraction, bround12 per flow, trunc6 sum).
+    - sequential solve in ascending date order (ntnb.py:554-574):
+      vertices at or before the first input maturity take the TIR;
+      beyond it, ``z = (1.02956301/(cotação − PV_coupons))^(1/t) − 1``
+      where PV_coupons discounts prior same-parity grid coupons at their
+      solved zeros, unrounded (``calcular_pv``, _utils.py:200-260) and
+      ``t = du/252`` (plain, NOT trunc14 — ntnb.py:417).
+
+    Engine deviation (documented): interpolated TIRs and solved zeros
+    are portably rounded to 10 decimals so the recursion consumes
+    bit-identical doubles on any engine (JVM vs C libm pow differ in the
+    last ulp); the perturbation is ~1e-10, invisible at the reference's
+    6-decimal output precision.
+
+    Spark design: everything up to the solve is columnar (one explode +
+    calendar broadcast joins + one window shuffle for the interpolation
+    + one groupBy for the cotação). The genuinely sequential recursion
+    runs in ``applyInPandas`` keyed by the curve group: O(grid) time and
+    O(1) state per group, parallel across groups — at 100 TB the axis is
+    #curves (reference dates), not vertices per curve.
+
+    ``settlement`` must be constant within each group (it defines the
+    curve). Duplicate maturities within a group are deduped keep-max-TIR
+    (same documented stand-in as curves/interpolate.py).
     """
-    sel = curve.select(
-        F.col(by).alias("_g"),
-        F.col(du_col).cast("long").alias("_du"),
-        F.col(par_rate).cast("double").alias("_par"),
-    ).filter(F.col("_du").isNotNull() & F.col("_par").isNotNull())
+    by_cols = [by] if isinstance(by, str) else list(by)
 
-    out_schema = f"_g {dict(sel.dtypes)['_g']}, _du long, _par double, {alias} double"
+    liq = F.to_date(settlement)
+    clean = (
+        bonds.filter(F.to_date(maturity) > liq)
+        .groupBy(*by_cols, F.to_date(maturity).alias("_ven"))
+        .agg(F.max(F.col(tir).cast("double")).alias("_tir"), F.min(liq).alias("_liq"))
+    )
+    grp = clean.groupBy(*by_cols).agg(
+        F.min("_liq").alias("_liq"),
+        F.max("_ven").alias("_max_ven"),
+        F.min("_ven").alias("_first_ven"),
+    )
+
+    # 3-month payment grid (exclusive of settlement, inclusive of last
+    # maturity) — the reference's gerar_datas_pagamento, columnar.
+    grid = explode_payment_dates(grp, "_liq", "_max_ven", 3, "data_vencimento")
+    grid = du_mod.contar(grid, "_liq", "data_vencimento", alias="dias_uteis")
+
+    # input vertices (du, tir) for the flat-forward TIR interpolation
+    vert = du_mod.contar(clean, "_liq", "_ven", alias="_du_v")
+    from pyield_spark.curves.interpolate import interpolar
+    from pyield_spark.functions.numbers import pround_expr
+
+    grid = interpolar(
+        grid,
+        vert,
+        du_col="dias_uteis",
+        curve_du="_du_v",
+        curve_rate="_tir",
+        by=by_cols,
+        method="flat_forward",
+        alias="_tir_raw",
+    ).withColumn("taxa_tir", pround_expr("_tir_raw", 10))
+
+    # STN cotação at each grid date's interpolated TIR (columnar
+    # explode-and-aggregate; trunc6-decimal output is engine-exact)
+    from pyield_spark.bonds.pricing import ntnb_cotacao
+
+    precos = ntnb_cotacao(
+        grid.select(*by_cols, "_liq", "data_vencimento", "taxa_tir"),
+        id_cols=by_cols + ["data_vencimento"],
+        settlement="_liq",
+        maturity="data_vencimento",
+        taxa="taxa_tir",
+        alias="_cot",
+    )
+    full = grid.join(precos, on=by_cols + ["data_vencimento"]).select(
+        *by_cols,
+        "data_vencimento",
+        "dias_uteis",
+        "taxa_tir",
+        "_cot",
+        (F.col("data_vencimento") <= F.col("_first_ven")).alias("_le_first"),
+    )
+
+    by_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in full.schema
+        if f.name in by_cols
+    )
+    out_schema = (
+        f"{by_schema}, data_vencimento date, dias_uteis long, "
+        f"taxa_tir double, {alias} double"
+    )
 
     def solve_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_du").drop_duplicates("_du", keep="last")
-        dus: list[int] = []
+        pdf = pdf.sort_values("dias_uteis").reset_index(drop=True)
+        # pv[p] = Σ coupon/(1+z_j)^t_j over solved grid rows j ≡ p (mod 2):
+        # exactly the prior coupon dates of the bond at the next index of
+        # that parity (plain-float adds, ascending order — the oracle's
+        # recursive CTE performs the identical sequence).
+        pv = [0.0, 0.0]
         zeros: list[float] = []
-
-        def z_at(du: float) -> float:
-            # linear on solved vertices; flat at the short end
-            if not dus:
-                return 0.0
-            if du <= dus[0]:
-                return zeros[0]
-            for i in range(1, len(dus)):
-                if du <= dus[i]:
-                    w = (du - dus[i - 1]) / (dus[i] - dus[i - 1])
-                    return zeros[i - 1] + w * (zeros[i] - zeros[i - 1])
-            return zeros[-1]
-
-        res = []
-        for _, row in pdf.iterrows():
-            du_n = int(row["_du"])
-            par = float(row["_par"])
-            coupon = 100.0 * ((1.0 + par) ** 0.5 - 1.0)  # semiannual, par yield
-            flow_dus = list(range(du_n, 0, -coupon_interval_du))[::-1]
-            pv_coupons = sum(
-                coupon / (1.0 + z_at(d)) ** (d / 252.0) for d in flow_dus[:-1]
-            )
-            # bisect the last vertex's zero so the par bond prices at 100
-            target = 100.0 - pv_coupons
-            final_cf = 100.0 + coupon
-            au_n = du_n / 252.0
-            lo, hi = -0.5, 2.0
-            for _ in range(MAX_ITER):
-                mid = (lo + hi) / 2.0
-                if final_cf / (1.0 + mid) ** au_n > target:
-                    lo = mid
-                else:
-                    hi = mid
-                if hi - lo < TOL:
-                    break
-            z = (lo + hi) / 2.0
-            dus.append(du_n)
+        rows = zip(pdf["dias_uteis"], pdf["taxa_tir"], pdf["_cot"], pdf["_le_first"])
+        for i, (du_i, tir_i, cot_i, le_first) in enumerate(rows, start=1):
+            anos = float(du_i) / 252.0
+            if le_first:
+                z = float(tir_i)
+            else:
+                fator = NTNB_FINAL / (float(cot_i) - pv[i % 2])
+                z = _pround(fator ** (1.0 / anos) - 1.0, 10)
             zeros.append(z)
-            res.append((row["_g"], du_n, par, z))
-        return pd.DataFrame(res, columns=["_g", "_du", "_par", alias])
+            pv[i % 2] += NTNB_CUPOM / (1.0 + z) ** anos
+        out = pdf[[*[c for c in pdf.columns if c in by_cols], "data_vencimento",
+                   "dias_uteis", "taxa_tir"]].copy()
+        out[alias] = zeros
+        return out
 
-    out = sel.groupBy("_g").applyInPandas(solve_group, out_schema)
-    return out.select(
-        F.col("_g").alias(by),
-        F.col("_du").alias(du_col),
-        F.col("_par").alias(par_rate),
-        F.col(alias),
-    )
+    solved = full.groupBy(*by_cols).applyInPandas(solve_group, out_schema)
+
+    if include_coupons:
+        return solved
+    # keep only the input maturities (reference: ntnb.py:576-577)
+    keep = clean.select(*by_cols, F.col("_ven").alias("data_vencimento"))
+    return solved.join(keep, on=by_cols + ["data_vencimento"], how="left_semi")

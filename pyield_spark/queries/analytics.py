@@ -9,13 +9,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyield_spark.analytics.futuro import enrich
 from pyield_spark.analytics.selic import probabilities
-from pyield_spark.bonds.bootstrap import bootstrap_zero_curve, implied_rates
+from pyield_spark.bonds.bootstrap import implied_rates, ntnb_taxas_zero
 from pyield_spark.bonds.pricing import price_coupon_bond
 from pyield_spark.functions.numbers import pround_expr, truncar_expr
 from pyield_spark.operators.asof import asof_join
 from pyield_spark.queries import query, tables
 from pyield_spark.queries.fixed_income import _CAL, _curve_df
-from pyield_spark.queries.oracle_helpers import bd_count_sql, pround_sql, trunc_sql
+from pyield_spark.queries.oracle_helpers import (
+    bd_count_sql,
+    pround_sql,
+    trunc_decimal_sum_sql,
+    trunc_sql,
+)
 
 DEC = "decimal(18,6)"
 
@@ -313,17 +318,187 @@ def q_implied_rate(spark, sf_dir):
     )
 
 
-# === K5: sequential zero-curve bootstrap (rows-only: iterative kernel) ====
+# === K5: sequential zero-curve bootstrap — the reference's taxas_zero
+# semantics (ntnb.py:454-578) under a recursive-CTE DuckDB oracle =========
 
 
-@query("q_bootstrap_zero")
-def q_bootstrap_zero(spark, sf_dir):
-    curve = _curve_df(spark, sf_dir)
-    out = bootstrap_zero_curve(
-        curve, by="grupo", du_col="du", par_rate="taxa", coupon_interval_du=126
+def _ntnb_panel(spark, sf_dir):
+    """Synthetic NTN-B indicative-yield panel: one curve per ship month
+    (settlement = month start), maturities on the 15th of Feb/May/Aug/Nov
+    at odd 3-month chain positions (so even positions are pure coupon
+    dates — the interesting bootstrap path), TIRs from discount
+    aggregates. Chain alignment guarantees every bond's 6-month coupon
+    dates land exactly on the 3-month payment grid."""
+    li = tables(spark, sf_dir, "lineitem")
+    grupo = F.date_trunc("month", "l_shipdate").cast("date")
+    slot = (F.col("l_partkey") % 12).cast("int")
+    base = li.groupBy(grupo.alias("grupo"), slot.alias("slot")).agg(
+        pround_expr(
+            F.lit(0.04)
+            + F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")
+            + F.col("slot").cast("double") * 0.002,
+            6,
+        ).alias("taxa")
     )
-    return out.select(
-        "grupo", "du", "taxa", F.round("taxa_zero", 9).alias("taxa_zero")
+    anchor = F.date_add(F.col("grupo"), 14)  # the 15th of the settlement month
+    offm = F.pmod(F.lit(2) - F.month(anchor), F.lit(3))  # to month ≡ 2 (mod 3)
+    return base.select(
+        "grupo",
+        "slot",
+        "taxa",
+        F.col("grupo").alias("liq"),
+        F.add_months(anchor, offm + 3 + F.col("slot") * 6).alias("ven"),
+    )
+
+
+_NTNB_PANEL_SQL = f"""
+bpanel AS (
+  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
+         CAST(l_partkey % 12 AS INT) AS slot,
+         {pround_sql("0.04 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) + CAST(l_partkey % 12 AS INT) * 0.002", 6)} AS taxa
+  FROM lineitem GROUP BY 1, 2
+),
+bonds AS (
+  SELECT grupo, slot, taxa, grupo AS liq,
+         CAST(anchor + TO_MONTHS(CAST(((2 - month(anchor)) % 3 + 3) % 3 + 3 + slot * 6 AS INT)) AS DATE) AS ven
+  FROM (SELECT *, CAST(grupo + INTERVAL 14 DAY AS DATE) AS anchor FROM bpanel)
+)"""
+
+
+def _bootstrap_ctes() -> str:
+    """CTE chain (after cal/bonds) replicating ntnb_taxas_zero: 3-month
+    grid, flat-forward TIR interpolation, STN cotação, then the
+    sequential solve as a recursive CTE over grid index with two
+    parity accumulators (a bond's prior coupon dates are exactly the
+    earlier same-parity grid rows)."""
+    au = "(du / 252.0)"
+    au_j = "(j_du / 252.0)"
+    au_k = "(k_du / 252.0)"
+    ladder = f"""CASE
+        WHEN j_du = du THEN j_tx
+        WHEN du < vmin_du THEN vmin_tx
+        ELSE power(power(1 + j_tx, {au_j})
+                   * power(power(1 + k_tx, {au_k}) / power(1 + j_tx, {au_j}),
+                           ({au} - {au_j}) / ({au_k} - {au_j})),
+                   1.0 / {au}) - 1
+      END"""
+    pv_sel = "CASE WHEN s.idx % 2 = 1 THEN pb.pv_odd ELSE pb.pv_even END"
+    z_next = pround_sql(
+        f"power(1.02956301 / (s.cot - {pv_sel}), 1.0 / s.anos) - 1", 10
+    )
+    return f"""
+ggrp AS (
+  SELECT grupo, MIN(liq) AS liq, MAX(ven) AS max_ven, MIN(ven) AS first_ven
+  FROM bonds GROUP BY grupo
+),
+grid0 AS (
+  SELECT g.grupo, g.liq, g.first_ven,
+         CAST(g.max_ven - TO_MONTHS(CAST(3 * i AS INT)) AS DATE) AS dv
+  FROM ggrp g, generate_series(0, 40) t(i)
+  WHERE CAST(g.max_ven - TO_MONTHS(CAST(3 * i AS INT)) AS DATE) > g.liq
+),
+gdu AS (
+  SELECT g.*, CAST({bd_count_sql("g.liq", "g.dv")} AS BIGINT) AS du
+  FROM grid0 g JOIN cal cs ON cs.data = g.liq JOIN cal ce ON ce.data = g.dv
+),
+vdu AS (
+  SELECT b.grupo, b.taxa, CAST({bd_count_sql("b.liq", "b.ven")} AS BIGINT) AS du
+  FROM bonds b JOIN cal cs ON cs.data = b.liq JOIN cal ce ON ce.data = b.ven
+),
+gv AS (
+  SELECT g.grupo, g.liq, g.first_ven, g.dv, g.du, v.taxa AS vtx
+  FROM gdu g LEFT JOIN vdu v ON v.grupo = g.grupo AND v.du = g.du
+),
+ginterp AS (
+  SELECT *,
+    last_value(CASE WHEN vtx IS NOT NULL THEN du END IGNORE NULLS)
+      OVER (PARTITION BY grupo ORDER BY du
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j_du,
+    last_value(vtx IGNORE NULLS)
+      OVER (PARTITION BY grupo ORDER BY du
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j_tx,
+    first_value(CASE WHEN vtx IS NOT NULL THEN du END IGNORE NULLS)
+      OVER (PARTITION BY grupo ORDER BY du
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS k_du,
+    first_value(vtx IGNORE NULLS)
+      OVER (PARTITION BY grupo ORDER BY du
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS k_tx,
+    first_value(CASE WHEN vtx IS NOT NULL THEN du END IGNORE NULLS)
+      OVER (PARTITION BY grupo ORDER BY du
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vmin_du,
+    first_value(vtx IGNORE NULLS)
+      OVER (PARTITION BY grupo ORDER BY du
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vmin_tx
+  FROM gv
+),
+gtir AS (
+  SELECT grupo, liq, first_ven, dv, du,
+         {pround_sql(ladder, 10)} AS taxa_tir
+  FROM ginterp
+),
+bflows AS (
+  SELECT i.grupo, i.dv, i.liq, i.taxa_tir,
+         CAST(i.dv - TO_MONTHS(CAST(6 * cj AS INT)) AS DATE) AS pay
+  FROM gtir i, generate_series(0, 40) t(cj)
+  WHERE CAST(i.dv - TO_MONTHS(CAST(6 * cj AS INT)) AS DATE) > i.liq
+),
+bvp AS (
+  SELECT f.grupo, f.dv,
+    round_even((CASE WHEN f.pay = f.dv THEN 1.02956301 ELSE 0.02956301 END)
+      / power(1 + {trunc_sql("f.taxa_tir", 8)},
+              {trunc_sql(f"({bd_count_sql('f.liq', 'f.pay')}) / 252.0", 14)}), 12) AS vp
+  FROM bflows f JOIN cal cs ON cs.data = f.liq JOIN cal ce ON ce.data = f.pay
+),
+bcot AS (
+  SELECT grupo, dv,
+         {trunc_decimal_sum_sql("SUM(CAST(vp AS DECIMAL(28,12)))", 6)} AS cot
+  FROM bvp GROUP BY grupo, dv
+),
+seq AS (
+  SELECT i.grupo, i.dv, i.du, i.taxa_tir, c.cot,
+         i.dv <= i.first_ven AS le_first,
+         i.du / 252.0 AS anos,
+         row_number() OVER (PARTITION BY i.grupo ORDER BY i.du) AS idx
+  FROM gtir i JOIN bcot c ON c.grupo = i.grupo AND c.dv = i.dv
+),
+boot AS (
+  SELECT grupo, idx, dv, du, taxa_tir, anos, z,
+         CASE WHEN idx % 2 = 1 THEN 0.02956301 / power(1 + z, anos) ELSE 0.0 END AS pv_odd,
+         CASE WHEN idx % 2 = 0 THEN 0.02956301 / power(1 + z, anos) ELSE 0.0 END AS pv_even
+  FROM (
+    SELECT s.*, CASE WHEN s.le_first THEN s.taxa_tir
+                ELSE {pround_sql("power(1.02956301 / s.cot, 1.0 / s.anos) - 1", 10)}
+                END AS z
+    FROM seq s WHERE s.idx = 1
+  )
+  UNION ALL
+  SELECT q.grupo, q.idx, q.dv, q.du, q.taxa_tir, q.anos, q.z,
+         q.pv_odd + CASE WHEN q.idx % 2 = 1 THEN 0.02956301 / power(1 + q.z, q.anos) ELSE 0.0 END,
+         q.pv_even + CASE WHEN q.idx % 2 = 0 THEN 0.02956301 / power(1 + q.z, q.anos) ELSE 0.0 END
+  FROM (
+    SELECT s.grupo, s.idx, s.dv, s.du, s.taxa_tir, s.anos,
+           CASE WHEN s.le_first THEN s.taxa_tir ELSE {z_next} END AS z,
+           pb.pv_odd, pb.pv_even
+    FROM boot pb JOIN seq s ON s.grupo = pb.grupo AND s.idx = pb.idx + 1
+  ) q
+)""".strip()
+
+
+@query(
+    "q_bootstrap_zero",
+    oracle=f"""
+    WITH RECURSIVE {_CAL},
+    {_NTNB_PANEL_SQL.lstrip()},
+    {_bootstrap_ctes()}
+    SELECT b.grupo, b.dv AS data_vencimento, b.du AS dias_uteis,
+           b.taxa_tir, b.z AS taxa_zero
+    FROM boot b JOIN bonds o ON o.grupo = b.grupo AND o.ven = b.dv
+    """,
+)
+def q_bootstrap_zero(spark, sf_dir):
+    bonds = _ntnb_panel(spark, sf_dir)
+    return ntnb_taxas_zero(
+        bonds, by="grupo", settlement="liq", maturity="ven", tir="taxa"
     )
 
 

@@ -60,29 +60,105 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
-# === §7 step 6: PRE curve = LTN zero points ∪ coupon-bootstrap points,
-# anti-joined on overlapping maturities (rows-only: contains the K5
-# sequential kernel) =======================================================
+# === §7 step 6: PRE curve = LTN zero points ∪ bootstrap points,
+# anti-joined on overlapping maturities (reference:
+# pyield/tpf/titulos/pre.py:53-100) — SQL-expressible now that the
+# bootstrap has a recursive-CTE oracle twin ================================
+
+_LTN_ARM_SQL = """
+lpanel AS (
+  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
+         CAST(l_suppkey % 6 AS INT) AS lslot,
+         {taxa} AS taxa_zero
+  FROM lineitem GROUP BY 1, 2
+),
+ltn_arm AS (
+  SELECT p.grupo, p.taxa_zero,
+         CAST({bd} AS BIGINT) AS dias_uteis
+  FROM (SELECT grupo, taxa_zero,
+               CAST(anchor + TO_MONTHS(CAST(((2 - month(anchor)) % 3 + 3) % 3
+                    + 3 * (lslot + 1) AS INT)) AS DATE) AS lven
+        FROM (SELECT *, CAST(grupo + INTERVAL 14 DAY AS DATE) AS anchor FROM lpanel)) p
+  JOIN cal cs ON cs.data = p.grupo
+  JOIN cal ce ON ce.data = p.lven
+)"""
 
 
-@query("q_curva_pre")
-def q_curva_pre(spark, sf_dir):
-    from pyield_spark.bonds.bootstrap import bootstrap_zero_curve
-    from pyield_spark.queries.fixed_income import _curve_df
+def _curva_pre_oracle():
+    from pyield_spark.queries.analytics import _NTNB_PANEL_SQL, _bootstrap_ctes
+    from pyield_spark.queries.fixed_income import _CAL
+    from pyield_spark.queries.oracle_helpers import bd_count_sql, pround_sql
 
-    curve = _curve_df(spark, sf_dir)
-    # "LTN-like" zero points: short tenors are zero-coupon by nature
-    ltn_points = curve.filter(F.col("du") <= 150).select(
-        "grupo", "du", F.col("taxa").alias("taxa_zero"), F.lit("LTN").alias("fonte")
+    ltn = _LTN_ARM_SQL.format(
+        taxa=pround_sql(
+            "0.035 + CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+            " + CAST(l_suppkey % 6 AS INT) * 0.0015",
+            6,
+        ),
+        bd=bd_count_sql("p.grupo", "p.lven"),
     )
-    # coupon-bond bootstrap for the long end
-    boot = bootstrap_zero_curve(
-        curve.filter(F.col("du") > 100), by="grupo", du_col="du", par_rate="taxa"
-    ).select("grupo", "du", F.round("taxa_zero", 9).alias("taxa_zero"), F.lit("NTN-F").alias("fonte"))
-    # anti-join: bootstrap vertices that an LTN point already covers drop
-    # out (reference: pre.py:88-91)
-    boot_only = boot.join(ltn_points.select("grupo", "du"), ["grupo", "du"], "left_anti")
-    return ltn_points.unionByName(boot_only)
+    return f"""
+    WITH RECURSIVE {_CAL},
+    {_NTNB_PANEL_SQL.lstrip()},
+    {_bootstrap_ctes()},
+    {ltn.lstrip()}
+    SELECT grupo, dias_uteis, taxa_zero, 'LTN' AS fonte FROM ltn_arm
+    UNION ALL
+    SELECT b.grupo, b.du AS dias_uteis, b.z AS taxa_zero, 'NTN-B' AS fonte
+    FROM boot b
+    JOIN bonds o ON o.grupo = b.grupo AND o.ven = b.dv
+    WHERE NOT EXISTS (SELECT 1 FROM ltn_arm l
+                      WHERE l.grupo = b.grupo AND l.dias_uteis = b.du)
+    """
+
+
+@query("q_curva_pre", oracle=_curva_pre_oracle())
+def q_curva_pre(spark, sf_dir):
+    from pyield_spark.bonds.bootstrap import ntnb_taxas_zero
+    from pyield_spark.functions.numbers import pround_expr
+    from pyield_spark.queries.analytics import _ntnb_panel
+    from pyield_spark import du as du_mod
+
+    li = tables(spark, sf_dir, "lineitem")
+    # LTN arm: zero-coupon by nature, the quoted rate IS the zero rate;
+    # maturities live on the same Feb/May/Aug/Nov-15 chain as the NTN-B
+    # panel so overlapping vertices collide on (grupo, dias_uteis)
+    grupo = F.date_trunc("month", "l_shipdate").cast("date")
+    lslot = (F.col("l_suppkey") % 6).cast("int")
+    lpanel = li.groupBy(grupo.alias("grupo"), lslot.alias("lslot")).agg(
+        pround_expr(
+            F.lit(0.035)
+            + F.sum(F.col("l_tax").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+            + F.col("lslot").cast("double") * 0.0015,
+            6,
+        ).alias("taxa_zero")
+    )
+    anchor = F.date_add(F.col("grupo"), 14)
+    offm = F.pmod(F.lit(2) - F.month(anchor), F.lit(3))
+    lpanel = lpanel.withColumn(
+        "lven", F.add_months(anchor, offm + (F.col("lslot") + 1) * 3)
+    )
+    ltn = du_mod.contar(lpanel, "grupo", "lven", alias="dias_uteis").select(
+        "grupo", "dias_uteis", "taxa_zero", F.lit("LTN").alias("fonte")
+    )
+
+    # bootstrap arm (the faithful taxas_zero kernel)
+    boot = ntnb_taxas_zero(
+        _ntnb_panel(spark, sf_dir),
+        by="grupo",
+        settlement="liq",
+        maturity="ven",
+        tir="taxa",
+    ).select(
+        "grupo", "dias_uteis", F.col("taxa_zero"), F.lit("NTN-B").alias("fonte")
+    )
+    # anti-join: bootstrap vertices an LTN point already covers drop out
+    # (reference: pre.py:88-91)
+    boot_only = boot.join(
+        ltn.select("grupo", "dias_uteis"), ["grupo", "dias_uteis"], "left_anti"
+    )
+    return ltn.unionByName(boot_only)
 
 
 # === bond-over-DI relative value (rentabilidade + premio, reference:

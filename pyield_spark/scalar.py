@@ -101,6 +101,79 @@ def pu_from_vna(vna: float, cotacao: float) -> float:
     return float(prod.scaleb(6).to_integral_value(rounding=ROUND_FLOOR).scaleb(-6))
 
 
+def _pround(x: float, decimals: int) -> float:
+    """Portable half-away round — twin of pround_expr/pround_sql."""
+    s = float(10**decimals)
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def _interp_flat_forward(verts: list[tuple[int, float]], du: int) -> float:
+    """Flat-forward ladder on sorted (du, taxa) vertices — scalar twin of
+    curves/interpolate.py (reference: pyield/interpolador.py:306-497)."""
+    if not verts:
+        return float("nan")
+    dus = [v[0] for v in verts]
+    if du <= dus[0]:
+        return verts[0][1] if du < dus[0] else verts[0][1]
+    for i in range(1, len(verts)):
+        if du == dus[i]:
+            return verts[i][1]
+        if du < dus[i]:
+            du_j, tx_j = verts[i - 1]
+            du_k, tx_k = verts[i]
+            au, au_j, au_k = du / 252.0, du_j / 252.0, du_k / 252.0
+            fa_j = (1 + tx_j) ** au_j
+            fa_k = (1 + tx_k) ** au_k
+            ft = (au - au_j) / (au_k - au_j)
+            return (fa_j * (fa_k / fa_j) ** ft) ** (1.0 / au) - 1.0
+    return verts[-1][1]
+
+
+def ntnb_taxas_zero(
+    data_liquidacao: dt.date,
+    vencimentos: list[dt.date],
+    taxas: list[float],
+    include_coupons: bool = False,
+) -> list[tuple[dt.date, int, float]]:
+    """Scalar replica of the sequential NTN-B zero-curve bootstrap
+    (reference: pyield/tpf/titulos/ntnb.py:454-578; Spark twin:
+    bonds/bootstrap.py ntnb_taxas_zero — parity asserted in
+    tests/test_kernels_analytics.py).
+
+    Returns [(data_vencimento, dias_uteis, taxa_zero)] in date order.
+    """
+    liq = data_liquidacao
+    pairs: dict[dt.date, float] = {}
+    for v, t in zip(vencimentos, taxas):
+        if v > liq:
+            pairs[v] = max(t, pairs.get(v, float("-inf")))
+    if not pairs:
+        return []
+    vens = sorted(pairs)
+    first_ven, last_ven = vens[0], vens[-1]
+    verts = sorted(
+        (du_mod.contar_scalar(liq, v), pairs[v]) for v in vens
+    )
+    grid = _payment_dates(liq, last_ven, 3)
+
+    out: list[tuple[dt.date, int, float]] = []
+    pv = [0.0, 0.0]
+    for i, d in enumerate(grid, start=1):
+        du = du_mod.contar_scalar(liq, d)
+        anos = du / 252.0
+        tir = _pround(_interp_flat_forward(verts, du), 10)
+        if d <= first_ven:
+            z = tir
+        else:
+            cot = ntnb_cotacao(liq, d, tir)
+            fator = (1.0 + NTNB_CUPOM) / (cot - pv[i % 2])
+            z = _pround(fator ** (1.0 / anos) - 1.0, 10)
+        pv[i % 2] += NTNB_CUPOM / (1.0 + z) ** anos
+        if include_coupons or d in pairs:
+            out.append((d, du, z))
+    return out
+
+
 def _bround(x: float, decimals: int) -> float:
     """Half-to-even rounding matching Spark bround / Polars round."""
     from decimal import ROUND_HALF_EVEN, Decimal

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from pyield_spark.analytics.futuro import enrich, month_from_code_expr, with_vencimento
 from pyield_spark.analytics.selic import probabilities
-from pyield_spark.bonds.bootstrap import bootstrap_zero_curve, implied_rates
+from pyield_spark.bonds.bootstrap import implied_rates
 from pyield_spark.bonds.pricing import price_coupon_bond
 
 
@@ -30,51 +30,87 @@ def test_implied_rate_roundtrip(spark):
     assert got[2] == pytest.approx(0.1234, abs=1e-7)
 
 
-def test_bootstrap_single_flow_closed_form(spark):
-    """K5: vertices with no prior coupons have a closed-form zero."""
-    curve = spark.createDataFrame(
-        [("g", 60, 0.10), ("g", 126, 0.11)], "grupo STRING, du INT, taxa DOUBLE"
+_B_LIQ = dt.date(2024, 8, 16)
+_B_VENS = [
+    dt.date(2025, 5, 15),
+    dt.date(2026, 8, 15),
+    dt.date(2028, 8, 15),
+    dt.date(2032, 8, 15),
+]
+_B_TIRS = [0.063893, 0.066, 0.0631, 0.0615]
+
+
+def _bonds_fixture(spark):
+    return spark.createDataFrame(
+        [("g", _B_LIQ, v, t) for v, t in zip(_B_VENS, _B_TIRS)],
+        "grupo STRING, liq DATE, ven DATE, taxa DOUBLE",
     )
+
+
+def test_taxas_zero_scalar_parity(spark):
+    """K5: the Spark pipeline matches the driver-side scalar replica of
+    the reference's sequential loop (ntnb.py:554-574) vertex by vertex."""
+    from pyield_spark import scalar
+    from pyield_spark.bonds.bootstrap import ntnb_taxas_zero
+
     got = {
-        r.du: r.taxa_zero
-        for r in bootstrap_zero_curve(curve, "grupo", "du", "taxa").collect()
+        r.data_vencimento: (r.dias_uteis, r.taxa_zero)
+        for r in ntnb_taxas_zero(
+            _bonds_fixture(spark), by="grupo", settlement="liq",
+            maturity="ven", tir="taxa",
+        ).collect()
     }
-    for du, par in [(60, 0.10), (126, 0.11)]:
-        coupon = 100.0 * ((1 + par) ** 0.5 - 1)
-        z_expected = ((100.0 + coupon) / 100.0) ** (252.0 / du) - 1
-        assert got[du] == pytest.approx(z_expected, abs=1e-9)
+    expected = scalar.ntnb_taxas_zero(_B_LIQ, _B_VENS, _B_TIRS)
+    assert len(got) == len(expected) == len(_B_VENS)
+    for ven, du, z in expected:
+        assert got[ven][0] == du
+        assert got[ven][1] == pytest.approx(z, abs=1e-12)
 
 
-def test_bootstrap_reprices_par(spark):
-    """K5 invariant: par bonds discounted at the bootstrapped zeros
-    price back to 100."""
-    curve = spark.createDataFrame(
-        [("g", 126, 0.10), ("g", 252, 0.11), ("g", 378, 0.12)],
-        "grupo STRING, du INT, taxa DOUBLE",
-    )
-    rows = sorted(
-        bootstrap_zero_curve(curve, "grupo", "du", "taxa").collect(),
-        key=lambda r: r.du,
-    )
-    dus = [r.du for r in rows]
-    zs = [r.taxa_zero for r in rows]
+def test_taxas_zero_first_vertex_is_tir(spark):
+    """Reference rule (ntnb.py:560-563): vertices at or before the first
+    input maturity take the interpolated TIR as their zero rate."""
+    from pyield_spark.bonds.bootstrap import ntnb_taxas_zero
 
-    def z_at(du):
-        if du <= dus[0]:
-            return zs[0]
-        for i in range(1, len(dus)):
-            if du <= dus[i]:
-                w = (du - dus[i - 1]) / (dus[i] - dus[i - 1])
-                return zs[i - 1] + w * (zs[i] - zs[i - 1])
-        return zs[-1]
+    got = {
+        r.data_vencimento: r.taxa_zero
+        for r in ntnb_taxas_zero(
+            _bonds_fixture(spark), by="grupo", settlement="liq",
+            maturity="ven", tir="taxa", include_coupons=True,
+        ).collect()
+    }
+    assert got[_B_VENS[0]] == pytest.approx(_B_TIRS[0], abs=1e-10)
+    # grid dates before the first maturity flat-extrapolate to its TIR
+    assert got[dt.date(2024, 11, 15)] == pytest.approx(_B_TIRS[0], abs=1e-10)
+    assert got[dt.date(2025, 2, 15)] == pytest.approx(_B_TIRS[0], abs=1e-10)
 
-    for r in rows:
-        par = r.taxa
-        coupon = 100.0 * ((1 + par) ** 0.5 - 1)
-        flows = list(range(r.du, 0, -126))[::-1]
-        pv = sum(coupon / (1 + z_at(d)) ** (d / 252.0) for d in flows[:-1])
-        pv += (100.0 + coupon) / (1 + z_at(r.du)) ** (r.du / 252.0)
-        assert pv == pytest.approx(100.0, abs=1e-6)
+
+def test_taxas_zero_reprices_cotacao(spark):
+    """K5 defining invariant (ntnb.py:567-572 rearranged): PV of each
+    grid bond's actual coupon flows at the solved zeros plus the final
+    flow at its own zero reproduces the STN cotação at its TIR."""
+    from pyield_spark import scalar
+    from pyield_spark.bonds.bootstrap import ntnb_taxas_zero
+
+    rows = ntnb_taxas_zero(
+        _bonds_fixture(spark), by="grupo", settlement="liq",
+        maturity="ven", tir="taxa", include_coupons=True,
+    ).collect()
+    zmap = {r.data_vencimento: (r.dias_uteis, r.taxa_zero) for r in rows}
+    tirmap = {r.data_vencimento: r.taxa_tir for r in rows}
+    first_ven = min(v for v in zmap if v in set(_B_VENS))
+    for ven in _B_VENS:
+        if ven <= first_ven:
+            continue
+        coupons = scalar._payment_dates(_B_LIQ, ven, 6)
+        pv = 0.0
+        for d in coupons[:-1]:
+            du, z = zmap[d]
+            pv += scalar.NTNB_CUPOM / (1 + z) ** (du / 252.0)
+        du_n, z_n = zmap[ven]
+        pv += (1 + scalar.NTNB_CUPOM) / (1 + z_n) ** (du_n / 252.0)
+        cot = scalar.ntnb_cotacao(_B_LIQ, ven, tirmap[ven])
+        assert pv == pytest.approx(cot, abs=1e-7)
 
 
 def test_month_code_roundtrip(spark):
@@ -126,8 +162,8 @@ def test_curva_pre_composition(spark, sf_dir):
     rows = out.collect()
     seen = {}
     for r in rows:
-        key = (r.grupo, r.du)
+        key = (r.grupo, r.dias_uteis)
         assert key not in seen, f"duplicate vertex {key}"
         seen[key] = r.fonte
-    assert all(f == "LTN" for (g, du), f in seen.items() if du <= 100)
-    assert any(f == "NTN-F" for f in seen.values())
+    assert any(f == "LTN" for f in seen.values())
+    assert any(f == "NTN-B" for f in seen.values())
