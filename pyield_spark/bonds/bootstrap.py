@@ -92,6 +92,167 @@ def implied_rates(
     return packed.mapInPandas(kernel, out_schema)
 
 
+def _encontrar_raiz(f) -> float:
+    """Faithful bracket-growth + bisection root finder
+    (pyield/tpf/titulos/_utils.py:262-348): sweep upward from 0.01 with
+    step 0.01 growing 1.6× (cap 10.0), then downward (floor -1.0); then
+    bisect to tol 1e-12 / 100 iterations, early-exit on |f(mid)|<tol."""
+    taxa_inicial, passo, fator, max_t = 0.01, 0.01, 1.6, 100
+    taxa_min, taxa_max = -1.0, 10.0
+    f0 = f(taxa_inicial)
+    if abs(f0) == 0:
+        return taxa_inicial
+
+    bracket = None
+    a, fa = taxa_inicial, f0
+    b, passo_atual = taxa_inicial + passo, passo
+    for _ in range(max_t):
+        if b > taxa_max:
+            break
+        fb = f(b)
+        if fa * fb < 0:
+            bracket = (a, b)
+            break
+        a, fa = b, fb
+        passo_atual *= fator
+        b += passo_atual
+    if bracket is None:
+        a, fa = taxa_inicial, f0
+        b, passo_atual = taxa_inicial - passo, passo
+        for _ in range(max_t):
+            if b < taxa_min:
+                break
+            fb = f(b)
+            if fa * fb < 0:
+                bracket = (b, a)
+                break
+            a, fa = b, fb
+            passo_atual *= fator
+            b -= passo_atual
+    if bracket is None:
+        return float("nan")
+
+    a, b = bracket
+    fa = f(a)
+    if fa * f(b) > 0:
+        return float("nan")
+    for _ in range(100):
+        mid = (a + b) / 2
+        fmid = f(mid)
+        if abs(fmid) < TOL or (b - a) / 2 < TOL:
+            return mid
+        if fmid * fa < 0:
+            b = mid
+        else:
+            a, fa = mid, fmid
+    return (a + b) / 2
+
+
+def premio_limpo(
+    bonds: DataFrame,
+    di_curve: DataFrame,
+    id_cols: list[str],
+    by: list[str] | str,
+    settlement: str = "data_liquidacao",
+    maturity: str = "data_vencimento",
+    taxa: str = "taxa",
+    curve_du: str = "du",
+    curve_rate: str = "taxa_di",
+    coupon_value: float = 48.80885,
+    final_value: float = 1048.80885,
+    alias: str = "premio_limpo",
+) -> DataFrame:
+    """Clean spread of an NTN-F over the DI curve — the reference's
+    flagship relative-value number (pyield/tpf/titulos/ntnf.py:702-795).
+
+    Per bond: price it at its TIR with the full STN chain, flat-forward
+    interpolate the DI curve at each coupon flow's business-day count,
+    then root-find the spread ``p`` such that discounting every flow at
+    ``(1 + di_j + p)^(du_j/252)`` recovers the price (bracket growth +
+    bisection to 1e-12, _utils.py:262-348). The du/252 year fractions
+    here are plain, NOT trunc14 — only the STN price uses trunc14
+    (ntnf.py:783-790).
+
+    Spark design: flows/interpolation/pricing are columnar; only the
+    per-bond root search runs in ``mapInPandas`` over pre-packed flow
+    arrays (embarrassingly parallel — no sequential cross-bond state,
+    unlike the K5 bootstrap). Interpolated DI rates carry a portable
+    10-decimal round so both engines feed the solver identical doubles.
+    """
+    from pyield_spark.curves.interpolate import interpolar
+    from pyield_spark.functions.numbers import pround_expr
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+
+    flows = explode_payment_dates(bonds, settlement, maturity, 6, "data_pagamento")
+    flows = du_mod.contar(flows, settlement, "data_pagamento", alias="_du_f")
+    flows = interpolar(
+        flows,
+        di_curve,
+        du_col="_du_f",
+        curve_du=curve_du,
+        curve_rate=curve_rate,
+        by=by_cols,
+        method="flat_forward",
+        alias="_di_raw",
+    ).withColumn("_di", pround_expr("_di_raw", 10))
+    flows = flows.withColumn(
+        "_cf", coupon_flow_expr("data_pagamento", maturity, coupon_value, final_value)
+    )
+    packed = flows.groupBy(*id_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_du_f").alias("du"),
+                    F.col("_cf").alias("cf"),
+                    F.col("_di").alias("di"),
+                )
+            )
+        ).alias("_flows")
+    )
+    from pyield_spark.bonds.pricing import price_coupon_bond
+
+    priced = price_coupon_bond(
+        bonds,
+        id_cols,
+        settlement=settlement,
+        maturity=maturity,
+        taxa=taxa,
+        coupon_value=coupon_value,
+        final_value=final_value,
+        vp_round=9,
+        alias="_preco",
+    )
+    packed = packed.join(priced, on=id_cols)
+
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in packed.schema
+        if f.name in id_cols
+    )
+    out_schema = f"{id_schema}, {alias} double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            prems = []
+            for fl, preco in zip(pdf["_flows"], pdf["_preco"]):
+                # ascending payment order (reference sums in date order)
+                terms = [(r["cf"], r["du"] / 252.0, r["di"]) for r in fl]
+
+                def diff(p, _terms=terms, _preco=float(preco)):
+                    return (
+                        sum(cf / (1.0 + di + p) ** t for cf, t, di in _terms)
+                        - _preco
+                    )
+
+                prems.append(_encontrar_raiz(diff))
+            yield pd.DataFrame(
+                {**{c: pdf[c] for c in id_cols}, alias: prems}
+            )
+
+    return packed.mapInPandas(kernel, out_schema)
+
+
 NTNB_CUPOM = 0.02956301  # base-1 semiannual 6% a.a. — ntnb.py:20-21
 NTNB_FINAL = 1.02956301
 

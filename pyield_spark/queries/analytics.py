@@ -502,6 +502,197 @@ def q_bootstrap_zero(spark, sf_dir):
     )
 
 
+# === clean spread / premio_limpo (ntnf.py:702-795 + _utils.py:262-348):
+# STN price, DI flat-forward at flow dates, root-found spread. Oracle:
+# same function, fixed-bracket bisection as a recursive CTE — the
+# function is monotone in the spread, so both solvers converge to the
+# same root; pround6 absorbs the 1e-12 tolerance =========================
+
+_DI_CURVE_SQL = """
+dicurve AS (
+  SELECT grupo, CAST(60 + dslot * 160 AS BIGINT) AS du, {taxa} AS taxa_di
+  FROM (SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
+               l_suppkey % 10 AS dslot, l_discount
+        FROM lineitem)
+  GROUP BY grupo, dslot
+)"""
+
+_PL_BONDS_SQL = """
+pbonds AS (
+  SELECT o_orderkey,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS grupo,
+         CAST(o_orderdate AS DATE) AS liq,
+         CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+              + TO_MONTHS(CAST(24 + (o_orderkey % 4) * 12 AS INT)) AS DATE) AS ven,
+         round(0.09 + (o_orderkey % 500) / 10000.0, 6) AS taxa
+  FROM orders
+  WHERE o_orderkey % 37 = 0
+    AND CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        IN (SELECT DISTINCT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+            FROM lineitem)
+)"""
+
+
+def _premio_limpo_oracle() -> str:
+    di_taxa = pround_sql(
+        "0.055 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+        " + dslot * 0.003",
+        6,
+    )
+    au, au_j, au_k = "(f.du_f / 252.0)", "(f.du_j / 252.0)", "(f.du_k / 252.0)"
+    ladder = f"""CASE
+        WHEN f.du_f IS NULL OR e.du_min IS NULL THEN NULL
+        WHEN f.du_j = f.du_f THEN f.tx_j
+        WHEN f.du_f < e.du_min THEN e.tx_min
+        WHEN f.du_f > e.du_max THEN NULL
+        ELSE power(power(1 + f.tx_j, {au_j})
+                   * power(power(1 + f.tx_k, {au_k}) / power(1 + f.tx_j, {au_j}),
+                           ({au} - {au_j}) / ({au_k} - {au_j})),
+                   1.0 / {au}) - 1
+      END"""
+    return f"""
+    WITH RECURSIVE {_CAL},
+    {_DI_CURVE_SQL.format(taxa=di_taxa).lstrip()},
+    {_PL_BONDS_SQL.lstrip()},
+    pfl0 AS (
+      SELECT b.*, CAST(b.ven - TO_MONTHS(CAST(6 * i AS INT)) AS DATE) AS pay
+      FROM pbonds b, generate_series(0, 20) t(i)
+      WHERE CAST(b.ven - TO_MONTHS(CAST(6 * i AS INT)) AS DATE) > b.liq
+    ),
+    pfl1 AS (
+      SELECT f.o_orderkey, f.grupo, f.ven, f.taxa, f.pay,
+             CAST({bd_count_sql("f.liq", "f.pay")} AS BIGINT) AS du_f,
+             CASE WHEN f.pay = f.ven THEN 1048.80885 ELSE 48.80885 END AS cf
+      FROM pfl0 f
+      JOIN cal cs ON cs.data = f.liq JOIN cal ce ON ce.data = f.pay
+    ),
+    pext AS (
+      SELECT grupo, MIN(du) AS du_min, MAX(du) AS du_max,
+             MIN_BY(taxa_di, du) AS tx_min, MAX_BY(taxa_di, du) AS tx_max
+      FROM dicurve GROUP BY grupo
+    ),
+    pflj AS (
+      SELECT f.*, c.du AS du_j, c.taxa_di AS tx_j
+      FROM pfl1 f ASOF LEFT JOIN dicurve c
+        ON f.grupo = c.grupo AND f.du_f >= c.du
+    ),
+    pfljk AS (
+      SELECT f.*, c.du AS du_k, c.taxa_di AS tx_k
+      FROM pflj f ASOF LEFT JOIN
+        (SELECT grupo, -du AS ndu, du, taxa_di FROM dicurve) c
+        ON f.grupo = c.grupo AND -f.du_f >= c.ndu
+    ),
+    pflows AS (
+      SELECT f.o_orderkey, f.du_f, f.du_f / 252.0 AS t, f.cf,
+             {pround_sql(ladder, 10)} AS di
+      FROM pfljk f LEFT JOIN pext e ON f.grupo = e.grupo
+    ),
+    pvp AS (
+      SELECT f.o_orderkey,
+        round_even(f.cf / power(1 + {trunc_sql("f.taxa", 8)},
+                                {trunc_sql("f.du_f / 252.0", 14)}), 9) AS vp,
+        f.taxa
+      FROM pfl1 f
+    ),
+    pprecos AS (
+      SELECT o_orderkey, MIN(taxa) AS taxa,
+             {trunc_decimal_sum_sql("SUM(CAST(vp AS DECIMAL(28,12)))", 6)} AS preco
+      FROM pvp GROUP BY o_orderkey
+    ),
+    proot AS (
+      SELECT o_orderkey, CAST(-0.4 AS DOUBLE) AS lo, CAST(0.6 AS DOUBLE) AS hi,
+             0 AS it
+      FROM pprecos
+      UNION ALL
+      SELECT q.o_orderkey,
+             CASE WHEN q.fmid > 0 THEN q.mid ELSE q.lo END,
+             CASE WHEN q.fmid > 0 THEN q.hi ELSE q.mid END,
+             q.it + 1
+      FROM (
+        SELECT pr.o_orderkey, pr.lo, pr.hi, pr.it, (pr.lo + pr.hi) / 2 AS mid,
+          (SELECT SUM(ff.cf / power(1 + ff.di + (pr.lo + pr.hi) / 2, ff.t))
+           FROM pflows ff WHERE ff.o_orderkey = pr.o_orderkey) - pc.preco AS fmid
+        FROM proot pr JOIN pprecos pc ON pc.o_orderkey = pr.o_orderkey
+        WHERE pr.it < 44
+      ) q
+    )
+    SELECT r.o_orderkey, p.taxa, p.preco AS pu,
+           {pround_sql("(r.lo + r.hi) / 2", 6)} AS premio_limpo,
+           {pround_sql("(r.lo + r.hi) / 2 * 10000.0", 2)} AS premio_bps
+    FROM proot r JOIN pprecos p ON p.o_orderkey = r.o_orderkey
+    WHERE r.it = 44
+    """
+
+
+@query("q_premio_limpo", oracle=_premio_limpo_oracle())
+def q_premio_limpo(spark, sf_dir):
+    from pyield_spark.bonds.bootstrap import premio_limpo
+
+    li = tables(spark, sf_dir, "lineitem")
+    od = tables(spark, sf_dir, "orders")
+    grupo_li = F.date_trunc("month", "l_shipdate").cast("date")
+    di_curve = (
+        li.groupBy(
+            grupo_li.alias("grupo"), (F.col("l_suppkey") % 10).alias("dslot")
+        )
+        .agg(
+            pround_expr(
+                F.lit(0.055)
+                + F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")
+                + F.col("dslot").cast("double") * 0.003,
+                6,
+            ).alias("taxa_di")
+        )
+        .select(
+            "grupo",
+            (F.lit(60) + F.col("dslot") * 160).cast("long").alias("du"),
+            "taxa_di",
+        )
+    )
+    bonds = (
+        od.filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("grupo"),
+            F.to_date("o_orderdate").alias("liq"),
+            F.add_months(
+                F.date_trunc("month", "o_orderdate").cast("date"),
+                F.lit(24) + (F.col("o_orderkey") % 4).cast("int") * 12,
+            ).alias("ven"),
+            F.round(
+                F.lit(0.09) + (F.col("o_orderkey") % 500) / 10000.0, 6
+            ).alias("taxa"),
+        )
+        .join(di_curve.select("grupo").distinct(), "grupo", "left_semi")
+    )
+    prem = premio_limpo(
+        bonds,
+        di_curve,
+        id_cols=["o_orderkey"],
+        by="grupo",
+        settlement="liq",
+        maturity="ven",
+        taxa="taxa",
+    )
+    from pyield_spark.bonds.pricing import price_coupon_bond
+
+    priced = price_coupon_bond(
+        bonds, ["o_orderkey"], settlement="liq", maturity="ven", taxa="taxa"
+    )
+    meta = bonds.select("o_orderkey", "taxa")
+    return (
+        meta.join(priced, "o_orderkey")
+        .join(prem, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "taxa",
+            "pu",
+            pround_expr("premio_limpo", 6).alias("premio_limpo"),
+            pround_expr(F.col("premio_limpo") * 10000.0, 2).alias("premio_bps"),
+        )
+    )
+
+
 # === pivot / rollup extensions (§2.4 beyond-reference surface) ============
 
 

@@ -113,6 +113,33 @@ def test_taxas_zero_reprices_cotacao(spark):
         assert pv == pytest.approx(cot, abs=1e-7)
 
 
+def test_premio_limpo_docstring_golden(spark):
+    """Reference golden (ntnf.py:740-752): premio_limpo('23-08-2024',
+    '01-01-2035', 0.116586, DI {2025/2030/2035-01-01: 0.10823/0.11594/
+    0.11531}) → 12.13 bps."""
+    from pyield_spark import du as du_mod
+    from pyield_spark.bonds.bootstrap import premio_limpo
+
+    liq = dt.date(2024, 8, 23)
+    bonds = spark.createDataFrame(
+        [(1, "g", liq, dt.date(2035, 1, 1), 0.116586)],
+        "id INT, grupo STRING, liq DATE, ven DATE, taxa DOUBLE",
+    )
+    di = spark.createDataFrame(
+        [
+            ("g", du_mod.contar_scalar(liq, dt.date(2025, 1, 1)), 0.10823),
+            ("g", du_mod.contar_scalar(liq, dt.date(2030, 1, 1)), 0.11594),
+            ("g", du_mod.contar_scalar(liq, dt.date(2035, 1, 1)), 0.11531),
+        ],
+        "grupo STRING, du LONG, taxa_di DOUBLE",
+    )
+    [row] = premio_limpo(
+        bonds, di, id_cols=["id"], by="grupo",
+        settlement="liq", maturity="ven", taxa="taxa",
+    ).collect()
+    assert round(row.premio_limpo * 10_000, 2) == pytest.approx(12.13, abs=0.011)
+
+
 def test_month_code_roundtrip(spark):
     df = spark.createDataFrame([("F",), ("G",), ("Z",), ("E",)], "c STRING")
     got = [r.m for r in df.select(month_from_code_expr("c").alias("m")).collect()]
