@@ -332,13 +332,28 @@ def _ntnb_panel(spark, sf_dir):
     li = tables(spark, sf_dir, "lineitem")
     grupo = F.date_trunc("month", "l_shipdate").cast("date")
     slot = (F.col("l_partkey") % 12).cast("int")
-    base = li.groupBy(grupo.alias("grupo"), slot.alias("slot")).agg(
-        pround_expr(
-            F.lit(0.04)
-            + F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")
-            + F.col("slot").cast("double") * 0.002,
-            6,
-        ).alias("taxa")
+    # exact-integer rate synthesis: discounts are on the 0.01 grid, so
+    # the half-away-rounded 6-decimal average is pure BIGINT arithmetic —
+    # a double average can land exactly on the rounding half-boundary
+    # where Spark and DuckDB disagree by one ulp (observed at sf0.01)
+    base = (
+        li.groupBy(grupo.alias("grupo"), slot.alias("slot"))
+        .agg(
+            F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "grupo",
+            "slot",
+            (
+                (
+                    F.lit(40000)
+                    + F.col("slot").cast("long") * 2000
+                    + F.expr("(_s * 20000 + _n) DIV (2 * _n)")
+                ).cast("double")
+                / 1000000.0
+            ).alias("taxa"),
+        )
     )
     anchor = F.date_add(F.col("grupo"), 14)  # the 15th of the settlement month
     offm = F.pmod(F.lit(2) - F.month(anchor), F.lit(3))  # to month ≡ 2 (mod 3)
@@ -351,12 +366,17 @@ def _ntnb_panel(spark, sf_dir):
     )
 
 
-_NTNB_PANEL_SQL = f"""
+_NTNB_PANEL_SQL = """
 bpanel AS (
-  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
-         CAST(l_partkey % 12 AS INT) AS slot,
-         {pround_sql("0.04 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) + CAST(l_partkey % 12 AS INT) * 0.002", 6)} AS taxa
-  FROM lineitem GROUP BY 1, 2
+  SELECT grupo, slot,
+         CAST(40000 + slot * 2000 + (s * 20000 + n) // (2 * n) AS DOUBLE)
+           / 1000000.0 AS taxa
+  FROM (
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
+           CAST(l_partkey % 12 AS INT) AS slot,
+           SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) AS s,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2)
 ),
 bonds AS (
   SELECT grupo, slot, taxa, grupo AS liq,
@@ -510,11 +530,15 @@ def q_bootstrap_zero(spark, sf_dir):
 
 _DI_CURVE_SQL = """
 dicurve AS (
-  SELECT grupo, CAST(60 + dslot * 160 AS BIGINT) AS du, {taxa} AS taxa_di
-  FROM (SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
-               l_suppkey % 10 AS dslot, l_discount
-        FROM lineitem)
-  GROUP BY grupo, dslot
+  SELECT grupo, CAST(60 + dslot * 160 AS BIGINT) AS du,
+         CAST(55000 + dslot * 3000 + (s * 20000 + n) // (2 * n) AS DOUBLE)
+           / 1000000.0 AS taxa_di
+  FROM (
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
+           l_suppkey % 10 AS dslot,
+           SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) AS s,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2)
 )"""
 
 _PL_BONDS_SQL = """
@@ -533,12 +557,36 @@ pbonds AS (
 )"""
 
 
-def _premio_limpo_oracle() -> str:
-    di_taxa = pround_sql(
-        "0.055 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
-        " + dslot * 0.003",
-        6,
+def _di_curve_df(spark, sf_dir):
+    """Synthetic nominal (DI-like) curve: per ship month, 10 vertices at
+    du 60..1500 — twin of _DI_CURVE_SQL (exact-integer rate synthesis,
+    see _ntnb_panel)."""
+    li = tables(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("grupo"),
+            (F.col("l_suppkey") % 10).alias("dslot"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_discount") * 100, 0).cast("long")).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "grupo",
+            (F.lit(60) + F.col("dslot") * 160).cast("long").alias("du"),
+            (
+                (
+                    F.lit(55000)
+                    + F.col("dslot").cast("long") * 3000
+                    + F.expr("(_s * 20000 + _n) DIV (2 * _n)")
+                ).cast("double")
+                / 1000000.0
+            ).alias("taxa_di"),
+        )
     )
+
+
+def _premio_limpo_oracle() -> str:
     au, au_j, au_k = "(f.du_f / 252.0)", "(f.du_j / 252.0)", "(f.du_k / 252.0)"
     ladder = f"""CASE
         WHEN f.du_f IS NULL OR e.du_min IS NULL THEN NULL
@@ -552,7 +600,7 @@ def _premio_limpo_oracle() -> str:
       END"""
     return f"""
     WITH RECURSIVE {_CAL},
-    {_DI_CURVE_SQL.format(taxa=di_taxa).lstrip()},
+    {_DI_CURVE_SQL.lstrip()},
     {_PL_BONDS_SQL.lstrip()},
     pfl0 AS (
       SELECT b.*, CAST(b.ven - TO_MONTHS(CAST(6 * i AS INT)) AS DATE) AS pay
@@ -628,27 +676,8 @@ def _premio_limpo_oracle() -> str:
 def q_premio_limpo(spark, sf_dir):
     from pyield_spark.bonds.bootstrap import premio_limpo
 
-    li = tables(spark, sf_dir, "lineitem")
     od = tables(spark, sf_dir, "orders")
-    grupo_li = F.date_trunc("month", "l_shipdate").cast("date")
-    di_curve = (
-        li.groupBy(
-            grupo_li.alias("grupo"), (F.col("l_suppkey") % 10).alias("dslot")
-        )
-        .agg(
-            pround_expr(
-                F.lit(0.055)
-                + F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")
-                + F.col("dslot").cast("double") * 0.003,
-                6,
-            ).alias("taxa_di")
-        )
-        .select(
-            "grupo",
-            (F.lit(60) + F.col("dslot") * 160).cast("long").alias("du"),
-            "taxa_di",
-        )
-    )
+    di_curve = _di_curve_df(spark, sf_dir)
     bonds = (
         od.filter(F.col("o_orderkey") % 37 == 0)
         .select(
@@ -690,6 +719,105 @@ def q_premio_limpo(spark, sf_dir):
             pround_expr("premio_limpo", 6).alias("premio_limpo"),
             pround_expr(F.col("premio_limpo") * 10000.0, 2).alias("premio_bps"),
         )
+    )
+
+
+# === breakeven inflation / implicitas (ntnb.py:581-701): real zero
+# curve via the faithful bootstrap, nominal curve flat-forward
+# interpolated at the real vertices, breakeven = (1+nom)/(1+real) − 1 ===
+
+
+def _breakeven_oracle() -> str:
+    au, au_j, au_k = "(f.dias_uteis / 252.0)", "(f.du_j / 252.0)", "(f.du_k / 252.0)"
+    ladder = f"""CASE
+        WHEN f.dias_uteis IS NULL OR e.du_min IS NULL THEN NULL
+        WHEN f.du_j = f.dias_uteis THEN f.tx_j
+        WHEN f.dias_uteis < e.du_min THEN e.tx_min
+        WHEN f.dias_uteis > e.du_max THEN NULL
+        ELSE power(power(1 + f.tx_j, {au_j})
+                   * power(power(1 + f.tx_k, {au_k}) / power(1 + f.tx_j, {au_j}),
+                           ({au} - {au_j}) / ({au_k} - {au_j})),
+                   1.0 / {au}) - 1
+      END"""
+    return f"""
+    WITH RECURSIVE {_CAL},
+    {_NTNB_PANEL_SQL.lstrip()},
+    {_bootstrap_ctes()},
+    {_DI_CURVE_SQL.lstrip()},
+    bk0 AS (
+      SELECT b.grupo, b.dv AS data_vencimento, b.du AS dias_uteis,
+             o.taxa AS taxa_tir_real, b.z AS taxa_zero_real
+      FROM boot b JOIN bonds o ON o.grupo = b.grupo AND o.ven = b.dv
+    ),
+    bext AS (
+      SELECT grupo, MIN(du) AS du_min, MAX(du) AS du_max,
+             MIN_BY(taxa_di, du) AS tx_min, MAX_BY(taxa_di, du) AS tx_max
+      FROM dicurve GROUP BY grupo
+    ),
+    bkj AS (
+      SELECT f.*, c.du AS du_j, c.taxa_di AS tx_j
+      FROM bk0 f ASOF LEFT JOIN dicurve c
+        ON f.grupo = c.grupo AND f.dias_uteis >= c.du
+    ),
+    bkjk AS (
+      SELECT f.*, c.du AS du_k, c.taxa_di AS tx_k
+      FROM bkj f ASOF LEFT JOIN
+        (SELECT grupo, -du AS ndu, du, taxa_di FROM dicurve) c
+        ON f.grupo = c.grupo AND -f.dias_uteis >= c.ndu
+    ),
+    bkn AS (
+      SELECT f.grupo, f.data_vencimento, f.dias_uteis, f.taxa_tir_real,
+             f.taxa_zero_real, {pround_sql(ladder, 10)} AS taxa_nominal
+      FROM bkjk f LEFT JOIN bext e ON f.grupo = e.grupo
+    )
+    SELECT grupo, data_vencimento, dias_uteis, taxa_tir_real, taxa_zero_real,
+           taxa_nominal,
+           (1 + taxa_nominal) / (1 + taxa_zero_real) - 1 AS inflacao_implicita
+    FROM bkn
+    """
+
+
+@query("q_breakeven", oracle=_breakeven_oracle())
+def q_breakeven(spark, sf_dir):
+    """Implied inflation per real vertex (reference output schema
+    ntnb.py:617-624); nominal vertices beyond the DI curve yield nulls
+    (extrapolar=False)."""
+    from pyield_spark.curves.interpolate import interpolar
+
+    bonds = _ntnb_panel(spark, sf_dir)
+    zero = ntnb_taxas_zero(
+        bonds, by="grupo", settlement="liq", maturity="ven", tir="taxa"
+    ).drop("taxa_tir")
+    zero = zero.join(
+        bonds.select(
+            "grupo",
+            F.col("ven").alias("data_vencimento"),
+            F.col("taxa").alias("taxa_tir_real"),
+        ),
+        ["grupo", "data_vencimento"],
+    )
+    di_curve = _di_curve_df(spark, sf_dir)
+    out = interpolar(
+        zero,
+        di_curve,
+        du_col="dias_uteis",
+        curve_du="du",
+        curve_rate="taxa_di",
+        by="grupo",
+        method="flat_forward",
+        extrapolar=False,
+        alias="_nom_raw",
+    ).withColumn("taxa_nominal", pround_expr("_nom_raw", 10))
+    nom = F.col("taxa_nominal")
+    zr = F.col("taxa_zero")
+    return out.select(
+        "grupo",
+        "data_vencimento",
+        "dias_uteis",
+        "taxa_tir_real",
+        zr.alias("taxa_zero_real"),
+        "taxa_nominal",
+        ((1 + nom) / (1 + zr) - 1).alias("inflacao_implicita"),
     )
 
 

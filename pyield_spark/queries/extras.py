@@ -67,10 +67,15 @@ def q_approx_stats(spark, sf_dir):
 
 _LTN_ARM_SQL = """
 lpanel AS (
-  SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
-         CAST(l_suppkey % 6 AS INT) AS lslot,
-         {taxa} AS taxa_zero
-  FROM lineitem GROUP BY 1, 2
+  SELECT grupo, lslot,
+         CAST(35000 + lslot * 1500 + (s * 20000 + n) // (2 * n) AS DOUBLE)
+           / 1000000.0 AS taxa_zero
+  FROM (
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS grupo,
+           CAST(l_suppkey % 6 AS INT) AS lslot,
+           SUM(CAST(round(l_tax * 100, 0) AS BIGINT)) AS s,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2)
 ),
 ltn_arm AS (
   SELECT p.grupo, p.taxa_zero,
@@ -89,14 +94,7 @@ def _curva_pre_oracle():
     from pyield_spark.queries.fixed_income import _CAL
     from pyield_spark.queries.oracle_helpers import bd_count_sql, pround_sql
 
-    ltn = _LTN_ARM_SQL.format(
-        taxa=pround_sql(
-            "0.035 + CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
-            " + CAST(l_suppkey % 6 AS INT) * 0.0015",
-            6,
-        ),
-        bd=bd_count_sql("p.grupo", "p.lven"),
-    )
+    ltn = _LTN_ARM_SQL.format(bd=bd_count_sql("p.grupo", "p.lven"))
     return f"""
     WITH RECURSIVE {_CAL},
     {_NTNB_PANEL_SQL.lstrip()},
@@ -125,14 +123,24 @@ def q_curva_pre(spark, sf_dir):
     # panel so overlapping vertices collide on (grupo, dias_uteis)
     grupo = F.date_trunc("month", "l_shipdate").cast("date")
     lslot = (F.col("l_suppkey") % 6).cast("int")
-    lpanel = li.groupBy(grupo.alias("grupo"), lslot.alias("lslot")).agg(
-        pround_expr(
-            F.lit(0.035)
-            + F.sum(F.col("l_tax").cast("decimal(18,6)")).cast("double")
-            / F.count("*")
-            + F.col("lslot").cast("double") * 0.0015,
-            6,
-        ).alias("taxa_zero")
+    lpanel = (
+        li.groupBy(grupo.alias("grupo"), lslot.alias("lslot"))
+        .agg(
+            F.sum(F.round(F.col("l_tax") * 100, 0).cast("long")).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "grupo",
+            "lslot",
+            (
+                (
+                    F.lit(35000)
+                    + F.col("lslot").cast("long") * 1500
+                    + F.expr("(_s * 20000 + _n) DIV (2 * _n)")
+                ).cast("double")
+                / 1000000.0
+            ).alias("taxa_zero"),
+        )
     )
     anchor = F.date_add(F.col("grupo"), 14)
     offm = F.pmod(F.lit(2) - F.month(anchor), F.lit(3))
