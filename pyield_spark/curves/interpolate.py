@@ -85,40 +85,132 @@ def interpolar(
     )
     unioned = cur_tagged.unionByName(tgt)
 
-    w = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
-    # curve rows (tag 0) before targets (tag 1) at equal du: backward sees
-    # exact hits; forward yields the strictly-greater vertex. BOTH
-    # neighbors use GROWING frames (unbounded preceding → current), which
-    # Spark streams in O(n); the forward side runs over descending du —
-    # a shrinking current→unbounded-following frame would rescan per row
-    # (O(n²), measured 2-4× slower at sf0.1). Ties in the descending
-    # pass put targets first so equal-du vertices stay excluded (strict >).
-    wo = w.orderBy(F.col("_k").asc_nulls_last(), F.col("_is_left"))
-    back = F.last("_v", ignorenulls=True).over(
-        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wo_desc = w.orderBy(F.col("_k").desc_nulls_last(), (1 - F.col("_is_left")))
-    fwd = F.last("_v", ignorenulls=True).over(
-        wo_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # group extremes as whole-partition window aggs over the same
-    # partitioning (unordered frame → single-pass aggregate buffers; an
-    # ordered unbounded-following frame with ignorenulls degrades to
-    # per-row scans, measured 4× slower). No second curve aggregation,
-    # no extra join.
-    curve_du = F.when(F.col("_is_left") == 0, F.col("_k"))
-    curve_tx = F.when(F.col("_is_left") == 0, F.col("_v._tx"))
-    joined = unioned.select(
-        "_l",
-        "_k",
-        "_is_left",
-        back.alias("_j"),
-        fwd.alias("_kk"),
-        F.min(curve_du).over(w).alias("_du_min"),
-        F.max(curve_du).over(w).alias("_du_max"),
-        F.min_by(curve_tx, curve_du).over(w).alias("_tx_min"),
-        F.max_by(curve_tx, curve_du).over(w).alias("_tx_max"),
-    ).filter(F.col("_is_left") == 1)
+    if by_cols:
+        w = Window.partitionBy(*by_cols)
+        # curve rows (tag 0) before targets (tag 1) at equal du: backward
+        # sees exact hits; forward yields the strictly-greater vertex.
+        # BOTH neighbors use GROWING frames (unbounded preceding →
+        # current), which Spark streams in O(n); the forward side runs
+        # over descending du — a shrinking current→unbounded-following
+        # frame would rescan per row (O(n²), measured 2-4× slower at
+        # sf0.1). Ties in the descending pass put targets first so
+        # equal-du vertices stay excluded (strict >).
+        wo = w.orderBy(F.col("_k").asc_nulls_last(), F.col("_is_left"))
+        back = F.last("_v", ignorenulls=True).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wo_desc = w.orderBy(F.col("_k").desc_nulls_last(), (1 - F.col("_is_left")))
+        fwd = F.last("_v", ignorenulls=True).over(
+            wo_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # group extremes as whole-partition window aggs over the same
+        # partitioning (unordered frame → single-pass aggregate buffers;
+        # an ordered unbounded-following frame with ignorenulls degrades
+        # to per-row scans, measured 4× slower). No second curve
+        # aggregation, no extra join.
+        curve_du = F.when(F.col("_is_left") == 0, F.col("_k"))
+        curve_tx = F.when(F.col("_is_left") == 0, F.col("_v._tx"))
+        joined = unioned.select(
+            "_l",
+            "_k",
+            "_is_left",
+            back.alias("_j"),
+            fwd.alias("_kk"),
+            F.min(curve_du).over(w).alias("_du_min"),
+            F.max(curve_du).over(w).alias("_du_max"),
+            F.min_by(curve_tx, curve_du).over(w).alias("_tx_min"),
+            F.max_by(curve_tx, curve_du).over(w).alias("_tx_max"),
+        ).filter(F.col("_is_left") == 1)
+    else:
+        # --- single curve, distributed: value-derived range buckets +
+        # ghost stitch (same design as operators/asof.py ungrouped path;
+        # a plain Window.partitionBy() would serialize at scale). Buckets
+        # come from exact percentiles of the (small) curve's du,
+        # broadcast to every row — bucket identity is a pure function of
+        # the key, immune to AQE/exchange-reuse repartitioning. Each
+        # bucket gets TWO ghost carrier rows: the last vertex from
+        # earlier buckets (leads the ascending pass, _seq=0) and the
+        # first vertex from later buckets (leads the descending pass,
+        # _seq=2); each sorts LAST in the opposite pass, where only
+        # no-op rows follow it. Global extremes ride on a broadcast
+        # 1-row aggregate.
+        try:
+            n_buckets = int(
+                unioned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except (TypeError, ValueError):
+            n_buckets = 32
+        n_buckets = max(n_buckets, 2)
+        fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+        bnds = cur.agg(F.percentile(F.col("_du").cast("double"), fracs).alias("_b"))
+        kd = F.col("_k").cast("double")
+        u2 = (
+            unioned.crossJoin(F.broadcast(bnds))
+            .withColumn(
+                "_bkt",
+                F.when(kd.isNull(), F.lit(-1)).otherwise(
+                    F.size(F.filter(F.col("_b"), lambda b: b <= kd))
+                ),
+            )
+            .drop("_b")
+            .withColumn("_seq", F.lit(1))
+        )
+        verts = u2.filter(F.col("_is_left") == 0)
+        per_b = verts.groupBy("_bkt").agg(
+            F.max_by("_v", F.col("_k")).alias("_bv"),
+            F.min_by("_v", F.col("_k")).alias("_fv"),
+        )
+        spine = u2.select("_bkt").distinct().join(per_b, "_bkt", "left")
+        wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+        wf_ = Window.orderBy("_bkt").rowsBetween(1, Window.unboundedFollowing)
+        carried = spine.select(
+            "_bkt",
+            F.last("_bv", ignorenulls=True).over(wb).alias("_gb"),
+            F.first("_fv", ignorenulls=True).over(wf_).alias("_gf"),
+        )
+        null_l = F.lit(None).cast(u2.schema["_l"].dataType)
+
+        def _ghost(col, seq):
+            return carried.filter(F.col(col).isNotNull()).select(
+                null_l.alias("_l"),
+                F.lit(None).cast(dict(u2.dtypes)["_k"]).alias("_k"),
+                F.lit(0).alias("_is_left"),
+                F.col(col).alias("_v"),
+                F.col("_bkt"),
+                F.lit(seq).alias("_seq"),
+            )
+
+        u3 = u2.unionByName(_ghost("_gb", 0).select(*u2.columns)).unionByName(
+            _ghost("_gf", 2).select(*u2.columns)
+        )
+        w = Window.partitionBy("_bkt")
+        wo = w.orderBy(
+            F.col("_seq").asc(), F.col("_k").asc_nulls_last(), F.col("_is_left")
+        )
+        back = F.last("_v", ignorenulls=True).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wo_desc = w.orderBy(
+            F.col("_seq").desc(),
+            F.col("_k").desc_nulls_last(),
+            (1 - F.col("_is_left")),
+        )
+        fwd = F.last("_v", ignorenulls=True).over(
+            wo_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ext = F.broadcast(
+            cur.agg(
+                F.min("_du").alias("_du_min"),
+                F.max("_du").alias("_du_max"),
+                F.min_by("_tx", "_du").alias("_tx_min"),
+                F.max_by("_tx", "_du").alias("_tx_max"),
+            )
+        )
+        joined = (
+            u3.select("_l", "_k", "_is_left", back.alias("_j"), fwd.alias("_kk"))
+            .filter(F.col("_is_left") == 1)
+            .crossJoin(ext)
+        )
 
     du = F.col("_k").cast("double")
     du_j = F.col("_j._du").cast("double")

@@ -18,14 +18,18 @@ Implementation: tag-and-union + ordered window:
    unbounded following;
 4. keep left rows, unpack the matched struct.
 
-Scale notes: the whole operator is ONE shuffle (window partitioning by
+Scale notes: the grouped operator is ONE shuffle (window partitioning by
 the group key) — same cost as any grouped aggregation, AQE-skew-safe.
 Left columns ride inside a struct so arbitrary schemas can't collide.
-When the right side is a small dimension (a yield curve, a rate series),
-prefer partitioning by a group key so work distributes; an ungrouped
-as-of over a huge left table degrades to a single-partition window — for
-that case pre-bucket the key (e.g. join on coarse time buckets) or use
-:mod:`pyield_spark.curves.interpolate` which groups by curve date.
+
+The UNGROUPED case (``by=None``) does NOT degrade to a single-partition
+window: the union is range-partitioned on the ordering key, the window
+runs per range bucket, and bucket boundaries are stitched with "ghost"
+carrier rows — per bucket, the best right row from preceding (backward)
+/ following (forward) buckets, computed from a tiny per-bucket aggregate
+and a window over #buckets rows. Two shuffles total, both distributed;
+``tests/test_bucketing.py`` asserts the plan contains no single-partition
+Exchange. Null ordering keys never match (Polars ``join_asof`` parity).
 """
 
 from __future__ import annotations
@@ -102,13 +106,92 @@ def asof_join(
         F.lit(1)
     )
 
-    w = Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
-    w = w.orderBy(*order, tag_order)
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    matched = F.last("_v", ignorenulls=True).over(wf)
+    if by_cols:
+        w = Window.partitionBy(*by_cols).orderBy(*order, tag_order)
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last("_v", ignorenulls=True).over(wf)
+        matched = F.when(F.col("_k").isNotNull(), matched)
+        out = unioned.select("_l", "_k", "_is_left", matched.alias("_m")).filter(
+            F.col("_is_left") == 1
+        )
+    else:
+        # --- distributed ungrouped as-of: value-derived range buckets +
+        # ghost stitch. Bucket boundaries are EXACT percentiles of the
+        # right-side keys (small: a rate series), broadcast to every row
+        # — bucket identity is a pure function of the key value, so
+        # re-computation, AQE coalescing, or exchange reuse cannot
+        # misalign buckets. One hash shuffle for the bucketed window; the
+        # stitch works on per-bucket aggregates (≤ #buckets rows). ---
+        try:
+            n_buckets = int(
+                unioned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except (TypeError, ValueError):
+            n_buckets = 32
+        n_buckets = max(n_buckets, 2)
 
-    out = unioned.select("_l", "_is_left", matched.alias("_m")).filter(
-        F.col("_is_left") == 1
-    )
+        def _numeric(c):
+            if key_t == "date":
+                return F.datediff(c, F.lit("1970-01-01")).cast("double")
+            return c.cast("double")
+
+        fracs = F.array(
+            *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+        )
+        bnds = right_tagged.agg(
+            F.percentile(_numeric(F.col("_k")), fracs).alias("_b")
+        )
+        kn = F.col("_kn")
+        u2 = (
+            unioned.crossJoin(F.broadcast(bnds))
+            .withColumn("_kn", _numeric(F.col("_k")))
+            .withColumn(
+                "_bkt",
+                F.when(kn.isNull(), F.lit(-1)).otherwise(
+                    F.size(F.filter(F.col("_b"), lambda b: b <= kn))
+                ),
+            )
+            .select("_l", "_k", "_kn", "_is_left", "_v", "_bkt")
+            .withColumn("_seq", F.lit(1))
+        )
+        # best right row per bucket (right keys assumed unique, as in
+        # every rate-series use; duplicate right keys pick an arbitrary
+        # row, same as the base window's tie behavior)
+        rights = u2.filter(F.col("_is_left") == 0)
+        if strategy == "backward":
+            per_b = rights.groupBy("_bkt").agg(
+                F.max_by("_v", F.col("_kn")).alias("_pv")
+            )
+            wp = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+            carry = F.last("_pv", ignorenulls=True)
+        else:
+            per_b = rights.groupBy("_bkt").agg(
+                F.min_by("_v", F.col("_kn")).alias("_pv")
+            )
+            wp = Window.orderBy("_bkt").rowsBetween(1, Window.unboundedFollowing)
+            carry = F.first("_pv", ignorenulls=True)
+        spine = u2.select("_bkt").distinct().join(per_b, "_bkt", "left")
+        ghosts = (
+            spine.select("_bkt", carry.over(wp).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .select(
+                F.lit(None).cast(left_tagged.schema["_l"].dataType).alias("_l"),
+                F.lit(None).cast(key_t).alias("_k"),
+                F.lit(None).cast("double").alias("_kn"),
+                F.lit(0).alias("_is_left"),
+                F.col("_v"),
+                F.col("_bkt"),
+                F.lit(0).alias("_seq"),  # sorts before every real row
+            )
+        )
+        u3 = u2.unionByName(ghosts.select(*u2.columns))
+        w = Window.partitionBy("_bkt").orderBy(F.col("_seq").asc(), *order, tag_order)
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last("_v", ignorenulls=True).over(wf)
+        matched = F.when(F.col("_k").isNotNull(), matched)
+        out = u3.select("_l", "_k", "_is_left", matched.alias("_m")).filter(
+            F.col("_is_left") == 1
+        )
+
     left_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     return out.select(*left_cols, *[F.col(f"_m.{v}").alias(v) for v in values])
