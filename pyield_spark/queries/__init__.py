@@ -47,6 +47,7 @@ def load_all() -> None:
         events,
         extras,
         fixed_income,
+        leiloes,
         llm_data,
     )
 
