@@ -66,6 +66,33 @@ def lft_cotacao_expr(dias_uteis: str | Column, taxa: str | Column) -> Column:
     return truncar_expr(F.lit(1.0) / fator, 6)
 
 
+def ntnbp_cotacao_expr(dias_uteis: str | Column, taxa: str | Column) -> Column:
+    """NTN-B Principal quote factor: trunc6((1+taxa)^-trunc14(du/252)).
+
+    Unlike the LTN/LFT chains, the reference applies NO trunc8 to the
+    input rate here (pyield/tpf/titulos/ntnbp.py:14-40 uses ``taxa_tir``
+    raw in the discount factor).
+    """
+    t = F.col(taxa) if isinstance(taxa, str) else taxa
+    fator = F.pow(F.lit(1.0) + t, anos_uteis_expr(dias_uteis))
+    return truncar_expr(F.lit(1.0) / fator, 6)
+
+
+def ntnbp_dv01_expr(
+    dias_uteis: str | Column, taxa: str | Column, pu: str | Column
+) -> Column:
+    """NTN-B Principal DV01 = pu·(1 − (1+t)^au / (1+t+1bp)^au)
+    (pyield/tpf/titulos/ntnbp.py:119-154). The bumped rate is NOT
+    re-truncated, unlike the LTN repricing path.
+    """
+    t = F.col(taxa) if isinstance(taxa, str) else taxa
+    p = F.col(pu) if isinstance(pu, str) else pu
+    au = anos_uteis_expr(dias_uteis)
+    f0 = F.pow(F.lit(1.0) + t, au)
+    f1 = F.pow(F.lit(1.0) + t + F.lit(0.0001), au)
+    return p * (F.lit(1.0) - f0 / f1)
+
+
 def pu_from_vna_expr(vna: str | Column, cotacao: str | Column) -> Column:
     """PU = trunc6(trunc6(vna)·trunc6(cotação)) (ntnb.py:316-324).
 

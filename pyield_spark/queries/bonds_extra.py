@@ -154,6 +154,84 @@ def q_lft_pricing(spark, sf_dir):
     )
 
 
+# === NTN-B Principal: single-flow VNA-linked zero (ntnbp.py) ==============
+
+_NTNBP_COT = trunc_sql(
+    f"1.0 / power(1 + taxa, {trunc_sql('dias_uteis / 252.0', 14)})", 6
+)
+
+
+@query(
+    "q_ntnbp_pricing",
+    oracle=f"""
+    WITH {_CAL},
+    bonds AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS liq,
+             CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                  + TO_MONTHS(CAST(30 + (o_orderkey % 6) * 12 AS INT)) AS DATE) + 14 AS ven,
+             round(0.04 + (o_orderkey % 350) / 10000.0, 6) AS taxa,
+             round(3000 + (o_orderkey % 90000) / 100.0, 6) AS vna
+      FROM orders WHERE o_orderkey % 61 = 0
+    ),
+    wdu AS (
+      SELECT b.*, CAST({bd_count_sql("b.liq", "b.ven")} AS BIGINT) AS dias_uteis
+      FROM bonds b
+      JOIN cal cs ON cs.data = b.liq
+      JOIN cal ce ON ce.data = b.ven
+    ),
+    quoted AS (
+      SELECT *, {_NTNBP_COT} AS cotacao FROM wdu
+    ),
+    priced AS (
+      SELECT *, {_PU_CHAIN} AS pu FROM quoted
+    )
+    SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, pu,
+           {pround_sql(
+               "pu * (1 - power(1 + taxa, " + trunc_sql("dias_uteis / 252.0", 14) + ")"
+               " / power(1 + taxa + 0.0001, " + trunc_sql("dias_uteis / 252.0", 14) + "))",
+               6,
+           )} AS dv01
+    FROM priced
+    """,
+)
+def q_ntnbp_pricing(spark, sf_dir):
+    """NTN-B Principal full chain: du → cotação → VNA·cotação PU → DV01.
+
+    Reference: pyield/tpf/titulos/ntnbp.py:14-63 (cotacao/pu),
+    :119-154 (dv01). Single-flow zero — no explode needed; the whole
+    chain is narrow column arithmetic after one broadcast calendar join.
+    """
+    from pyield_spark.bonds.pricing import ntnbp_cotacao_expr, ntnbp_dv01_expr
+    from pyield_spark.functions.numbers import pround_expr
+
+    od = tables(spark, sf_dir, "orders")
+    bonds = od.filter(F.col("o_orderkey") % 61 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("liq"),
+        F.date_add(
+            F.add_months(
+                F.date_trunc("month", "o_orderdate").cast("date"),
+                F.lit(30) + (F.col("o_orderkey") % 6).cast("int") * 12,
+            ),
+            14,
+        ).alias("ven"),
+        F.round(F.lit(0.04) + (F.col("o_orderkey") % 350) / 10000.0, 6).alias("taxa"),
+        F.round(F.lit(3000) + (F.col("o_orderkey") % 90000) / 100.0, 6).alias("vna"),
+    )
+    bonds = du_mod.contar(bonds, "liq", "ven", alias="dias_uteis")
+    out = (
+        bonds.withColumn("cotacao", ntnbp_cotacao_expr("dias_uteis", "taxa"))
+        .withColumn("pu", pu_from_vna_expr("vna", "cotacao"))
+        .withColumn(
+            "dv01", pround_expr(ntnbp_dv01_expr("dias_uteis", "taxa", "pu"), 6)
+        )
+    )
+    return out.select(
+        "o_orderkey", "liq", "ven", "taxa", "vna", "dias_uteis", "cotacao", "pu", "dv01"
+    )
+
+
 # === NTN-C: per-row coupon convention incl. the 2031 12% exception ========
 
 from pyield_spark.queries.oracle_helpers import calendar_cte as _calendar_cte

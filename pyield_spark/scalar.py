@@ -91,6 +91,35 @@ def ntnb_cotacao(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float
     return truncar(total, 6)
 
 
+def ntnbp_cotacao(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float) -> float:
+    """NTN-B Principal quote (pyield/tpf/titulos/ntnbp.py:14-40):
+    trunc6((1+taxa)^-trunc14(du/252)) — no trunc8 on the input rate."""
+    du = du_mod.contar_scalar(data_liquidacao, data_vencimento)
+    if du is None:
+        return float("nan")
+    au = truncar(du / 252.0, 14)
+    return truncar(1.0 / (1.0 + taxa) ** au, 6)
+
+
+def ntnbp_pu(vna: float, cotacao: float) -> float:
+    """NTN-B Principal PU = trunc6(vna·cotacao) (ntnbp.py:43-63) —
+    computed on the exact decimal grid like pu_from_vna."""
+    return pu_from_vna(vna, cotacao)
+
+
+def ntnbp_dv01(
+    data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float, pu: float
+) -> float:
+    """NTN-B Principal DV01 (ntnbp.py:119-154): pu·(1 − f/f_1bp)."""
+    du = du_mod.contar_scalar(data_liquidacao, data_vencimento)
+    if du is None:
+        return float("nan")
+    au = truncar(du / 252.0, 14)
+    f0 = (1.0 + taxa) ** au
+    f1 = (1.0 + taxa + 0.0001) ** au
+    return pu * (1.0 - f0 / f1)
+
+
 def pu_from_vna(vna: float, cotacao: float) -> float:
     """Exact-decimal outer truncation — see pu_from_vna_expr rationale."""
     from decimal import ROUND_FLOOR, Decimal

@@ -52,3 +52,43 @@ def test_pu_from_vna_parity():
     assert scalar.pu_from_vna(4738.922274, 0.886713) == scalar.truncar(
         scalar.truncar(4738.922274, 6) * scalar.truncar(0.886713, 6), 6
     )
+
+
+def test_ntnbp_scalar_goldens():
+    # reference doctest goldens: pyield/tpf/titulos/ntnbp.py:30-33,55-58,140-146
+    liq, ven = dt.date(2025, 12, 2), dt.date(2029, 5, 15)
+    cot = scalar.ntnbp_cotacao(liq, ven, 0.0777)
+    assert cot == 0.77463
+    pu = scalar.ntnbp_pu(4567.033825, cot)
+    assert pu == 3537.761411
+    assert scalar.ntnbp_dv01(liq, ven, 0.0777, pu) == 1.120055806382451
+
+
+def test_ntnbp_scalar_matches_dataframe(spark):
+    from pyield_spark.bonds.pricing import (
+        ntnbp_cotacao_expr,
+        ntnbp_dv01_expr,
+        pu_from_vna_expr,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        (dt.date(2025, 12, 2), dt.date(2029, 5, 15), 0.0777, 4567.033825),
+        (dt.date(2024, 3, 8), dt.date(2031, 5, 15), 0.0612, 4321.123456),
+    ]
+    df = spark.createDataFrame(cases, "liq DATE, ven DATE, taxa DOUBLE, vna DOUBLE")
+    df = du.contar(df, "liq", "ven")
+    rows = (
+        df.withColumn("cotacao", ntnbp_cotacao_expr("dias_uteis", "taxa"))
+        .withColumn("pu", pu_from_vna_expr("vna", "cotacao"))
+        .withColumn("dv01", ntnbp_dv01_expr("dias_uteis", "taxa", "pu"))
+        .collect()
+    )
+    for r in rows:
+        assert r.cotacao == scalar.ntnbp_cotacao(r.liq, r.ven, r.taxa)
+        assert r.pu == scalar.ntnbp_pu(r.vna, r.cotacao)
+        # raw dv01 involves pow whose last ulp differs JVM vs libm;
+        # the query-level bound is pround6 — assert at that grain
+        assert scalar._pround(r.dv01, 6) == scalar._pround(
+            scalar.ntnbp_dv01(r.liq, r.ven, r.taxa, r.pu), 6
+        )
