@@ -857,3 +857,196 @@ def q_rollup_revenue(spark, sf_dir):
         F.count("*").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
     )
+
+
+# === CPM option-ticker dissection + COPOM-calendar composition ============
+# Reference: pyield/selic/cpm.py:286-341 (string dissection + calendar
+# join + du count) over pyield/selic/copom.py:118-171 (ExpiryDate =
+# next business day after EndDate). The densest string pipeline in the
+# reference: option type at char 7, strike field chars 8-13 (//10 -
+# 10000 bps), meeting month letter at char 4 via the B3 month-code
+# alphabet, 2-digit year at chars 5-6 (+2000).
+
+import datetime as _dt_cpm
+
+from pyield_spark.queries.oracle_helpers import calendar_cte as _cal_cte_cpm
+
+_CPM_CAL = _cal_cte_cpm(_dt_cpm.date(2024, 1, 1), _dt_cpm.date(2027, 1, 31))
+_MONTH_ALPHABET = "FGHJKMNQUVXZ"
+# 8 meetings per year (COPOM cadence); months 2 and 4 deliberately NOT
+# in the calendar so some tickers exercise the left join's null path
+_MEETING_MONTHS = (1, 3, 5, 6, 8, 9, 11, 12)
+_TICKER_MONTHS = _MEETING_MONTHS + (2, 4)
+
+
+def _cpm_month_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {m}" for i, m in enumerate(_TICKER_MONTHS)
+    )
+    return f"CASE CAST(o_orderkey % 10 AS INT) {whens} END"
+
+
+_CPM_ORACLE = f"""
+    WITH {_CPM_CAL},
+    base AS (
+      SELECT o_orderkey,
+             {_cpm_month_case_sql()} AS mth,
+             CAST(2024 + (o_orderkey % 3) AS INT) AS yr
+      FROM orders WHERE o_orderkey % 29 = 0
+    ),
+    tick AS (
+      SELECT o_orderkey,
+             'CPM' || substr('{_MONTH_ALPHABET}', mth, 1)
+               || lpad(CAST(yr - 2000 AS VARCHAR), 2, '0')
+               || (CASE WHEN o_orderkey % 2 = 0 THEN 'C' ELSE 'P' END)
+               || lpad(CAST((10000 + ((o_orderkey % 33) - 16) * 25) * 10
+                            + (o_orderkey % 7) AS VARCHAR), 6, '0')
+               AS codigo_negociacao,
+             DATE '2024-01-02' AS data_referencia
+      FROM base
+    ),
+    dis AS (
+      SELECT o_orderkey, codigo_negociacao, data_referencia,
+        CASE substr(codigo_negociacao, 7, 1)
+          WHEN 'C' THEN 'call' WHEN 'P' THEN 'put' END AS tipo_opcao,
+        CAST(CAST(substr(codigo_negociacao, 8, 6) AS BIGINT) // 10 - 10000 AS INT)
+          AS variacao_strike_bps,
+        CAST(instr('{_MONTH_ALPHABET}', substr(codigo_negociacao, 4, 1)) AS INT)
+          AS _mes_reuniao,
+        CAST(CAST(substr(codigo_negociacao, 5, 2) AS INT) + 2000 AS INT)
+          AS _ano_reuniao
+      FROM tick
+    ),
+    meetings AS (
+      SELECT CAST(y AS INT) AS _ano_reuniao, CAST(m AS INT) AS _mes_reuniao,
+             make_date(CAST(y AS INT), CAST(m AS INT),
+                       CAST(10 + (m % 5) * 2 AS INT)) AS data_fim_reuniao
+      FROM generate_series(2024, 2026) t(y),
+           (VALUES {", ".join(f"({m})" for m in _MEETING_MONTHS)}) mm(m)
+    ),
+    meet_exp AS (
+      SELECT mt._ano_reuniao, mt._mes_reuniao, mt.data_fim_reuniao,
+             be.data AS data_expiracao
+      FROM meetings mt
+      JOIN cal c ON c.data = mt.data_fim_reuniao
+      LEFT JOIN bdinv be ON be.regime = 'novo' AND be.ordinal = c.cum_nov + 1
+    ),
+    joined AS (
+      SELECT d.*, m.data_fim_reuniao, m.data_expiracao
+      FROM dis d
+      LEFT JOIN meet_exp m
+        ON d._mes_reuniao = m._mes_reuniao AND d._ano_reuniao = m._ano_reuniao
+    )
+    SELECT j.o_orderkey, j.codigo_negociacao, j.data_referencia,
+           j.data_fim_reuniao, j.data_expiracao, j.tipo_opcao,
+           j.variacao_strike_bps,
+           {pround_sql("100.0 * power(0.99, (j.variacao_strike_bps + 400) / 25.0)", 6)}
+             AS preco_ajuste,
+           CAST(ce.cum_nov - cs.cum_nov AS INT) AS dias_uteis
+    FROM joined j
+    LEFT JOIN cal cs ON cs.data = j.data_referencia
+    LEFT JOIN cal ce ON ce.data = j.data_expiracao
+"""
+
+
+@query("q_cpm_dissect", oracle=_CPM_ORACLE)
+def q_cpm_dissect(spark, sf_dir):
+    """CPM composite: synthetic 13-char tickers → pure-string dissection
+    → COPOM-calendar left join → ExpiryDate = next business day after
+    the meeting end → business-day count to expiry.
+
+    Output schema mirrors pyield/selic/cpm.py:344-353 (the table that
+    feeds pyield/selic/probabilities.py — the batch twin q_copom_probs
+    consumes exactly these columns). All string work is JVM-side
+    (substring/instr/lpad); both joins broadcast a tiny dimension.
+    """
+    from pyield_spark import du as _du
+
+    od = tables(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 29 == 0)
+    month_map = F.array(*[F.lit(m) for m in _TICKER_MONTHS])
+    base = od.select(
+        "o_orderkey",
+        F.element_at(month_map, (F.col("o_orderkey") % 10).cast("int") + 1).alias("mth"),
+        (F.lit(2024) + F.col("o_orderkey") % 3).cast("int").alias("yr"),
+    )
+    strike_field = (
+        (F.lit(10000) + ((F.col("o_orderkey") % 33) - 16) * 25) * 10
+        + F.col("o_orderkey") % 7
+    )
+    tick = base.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("CPM"),
+            F.substring(F.lit(_MONTH_ALPHABET), F.col("mth"), F.lit(1)),
+            F.lpad((F.col("yr") - 2000).cast("string"), 2, "0"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("C")).otherwise(F.lit("P")),
+            F.lpad(strike_field.cast("string"), 6, "0"),
+        ).alias("codigo_negociacao"),
+        F.lit(_dt_cpm.date(2024, 1, 2)).alias("data_referencia"),
+    )
+    # --- dissection: the query under test (cpm.py:286-311) ---
+    dis = (
+        tick.withColumn(
+            "tipo_opcao",
+            F.when(F.substring("codigo_negociacao", 7, 1) == "C", "call")
+            .when(F.substring("codigo_negociacao", 7, 1) == "P", "put"),
+        )
+        .withColumn(
+            "variacao_strike_bps",
+            (
+                F.floor(F.substring("codigo_negociacao", 8, 6).cast("bigint") / 10)
+                - 10000
+            ).cast("int"),
+        )
+        .withColumn(
+            "_mes_reuniao",
+            F.expr(
+                f"instr('{_MONTH_ALPHABET}', substring(codigo_negociacao, 4, 1))"
+            ).cast("int"),
+        )
+        .withColumn(
+            "_ano_reuniao",
+            (F.substring("codigo_negociacao", 5, 2).cast("int") + 2000).cast("int"),
+        )
+    )
+    # --- COPOM meeting dimension (copom.py:118-171), expiry via deslocar ---
+    meetings = (
+        spark.range(2024, 2027)
+        .select(F.col("id").cast("int").alias("_ano_reuniao"))
+        .crossJoin(
+            spark.range(len(_MEETING_MONTHS)).select(
+                F.element_at(
+                    F.array(*[F.lit(m) for m in _MEETING_MONTHS]),
+                    F.col("id").cast("int") + 1,
+                ).alias("_mes_reuniao")
+            )
+        )
+        .withColumn(
+            "data_fim_reuniao",
+            F.make_date(
+                F.col("_ano_reuniao"),
+                F.col("_mes_reuniao"),
+                (F.lit(10) + (F.col("_mes_reuniao") % 5) * 2).cast("int"),
+            ),
+        )
+    )
+    meetings = _du.deslocar(
+        meetings, "data_fim_reuniao", 1, "forward", alias="data_expiracao"
+    ).select("_ano_reuniao", "_mes_reuniao", "data_fim_reuniao", "data_expiracao")
+    out = dis.join(
+        F.broadcast(meetings), ["_mes_reuniao", "_ano_reuniao"], "left"
+    )
+    out = _du.contar(out, "data_referencia", "data_expiracao", alias="_du_raw")
+    return out.select(
+        "o_orderkey",
+        "codigo_negociacao",
+        "data_referencia",
+        "data_fim_reuniao",
+        "data_expiracao",
+        "tipo_opcao",
+        "variacao_strike_bps",
+        pround_expr(
+            100.0 * F.pow(F.lit(0.99), (F.col("variacao_strike_bps") + 400) / 25.0), 6
+        ).alias("preco_ajuste"),
+        F.col("_du_raw").cast("int").alias("dias_uteis"),
+    )

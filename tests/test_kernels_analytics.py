@@ -194,3 +194,28 @@ def test_curva_pre_composition(spark, sf_dir):
         seen[key] = r.fonte
     assert any(f == "LTN" for f in seen.values())
     assert any(f == "NTN-B" for f in seen.values())
+
+
+def test_cpm_dissect_composition(spark):
+    """Ticker dissection recovers the encoded fields; unmatched meeting
+    months (2, 4) exercise the COPOM left join's null path; expiry is
+    the next business day after the meeting end."""
+    from pyield_spark.queries.analytics import q_cpm_dissect
+
+    rows = q_cpm_dissect(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    matched = [r for r in rows if r.data_expiracao is not None]
+    unmatched = [r for r in rows if r.data_expiracao is None]
+    assert matched, "calendar join produced no matches"
+    for r in rows:
+        k = r.o_orderkey
+        assert len(r.codigo_negociacao) == 13
+        assert r.tipo_opcao == ("call" if k % 2 == 0 else "put")
+        assert r.variacao_strike_bps == ((k % 33) - 16) * 25
+    for r in matched:
+        assert r.data_expiracao > r.data_fim_reuniao
+        assert r.dias_uteis is not None and r.dias_uteis > 0
+    for r in unmatched:
+        # months 2 and 4 are not COPOM months in the synthetic calendar
+        assert r.codigo_negociacao[3] in ("G", "J")
+        assert r.dias_uteis is None
