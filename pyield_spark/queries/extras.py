@@ -45,18 +45,46 @@ def q_intersect_except(spark, sf_dir):
     return both.unionByName(only_high)
 
 
-# === approximate aggregates (Spark-native; estimator-specific values →
-# rows-only check, but exact companions are asserted via the oracle-less
-# invariant in tests) ======================================================
+# === approximate aggregates, error-bound-checked under the hash gate ======
+# Sketch values (HLL++, KLL) are estimator-specific, so raw outputs can
+# never hash-match another engine. Instead the query emits the EXACT
+# companions plus booleans asserting the sketches landed inside their
+# published error bounds; the oracle emits the exact values and TRUE.
+# A sketch drifting out of bounds flips a boolean and fails the gate —
+# the bound check itself is driver-verified.
 
 
-@query("q_approx_stats")
+@query(
+    "q_approx_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_parts_within_2pct,
+           TRUE AS approx_median_within_decile
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_stats(spark, sf_dir):
     li = tables(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_median"),
+        # exact p45/p55 bracket for the approx median (rank error at
+        # accuracy=1000 is ≤0.1% of ranks — a decile bracket is safe)
+        F.percentile("l_extendedprice", 0.45).alias("_p45"),
+        F.percentile("l_extendedprice", 0.55).alias("_p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            <= 0.02 * F.col("exact_parts")
+        ).alias("approx_parts_within_2pct"),
+        F.col("_approx_median").between(F.col("_p45"), F.col("_p55")).alias(
+            "approx_median_within_decile"
+        ),
     )
 
 
