@@ -38,6 +38,7 @@ def interpolar(
     method: str = "flat_forward",
     extrapolar: bool = False,
     alias: str = "taxa_interpolada",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Attach an interpolated-rate column to ``targets``.
 
@@ -48,6 +49,12 @@ def interpolar(
             date). None = single curve for all targets.
         method: "flat_forward" or "linear".
         extrapolar: long-end behavior (True → last rate, False → null).
+        order_col: optional arrival-order column on ``curve`` (e.g. an
+            ingestion timestamp). When given, duplicate (group, du)
+            vertices resolve to the LATEST by this column — the
+            reference's keep='last' on revised-vertex feeds. When None,
+            the deterministic keep-max-rate stand-in applies (arrival
+            order is undefined on a distributed table).
     """
     if method not in ("flat_forward", "linear"):
         raise ValueError("method must be 'flat_forward' or 'linear'")
@@ -57,14 +64,20 @@ def interpolar(
         *[F.col(c) for c in by_cols],
         F.col(curve_du).cast("long").alias("_du"),
         F.col(curve_rate).cast("double").alias("_tx"),
+        *([F.col(order_col).alias("_ord")] if order_col else []),
     ).filter(
         F.col("_du").isNotNull() & F.col("_tx").isNotNull() & ~F.isnan(F.col("_tx"))
     )
-    # dedupe (group, du): deterministic keep-max-rate stand-in for the
-    # reference's arrival-order keep='last' (arrival order is undefined on
-    # a distributed table; any deterministic pick preserves the contract
-    # that one vertex survives per (group, du)).
-    cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
+    # dedupe (group, du): keep='last' by order_col when provided
+    # (max_by mirrors the reference's arrival-order semantics); else a
+    # deterministic keep-max-rate stand-in — either way exactly one
+    # vertex survives per (group, du).
+    if order_col:
+        cur = cur.groupBy(*by_cols, "_du").agg(
+            F.max_by("_tx", F.col("_ord")).alias("_tx")
+        )
+    else:
+        cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
 
     # ---- union + dual window ----
     tgt = targets.select(

@@ -23,12 +23,24 @@ def salted_join(
     """Equi-join with the big side scattered across ``num_salts``.
 
     ``small`` is exploded ``num_salts``× (keep it genuinely small);
-    output columns match a plain ``big.join(small, on, how)``.
+    output columns match a plain ``big.join(small, on, how)``. Only
+    inner/left joins are supported: the replicated small side would
+    emit unmatched small rows once per salt under right/full outer.
+
+    The salt is a hash of the big side's full row, not rand(): stable
+    under AQE stage re-execution, and it still scatters a hot key's
+    rows because the non-key columns vary.
     """
     if num_salts < 1:
         raise ValueError("num_salts must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the small side is replicated per salt, so right/full outer "
+            "would duplicate unmatched small-side rows"
+        )
     big_s = big.withColumn(
-        "_salt", (F.rand(seed=42) * num_salts).cast("int")
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))

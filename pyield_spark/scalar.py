@@ -30,15 +30,29 @@ def truncar(x: float, decimals: int) -> float:
     return math.copysign(math.floor(abs(x) * s), x) / s
 
 
+def _add_months(d: dt.date, months: int) -> dt.date:
+    """Spark add_months semantics: day clamps to the target month's end."""
+    import calendar as _cal
+
+    m = d.month + months
+    y = d.year + (m - 1) // 12
+    m = (m - 1) % 12 + 1
+    return dt.date(y, m, min(d.day, _cal.monthrange(y, m)[1]))
+
+
 def _payment_dates(liq: dt.date, ven: dt.date, interval_months: int = 6) -> list[dt.date]:
+    # each date derives from VEN directly (add_months(ven, -i*interval)),
+    # exactly like the vector path in bonds/cashflows.py — an iterative
+    # month walk would drift after a month-end clamp (Aug 31 → Feb 28 →
+    # Aug 28), breaking scalar/vector parity for day-29-31 maturities
     out = []
-    d = ven
-    while d > liq:
+    i = 0
+    while True:
+        d = _add_months(ven, -i * interval_months)
+        if d <= liq:
+            break
         out.append(d)
-        m = d.month - interval_months
-        y = d.year + (m - 1) // 12
-        m = (m - 1) % 12 + 1
-        d = d.replace(year=y, month=m)
+        i += 1
     return sorted(out)
 
 

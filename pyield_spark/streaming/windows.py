@@ -32,20 +32,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (read-only) events file is staged under the repo's gitignored
     stream-cache dir.
     """
+    import hashlib
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # stage dir keyed by the ABSOLUTE source path (basename alone would
+    # collide for two sf_dirs with the same leaf name and silently keep
+    # a stale symlink to the wrong data)
+    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    key = hashlib.sha1(target.encode()).hexdigest()[:12]
     stage = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".stream_cache",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{key}",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    try:
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    except FileExistsError:
-        pass
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

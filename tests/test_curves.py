@@ -93,3 +93,24 @@ def test_asof_backward_forward(spark):
         ).collect()
     }
     assert fx == {1: 1.0, 2: 2.0, 3: None}
+
+
+def test_dedupe_keep_last_by_order_col(spark):
+    """order_col resolves duplicate vertices to the latest arrival
+    (reference keep='last'), not the max rate."""
+    from pyield_spark.curves.interpolate import interpolar
+
+    curve = spark.createDataFrame(
+        [
+            ("c", 10, 0.10, 1),
+            ("c", 10, 0.05, 2),  # revised DOWN later — must win
+            ("c", 20, 0.20, 1),
+        ],
+        "g STRING, dias_uteis INT, taxa DOUBLE, ord INT",
+    )
+    tgt = spark.createDataFrame([("c", 10)], "g STRING, dias_uteis INT")
+    got = interpolar(tgt, curve, by="g", order_col="ord").collect()
+    assert got[0].taxa_interpolada == 0.05
+    # without order_col the deterministic stand-in keeps the max rate
+    got2 = interpolar(tgt, curve.drop("ord"), by="g").collect()
+    assert got2[0].taxa_interpolada == 0.10

@@ -123,3 +123,19 @@ def test_salted_join_matches_plain(spark, sf_dir):
     a = salted.groupBy("p_brand").count().collect()
     b = plain.groupBy("p_brand").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest
+    from pyield_spark.operators.skew import salted_join
+
+    li = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    sm = spark.createDataFrame([(1, "x")], "k INT, w STRING")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(li, sm, on="k", how="full")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(li, sm, on="k", how="right")
+    # left keeps unmatched big-side rows exactly once
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    got = salted_join(big, sm, on="k", how="left", num_salts=4).collect()
+    assert sorted((r.k, r.w) for r in got) == [(1, "x"), (2, None)]

@@ -92,3 +92,19 @@ def test_ntnbp_scalar_matches_dataframe(spark):
         assert scalar._pround(r.dv01, 6) == scalar._pround(
             scalar.ntnbp_dv01(r.liq, r.ven, r.taxa, r.pu), 6
         )
+
+
+def test_payment_dates_month_end_clamp(spark):
+    """Day-31 maturity: scalar schedule must equal the vector
+    add_months walk (clamp to month end, each step from maturity)."""
+    from pyield_spark.bonds.cashflows import explode_payment_dates
+    from pyield_spark.scalar import _payment_dates
+
+    liq, ven = dt.date(2024, 1, 10), dt.date(2026, 8, 31)
+    df = spark.createDataFrame([(liq, ven)], "liq DATE, ven DATE")
+    vec = sorted(
+        r.data_pagamento
+        for r in explode_payment_dates(df, "liq", "ven", 6).collect()
+    )
+    assert _payment_dates(liq, ven, 6) == vec
+    assert dt.date(2025, 2, 28) in vec  # the clamped step
