@@ -196,3 +196,50 @@ def slice_text_table(
         .filter(F.size("fields") >= n_cols)
     )
     return out.select("_idx", "fields")
+
+
+def read_odata_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S7: BCB OData CSV scan — NO type inference, the literal strings
+    'null' and '' both normalize to SQL null (reference:
+    pyield/bc/_olinda.py:29-33 ``read_csv(infer_schema=False,
+    null_values=["null", ""])``).
+
+    All columns come back as strings; typing is the silver layer's job
+    (the reference's modules cast after this bronze read too).
+    """
+    raw = spark.read.csv(path, header=True, inferSchema=False)
+    cleaned = [
+        F.when(F.col(c).isin("null", ""), F.lit(None)).otherwise(F.col(c)).alias(c)
+        for c in raw.columns
+    ]
+    return raw.select(*cleaned)
+
+
+def read_ibge_json(spark: SparkSession, path: str) -> DataFrame:
+    """S9: IBGE aggregate-API JSON → (periodo, valor) frame (reference:
+    pyield/ipca/historico.py:37-54).
+
+    The payload nests a dynamic-key dict at
+    ``[0].resultados[0].series[0].serie`` ({ "YYYYMM": "value", ... }).
+    Schema inference would explode that into one struct field per
+    period, so the dict is extracted as a JSON string and parsed as a
+    map — then exploded to rows. Fully distributed: one file per row in
+    the text scan, no driver-side JSON parsing.
+    """
+    raw = spark.read.text(path, wholetext=True)
+    serie = F.get_json_object(
+        "value", "$[0].resultados[0].series[0].serie"
+    ).alias("_serie")
+    out = (
+        raw.select(serie)
+        .select(
+            F.explode(F.from_json("_serie", "map<string,string>")).alias(
+                "periodo", "valor"
+            )
+        )
+        .select(
+            F.col("periodo").cast("long").alias("periodo"),
+            F.col("valor").cast("double").alias("valor"),
+        )
+    )
+    return out

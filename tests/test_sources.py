@@ -171,3 +171,46 @@ def test_html_tables(spark, tmp_path):
     assert [r.table_idx for r in rows] == [0, 0, 0, 1]
     assert rows[0].cells == ["ISIN", "PU"]
     assert rows[2].cells == ["BRSTNCNTB123", "4.123,45"]
+
+
+def test_odata_csv(spark, tmp_path):
+    p = tmp_path / "olinda.csv"
+    p.write_text(
+        "cotacaoCompra;cotacaoVenda;dataHoraCotacao\n",
+        encoding="utf-8",
+    )
+    # OData CSV is comma-separated with 'null' literals and empties
+    p.write_text(
+        "cotacaoCompra,cotacaoVenda,dataHoraCotacao\n"
+        "5.1234,null,2024-01-02 13:00:00\n"
+        ",5.4321,2024-01-03 13:00:00\n",
+        encoding="utf-8",
+    )
+    from pyield_spark.sources.readers import read_odata_csv
+
+    rows = read_odata_csv(spark, str(p)).orderBy("dataHoraCotacao").collect()
+    assert [r.cotacaoCompra for r in rows] == ["5.1234", None]
+    assert [r.cotacaoVenda for r in rows] == [None, "5.4321"]
+    # bronze discipline: every column is a plain string
+    assert all(
+        f.dataType.simpleString() == "string"
+        for f in read_odata_csv(spark, str(p)).schema.fields
+    )
+
+
+def test_ibge_json(spark, tmp_path):
+    p = tmp_path / "ipca.json"
+    p.write_text(
+        '[{"id":"6691","resultados":[{"classificacoes":[],'
+        '"series":[{"localidade":{"id":"1"},'
+        '"serie":{"202401":"0.42","202402":"0.83","202403":"-0.12"}}]}]}]',
+        encoding="utf-8",
+    )
+    from pyield_spark.sources.readers import read_ibge_json
+
+    rows = read_ibge_json(spark, str(p)).orderBy("periodo").collect()
+    assert [(r.periodo, r.valor) for r in rows] == [
+        (202401, 0.42),
+        (202402, 0.83),
+        (202403, -0.12),
+    ]
