@@ -352,21 +352,28 @@ def ntnb_taxas_zero(
     # explode-and-aggregate; trunc6-decimal output is engine-exact)
     from pyield_spark.bonds.pricing import ntnb_cotacao
 
+    # dias_uteis/taxa_tir/_le_first ride along as extra group keys (they
+    # are functions of (by, data_vencimento), so the group count is
+    # unchanged) — joining precos back to grid would re-execute the
+    # whole interpolation lineage a second time (measured 2× the
+    # exchanges and ~1.9× the wall-clock at sf0.1)
     precos = ntnb_cotacao(
-        grid.select(*by_cols, "_liq", "data_vencimento", "taxa_tir"),
-        id_cols=by_cols + ["data_vencimento"],
+        grid.select(
+            *by_cols,
+            "_liq",
+            "data_vencimento",
+            "dias_uteis",
+            "taxa_tir",
+            (F.col("data_vencimento") <= F.col("_first_ven")).alias("_le_first"),
+        ),
+        id_cols=by_cols + ["data_vencimento", "dias_uteis", "taxa_tir", "_le_first"],
         settlement="_liq",
         maturity="data_vencimento",
         taxa="taxa_tir",
         alias="_cot",
     )
-    full = grid.join(precos, on=by_cols + ["data_vencimento"]).select(
-        *by_cols,
-        "data_vencimento",
-        "dias_uteis",
-        "taxa_tir",
-        "_cot",
-        (F.col("data_vencimento") <= F.col("_first_ven")).alias("_le_first"),
+    full = precos.select(
+        *by_cols, "data_vencimento", "dias_uteis", "taxa_tir", "_cot", "_le_first"
     )
 
     by_schema = ", ".join(
