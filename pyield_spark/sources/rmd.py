@@ -1,0 +1,152 @@
+"""K8/S10: RMD "aba 1.3" hierarchical-label parser over a CSV re-export.
+
+The reference parses the STN RMD spreadsheet's tab 1.3 with a Python
+state machine over the label column (pyield/tpf/rmd/_aba_1_3.py:27-107):
+section headers ("I - EMISSÕES"/"II - RESGATES") open a *grupo*,
+IGNORE-prefixed labels close it, subgroup labels ("Vendas", "Trocas",
+"Tesouro Direto…", …) set a *subgrupo*, and bond-family labels emit data
+rows classified (grupo, subgrupo, titulo); month columns come from the
+period header row ("Jan/24" → 2024-01-01, _common.py:24-35), values
+scale ×1e6 rounded 2dp, zero/null dropped.
+
+The Excel lib is out of this environment, so the byte-level xlsx decode
+stays out of scope (documented, COVERAGE.md §2.1); this module parses
+the same grid from a semicolon-separated re-export and keeps ALL the
+hierarchical-label logic — re-expressed Spark-first:
+
+- the state machine is two FILL-DOWN windows (last section marker /
+  last subgroup marker at or before each row), partitioned by source
+  file so a directory of monthly RMDs parses in parallel;
+- the month unpivot is a posexplode joined to the (tiny, broadcast)
+  parsed period header.
+
+No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_TITULOS = ("LFT", "LTN", "NTN-B", "NTN-B1", "NTN-F", "NTN-C", "NTN-D", "Demais")
+_SECOES = {"I - EMISSÕES": "Emissões", "II - RESGATES": "Resgates"}
+_SUBGRUPOS = ("Vendas", "Trocas", "Vencimentos", "Compras")
+_SUBGRUPO_TD = "Tesouro Direto"
+_SUBGRUPOS_DIRETOS = (
+    "Transferência de Carteira",
+    "Emissão Direta com Financeiro",
+    "Emissão Direta sem Financeiro",
+    "Pagamento de Dividendos",
+    "Cancelamentos",
+)
+_PREFIXOS_IGNORAR = ("IMPACTO", "OPERAÇÕES", "III -", "RESGATE")
+_MESES_PT = {
+    "Jan": 1, "Fev": 2, "Mar": 3, "Abr": 4, "Mai": 5, "Jun": 6,
+    "Jul": 7, "Ago": 8, "Set": 9, "Out": 10, "Nov": 11, "Dez": 12,
+}
+
+_LINHA_PERIODOS = 2
+_LINHA_INICIO_DADOS = _LINHA_PERIODOS + 1
+
+
+def _starts_with_any(col, prefixes) -> F.Column:
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | col.startswith(p)
+    return out
+
+
+def read_rmd_13_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
+    """Parse RMD tab-1.3 re-export(s) into the reference's long frame:
+    (source_file, periodo, grupo, subgrupo, titulo, valor)."""
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("_file"),
+        F.col("value"),
+        F.monotonically_increasing_id().alias("_idx"),
+    )
+    # per-file row number (monotonic ids order within a file's partition)
+    wf = Window.partitionBy("_file").orderBy("_idx")
+    raw = raw.withColumn("_row", F.row_number().over(wf) - 1)
+    fields = raw.withColumn("fields", F.split("value", sep))
+
+    # --- period header: row 2, columns 1.. ; "Mes/yy" → date -------------
+    mes_map = F.create_map(
+        *[x for k, v in _MESES_PT.items() for x in (F.lit(k), F.lit(v))]
+    )
+    per = (
+        fields.filter(F.col("_row") == _LINHA_PERIODOS)
+        .select(
+            "_file",
+            F.posexplode(F.slice("fields", 2, 10000)).alias("_mcol", "_plabel"),
+        )
+        .withColumn("_plabel", F.trim("_plabel"))
+        .withColumn("_mes", mes_map[F.split("_plabel", "/")[0]])
+        .withColumn("_ano", F.split("_plabel", "/")[1].cast("int") + 2000)
+        .filter(F.col("_mes").isNotNull() & F.col("_ano").isNotNull())
+        .select(
+            "_file",
+            "_mcol",
+            F.make_date("_ano", "_mes", F.lit(1)).alias("periodo"),
+        )
+    )
+
+    # --- hierarchical label classification: fill-down windows ------------
+    data = fields.filter(
+        (F.col("_row") >= _LINHA_INICIO_DADOS)
+        & (F.trim(F.col("fields")[0]) != "")
+    )
+    c = F.trim(F.col("fields")[0])
+    sec_map = F.create_map(
+        *[x for k, v in _SECOES.items() for x in (F.lit(k), F.lit(v))]
+    )
+    data = data.withColumn("_c", c).withColumn(
+        "_grupo_marker",
+        F.when(sec_map[c].isNotNull(), sec_map[c]).when(
+            _starts_with_any(c, _PREFIXOS_IGNORAR), F.lit("")
+        ),
+    )
+    # subgroup markers reset ("") at every section/ignore boundary so the
+    # fill-down below never leaks a subgroup across sections
+    data = data.withColumn(
+        "_sub_marker",
+        F.when(F.col("_grupo_marker").isNotNull(), F.lit(""))
+        .when(c.isin(*_SUBGRUPOS), c)
+        .when(c.startswith(_SUBGRUPO_TD), F.lit(_SUBGRUPO_TD)),
+    )
+    fill = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data = data.withColumn(
+        "grupo", F.coalesce(F.last("_grupo_marker", ignorenulls=True).over(fill), F.lit(""))
+    ).withColumn(
+        "subgrupo", F.coalesce(F.last("_sub_marker", ignorenulls=True).over(fill), F.lit(""))
+    )
+
+    direto = F.coalesce(
+        *[
+            F.when(c.startswith(p), F.lit(p))
+            for p in _SUBGRUPOS_DIRETOS
+        ]
+    )
+    rows = data.filter(F.col("grupo") != "").withColumn(
+        "titulo", F.when(c.isin(*_TITULOS), c)
+    ).withColumn("_direto", direto)
+    rows = rows.filter(F.col("titulo").isNotNull() | F.col("_direto").isNotNull())
+    rows = rows.withColumn(
+        "subgrupo", F.coalesce(F.col("_direto"), F.col("subgrupo"))
+    )
+
+    # --- month unpivot: posexplode value columns, join the period map ----
+    long = rows.select(
+        "_file",
+        "grupo",
+        "subgrupo",
+        "titulo",
+        F.posexplode(F.slice("fields", 2, 10000)).alias("_mcol", "_vraw"),
+    ).join(F.broadcast(per), ["_file", "_mcol"])
+    out = long.select(
+        F.col("_file").alias("source_file"),
+        "periodo",
+        "grupo",
+        "subgrupo",
+        "titulo",
+        F.bround(F.trim("_vraw").cast("double") * 1_000_000, 2).alias("valor"),
+    )
+    return out.filter(F.col("valor").isNotNull() & (F.col("valor") != 0))

@@ -214,3 +214,49 @@ def test_ibge_json(spark, tmp_path):
         (202402, 0.83),
         (202403, -0.12),
     ]
+
+
+def test_rmd_13_hierarchical_labels(spark, tmp_path):
+    """K8 state machine over the RMD 1.3 grid re-export: section fill-
+    down, subgroup reset at section boundaries, direct-subgroup prefix
+    rows, IGNORE prefixes closing a section, month unpivot, 1e6 scale,
+    zero/null dropped."""
+    p = tmp_path / "rmd_13.csv"
+    p.write_text(
+        "RELATÓRIO MENSAL DA DÍVIDA;;;\n"
+        "Tabela 1.3;;;\n"
+        "Categoria;Jan/24;Fev/24;Acumulado\n"
+        "I - EMISSÕES;;;\n"
+        "Vendas;;;\n"
+        "LTN;1.5;2.5;4.0\n"
+        "NTN-B;0.25;0;0.25\n"
+        "Trocas;;;\n"
+        "LFT;3.0;;3.0\n"
+        "Transferência de Carteira¹;0.5;0.75;1.25\n"
+        "IMPACTO TOTAL;9.9;9.9;9.9\n"
+        "LTN;7.7;7.7;7.7\n"
+        "II - RESGATES;;;\n"
+        "Vencimentos;;;\n"
+        "NTN-F;4.25;5.5;9.75\n",
+        encoding="utf-8",
+    )
+    from pyield_spark.sources.rmd import read_rmd_13_csv
+
+    got = {
+        (r.periodo.isoformat(), r.grupo, r.subgrupo, r.titulo): r.valor
+        for r in read_rmd_13_csv(spark, str(p)).collect()
+    }
+    assert got == {
+        # "Acumulado" column is not a parsable period → dropped
+        ("2024-01-01", "Emissões", "Vendas", "LTN"): 1500000.0,
+        ("2024-02-01", "Emissões", "Vendas", "LTN"): 2500000.0,
+        ("2024-01-01", "Emissões", "Vendas", "NTN-B"): 250000.0,
+        # Fev NTN-B is 0 → dropped
+        ("2024-01-01", "Emissões", "Trocas", "LFT"): 3000000.0,
+        # Fev LFT empty → null → dropped
+        ("2024-01-01", "Emissões", "Transferência de Carteira", None): 500000.0,
+        ("2024-02-01", "Emissões", "Transferência de Carteira", None): 750000.0,
+        # LTN after IMPACTO: section closed → dropped
+        ("2024-01-01", "Resgates", "Vencimentos", "NTN-F"): 4250000.0,
+        ("2024-02-01", "Resgates", "Vencimentos", "NTN-F"): 5500000.0,
+    }
