@@ -173,7 +173,15 @@ def interpolar(
             F.max_by("_v", F.col("_k")).alias("_bv"),
             F.min_by("_v", F.col("_k")).alias("_fv"),
         )
-        spine = u2.select("_bkt").distinct().join(per_b, "_bkt", "left")
+        # static bucket domain 0..n_buckets-1 (pure function of the
+        # broadcast percentiles): enumerating beats a distinct() that
+        # shuffles every row and re-runs the whole input lineage; ghosts
+        # in empty buckets are no-ops
+        spine = (
+            unioned.sparkSession.range(0, n_buckets)
+            .select(F.col("id").cast("int").alias("_bkt"))
+            .join(per_b, "_bkt", "left")
+        )
         wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
         wf_ = Window.orderBy("_bkt").rowsBetween(1, Window.unboundedFollowing)
         carried = spine.select(

@@ -170,7 +170,16 @@ def asof_join(
             )
             wp = Window.orderBy("_bkt").rowsBetween(1, Window.unboundedFollowing)
             carry = F.first("_pv", ignorenulls=True)
-        spine = u2.select("_bkt").distinct().join(per_b, "_bkt", "left")
+        # bucket domain is statically 0..n_buckets-1 (a pure function of
+        # the broadcast percentile array) — enumerating it avoids a
+        # distinct() that would both shuffle every row AND re-execute the
+        # whole left lineage a second time; ghosts for empty buckets are
+        # harmless (_is_left=0 rows are filtered at the end)
+        spine = (
+            unioned.sparkSession.range(0, n_buckets)
+            .select(F.col("id").cast("int").alias("_bkt"))
+            .join(per_b, "_bkt", "left")
+        )
         ghosts = (
             spine.select("_bkt", carry.over(wp).alias("_v"))
             .filter(F.col("_v").isNotNull())
