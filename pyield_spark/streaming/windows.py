@@ -149,6 +149,11 @@ def enrich_with_batch_ops(spark: SparkSession, sf_dir: str, name: str) -> DataFr
     is enriched with the business-day engine (eh_dia_util on the event
     date), exactly the reference's intraday-snapshot enrichment pattern
     (pyield/futuro/intradia.py:143-172) restated on a real stream.
+
+    DEMO-ONLY HARNESS: the driver-side list sink below exists so tests
+    can assert replay-equals-batch on a bounded stream. A production
+    ``foreachBatch`` writes each micro-batch to a real sink
+    (``batch_df.write...``) — never accumulates on the driver.
     """
     from pyield_spark import du as du_mod
 

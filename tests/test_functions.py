@@ -59,3 +59,28 @@ def test_multi_format_dates(spark):
     got = [r.d for r in df.select(converter_datas_expr("s").alias("d")).collect()]
     assert got[:3] == [dt.date(2024, 7, 5)] * 3
     assert got[3] is None
+
+
+def test_relogio_tz(spark):
+    """F14: agora/hoje pin to America/Sao_Paulo on both the scalar and
+    the Column path, regardless of the session timezone."""
+    import datetime as dt
+
+    from pyield_spark import relogio
+
+    now = relogio.agora()
+    assert str(now.tzinfo) == "America/Sao_Paulo"
+    assert relogio.hoje() == now.date() or abs(
+        (relogio.hoje() - now.date()).days
+    ) <= 1
+
+    row = spark.range(1).select(
+        relogio.agora_expr().alias("agora"), relogio.hoje_expr().alias("hoje")
+    ).collect()[0]
+    # Spark returns naive wall-clock datetimes in the session tz; the
+    # expression converts to the B3 wall clock, so it must be within
+    # clock skew of the scalar twin's wall time
+    skew = abs(row.agora - now.replace(tzinfo=None))
+    assert skew <= dt.timedelta(minutes=2)
+    assert row.hoje in (now.date(), now.date() - dt.timedelta(days=1),
+                        now.date() + dt.timedelta(days=1))
