@@ -1,0 +1,55 @@
+"""Projected VNA (pró-rata exponencial) — the reference's tpf/vna package.
+
+STN precision chain (pyield/tpf/vna/_utils.py:38-65): base VNA trunc6,
+projection percentage round half-even 2dp, calendar-day exponent
+trunc14, result trunc6. Vigência windows differ per family
+(ntnb.py:78-88 day-15 → day-15; ntnc.py:103-107 day-1 → day-1).
+
+All pure column arithmetic — no UDFs, no joins (the exponent uses
+calendar days, not business days).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from pyield_spark.functions.numbers import truncar_expr
+
+
+def vigencia_expr(data: str | Column, day_start: int = 15) -> tuple[Column, Column]:
+    """(inicio, fim) of the monthly vigência containing ``data``.
+
+    day_start=15: NTN-B IPCA windows (15th → 15th, ntnb.py:78-88);
+    day_start=1: NTN-C IGP-M windows (1st → 1st, ntnc.py:103-107).
+    """
+    d = F.to_date(F.col(data) if isinstance(data, str) else data)
+    anchor = F.make_date(F.year(d), F.month(d), F.lit(day_start))
+    if day_start == 1:
+        inicio = anchor
+    else:
+        inicio = F.when(F.dayofmonth(d) >= day_start, anchor).otherwise(
+            F.add_months(anchor, -1)
+        )
+    # add_months keeps the day for day 1/15 (no month-end clamp in range)
+    return inicio, F.add_months(inicio, 1)
+
+
+def vna_projetado_expr(
+    data: str | Column,
+    vna_base: str | Column,
+    inflacao_pct: str | Column,
+    day_start: int = 15,
+) -> Column:
+    """Projected VNA at ``data``: trunc6(trunc6(base) ·
+    (1 + bround2(pct)/100)^trunc14(dias_corridos/dias_vigencia))
+    (pyield/tpf/vna/_utils.py:38-65 + ntnb.py:91-139)."""
+    d = F.to_date(F.col(data) if isinstance(data, str) else data)
+    base = F.col(vna_base) if isinstance(vna_base, str) else vna_base
+    pct = F.col(inflacao_pct) if isinstance(inflacao_pct, str) else inflacao_pct
+    inicio, fim = vigencia_expr(d, day_start)
+    expoente = truncar_expr(
+        F.datediff(d, inicio).cast("double") / F.datediff(fim, inicio), 14
+    )
+    variacao = F.bround(pct, 2) / 100.0
+    valor = truncar_expr(base, 6) * F.pow(F.lit(1.0) + variacao, expoente)
+    return truncar_expr(valor, 6)

@@ -379,3 +379,83 @@ def q_ntnb1_schedule(spark, sf_dir):
             "valor_presente"
         ),
     )
+
+
+# === projected VNA (pró-rata exponencial, tpf/vna package) ================
+# Vigência windows per family (NTN-B day-15→15, NTN-C day-1→1), STN
+# precision chain trunc6 → bround2 → trunc14 → trunc6. Pure column
+# arithmetic over calendar days — no joins at all.
+
+_VNAP_EXPOENTE = trunc_sql(
+    "CAST(datediff('day', inicio, data) AS DOUBLE) / datediff('day', inicio, fim)", 14
+)
+
+
+@query(
+    "q_vna_projetado",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS data,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'NTN-B' ELSE 'NTN-C' END AS familia,
+             round(1500 + (o_orderkey % 200000) / 100.0, 6) AS vna_base,
+             round((o_orderkey % 120) / 100.0 - 0.1, 2) AS inflacao_pct
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    vig AS (
+      SELECT *,
+        CASE WHEN familia = 'NTN-C' THEN CAST(date_trunc('month', data) AS DATE)
+             WHEN day(data) >= 15 THEN make_date(year(data), month(data), 15)
+             ELSE CAST(make_date(year(data), month(data), 15) - TO_MONTHS(1) AS DATE)
+        END AS inicio
+      FROM base
+    ),
+    vig2 AS (
+      SELECT *, CAST(inicio + TO_MONTHS(1) AS DATE) AS fim FROM vig
+    )
+    SELECT o_orderkey, data, familia, vna_base, inflacao_pct, inicio, fim,
+           {trunc_sql(
+               trunc_sql("vna_base", 6)
+               + " * power(1 + round_even(inflacao_pct, 2) / 100.0, "
+               + _VNAP_EXPOENTE + ")",
+               6,
+           )} AS vna_projetado
+    FROM vig2
+    """,
+)
+def q_vna_projetado(spark, sf_dir):
+    """Projected VNA per family over the orders panel — NTN-B 15→15
+    vigências and NTN-C 1→1 in one per-row dispatch
+    (pyield/tpf/vna/ntnb.py:91-139, ntnc.py:110-158, _utils.py:38-65)."""
+    from pyield_spark.bonds.vna import vigencia_expr, vna_projetado_expr
+
+    od = tables(spark, sf_dir, "orders")
+    base = od.filter(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("data"),
+        F.when(F.col("o_orderkey") % 2 == 0, "NTN-B").otherwise("NTN-C").alias(
+            "familia"
+        ),
+        F.round(F.lit(1500) + (F.col("o_orderkey") % 200000) / 100.0, 6).alias(
+            "vna_base"
+        ),
+        F.round((F.col("o_orderkey") % 120) / 100.0 - 0.1, 2).alias("inflacao_pct"),
+    )
+    ib, fb = vigencia_expr("data", 15)
+    ic, fc = vigencia_expr("data", 1)
+    is_c = F.col("familia") == "NTN-C"
+    base = base.withColumn("inicio", F.when(is_c, ic).otherwise(ib)).withColumn(
+        "fim", F.when(is_c, fc).otherwise(fb)
+    )
+    proj_b = vna_projetado_expr("data", "vna_base", "inflacao_pct", 15)
+    proj_c = vna_projetado_expr("data", "vna_base", "inflacao_pct", 1)
+    return base.select(
+        "o_orderkey",
+        "data",
+        "familia",
+        "vna_base",
+        "inflacao_pct",
+        "inicio",
+        "fim",
+        F.when(is_c, proj_c).otherwise(proj_b).alias("vna_projetado"),
+    )

@@ -144,6 +144,25 @@ def pu_from_vna(vna: float, cotacao: float) -> float:
     return float(prod.scaleb(6).to_integral_value(rounding=ROUND_FLOOR).scaleb(-6))
 
 
+def vna_projetado(data: dt.date, vna_base: float, inflacao_pct: float,
+                  day_start: int = 15) -> float:
+    """Projected VNA (pyield/tpf/vna/ntnb.py:91-139, ntnc.py:110-158,
+    _utils.py:38-65): vigência window per family, STN precision chain
+    trunc6/bround2/trunc14/trunc6."""
+    if day_start == 1:
+        inicio = data.replace(day=1)
+        fim = _add_months(inicio, 1)
+    elif data.day >= day_start:
+        inicio = data.replace(day=day_start)
+        fim = _add_months(inicio, 1)
+    else:
+        fim = data.replace(day=day_start)
+        inicio = _add_months(fim, -1)
+    expoente = truncar((data - inicio).days / (fim - inicio).days, 14)
+    variacao = _bround(inflacao_pct, 2) / 100.0
+    return truncar(truncar(vna_base, 6) * (1 + variacao) ** expoente, 6)
+
+
 def _pround(x: float, decimals: int) -> float:
     """Portable half-away round — twin of pround_expr/pround_sql."""
     s = float(10**decimals)

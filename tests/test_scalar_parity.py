@@ -108,3 +108,40 @@ def test_payment_dates_month_end_clamp(spark):
     )
     assert _payment_dates(liq, ven, 6) == vec
     assert dt.date(2025, 2, 28) in vec  # the clamped step
+
+
+def test_vna_projetado_goldens():
+    # reference doctests: tpf/vna/ntnb.py:124-131, tpf/vna/ntnc.py:143-150
+    assert scalar.vna_projetado(dt.date(2026, 6, 15), 4731.856412, 0.45) == 4731.856412
+    assert scalar.vna_projetado(dt.date(2026, 6, 30), 4731.856412, 0.45) == 4742.491138
+    assert scalar.vna_projetado(dt.date(2008, 5, 21), 1726.9264599, 0.464) == 1728.461136
+    assert (
+        scalar.vna_projetado(dt.date(2026, 6, 1), 6693.537239, 0.30, day_start=1)
+        == 6693.537239
+    )
+    assert (
+        scalar.vna_projetado(dt.date(2026, 6, 16), 6693.537239, 0.30, day_start=1)
+        == 6703.570025
+    )
+    assert (
+        scalar.vna_projetado(dt.date(2008, 5, 21), 2102.8055189, 1.754, day_start=1)
+        == 2126.473734
+    )
+
+
+def test_vna_projetado_scalar_matches_dataframe(spark):
+    from pyield_spark.bonds.vna import vna_projetado_expr
+
+    cases = [
+        (dt.date(2026, 6, 30), 4731.856412, 0.45, 15),
+        (dt.date(2026, 6, 10), 4731.856412, 0.45, 15),  # day < 15 branch
+        (dt.date(2008, 5, 21), 2102.8055189, 1.754, 1),
+    ]
+    for data, base, pct, ds in cases:
+        df = spark.createDataFrame(
+            [(data, base, pct)], "data DATE, base DOUBLE, pct DOUBLE"
+        )
+        got = df.select(
+            vna_projetado_expr("data", "base", "pct", day_start=ds).alias("v")
+        ).collect()[0].v
+        assert got == scalar.vna_projetado(data, base, pct, day_start=ds)
