@@ -119,3 +119,111 @@ def lsh_bucket_expr(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         )
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse codebook → inverted lists → probe → rescore.
+
+    The codebook is the ``n_centroids`` lowest-id vectors (deterministic
+    on any engine — real deployments would k-means offline and broadcast
+    the result; the plumbing is identical). Every vector is assigned to
+    its nearest centroid in ONE broadcast pass (cost N·C, the standard
+    IVF coarse quantization — C stays small). A query probes its
+    ``n_probe`` nearest lists and rescores exactly ONLY inside them: the
+    candidate join is an equi-join on the list id, so the pair space is
+    ~N·n_probe/C per query instead of N — linear and shuffle-pruned at
+    100 TB, with `cosine_topk` as the bounded exact rescorer.
+
+    Scores are portably rounded (6dp) before ranking with id tie-breaks,
+    so assignment, probing and the final top-k are bit-stable across
+    engines.
+    """
+    from pyspark.sql import Window
+
+    from pyield_spark.functions.numbers import pround_expr
+
+    base = emb.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+
+    cents = (
+        base.orderBy("_vid")
+        .limit(n_centroids)
+        .select(
+            F.col("_vid").alias("_cid"),
+            F.col("_vec").alias("_cvec"),
+            F.col("_norm2").alias("_cnorm2"),
+        )
+    )
+
+    def _score(vec, norm2):
+        return pround_expr(
+            dot_dec(vec, F.col("_cvec"))
+            / (F.sqrt(norm2) * F.sqrt(F.col("_cnorm2"))),
+            6,
+        )
+
+    wassign = Window.partitionBy("_vid").orderBy(
+        F.col("_cscore").desc(), F.col("_cid").asc()
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_cscore", _score(F.col("_vec"), F.col("_norm2")))
+        .withColumn("_crn", F.row_number().over(wassign))
+        .filter(F.col("_crn") == 1)
+        .select("_vid", "_vec", "_norm2", "_cid")
+    )
+
+    queries = base.filter(
+        query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
+    ).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm2").alias("_qnorm2"),
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_cscore", _score(F.col("_qvec"), F.col("_qnorm2")))
+        .withColumn(
+            "_crn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cscore").desc(), F.col("_cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("_crn") <= n_probe)
+        .select("query_id", "_qvec", "_qnorm2", "_cid")
+    )
+
+    cand = probes.join(assigned, "_cid").filter(F.col("_vid") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine",
+        pround_expr(
+            dot_dec(F.col("_qvec"), F.col("_vec"))
+            / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
+            6,
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_vid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("_vid").alias("neighbor_id"),
+            F.col("_cid").alias("list_id"),
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -112,3 +112,53 @@ def h32_expr(s: str | Column) -> Column:
     """Portable 32-bit hash: first 8 hex digits of md5 as integer."""
     c = F.col(s) if isinstance(s, str) else s
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def mean_word_len_expr(text: str | Column) -> Column:
+    """Mean token length: non-whitespace chars / token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    return chars.cast("double") / token_count_expr(c)
+
+
+def own_lang_stopword_hits_expr(text: str | Column, lang: str | Column) -> Column:
+    """Stopword hits against the document's OWN language list (0 for
+    languages without a list — e.g. zh — which a stopword rule then
+    drops, the Gopher behavior for unsupported scripts)."""
+    lg = F.col(lang) if isinstance(lang, str) else lang
+    out = F.lit(0)
+    for code, words in STOPWORDS.items():
+        out = F.when(lg == code, stopword_hits_expr(text, words)).otherwise(out)
+    return out
+
+
+def gopher_rules(
+    text: str | Column,
+    lang: str | Column,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_punct_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style quality-filter rule set (Rae et al. 2021 §A1.1
+    heuristics, re-expressed as pure column predicates). Returns the
+    individual rule booleans plus the conjunction ``keep`` — emit the
+    booleans, not just the filter, so downstream can audit WHY a
+    document dropped (the standard data-pipeline practice)."""
+    n_tok = token_count_expr(text)
+    mwl = mean_word_len_expr(text)
+    pr = punct_ratio_expr(text)
+    sw = own_lang_stopword_hits_expr(text, lang)
+    rules = {
+        "rule_n_tokens": n_tok.between(min_tokens, max_tokens),
+        "rule_word_len": (mwl >= min_word_len) & (mwl <= max_word_len),
+        "rule_punct": pr <= max_punct_ratio,
+        "rule_stopwords": sw >= min_stopword_hits,
+    }
+    keep = F.lit(True)
+    for r in rules.values():
+        keep = keep & r
+    rules["keep"] = keep
+    return rules

@@ -369,3 +369,142 @@ def q_embedding_neardup(spark, sf_dir):
         ),
     )
     return scored.filter(F.col("cosine") >= 0.2).select("id_a", "id_b", "cosine")
+
+
+# === IVF-bucketed ANN (the indexed scale path next to sign-LSH) ===========
+
+_IVF_DOT_QB = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+    " i -> q.v[i] * b.v[i])), (a, b) -> a + b)"
+)
+_IVF_DOT_VC = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+    " i -> n.v[i] * c.v[i])), (a, b) -> a + b)"
+)
+
+
+@query(
+    "q_ivf_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (a, b) -> a + b) AS norm2
+      FROM base
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v, norm2 FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM norms
+      ) WHERE crn <= 16
+    ),
+    assign AS (
+      SELECT vec_id, v, norm2, cid FROM (
+        SELECT n.vec_id, n.v, n.norm2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM norms n CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v, norm2, cid FROM (
+        SELECT n.vec_id, n.v, n.norm2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM norms n CROSS JOIN cents c
+        WHERE n.vec_id % 100 = 0
+      ) WHERE arn <= 4
+    ),
+    cand AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id, q.cid AS list_id,
+        {pround_sql(_IVF_DOT_QB + " / (sqrt(q.norm2) * sqrt(b.norm2))", 6)} AS cosine
+      FROM probes q JOIN assign b ON b.cid = q.cid AND b.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, list_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN over the embeddings table: 16-list codebook, 4-probe
+    search, exact in-list rescore (see operators/similarity.py::ivf_topk
+    for the 100 TB design)."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    )
+
+
+# === Gopher-style quality filter composition ==============================
+
+_SW_LISTS_SQL = {
+    "en": "['the','a','of','and','to','in','is','it','for','on']",
+    "es": "['el','la','de','y','que','en','un','es','por','los']",
+    "fr": "['le','la','de','et','que','en','un','est','pour','les']",
+    "de": "['der','die','das','und','zu','in','ein','ist','mit','von']",
+    "pt": "['o','a','de','e','que','em','um','para','com','os']",
+}
+_SW_OWN = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{code}' THEN len(list_filter({_TOKS}, t -> list_contains({lst}, t)))"
+        for code, lst in _SW_LISTS_SQL.items()
+    )
+    + " ELSE 0 END"
+)
+_MWL = (
+    f"length(regexp_replace(trim(text), '\\s+', '', 'g'))"
+    f" / CAST(len({_TOKS}) AS DOUBLE)"
+)
+_PR = "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH rules AS (
+      SELECT doc_id, lang,
+        CAST(len({_TOKS}) AS INT) AS n_tokens,
+        {pround_sql(_MWL, 6)} AS mean_word_len,
+        {pround_sql(_PR, 6)} AS punct_ratio,
+        CAST({_SW_OWN} AS INT) AS own_stopword_hits,
+        (len({_TOKS}) BETWEEN 30 AND 100000) AS rule_n_tokens,
+        ({_MWL} >= 3.0 AND {_MWL} <= 10.0) AS rule_word_len,
+        ({_PR} <= 0.1) AS rule_punct,
+        ({_SW_OWN} >= 2) AS rule_stopwords
+      FROM documents
+    )
+    SELECT *, (rule_n_tokens AND rule_word_len AND rule_punct AND rule_stopwords)
+              AS keep
+    FROM rules
+    """,
+)
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style keep/drop audit per document: every rule boolean is
+    emitted (not just the filter) so a 100 TB run can attribute drops;
+    downstream keeps with ``df.filter("keep")`` — a pushed-down scan
+    predicate, zero shuffles."""
+    docs = tables(spark, sf_dir, "documents")
+    rules = tx.gopher_rules("text", "lang")
+    from pyield_spark.functions.numbers import pround_expr
+
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count_expr("text").cast("int").alias("n_tokens"),
+        pround_expr(tx.mean_word_len_expr("text"), 6).alias("mean_word_len"),
+        pround_expr(tx.punct_ratio_expr("text"), 6).alias("punct_ratio"),
+        tx.own_lang_stopword_hits_expr("text", "lang").cast("int").alias(
+            "own_stopword_hits"
+        ),
+        *[rules[r].alias(r) for r in
+          ("rule_n_tokens", "rule_word_len", "rule_punct", "rule_stopwords", "keep")],
+    )

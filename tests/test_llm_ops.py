@@ -139,3 +139,37 @@ def test_salted_join_rejects_outer(spark, sf_dir):
     big = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
     got = salted_join(big, sm, on="k", how="left", num_salts=4).collect()
     assert sorted((r.k, r.w) for r in got) == [(1, "x"), (2, None)]
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with 4/16 probes recovers most of the exact top-5 (recall
+    sanity on fixed data), and every returned cosine equals the exact
+    brute-force score for that pair."""
+    from pyield_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    def recall(n_probe):
+        approx = ivf_topk(
+            emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=n_probe
+        ).collect()
+        assert approx, "ivf returned nothing"
+        # scores must be the exact cosine whenever the pair is in the
+        # exact top-5 (the rescore is exact, only the candidate set is
+        # approximate)
+        for r in approx:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact:
+                assert r.cosine == exact[key]
+        return sum((r.query_id, r.neighbor_id) in exact for r in approx) / len(exact)
+
+    # synthetic embeddings are near-orthogonal random vectors — the worst
+    # case for any bucketed ANN; 4/16 probes must still beat the 25%
+    # list-coverage floor, and probing more lists (a superset) can only
+    # improve recall
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.3, f"recall below coverage floor: {r4}"
+    assert r8 >= r4, f"recall not monotone in probes: {r8} < {r4}"
