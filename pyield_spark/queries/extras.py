@@ -257,3 +257,137 @@ def q_rentabilidade(spark, sf_dir):
         ),
         pround_expr(premio_bps_expr("taxa_titulo", "taxa_di"), 4).alias("premio_bps"),
     )
+
+
+# === BCB repo auctions (compromissadas) silver pipeline ===================
+# Reference: pyield/selic/compromissada.py:43-62 over the S7 OData CSV
+# discipline (bc/_olinda.py): BR-number taxa parsing (taxa_br =
+# float_br/100 round10, _internal/br_numbers.py:7-40), business-day term
+# between settlement and return, zero-volume null-out/zero-out, sort
+# keys (data_leilao, hora_inicio, tipo_oferta). The bronze strings are
+# synthesized integer-exactly from orders so both engines parse the
+# SAME text.
+
+import datetime as _dt_comp
+
+from pyield_spark import du as _du_comp
+from pyield_spark.functions.numbers import br_num_expr, pround_expr
+from pyield_spark.queries.fixed_income import _CAL as _CAL_COMP
+from pyield_spark.queries.oracle_helpers import bd_count_sql, pround_sql
+
+
+_COMP_TAXA_STR = (
+    "concat(CAST((800 + o_orderkey % 700) // 100 AS VARCHAR), ',',"
+    " lpad(CAST((800 + o_orderkey % 700) % 100 AS VARCHAR), 2, '0'))"
+)
+_COMP_PCT_STR = (
+    "concat(CAST((o_orderkey % 10000) // 100 AS VARCHAR), ',',"
+    " lpad(CAST((o_orderkey % 10000) % 100 AS VARCHAR), 2, '0'))"
+)
+_PARSE_BR = "CAST(replace(replace({s}, '.', ''), ',', '.') AS DOUBLE)"
+
+
+@query(
+    "q_compromissadas",
+    oracle=f"""
+    WITH {_CAL_COMP},
+    bronze AS (
+      SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS data_leilao,
+        CASE WHEN o_orderkey % 2 = 0 THEN '09:00' ELSE '12:00' END AS hora_inicio,
+        CAST(1 + o_orderkey % 120 AS BIGINT) AS prazo_dc,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'Tomador'
+             ELSE concat('Compromissada ', CAST(1000 + o_orderkey % 100 AS VARCHAR))
+        END AS tipo_oferta,
+        CAST(CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                  ELSE 40000 + o_orderkey % 5000 END AS BIGINT) AS comunicado,
+        CAST(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                  ELSE (o_orderkey * 37) % 1000000000 END AS BIGINT) AS volume_aceito,
+        {_COMP_TAXA_STR} AS taxa_corte_str,
+        {_COMP_PCT_STR} AS pct_corte_str
+      FROM orders WHERE o_orderkey % 19 = 0
+    ),
+    dated AS (
+      SELECT b.*,
+        CAST(b.data_leilao + TO_DAYS(CAST(b.o_orderkey % 2 AS INT)) AS DATE)
+          AS data_liquidacao,
+        CAST(b.data_leilao + TO_DAYS(CAST(b.o_orderkey % 2 AS INT))
+             + TO_DAYS(CAST(b.prazo_dc AS INT)) AS DATE) AS data_retorno
+      FROM bronze b
+    )
+    SELECT d.o_orderkey, d.data_leilao, d.data_liquidacao, d.data_retorno,
+      d.hora_inicio, d.prazo_dc,
+      CAST({bd_count_sql("d.data_liquidacao", "d.data_retorno")} AS BIGINT)
+        AS prazo_du,
+      d.comunicado, d.tipo_oferta,
+      1000.0 * d.volume_aceito AS financeiro_aceito,
+      CASE WHEN d.volume_aceito = 0 THEN NULL
+           ELSE {pround_sql(_PARSE_BR.format(s="d.taxa_corte_str") + " / 100.0", 10)}
+      END AS taxa_corte,
+      CASE WHEN d.volume_aceito = 0 THEN 0.0
+           ELSE 100.0 - {_PARSE_BR.format(s="d.pct_corte_str")}
+      END AS pct_aceito
+    FROM dated d
+    JOIN cal cs ON cs.data = d.data_liquidacao
+    JOIN cal ce ON ce.data = d.data_retorno
+    """,
+)
+def q_compromissadas(spark, sf_dir):
+    """BCB repo-auction silver pipeline: bronze BR-formatted strings →
+    typed columns, du term, zero-volume dispatch — the compromissada.py
+    _processar_df single-select, Spark-first."""
+    k = F.col("o_orderkey")
+    od = tables(spark, sf_dir, "orders").filter(k % 19 == 0)
+    cents_t = F.lit(800) + k % 700
+    cents_p = k % 10000
+    bronze = od.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("data_leilao"),
+        F.when(k % 2 == 0, "09:00").otherwise("12:00").alias("hora_inicio"),
+        (F.lit(1) + k % 120).alias("prazo_dc"),
+        F.when(k % 5 == 0, F.lit("Tomador"))
+        .otherwise(F.concat(F.lit("Compromissada "), (F.lit(1000) + k % 100).cast("string")))
+        .alias("tipo_oferta"),
+        F.when(k % 9 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.lit(40000) + k % 5000)
+        .alias("comunicado"),
+        F.when(k % 7 == 0, F.lit(0)).otherwise((k * 37) % 1000000000)
+        .cast("bigint")
+        .alias("volume_aceito"),
+        F.concat(
+            F.floor(cents_t / 100).cast("long").cast("string"),
+            F.lit(","),
+            F.lpad((cents_t % 100).cast("string"), 2, "0"),
+        ).alias("taxa_corte_str"),
+        F.concat(
+            F.floor(cents_p / 100).cast("long").cast("string"),
+            F.lit(","),
+            F.lpad((cents_p % 100).cast("string"), 2, "0"),
+        ).alias("pct_corte_str"),
+    )
+    dated = bronze.withColumn(
+        "data_liquidacao", F.date_add("data_leilao", (k % 2).cast("int"))
+    ).withColumn(
+        "data_retorno",
+        F.date_add(F.col("data_liquidacao"), F.col("prazo_dc").cast("int")),
+    )
+    dated = _du_comp.contar(dated, "data_liquidacao", "data_retorno", alias="prazo_du")
+    vol0 = F.col("volume_aceito") == 0
+    return dated.select(
+        "o_orderkey",
+        "data_leilao",
+        "data_liquidacao",
+        "data_retorno",
+        "hora_inicio",
+        "prazo_dc",
+        "prazo_du",
+        "comunicado",
+        "tipo_oferta",
+        (1000.0 * F.col("volume_aceito")).alias("financeiro_aceito"),
+        F.when(vol0, F.lit(None).cast("double"))
+        .otherwise(pround_expr(br_num_expr("taxa_corte_str") / 100.0, 10))
+        .alias("taxa_corte"),
+        F.when(vol0, F.lit(0.0))
+        .otherwise(F.lit(100.0) - br_num_expr("pct_corte_str"))
+        .alias("pct_aceito"),
+    )
