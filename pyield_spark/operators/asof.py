@@ -142,14 +142,19 @@ def asof_join(
             F.percentile(_numeric(F.col("_k")), fracs).alias("_b")
         )
         kn = F.col("_kn")
+        # bucket = #boundaries ≤ key, as an ADDITIVE comparison chain:
+        # whole-stage-codegen arithmetic. (An array filter/HOF here runs
+        # interpreted per element — measured 3× slower over 1.5M rows.)
+        n_le = sum(
+            (kn >= F.col("_b").getItem(i)).cast("int")
+            for i in range(n_buckets - 1)
+        )
         u2 = (
             unioned.crossJoin(F.broadcast(bnds))
             .withColumn("_kn", _numeric(F.col("_k")))
             .withColumn(
                 "_bkt",
-                F.when(kn.isNull(), F.lit(-1)).otherwise(
-                    F.size(F.filter(F.col("_b"), lambda b: b <= kn))
-                ),
+                F.when(kn.isNull(), F.lit(-1)).otherwise(n_le),
             )
             .select("_l", "_k", "_kn", "_is_left", "_v", "_bkt")
             .withColumn("_seq", F.lit(1))

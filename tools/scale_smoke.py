@@ -94,6 +94,25 @@ def main():
 
     timed("asof_10x", asof)
 
+    # UNGROUPED as-of at 10× left rows (round-2 range-bucket design:
+    # percentile buckets + enumerated ghost spine — no single-partition
+    # window, no full-input distinct)
+    def asof_ungrouped():
+        left = od.select(F.to_date("o_orderdate").alias("d"))
+        right = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(F.to_date("o_orderdate").alias("dr"))
+            .distinct()
+            .withColumn("v", F.dayofmonth("dr").cast("double"))
+        )
+        out = asof_join(left, right, on="d", right_on="dr",
+                        strategy="backward", values=["dr", "v"])
+        return out.filter(F.col("v").isNotNull()).count()
+
+    timed("asof_ungrouped_10x", asof_ungrouped)
+
+
 
 if __name__ == "__main__":
     main()
