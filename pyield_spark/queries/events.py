@@ -146,3 +146,22 @@ def q_stream_dedup(spark, sf_dir):
     ev = sw.read_events_stream(spark, sf_dir)
     dedup = sw.dedup_within_watermark(ev, "10 minutes")
     return sw.run_to_memory(dedup, "stream_dedup_out", mode="append")
+
+
+@query("q_stream_stateful")
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): final running
+    totals per event type — one row per group, the cross-batch state
+    after the bounded replay (rows-only; replay-equals-batch asserted in
+    tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    ev = sw.read_events_stream(spark, sf_dir)
+    out = sw.running_totals_stateful(ev)
+    got = sw.run_to_memory(out, "stream_stateful_out", mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        got.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_events", F.bround("sum_value", 6).alias("sum_value"))
+    )

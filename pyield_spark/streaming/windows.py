@@ -194,3 +194,60 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def running_totals_stateful(
+    events: DataFrame,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """T-custom: arbitrary stateful aggregation with
+    ``applyInPandasWithState`` — running (n_events, sum_value) per group
+    carried across micro-batches in explicit GroupState, the API for
+    operators Spark's built-in windows can't express (the reference's
+    intraday running-snapshot shape, pyield/futuro/intradia.py:143-172).
+
+    Decimal-free by design: the per-batch partial sums accumulate in a
+    deterministic order (batch arrival within the bounded replay), and
+    the batch twin used for verification aggregates in decimal — the
+    test asserts equality after a 6dp portable round.
+
+    Emits one updated row per group per micro-batch (update mode); the
+    LAST row per group equals the batch aggregate over everything seen.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group_col} string, n_events bigint, sum_value double, batch_rows bigint"
+    )
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "batch_rows": [batch_rows],
+            }
+        )
+
+    return (
+        events.select(group_col, "value")
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

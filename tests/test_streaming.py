@@ -32,3 +32,39 @@ def test_foreach_batch_enrichment(spark, sf_dir):
     assert total == n_events
     # events span Jan 2024 incl. weekends: both flags must appear
     assert {r.eh_dia_util for r in rows} == {True, False}
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState carries (n, sum) across micro-batches;
+    the final emitted row per group equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from pyield_spark.streaming import windows as sw
+
+    ev = sw.read_events_stream(spark, sf_dir)
+    out = sw.running_totals_stateful(ev)
+    got = sw.run_to_memory(out, "stateful_totals_out", mode="update")
+    # multiple updates per group (one per micro-batch touching it);
+    # the row with the max n_events is the final state
+    final = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in got.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("event_type").orderBy(F.col("n_events").desc())
+            ),
+        ).filter(F.col("_rn") == 1).collect()
+    }
+    batch = {
+        r.event_type: (r.n, r.s)
+        for r in spark.read.schema(sw.EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for k in batch:
+        assert final[k][0] == batch[k][0]
+        assert abs(final[k][1] - batch[k][1]) < 1e-6 * max(1.0, abs(batch[k][1]))
