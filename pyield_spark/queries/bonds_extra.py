@@ -459,3 +459,242 @@ def q_vna_projetado(spark, sf_dir):
         "fim",
         F.when(is_c, proj_c).otherwise(proj_b).alias("vna_projetado"),
     )
+
+
+# === NTN-B1 zero-curve quote + equivalent IRR (TD method) =================
+# Reference: pyield/tpf/titulos/ntnb1.py:263-300 (cotacao_curva_zero),
+# :303-383 (taxa_curva_zero + _resolver_taxa_equivalente), :248-260
+# (_cotacao_por_taxas: vp = round12(valor/(1+taxa)^trunc14(du/252)), sum
+# untruncated). The zero curve is a static broadcast dimension here (8
+# family groups x 6 vertices); the interpolation is flat-forward with
+# hold-first below the shortest vertex and hold-last beyond the longest
+# (extrapolar=True, the TD extrapolation). Precomputing the curve's
+# bracketing segments driver-side turns the interpolation into ONE
+# broadcast range-join — zero shuffles before the per-bond aggregation,
+# and the identical VALUES table keeps the DuckDB oracle exact.
+#
+# The equivalent IRR (genuinely iterative — bisection per bond) is
+# verified in two parts under the hash gate: `equiv_diff8` must be 0.0
+# (the solved rate reproduces the zero-curve quote to 1e-8 — convergence
+# proof) and `equiv_in_range` must be TRUE (the IRR of an all-positive
+# flow set lies within [min,max] of the zero rates that discounted it).
+
+_NB1Z_VERTICES = [126, 252, 756, 1512, 3024, 6048]
+
+
+def _nb1z_curve() -> list[tuple[int, int, float]]:
+    """(g, du, taxa_zero) rows — exact 4-decimal grid rates."""
+    return [
+        (g, du, round(0.04 + g * 0.002 + i * 0.0015, 4))
+        for g in range(8)
+        for i, du in enumerate(_NB1Z_VERTICES)
+    ]
+
+
+def _nb1z_segments():
+    """Bracketing segments per group: (g, lo, hi, flat, du_j, tx_j,
+    du_k, tx_k). lo inclusive, hi exclusive; hold-first below vertex 0,
+    hold-last at/after the longest vertex."""
+    segs = []
+    for g in range(8):
+        rows = [(du, tx) for (gg, du, tx) in _nb1z_curve() if gg == g]
+        segs.append((g, 0, rows[0][0], True, rows[0][0], rows[0][1], None, None))
+        for (du_j, tx_j), (du_k, tx_k) in zip(rows, rows[1:]):
+            segs.append((g, du_j, du_k, False, du_j, tx_j, du_k, tx_k))
+        segs.append((g, rows[-1][0], 10**9, True, rows[-1][0], rows[-1][1], None, None))
+    return segs
+
+
+_NB1Z_SEG_SQL = ",\n      ".join(
+    f"({g}, {lo}, {hi}, {str(flat).upper()}, {du_j}, {tx_j}, "
+    f"{'NULL' if du_k is None else du_k}, {'NULL' if tx_k is None else tx_k})"
+    for (g, lo, hi, flat, du_j, tx_j, du_k, tx_k) in _nb1z_segments()
+)
+
+# flat-forward on raw au = du/252 (interpolador.py semantics), then a
+# portable 9-decimal round so both engines discount the same rate
+_NB1Z_FF = """power(
+      power(1 + s.tx_j, s.du_j / 252.0)
+      * power(power(1 + s.tx_k, s.du_k / 252.0) / power(1 + s.tx_j, s.du_j / 252.0),
+              (f.du - s.du_j) / CAST(s.du_k - s.du_j AS DOUBLE)),
+      252.0 / f.du) - 1"""
+
+_NB1Z_ORACLE = f"""
+    WITH {{cal}},
+    seg(g, lo, hi, flat, du_j, tx_j, du_k, tx_k) AS (VALUES
+      {_NB1Z_SEG_SQL}),
+    bonds AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 8 AS INT) AS g,
+             CAST(o_orderdate AS DATE) AS liq,
+             CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                  + TO_MONTHS(CAST(span AS INT)) AS DATE) AS ven,
+             span
+      FROM (SELECT *, CASE o_orderkey % 3 WHEN 0 THEN 24 WHEN 1 THEN 48
+                      ELSE 300 END AS span
+            FROM orders WHERE o_orderkey % 101 = 0) o
+    ),
+    flows0 AS (
+      SELECT b.*, CAST(b.ven - TO_MONTHS(CAST(i AS INT)) AS DATE) AS pay_date
+      FROM bonds b, generate_series(0, 299) t(i)
+      WHERE i < b.span AND CAST(b.ven - TO_MONTHS(CAST(i AS INT)) AS DATE) > b.liq
+    ),
+    flows AS (
+      SELECT f.*, CAST({bd_count_sql("f.liq", "f.pay_date")} AS BIGINT) AS du
+      FROM flows0 f
+      JOIN cal cs ON cs.data = f.liq
+      JOIN cal ce ON ce.data = f.pay_date
+    ),
+    rated AS (
+      SELECT f.o_orderkey, f.liq, f.ven, f.span, f.du,
+             {pround_sql(f"CASE WHEN s.flat THEN s.tx_j ELSE {_NB1Z_FF} END", 9)}
+               AS taxa_zero
+      FROM flows f JOIN seg s ON f.g = s.g AND f.du >= s.lo AND f.du < s.hi
+    ),
+    pv AS (
+      SELECT o_orderkey, liq, ven, span,
+        round_even((1.0 / span)
+          / power(1 + taxa_zero, {trunc_sql("du / 252.0", 14)}), 12) AS vp
+      FROM rated
+    )
+    SELECT o_orderkey, MIN(liq) AS liq, MIN(ven) AS ven,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           {trunc_decimal_sum_sql("SUM(CAST(vp AS DECIMAL(28,12)))", 9)} AS cotacao,
+           CAST(0.0 AS DOUBLE) AS equiv_diff8,
+           TRUE AS equiv_in_range
+    FROM pv GROUP BY o_orderkey
+"""
+
+
+@query("q_ntnb1_curva_zero", oracle=_NB1Z_ORACLE.format(cal=_CAL_WIDE))
+def q_ntnb1_curva_zero(spark, sf_dir):
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyield_spark.bonds.cashflows import explode_payment_dates
+    from pyield_spark.functions.numbers import pround_expr, trunc_decimal_sum_expr
+    from pyield_spark.functions.numbers import truncar_expr as _trunc
+
+    od = tables(spark, sf_dir, "orders")
+    span = (
+        F.when(F.col("o_orderkey") % 3 == 0, 24)
+        .when(F.col("o_orderkey") % 3 == 1, 48)
+        .otherwise(300)
+    )
+    bonds = od.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 8).cast("int").alias("g"),
+        F.to_date("o_orderdate").alias("liq"),
+        span.alias("span"),
+    )
+    bonds = bonds.withColumn(
+        "ven",
+        F.add_months(F.date_trunc("month", "liq").cast("date"), F.col("span")),
+    )
+    flows = explode_payment_dates(bonds, "liq", "ven", 1, "pay_date")
+    flows = du_mod.contar(flows, "liq", "pay_date", alias="du")
+
+    seg = spark.createDataFrame(
+        _nb1z_segments(),
+        "g int, lo long, hi long, flat boolean, du_j long, tx_j double, "
+        "du_k long, tx_k double",
+    )
+    ff = (
+        F.pow(
+            F.pow(1 + F.col("tx_j"), F.col("du_j") / 252.0)
+            * F.pow(
+                F.pow(1 + F.col("tx_k"), F.col("du_k") / 252.0)
+                / F.pow(1 + F.col("tx_j"), F.col("du_j") / 252.0),
+                (F.col("du") - F.col("du_j"))
+                / (F.col("du_k") - F.col("du_j")).cast("double"),
+            ),
+            252.0 / F.col("du"),
+        )
+        - 1
+    )
+    rated = flows.join(
+        F.broadcast(seg),
+        on=[
+            flows["g"] == seg["g"],
+            F.col("du") >= F.col("lo"),
+            F.col("du") < F.col("hi"),
+        ],
+    ).select(
+        "o_orderkey",
+        "liq",
+        "ven",
+        "span",
+        "du",
+        pround_expr(F.when(F.col("flat"), F.col("tx_j")).otherwise(ff), 9).alias(
+            "taxa_zero"
+        ),
+    )
+    vp = F.bround(
+        (F.lit(1.0) / F.col("span"))
+        / F.pow(1 + F.col("taxa_zero"), _trunc(F.col("du") / 252.0, 14)),
+        12,
+    )
+    packed = (
+        rated.withColumn("_vp", vp)
+        .groupBy("o_orderkey")
+        .agg(
+            F.min("liq").alias("liq"),
+            F.min("ven").alias("ven"),
+            F.count("*").alias("n_flows"),
+            trunc_decimal_sum_expr(
+                F.sum(F.col("_vp").cast("decimal(28,12)")), 9
+            ).alias("cotacao"),
+            F.first(F.lit(1.0) / F.col("span")).alias("_valor"),
+            F.collect_list(_trunc(F.col("du") / 252.0, 14)).alias("_aus"),
+            F.collect_list("taxa_zero").alias("_tzs"),
+        )
+    )
+
+    out_schema = (
+        "o_orderkey long, liq date, ven date, n_flows long, cotacao double, "
+        "equiv_diff8 double, equiv_in_range boolean"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # taxa_curva_zero semantics (ntnb1.py:339-383): target = sum of
+        # round-12 PVs at the interpolated zero rates; then bisect the
+        # single rate reproducing it (tol 1e-12, bracket growth upward).
+        def pv12(rate, valor, aus):
+            return sum(round(valor / (1.0 + rate) ** au, 12) for au in aus)
+
+        for pdf in batches:
+            diffs, inr = [], []
+            for valor, aus, tzs in zip(pdf["_valor"], pdf["_aus"], pdf["_tzs"]):
+                aus, tzs = list(aus), list(tzs)
+                target = sum(
+                    round(valor / (1.0 + tz) ** au, 12) for tz, au in zip(tzs, aus)
+                )
+                lo, hi = -0.99, max(1.0, 2 * tzs[-1] + 0.01)
+                while pv12(hi, valor, aus) - target > 0:
+                    hi = 2 * hi + 1
+                for _ in range(200):
+                    mid = (lo + hi) / 2.0
+                    if pv12(mid, valor, aus) - target > 0:
+                        lo = mid
+                    else:
+                        hi = mid
+                    if hi - lo < 1e-12:
+                        break
+                r = (lo + hi) / 2.0
+                # + 0.0 normalizes IEEE -0.0 (converged-from-below)
+                diffs.append(round(pv12(r, valor, aus) - target, 8) + 0.0)
+                inr.append(min(tzs) - 1e-9 <= r <= max(tzs) + 1e-9)
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "liq": pdf["liq"],
+                    "ven": pdf["ven"],
+                    "n_flows": pdf["n_flows"],
+                    "cotacao": pdf["cotacao"],
+                    "equiv_diff8": diffs,
+                    "equiv_in_range": inr,
+                }
+            )
+
+    return packed.mapInPandas(kernel, out_schema)
