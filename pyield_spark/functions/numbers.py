@@ -89,3 +89,10 @@ def pct_para_decimal_expr(col: Column | str, decimals: int = 10) -> Column:
     pyield/_internal/br_numbers.py:10-16)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.bround(c.cast("double") / 100.0, decimals)
+
+
+def inteiro_m_expr(col: Column | str) -> Column:
+    """BR number expressed in thousands → integer units
+    (pyield/_internal/br_numbers.py:51-53): parse '115.870,772' then
+    ×1000 and round to long."""
+    return F.round(br_num_expr(col) * 1000, 0).cast("long")

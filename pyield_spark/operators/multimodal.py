@@ -94,3 +94,70 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    stride: int = 2,
+) -> DataFrame:
+    """Frame sampling over video payloads: one input row → one output
+    row per sampled frame (id, frame_idx, frame payload).
+
+    FAKE decode: a "frame" is a fixed-size byte chunk of the payload
+    (real containers need a demuxer this image lacks); the distributed
+    shape is the real one — ``mapInPandas`` expands Arrow batches
+    row→many without any driver involvement, payload bytes never leave
+    the executors, and downstream per-frame ops (hashing, features)
+    stay columnar. ``stride`` keeps every stride-th frame (frame_idx
+    0, stride, 2·stride, …), the every-Nth-frame sampling a training
+    pipeline uses to thin video.
+    """
+    if frame_bytes <= 0 or stride <= 0:
+        raise ValueError("frame_bytes and stride must be positive")
+    out_schema = f"{id_col} bigint, frame_idx int, frame binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for i in range(0, (len(b) + frame_bytes - 1) // frame_bytes, stride):
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(op, out_schema)
+
+
+def resize_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target_bytes: int = 32,
+) -> DataFrame:
+    """Deterministic payload downsample — the resize slot of the
+    pipeline (image → thumbnail).
+
+    FAKE resize: keeps every ceil(n/target)-th byte (a real resize
+    decodes and rescales pixels); the plumbing — Arrow-batched
+    ``mapInPandas``, binary in/binary out, stable output size bound —
+    is the real contract a decode-capable deployment drops into.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    out_schema = f"{id_col} bigint, resized binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                stride = max(1, -(-len(b) // target_bytes))
+                outs.append(b[::stride])
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": outs})
+
+    return df.select(id_col, payload_col).mapInPandas(op, out_schema)

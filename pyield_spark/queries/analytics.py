@@ -357,13 +357,20 @@ def _ntnb_panel(spark, sf_dir):
     )
     anchor = F.date_add(F.col("grupo"), 14)  # the 15th of the settlement month
     offm = F.pmod(F.lit(2) - F.month(anchor), F.lit(3))  # to month ≡ 2 (mod 3)
+    # cache: this ~(#months × 12)-row dim feeds bootstrap/breakeven/
+    # curva_pre pipelines that each reference it several times (grid
+    # derivation, interpolation, solve, joins) — uncached, every use
+    # re-runs the full lineitem aggregation (measured 10 parquet scans
+    # in the curva_pre plan). One materialization, shared across queries
+    # in the session by plan-equality. Same move at 100 TB: a bootstrap
+    # input panel is a small aggregate you persist before iterating.
     return base.select(
         "grupo",
         "slot",
         "taxa",
         F.col("grupo").alias("liq"),
         F.add_months(anchor, offm + 3 + F.col("slot") * 6).alias("ven"),
-    )
+    ).cache()
 
 
 _NTNB_PANEL_SQL = """

@@ -660,17 +660,21 @@ def q_ntnb1_curva_zero(spark, sf_dir):
         # taxa_curva_zero semantics (ntnb1.py:339-383): target = sum of
         # round-12 PVs at the interpolated zero rates; then bisect the
         # single rate reproducing it (tol 1e-12, bracket growth upward).
+        # numpy-vectorized per bond: target and PV(r) use the SAME
+        # np.round, so diff==0-at-convergence holds by construction
+        # (pure-Python round() costs ~27M calls at sf0.1 — ~100× slower)
+        import numpy as np
+
         def pv12(rate, valor, aus):
-            return sum(round(valor / (1.0 + rate) ** au, 12) for au in aus)
+            return float(np.round(valor / (1.0 + rate) ** aus, 12).sum())
 
         for pdf in batches:
             diffs, inr = [], []
             for valor, aus, tzs in zip(pdf["_valor"], pdf["_aus"], pdf["_tzs"]):
-                aus, tzs = list(aus), list(tzs)
-                target = sum(
-                    round(valor / (1.0 + tz) ** au, 12) for tz, au in zip(tzs, aus)
-                )
-                lo, hi = -0.99, max(1.0, 2 * tzs[-1] + 0.01)
+                aus = np.asarray(aus, dtype=np.float64)
+                tzs = np.asarray(tzs, dtype=np.float64)
+                target = float(np.round(valor / (1.0 + tzs) ** aus, 12).sum())
+                lo, hi = -0.99, max(1.0, 2 * float(tzs[-1]) + 0.01)
                 while pv12(hi, valor, aus) - target > 0:
                     hi = 2 * hi + 1
                 for _ in range(200):
@@ -683,8 +687,8 @@ def q_ntnb1_curva_zero(spark, sf_dir):
                         break
                 r = (lo + hi) / 2.0
                 # + 0.0 normalizes IEEE -0.0 (converged-from-below)
-                diffs.append(round(pv12(r, valor, aus) - target, 8) + 0.0)
-                inr.append(min(tzs) - 1e-9 <= r <= max(tzs) + 1e-9)
+                diffs.append(float(np.round(pv12(r, valor, aus) - target, 8)) + 0.0)
+                inr.append(bool(tzs.min() - 1e-9 <= r <= tzs.max() + 1e-9))
             yield pd.DataFrame(
                 {
                     "o_orderkey": pdf["o_orderkey"],

@@ -158,7 +158,9 @@ def q_stream_stateful(spark, sf_dir):
 
     ev = sw.read_events_stream(spark, sf_dir)
     out = sw.running_totals_stateful(ev)
-    got = sw.run_to_memory(out, "stream_stateful_out", mode="update")
+    got = sw.run_to_memory(
+        out, "stream_stateful_out", mode="update", shuffle_partitions=8
+    )
     w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
     return (
         got.withColumn("_rn", F.row_number().over(w))

@@ -190,8 +190,12 @@ def q_curva_pre(spark, sf_dir):
     lpanel = lpanel.withColumn(
         "lven", F.add_months(anchor, offm + (F.col("lslot") + 1) * 3)
     )
-    ltn = du_mod.contar(lpanel, "grupo", "lven", alias="dias_uteis").select(
-        "grupo", "dias_uteis", "taxa_zero", F.lit("LTN").alias("fonte")
+    # cache: the LTN arm is both a union branch and the anti-join's
+    # build side — uncached its lineitem aggregation runs twice
+    ltn = (
+        du_mod.contar(lpanel, "grupo", "lven", alias="dias_uteis")
+        .select("grupo", "dias_uteis", "taxa_zero", F.lit("LTN").alias("fonte"))
+        .cache()
     )
 
     # bootstrap arm (the faithful taxas_zero kernel)

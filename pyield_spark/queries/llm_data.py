@@ -508,3 +508,70 @@ def q_quality_filter(spark, sf_dir):
         *[rules[r].alias(r) for r in
           ("rule_n_tokens", "rule_word_len", "rule_punct", "rule_stopwords", "keep")],
     )
+
+
+# === multimodal frame sampling + resize (deterministic fake decode,
+# real mapInPandas plumbing) — hash-verified because the fake frame/
+# resize transforms are byte slices DuckDB can replicate over the
+# all-ASCII document text (byte == char there) =============================
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             substr(text, i * 64 + 1, 64) AS frame
+      FROM documents, generate_series(0, 20) t(i)
+      WHERE i < CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)
+        AND i % 2 = 0
+    )
+    SELECT doc_id, frame_idx,
+           CAST(octet_length(encode(frame)) AS BIGINT) AS frame_bytes,
+           sha256(frame) AS frame_sha256
+    FROM f
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
+    frames = mm.sample_frames(payloads, "payload", "doc_id", frame_bytes=64, stride=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+        F.sha2("frame", 256).alias("frame_sha256"),
+    )
+
+
+@query(
+    "q_resize_payload",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             GREATEST(1, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT))
+               AS stride
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id,
+             string_agg(substr(text, CAST(i AS BIGINT), 1), '' ORDER BY i) AS resized
+      FROM sized, generate_series(1, 600) t(i)
+      WHERE i <= n AND (i - 1) % stride = 0
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(resized)) AS BIGINT) AS resized_bytes,
+           sha256(resized) AS resized_sha256
+    FROM sampled
+    """,
+)
+def q_resize_payload(spark, sf_dir):
+    docs = tables(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
+    resized = mm.resize_payload(payloads, "payload", "doc_id", target_bytes=32)
+    return resized.select(
+        "doc_id",
+        F.octet_length("resized").cast("bigint").alias("resized_bytes"),
+        F.sha2("resized", 256).alias("resized_sha256"),
+    )

@@ -76,3 +76,63 @@ def read_html_tables(
         parse,
         "source_file string, table_idx int, row_idx int, cells array<string>",
     )
+
+
+def imaq_estoque_silver(tables_df: DataFrame, data_referencia) -> DataFrame:
+    """ANBIMA IMA-Q treasury-stock silver (pyield/anbima/imaq.py:103-126).
+
+    Takes :func:`read_html_tables` output, finds the estoque table by its
+    header row, and applies the reference's typed transform: strip, drop
+    repeated in-body header rows and null maturities, dedupe by ISIN
+    (deterministic keep-first by row order), BR-number casts — ``pu`` as
+    float_br, the three quantity columns as inteiro_m (thousands →
+    units).
+    """
+    from pyspark.sql import functions as F
+
+    from pyield_spark.functions.numbers import br_num_expr, inteiro_m_expr
+
+    # header row (row_idx 0 of its table) identifies the estoque table
+    hdr = (
+        tables_df.filter(F.col("row_idx") == 0)
+        .filter(F.array_contains(F.col("cells"), "Código ISIN"))
+        .select("source_file", "table_idx")
+    )
+    body = tables_df.join(F.broadcast(hdr), ["source_file", "table_idx"]).filter(
+        F.col("row_idx") > 0
+    )
+    c = lambda i: F.trim(F.col("cells").getItem(i))  # noqa: E731
+    rows = body.select(
+        F.col("row_idx"),
+        c(0).alias("titulo"),
+        c(1).alias("codigo_selic_raw"),
+        c(2).alias("isin"),
+        c(3).alias("venc_raw"),
+        c(4).alias("qtd_raw"),
+        c(5).alias("pu_raw"),
+        c(6).alias("vm_raw"),
+        c(7).alias("var_raw"),
+        c(8).alias("status_titulo"),
+    ).filter((F.col("titulo") != "Título") & F.col("venc_raw").isNotNull())
+    # unique(subset='ISIN'): deterministic keep-first by document order
+    first = rows.groupBy("isin").agg(
+        F.min_by(
+            F.struct(
+                "titulo", "codigo_selic_raw", "venc_raw", "qtd_raw",
+                "pu_raw", "vm_raw", "var_raw", "status_titulo",
+            ),
+            F.col("row_idx"),
+        ).alias("r")
+    )
+    return first.select(
+        F.lit(data_referencia).cast("date").alias("data_referencia"),
+        F.col("r.titulo").alias("titulo"),
+        F.to_date("r.venc_raw", "dd/MM/yyyy").alias("data_vencimento"),
+        F.col("r.codigo_selic_raw").cast("long").alias("codigo_selic"),
+        "isin",
+        br_num_expr(F.col("r.pu_raw")).alias("pu"),
+        inteiro_m_expr(F.col("r.qtd_raw")).alias("quantidade_mercado"),
+        inteiro_m_expr(F.col("r.vm_raw")).alias("valor_mercado"),
+        inteiro_m_expr(F.col("r.var_raw")).alias("variacao_quantidade"),
+        F.col("r.status_titulo").alias("status_titulo"),
+    ).filter(F.col("data_vencimento").isNotNull())

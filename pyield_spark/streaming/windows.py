@@ -177,23 +177,43 @@ def enrich_with_batch_ops(spark: SparkSession, sf_dir: str, name: str) -> DataFr
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Drive a bounded stream to completion into a memory sink and
     return the materialized result (test/local harness only).
 
     mode="complete" for windowed aggregations (emits every window even
     though the watermark never passes the last one on a bounded replay);
     mode="append" for row streams like stateful dedup.
+
+    shuffle_partitions: stateful operators materialize ONE state store
+    per shuffle partition, fixed at stream start. For a low-cardinality
+    group key (e.g. ~10 event types) the session default of 32 pays 32
+    store inits + python-worker rounds per micro-batch for nothing;
+    pass a small value to scope the conf around this stream only. On a
+    real cluster you'd size this to key cardinality × skew headroom.
     """
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def running_totals_stateful(

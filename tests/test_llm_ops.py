@@ -173,3 +173,38 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     r4, r8 = recall(4), recall(8)
     assert r4 >= 0.3, f"recall below coverage floor: {r4}"
     assert r8 >= r4, f"recall not monotone in probes: {r8} < {r4}"
+
+
+def test_sample_frames_chunking(spark):
+    """Frame sampling: every stride-th fixed-size chunk, last frame
+    ragged, row→many expansion preserved per id."""
+    from pyield_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 130)), (2, bytearray(b"xy"))],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, frame_bytes=64, stride=2).collect()
+    got = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in out}
+    # doc 1: frames 0,1,2 exist (64,64,2 bytes); stride 2 keeps 0 and 2
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 0)] == b"a" * 64
+    assert got[(1, 2)] == b"aa"
+    assert got[(2, 0)] == b"xy"
+
+
+def test_resize_payload_stride(spark):
+    """Resize: every ceil(n/target)-th byte, short payloads unchanged."""
+    from pyield_spark.operators.multimodal import resize_payload
+
+    data = bytes(range(100))
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"ok"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: bytes(r.resized) for r in resize_payload(
+        df, target_bytes=32
+    ).collect()}
+    assert out[1] == data[::4]  # ceil(100/32)=4
+    assert len(out[1]) == 25
+    assert out[2] == b"ok"

@@ -260,3 +260,52 @@ def test_rmd_13_hierarchical_labels(spark, tmp_path):
         ("2024-01-01", "Resgates", "Vencimentos", "NTN-F"): 4250000.0,
         ("2024-02-01", "Resgates", "Vencimentos", "NTN-F"): 5500000.0,
     }
+
+
+def test_imaq_estoque_silver(spark, tmp_path):
+    """IMA-Q silver transform (pyield/anbima/imaq.py:103-126): typed
+    casts incl. inteiro_m thousands→units, header-repeat drop, ISIN
+    dedupe keep-first."""
+    import datetime as dt
+
+    from pyield_spark.sources.html_table import imaq_estoque_silver, read_html_tables
+
+    def tr(cells, tag="td"):
+        return "<tr>" + "".join(f"<{tag}>{c}</{tag}>" for c in cells) + "</tr>"
+
+    hdr = ["Título", "Codigo Selic", "Código ISIN", "Data de Vencimento",
+           "Quantidade em Mercado (1.000 Títulos)", "PU (R$)",
+           "Valor de Mercado (R$ Mil)",
+           "Variação da Quantidade (1.000 Títulos)", "Status do Titulo"]
+    rows = [
+        ["LTN", "100000", "BRSTNCLTN863", "01/10/2025", "115.870,772",
+         "997,241543", "115.551.147", "0,000", "Participante Definitivo"],
+        # repeated in-body header → dropped
+        hdr,
+        # duplicate ISIN → keep first
+        ["LTN", "100000", "BRSTNCLTN863", "01/10/2025", "1,000",
+         "1,0", "1", "0,000", "dup"],
+        ["NTN-B", "760199", "BRSTNCNTB123", "15/05/2035", "2.500,5",
+         "4.271,864805", "10.679.661", "-1,987", "Participante Definitivo"],
+    ]
+    html = ("<html><body><table>" + tr(["nav"]) + "</table><table>"
+            + tr(hdr, "th") + "".join(tr(r) for r in rows)
+            + "</table></body></html>")
+    p = tmp_path / "imaq.html"
+    p.write_bytes(html.encode("latin1"))
+
+    out = imaq_estoque_silver(
+        read_html_tables(spark, str(p)), dt.date(2025, 10, 1)
+    ).orderBy("titulo")
+    got = {r.isin: r for r in out.collect()}
+    assert set(got) == {"BRSTNCLTN863", "BRSTNCNTB123"}
+    ltn = got["BRSTNCLTN863"]
+    assert ltn.quantidade_mercado == 115870772          # thousands → units
+    assert ltn.pu == 997.241543
+    assert ltn.valor_mercado == 115551147000
+    assert ltn.variacao_quantidade == 0
+    assert ltn.status_titulo == "Participante Definitivo"  # keep-first
+    ntb = got["BRSTNCNTB123"]
+    assert ntb.data_vencimento == dt.date(2035, 5, 15)
+    assert ntb.variacao_quantidade == -1987
+    assert ntb.codigo_selic == 760199
