@@ -1,0 +1,101 @@
+"""Connected components over a pair list — the final stage of a fuzzy
+dedup pipeline (MinHash/LSH candidate pairs -> duplicate CLUSTERS ->
+keep one canonical document per cluster).
+
+The reference has no graph stage (its dedup surface is `unique`-style
+keep-last — see SURVEY §2.4 A4); this operator is part of the
+LLM-training-data extension set, where transitive closure over near-dup
+pairs is what production pipelines (SlimPajama-, Dolma-, CCNet-style)
+actually run before dropping duplicates.
+
+Algorithm: iterative min-label propagation.
+
+- ``labels(node) := node`` initially; each round every node takes the
+  min label among itself and its neighbors; converges when the label
+  sum stops decreasing (labels only ever decrease, so the sum is a
+  strictly-monotone convergence metric — one cheap aggregate per round,
+  no join against the previous state needed).
+- Each round is ONE shuffle join (edges x labels) plus ONE groupBy —
+  both on the node key, so AQE coalesces them back-to-back.
+- ``localCheckpoint`` after every round cuts the lineage: without it
+  round k re-executes rounds 1..k-1 (the classic iterative-plan
+  recompute trap) and the driver's plan grows unboundedly.
+
+Rounds needed = graph diameter. Near-dup clusters are LSH-bucket
+near-cliques (diameter ~2-3), so this converges in a handful of rounds
+on real dedup workloads; for adversarial long-path graphs the
+alternating large-star/small-star scheme (Kiveris et al., "Connected
+Components in MapReduce and Beyond") bounds rounds at O(log n) — same
+join/groupBy building blocks, documented here as the swap-in if a
+workload ever shows deep components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node with at least one edge.
+
+    ``cluster_id`` is the minimum node id reachable from the node —
+    deterministic and engine-portable (an oracle can restate it as a
+    recursive transitive closure + MIN).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint()
+        cur = labels.agg(F.sum("label")).collect()[0][0]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+        msgs = und.join(labels, und.u == labels.node).select(
+            F.col("v").alias("node"), "label"
+        )
+        labels = labels.unionByName(msgs).groupBy("node").agg(
+            F.min("label").alias("label")
+        )
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_decisions(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-document dedup verdict from a near-dup pair list.
+
+    Returns ``(id_col, cluster_id, keep)``: singletons are their own
+    cluster and kept; inside a multi-document cluster only the minimum
+    id (the canonical) survives. One broadcast-sized join against the
+    component labels (the pair graph is tiny relative to the corpus —
+    near-dup rates are single-digit percent at 100 TB, so `comp` is the
+    small side; Spark broadcasts it under AQE automatically).
+    """
+    comp = connected_components(pairs, src, dst)
+    return docs.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        (
+            F.col("cluster_id").isNull()
+            | (F.col(id_col) == F.col("cluster_id"))
+        ).alias("keep"),
+    )

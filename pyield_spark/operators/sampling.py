@@ -1,0 +1,138 @@
+"""Training-data assembly operators: deterministic sampling, sequence
+packing, and mixture resampling.
+
+These are the post-dedup stages of an LLM data pipeline (sample a
+stratified subset -> weight domains -> pack documents into fixed token
+budgets). No reference equivalent (PYield is a market-data library);
+they complete the training-data extension set alongside
+``operators/dedup.py`` / ``operators/graph.py``.
+
+All randomness is HASH randomness (md5-derived 32-bit buckets via
+``h32_expr``), never ``rand()``:
+
+- reproducible across runs, engines (the DuckDB oracle replays the
+  exact bucket arithmetic), AQE re-execution, and task retries —
+  ``rand()`` gives a different sample when a lost task re-runs;
+- embarrassingly parallel: a pure column filter, zero shuffles, fully
+  pushed into the scan stage (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyield_spark.operators.text import h32_expr
+
+_BUCKETS = 1_000_000
+
+
+def _thr(rate: float) -> int:
+    # round, don't truncate: int(0.3 * 1e6) == 299999 under binary
+    # floats — an off-by-one threshold the SQL oracle wouldn't share
+    return int(round(rate * _BUCKETS))
+
+
+def sample_bucket_expr(key: str | Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 1e6) from a hash of ``salt || key``.
+
+    Distinct salts give independent samples over the same keys (e.g.
+    train/validation splits that must not correlate).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(h32_expr(F.concat(F.lit(salt), c.cast("string"))), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, keyed on ``key``."""
+    return df.filter(sample_bucket_expr(key, salt) < _thr(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    rates: dict[str, float],
+    key: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. keep 80% of 'en', 30% of 'pt').
+
+    The rate ladder compiles to a single ``when`` chain — still a pure
+    scan-stage filter, no shuffle, no per-stratum pass over the data.
+    """
+    thr = F.lit(_thr(default_rate))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == val, _thr(rate)).otherwise(thr)
+    return df.filter(sample_bucket_expr(key, salt) < thr)
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain: str,
+    weights: dict[str, float],
+    key: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Replicate rows per-domain by (possibly fractional) epoch weights.
+
+    Weight 1.7 -> every row appears once and a deterministic 70% hash
+    slice appears twice (``copy_idx`` 0..n-1 distinguishes copies).
+    This is the standard mixture-weighting trick (upsample high-value
+    domains, downsample the rest) expressed as ``sequence`` + ``explode``
+    — a narrow row multiplier, no shuffle, output size = sum of weights
+    x input size exactly as the mixture spec dictates.
+    """
+    whole = F.lit(0)
+    frac = F.lit(0)
+    for val, w in sorted(weights.items()):
+        whole = F.when(F.col(domain) == val, int(w)).otherwise(whole)
+        frac = F.when(F.col(domain) == val, _thr(w - int(w))).otherwise(frac)
+    n_copies = whole + (sample_bucket_expr(key, salt) < frac).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens: str | Column,
+    key: str,
+    budget: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign each document to a (shard, bin) so every bin holds a
+    contiguous run of documents whose token budget starts below
+    ``budget`` — streaming sequence packing for fixed-context training.
+
+    Documents are hash-sharded (so the packing parallelizes across the
+    cluster: ONE window shuffle keyed on shard, each shard's cumsum is
+    an O(n) growing frame) and packed greedily in key order inside the
+    shard: ``bin = floor(cumsum_before / budget)``. A document that
+    straddles a boundary stays in the bin where it started (standard
+    streaming packing; the trainer truncates or pads the tail).
+
+    Output adds ``shard``, ``bin``, ``offset_in_bin`` (token offset at
+    which the document starts inside its bin).
+    """
+    tok = F.col(tokens) if isinstance(tokens, str) else tokens
+    shard = F.pmod(h32_expr(F.col(key).cast("string")), F.lit(n_shards))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "_before", F.coalesce(F.sum(tok).over(w), F.lit(0))
+    )
+    return (
+        out.withColumn("bin", F.floor(F.col("_before") / budget))
+        .withColumn("offset_in_bin", F.col("_before") % budget)
+        .drop("_before")
+    )

@@ -49,6 +49,7 @@ def load_all() -> None:
         fixed_income,
         leiloes,
         llm_data,
+        training_data,
     )
 
 

@@ -1,0 +1,249 @@
+"""Training-data assembly queries: fuzzy-dedup clustering (connected
+components over LSH candidate pairs), deterministic stratified
+sampling, mixture resampling, and sequence packing — the stages a
+100 TB pretraining pipeline runs AFTER the per-document scoring in
+``llm_data.py``.
+
+Oracle strategy: every operator is built from portable hash arithmetic
+(md5-derived buckets) and window cumsums, so DuckDB replays it exactly;
+the one iterative operator (connected components) is restated as a
+recursive transitive closure (``WITH RECURSIVE reach``) + ``MIN`` —
+DuckDB's recursive-CTE fixpoint IS the label-propagation fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import dedup as dd
+from pyield_spark.operators import graph as gr
+from pyield_spark.operators import sampling as sp
+from pyield_spark.operators import text as tx
+from pyield_spark.queries import query, tables
+from pyield_spark.queries.llm_data import _GRAMS3
+
+
+def _h32(s: str) -> str:
+    return f"CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def _bucket(key: str, salt: str) -> str:
+    salted = "concat('" + salt + "', CAST(" + key + " AS VARCHAR))"
+    return f"({_h32(salted)} % 1000000)"
+
+
+# the q_minhash_lsh candidate-pair CTEs (same constants as
+# operators/dedup.py MINHASH_COEFFS), shared by the clustering oracle
+_LSH_PAIR_CTES = f"""
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_GRAMS3}) AS shingle FROM documents
+    ),
+    sid AS (
+      SELECT doc_id, {_h32("shingle")} AS sid FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        MIN((sid * 1299721 + 104729) % 2147483647) AS mh0,
+        MIN((sid * 15485863 + 32452843) % 2147483647) AS mh1,
+        MIN((sid * 49979687 + 67867967) % 2147483647) AS mh2,
+        MIN((sid * 86028121 + 93827561) % 2147483647) AS mh3
+      FROM sid GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id AS _id, 0 AS band,
+             concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR)) AS bkey FROM sig
+      UNION ALL
+      SELECT doc_id, 1, concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR)) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a._id < b._id
+    )"""
+
+
+# === fuzzy-dedup clustering: LSH pairs -> connected components ->
+# keep one canonical doc per cluster =======================================
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES.lstrip()},
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           (c.cluster_id IS NULL OR d.doc_id = c.cluster_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """The full fuzzy-dedup decision: MinHash/LSH candidate pairs ->
+    transitive closure into clusters (``operators/graph.py`` min-label
+    propagation) -> every document verdicted (singletons keep=true,
+    cluster members keep only the canonical min id).
+
+    This is the stage the reference lacks and production LLM pipelines
+    require: near-duplication is transitive in effect (A~B, B~C =>
+    drop two of three) but LSH only emits pairs.
+    """
+    docs = tables(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, "text", "doc_id", n=3, band_size=2)
+    return gr.dedup_decisions(docs, pairs, id_col="doc_id")
+
+
+# === deterministic stratified sampling ====================================
+
+_SAMPLE_RATES = {"en": 0.8, "zh": 0.5, "de": 0.25}
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_bucket("doc_id", "v1")} <
+      CASE lang WHEN 'en' THEN 800000 WHEN 'zh' THEN 500000
+                WHEN 'de' THEN 250000 ELSE 100000 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Per-language hash sampling (keep 80% en / 50% zh / 25% de / 10%
+    rest) — a pure scan-stage filter (no shuffle, no rand()): the same
+    rows survive on every run, engine, and task retry."""
+    docs = tables(spark, sf_dir, "documents")
+    return sp.stratified_sample(
+        docs, "lang", _SAMPLE_RATES, key="doc_id", default_rate=0.1, salt="v1"
+    ).select("doc_id", "lang", "source")
+
+
+# === mixture resampling (fractional epoch weights) ========================
+
+_MIX_WEIGHTS = {"en": 1.5, "es": 2.0, "fr": 1.0, "zh": 0.4, "de": 0.0}
+
+
+@query(
+    "q_mixture_resample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+        CASE lang WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 1 ELSE 0 END
+        + CASE WHEN {_bucket("doc_id", "mix")} <
+                 CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 400000 ELSE 0 END
+               THEN 1 ELSE 0 END AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, unnest(range(n)) AS copy_idx FROM base
+    """,
+)
+def q_mixture_resample(spark, sf_dir):
+    """Domain-weighted replication: en x1.5, es x2, fr x1, zh x0.4,
+    de dropped. Fractional weights are hash slices (weight 1.5 = every
+    row once, a deterministic half twice) — the output corpus hits the
+    mixture spec exactly, with zero shuffles (narrow explode)."""
+    docs = tables(spark, sf_dir, "documents")
+    out = sp.mixture_resample(docs, "lang", _MIX_WEIGHTS, key="doc_id")
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+# === sequence packing into fixed token budgets ============================
+
+
+# === eval-set decontamination =============================================
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_GRAMS3}) AS shingle FROM documents
+    ),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN eval_sh e ON e.shingle = s.shingle
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing >= 2
+    distinct word 3-grams with the eval split (docs with id % 97 == 0
+    stand in for a benchmark suite).
+
+    Scale shape: the eval side is tiny and broadcast (a real benchmark
+    suite is a few million shingles — megabytes), so the contamination
+    check is a broadcast semi-aggregate over the corpus scan: NO shuffle
+    of the 100 TB side, one partial-aggregated groupBy on doc_id."""
+    docs = tables(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = dd.exploded_shingles(docs, "text", "doc_id", n=3)
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= 2).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             {_h32("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(_before // 512 AS BIGINT) AS bin,
+           CAST(_before % 512 AS BIGINT) AS offset_in_bin
+    FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Streaming sequence packing: hash-shard the corpus (the packing
+    parallelism axis), one growing-frame cumsum per shard, bin =
+    floor(tokens_before / 512). ONE window shuffle total; each bin is a
+    contiguous doc run a trainer can concatenate into a 512-token
+    context."""
+    docs = tables(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count_expr("text").cast("long")
+    )
+    out = sp.pack_sequences(docs, "n_tokens", key="doc_id", budget=512, n_shards=8)
+    return out.select("doc_id", "n_tokens", "shard", "bin", "offset_in_bin")

@@ -1,0 +1,78 @@
+"""Training-data assembly operators: connected components, sampling,
+mixture resampling, sequence packing."""
+
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import graph as gr
+from pyield_spark.operators import sampling as sp
+
+
+def test_connected_components_path_and_islands(spark):
+    # path 1-2-3-4-5 (diameter 4 => several propagation rounds),
+    # triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in gr.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_decisions_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], "id_a long, id_b long")
+    rows = gr.dedup_decisions(docs, pairs).collect()
+    keep = {r["doc_id"] for r in rows if r["keep"]}
+    # cluster {1,3,5} keeps 1; {6,7} keeps 6; singletons keep themselves
+    assert keep == {0, 1, 2, 4, 6}
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert by_doc[5] == 1 and by_doc[7] == 6 and by_doc[4] == 4
+
+
+def test_hash_sampling_deterministic_and_stratified(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sp.hash_sample(docs, "doc_id", 0.3, salt="s").select("doc_id")
+    b = sp.hash_sample(docs, "doc_id", 0.3, salt="s").select("doc_id")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    n = docs.count()
+    assert abs(a.count() / n - 0.3) < 0.15  # hash-uniformity, small n
+    # a larger fraction with the same salt strictly contains the smaller
+    wide = sp.hash_sample(docs, "doc_id", 0.6, salt="s").select("doc_id")
+    assert a.subtract(wide).count() == 0
+    strat = sp.stratified_sample(
+        docs, "lang", {"en": 1.0, "zh": 0.0}, key="doc_id", default_rate=0.5
+    )
+    langs = dict(strat.groupBy("lang").count().collect())
+    all_langs = dict(docs.groupBy("lang").count().collect())
+    assert langs.get("en") == all_langs["en"] and "zh" not in langs
+
+
+def test_mixture_resample_exact_copy_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sp.mixture_resample(docs, "lang", {"en": 2.0, "es": 0.5}, key="doc_id")
+    per = dict(out.groupBy("lang").count().collect())
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert per["en"] == 2 * n_en  # integer weight: exact
+    assert set(per) == {"en", "es"}  # unlisted domains dropped (weight 0)
+    # copies of one doc are distinguished by copy_idx
+    dup = out.groupBy("doc_id", "copy_idx").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    )
+    out = sp.pack_sequences(docs, "n_tokens", key="doc_id", budget=256, n_shards=4)
+    rows = out.select("shard", "bin", "offset_in_bin", "n_tokens", "doc_id").collect()
+    # replay the cumsum per shard in doc_id order and verify assignment
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        before = by_shard.get(r["shard"], 0)
+        assert r["bin"] == before // 256
+        assert r["offset_in_bin"] == before % 256
+        by_shard[r["shard"]] = before + r["n_tokens"]
+    assert len(by_shard) == 4
