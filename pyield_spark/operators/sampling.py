@@ -98,6 +98,53 @@ def mixture_resample(
     )
 
 
+def global_sort_index(
+    df: DataFrame,
+    key: str,
+    salt: str = "shuffle",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic corpus shuffle: a dense global position 0..n-1 in
+    hash order of ``key`` — the training-order shuffle every epoch needs,
+    reproducible across runs/engines/retries (no ``rand()``).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a single-partition
+    window — the classic global-rank scale bug. This is the distributed
+    form:
+
+    - bucket by hash RANGE (bucket = hash div width, so bucket order ==
+      hash order across buckets),
+    - ONE shuffle: window ``partitionBy(bucket) orderBy(hash, key)``
+      ranks inside each bucket in parallel,
+    - bucket offsets are a prefix sum over the ≤ ``n_buckets`` per-bucket
+      counts (a driver-scale aggregate, broadcast back).
+
+    ``pos = offset[bucket] + rank_in_bucket`` is exactly the global rank.
+    At 100 TB raise ``n_buckets`` to O(cluster cores); the offset table
+    stays tiny.
+    """
+    from pyspark.sql import Window
+
+    width = _BUCKETS // n_buckets
+    h = sample_bucket_expr(key, salt)
+    df2 = df.withColumn("_h", h).withColumn(
+        "_bkt", F.floor(F.col("_h") / width).cast("int")
+    )
+    counts = df2.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    # ≤ n_buckets rows: the no-partition window here is the documented
+    # ghost-stitch idiom (tiny spine), not a scale hazard
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    wrank = Window.partitionBy("_bkt").orderBy("_h", key)
+    return (
+        df2.join(F.broadcast(offsets), "_bkt")
+        .withColumn("pos", F.col("_off") + F.row_number().over(wrank) - 1)
+        .drop("_h", "_bkt", "_off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     tokens: str | Column,

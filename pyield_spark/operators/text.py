@@ -132,6 +132,36 @@ def own_lang_stopword_hits_expr(text: str | Column, lang: str | Column) -> Colum
     return out
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically: literal classes, bounded repeats, no lookaround.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_PHONE_RE = "[0-9]{2}-[0-9]{2}-[0-9]{4}-[0-9]{4}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def redact_pii_expr(text: str | Column) -> Column:
+    """Scrub emails, phone numbers, and IPv4 addresses to typed tags.
+
+    Pure ``regexp_replace`` chain (JVM-side, codegen, replaces ALL
+    occurrences) — the standard pre-training scrub stage. Order matters:
+    IPs before phones would not — the patterns are disjoint — but email
+    first keeps a ``user@10.0.0.1`` address from being half-eaten by
+    the IP rule.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def pii_count_expr(text: str | Column, pattern: str) -> Column:
+    """How many matches of ``pattern`` occur in ``text`` (audit column —
+    pipelines track redaction counts per source to spot PII-heavy
+    feeds)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("long")
+
+
 def gopher_rules(
     text: str | Column,
     lang: str | Column,

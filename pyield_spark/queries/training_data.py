@@ -214,6 +214,98 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+# === PII redaction ========================================================
+
+# both engines build the SAME synthetic contact string from customer
+# keys (the slim TPC-H testdata has no phone/comment columns), then the
+# redaction itself is the operator under test
+_PHONE_SQL = (
+    "concat('55-', CAST(c_custkey % 90 + 10 AS VARCHAR), '-', "
+    "CAST((c_custkey * 7) % 9000 + 1000 AS VARCHAR), '-', "
+    "CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR))"
+)
+_IP_SQL = (
+    "concat(CAST(c_custkey % 223 + 10 AS VARCHAR), '.', "
+    "CAST((c_custkey * 3) % 256 AS VARCHAR), '.', "
+    "CAST((c_custkey * 5) % 256 AS VARCHAR), '.', "
+    "CAST((c_custkey * 11) % 254 + 1 AS VARCHAR))"
+)
+_CONTACT_SQL = f"""concat(
+      'segment ', c_mktsegment, ' reach ',
+      lower(replace(c_name, '#', '.')), '@corp.example or call ', {_PHONE_SQL},
+      CASE WHEN c_custkey % 3 = 0 THEN concat(' host ', {_IP_SQL}) ELSE '' END)"""
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH t AS (SELECT c_custkey, {_CONTACT_SQL} AS contact FROM customer)
+    SELECT c_custkey,
+      regexp_replace(regexp_replace(regexp_replace(contact,
+        '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{tx.PII_PHONE_RE}', '<PHONE>', 'g'),
+        '{tx.PII_IPV4_RE}', '<IP>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(contact, '{tx.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(contact, '{tx.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(contact, '{tx.PII_IPV4_RE}')) AS BIGINT) AS n_ips
+    FROM t
+    """,
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: emails / phones / IPv4s replaced by typed tags,
+    with per-row match counts kept as audit columns (pipelines track
+    redaction rates per source feed). Pure regexp_replace chain —
+    JVM-side codegen over the scan, no shuffle at all; the patterns
+    stay in the Java∩RE2 regex subset so the oracle replays them."""
+    cust = tables(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    phone = F.concat(
+        F.lit("55-"), s(k % 90 + 10), F.lit("-"),
+        s((k * 7) % 9000 + 1000), F.lit("-"), s((k * 13) % 9000 + 1000),
+    )
+    ip = F.concat(
+        s(k % 223 + 10), F.lit("."), s((k * 3) % 256), F.lit("."),
+        s((k * 5) % 256), F.lit("."), s((k * 11) % 254 + 1),
+    )
+    contact = F.concat(
+        F.lit("segment "), F.col("c_mktsegment"), F.lit(" reach "),
+        F.lower(F.regexp_replace("c_name", "#", ".")),
+        F.lit("@corp.example or call "), phone,
+        F.when(k % 3 == 0, F.concat(F.lit(" host "), ip)).otherwise(F.lit("")),
+    )
+    return cust.select(
+        "c_custkey",
+        tx.redact_pii_expr(contact).alias("redacted"),
+        tx.pii_count_expr(contact, tx.PII_EMAIL_RE).alias("n_emails"),
+        tx.pii_count_expr(contact, tx.PII_PHONE_RE).alias("n_phones"),
+        tx.pii_count_expr(contact, tx.PII_IPV4_RE).alias("n_ips"),
+    )
+
+
+# === deterministic corpus shuffle (global training order) =================
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (ORDER BY {_bucket("doc_id", "shuffle")}, doc_id) - 1
+             AS pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark, sf_dir):
+    """Epoch shuffle: a dense deterministic global position in hash
+    order. The oracle is the naive single-window ROW_NUMBER; the Spark
+    side is the distributed restatement (hash-range buckets + per-bucket
+    ranks + tiny offset prefix-sum) — same result, no single-partition
+    window over the corpus."""
+    docs = tables(spark, sf_dir, "documents")
+    out = sp.global_sort_index(docs, "doc_id", salt="shuffle")
+    return out.select("doc_id", "lang", F.col("pos").cast("long").alias("pos"))
+
+
 @query(
     "q_pack_sequences",
     oracle=f"""

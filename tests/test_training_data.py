@@ -62,6 +62,44 @@ def test_mixture_resample_exact_copy_counts(spark, sf_dir):
     assert dup == 0
 
 
+def test_redact_pii_tags_and_counts(spark):
+    from pyield_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [("mail bob.smith@corp.example or 55-12-3456-7890 at 10.0.0.12 end",),
+         ("no pii here",)],
+        "t string",
+    )
+    rows = df.select(
+        tx.redact_pii_expr("t").alias("r"),
+        tx.pii_count_expr("t", tx.PII_EMAIL_RE).alias("e"),
+        tx.pii_count_expr("t", tx.PII_PHONE_RE).alias("p"),
+        tx.pii_count_expr("t", tx.PII_IPV4_RE).alias("i"),
+    ).collect()
+    assert rows[0]["r"] == "mail <EMAIL> or <PHONE> at <IP> end"
+    assert (rows[0]["e"], rows[0]["p"], rows[0]["i"]) == (1, 1, 1)
+    assert rows[1]["r"] == "no pii here"
+    assert (rows[1]["e"], rows[1]["p"], rows[1]["i"]) == (0, 0, 0)
+
+
+def test_global_sort_index_is_dense_hash_rank(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sp.global_sort_index(docs, "doc_id", n_buckets=16)
+    rows = out.select("doc_id", "pos").collect()
+    n = docs.count()
+    assert sorted(r["pos"] for r in rows) == list(range(n))  # dense permutation
+    # pos order == (hash, doc_id) order replayed locally
+    hashed = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", sp.sample_bucket_expr("doc_id", "shuffle").alias("h")
+        ).collect()
+    }
+    want = sorted(hashed, key=lambda d: (hashed[d], d))
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
+    assert got == want
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "n_tokens", F.size(F.split(F.col("text"), r"\s+")).cast("long")
