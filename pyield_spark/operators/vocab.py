@@ -1,0 +1,126 @@
+"""Corpus vocabulary / term-statistics operators — the counting stage a
+pretraining pipeline runs to build tokenizer vocabularies, distinctive
+term indexes, and Gopher-style repetition filters.
+
+Everything here is integer arithmetic over one exploded-token base, so
+the DuckDB oracle replays it exactly (no float logs: TF-IDF ranking is
+restated as the integer total order (df ASC, tf DESC, token ASC), which
+induces the same per-document ordering as tf·idf for the common case and
+stays bit-portable across engines).
+
+Scale notes (100 TB): the exploded token table is the big intermediate —
+all downstream aggregations are equi-shuffles on (doc, token) or (token)
+with map-side partial aggregation, and the per-(doc,token) counts reuse
+one shuffle for both the corpus vocabulary and the per-document ranks.
+No window ever spans more than one document; no driver-side collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import text as tx
+
+
+def bigrams_expr(tokens: Column) -> Column:
+    """Adjacent token pairs via ``zip_with`` over shifted slices — the
+    HOF-capture-safe shingle idiom (a ``transform`` lambda would
+    re-evaluate the captured split per element). 0/1-token arrays
+    yield an empty array."""
+    n = F.size(tokens)
+    ln = F.greatest(n - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(tokens, 1, ln),
+        F.slice(tokens, 2, ln),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def doc_term_counts(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Per-(document, token) occurrence counts — ONE groupBy shuffle on
+    the exploded tokens; the shared base for vocabulary and per-doc
+    term ranking."""
+    tok = df.select(F.col(id_col), F.explode(tx.tokens_expr(text)).alias("token"))
+    return tok.groupBy(id_col, "token").agg(F.count("*").alias("tf_doc"))
+
+
+def vocabulary(per_doc: DataFrame, id_col: str) -> DataFrame:
+    """Corpus vocabulary from :func:`doc_term_counts`: total term
+    frequency ``tf`` and document frequency ``df`` per token. The
+    second (and last) shuffle, on ``token``, with partial aggregation —
+    the standard two-level word count that survives any corpus size."""
+    return per_doc.groupBy("token").agg(
+        F.sum("tf_doc").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+    )
+
+
+def distinctive_terms(
+    df: DataFrame, text: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document — integer TF-IDF:
+    rank by (corpus df ASC, in-doc tf DESC, token ASC). Rarer-in-corpus
+    beats frequent-in-doc, exactly the tf·idf ordering, with a total
+    tie-break so both engines pick identical rows.
+
+    Plan: the (doc,token) counts shuffle once, the vocabulary reuses
+    that output, the df-attach is an equi-join on ``token``, and the
+    per-doc rank window partitions by document — nothing global."""
+    per_doc = doc_term_counts(df, text, id_col)
+    vocab = vocabulary(per_doc, id_col).drop("tf")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("df").asc(), F.col("tf_doc").desc(), F.col("token").asc()
+    )
+    return (
+        per_doc.join(vocab, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", F.col("tf_doc").alias("tf"), "df", "rank")
+    )
+
+
+def repetition_stats(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (Rae et al. 2021
+    §A1.1 'repetition removal'): duplicate-word ratio, top-word share,
+    top-bigram share — the filters that drop boilerplate/spam docs.
+
+    Array metrics (counts, distinct counts) are pure column expressions
+    over the scan; the two mode-counts (most-repeated word / bigram)
+    each take one (doc, gram) groupBy plus a per-doc max — map-side
+    combinable, never a cross-document shuffle key. Ratios are single
+    IEEE divisions of two integers (bit-identical across engines)."""
+    toks = tx.tokens_expr(text)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    per_tok = doc_term_counts(df, text, id_col)
+    top_tok = per_tok.groupBy(id_col).agg(F.max("tf_doc").cast("long").alias("top_tf"))
+    bg = df.select(
+        F.col(id_col), F.explode(bigrams_expr(tx.tokens_expr(text))).alias("bg")
+    )
+    top_bg = (
+        bg.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("long").alias("top_bigram_tf"))
+    )
+    out = (
+        base.join(top_tok, id_col, "left")
+        .join(top_bg, id_col, "left")
+        .withColumn("top_bigram_tf", F.coalesce("top_bigram_tf", F.lit(0)))
+    )
+    n = F.col("n_tokens").cast("double")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "top_tf",
+        "top_bigram_tf",
+        ((F.col("n_tokens") - F.col("n_distinct")).cast("double") / n).alias(
+            "dup_word_ratio"
+        ),
+        (F.col("top_tf").cast("double") / n).alias("top_token_share"),
+    )

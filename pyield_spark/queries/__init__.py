@@ -44,6 +44,7 @@ def load_all() -> None:
         analytics,
         bonds_extra,
         core,
+        corpus,
         events,
         extras,
         fixed_income,

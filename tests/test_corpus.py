@@ -1,0 +1,65 @@
+"""Corpus vocabulary / distinctive-terms / repetition operators."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import vocab as vb
+
+
+def test_bigrams_expr_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("x y",)], "t string"
+    )
+    rows = df.select(
+        vb.bigrams_expr(F.split(F.col("t"), r"\s+")).alias("bg")
+    ).collect()
+    assert rows[0]["bg"] == ["a b", "b c"]
+    assert rows[1]["bg"] == []
+    assert rows[2]["bg"] == ["x y"]
+
+
+def test_vocabulary_matches_local_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = vb.doc_term_counts(docs, "text", "doc_id")
+    got = {
+        r["token"]: (r["tf"], r["df"])
+        for r in vb.vocabulary(per_doc, "doc_id").collect()
+    }
+    tf = Counter()
+    dfc = Counter()
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].strip().lower().split()
+        tf.update(toks)
+        dfc.update(set(toks))
+    assert got == {t: (tf[t], dfc[t]) for t in tf}
+
+
+def test_distinctive_terms_rank_order(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = vb.distinctive_terms(docs, "text", "doc_id", k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # rank order == (df asc, tf desc, token asc)
+        keys = [(r["df"], -r["tf"], r["token"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_repetition_stats_hand_check(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in vb.repetition_stats(df, "text", "doc_id").collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_distinct"], r1["top_tf"]) == (4, 2, 3)
+    assert r1["top_bigram_tf"] == 2  # "a a" twice
+    assert r1["dup_word_ratio"] == 0.5 and r1["top_token_share"] == 0.75
+    r2 = got[2]
+    assert (r2["top_tf"], r2["top_bigram_tf"], r2["dup_word_ratio"]) == (1, 1, 0.0)
+    r3 = got[3]
+    assert (r3["n_tokens"], r3["top_bigram_tf"]) == (1, 0)
