@@ -1,0 +1,34 @@
+"""Sharded export sink: per-file row caps and balanced layout."""
+
+import glob
+
+import duckdb
+
+from pyield_spark.sources.sinks import write_sharded_parquet
+
+
+def test_sharded_write_respects_row_cap(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    write_sharded_parquet(docs, out, rows_per_file=100, n_shards=4, key="doc_id")
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) >= n // 100
+    total = 0
+    for f in files:
+        rows = duckdb.sql(f"SELECT count(*) FROM read_parquet('{f}')").fetchone()[0]
+        assert rows <= 100
+        total += rows
+    assert total == n
+
+    # deterministic layout: same input → same shard assignment
+    out2 = str(tmp_path / "shards2")
+    write_sharded_parquet(docs, out2, rows_per_file=100, n_shards=4, key="doc_id")
+    a = duckdb.sql(
+        f"SELECT filename LIKE '%part-00000%', count(*) FROM read_parquet('{out}/*.parquet', filename=true) GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    b = duckdb.sql(
+        f"SELECT filename LIKE '%part-00000%', count(*) FROM read_parquet('{out2}/*.parquet', filename=true) GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert a == b
