@@ -247,11 +247,12 @@ def _leiloes_oracle() -> str:
       FROM lpu
     ),
     lptax AS (
-      SELECT data_ref,
-        CAST(4500 + (day(data_ref) * 7 % 100) * 10 + month(data_ref) AS DOUBLE)
+      SELECT data AS data_ref,
+        CAST(4500 + (day(data) * 7 % 100) * 10 + month(data) AS DOUBLE)
           / 1000.0 AS ptax
-      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS data_ref
-            FROM orders WHERE o_orderkey % 3 = 0)
+      FROM cal
+      WHERE data BETWEEN DATE '1994-12-01' AND DATE '2001-12-31'
+        AND (day(data) + month(data)) % 3 <> 1
     ),
     lasof AS (
       SELECT d.*, pt.data_ref, pt.ptax
@@ -331,21 +332,33 @@ def q_leiloes(spark, sf_dir):
     )
     p = p.withColumn("duration", duration).withColumn("dv01_unitario", dv01_unit)
 
-    # PTAX series + ungrouped backward as-of + USD conversion
-    od = tables(spark, sf_dir, "orders")
+    # PTAX series + ungrouped backward as-of + USD conversion. The
+    # series derives from the session-cached calendar dimension, NOT a
+    # distinct() over the fact table: the as-of references its right
+    # side ~3× (percentile boundaries, per-bucket bests, the union), and
+    # a fact-derived series would re-scan + re-shuffle the fact table
+    # each time (the measured lineage-recompute hazard). A gappy 2/3-of
+    # -days slice keeps the backward match doing real work, and bounding
+    # the slice to the auction-date span keeps the as-of's range-bucket
+    # boundaries aligned with the left key distribution.
+    from pyield_spark.calendar_br import calendar_df
+
     ptax = (
-        od.filter(F.col("o_orderkey") % 3 == 0)
-        .select(F.to_date("o_orderdate").alias("data_ref"))
-        .distinct()
-    )
-    ptax = ptax.withColumn(
-        "ptax",
-        (
-            F.lit(4500)
-            + (F.dayofmonth("data_ref") * 7 % 100) * 10
-            + F.month("data_ref")
-        ).cast("double")
-        / 1000.0,
+        calendar_df(spark)
+        .select(F.col("data").alias("data_ref"))
+        .filter(
+            F.col("data_ref").between("1994-12-01", "2001-12-31")
+            & ((F.dayofmonth("data_ref") + F.month("data_ref")) % 3 != 1)
+        )
+        .withColumn(
+            "ptax",
+            (
+                F.lit(4500)
+                + (F.dayofmonth("data_ref") * 7 % 100) * 10
+                + F.month("data_ref")
+            ).cast("double")
+            / 1000.0,
+        )
     )
     p = asof_join(
         p, ptax, on="data_leilao", right_on="data_ref",
