@@ -250,6 +250,12 @@ def q_vna_prorata(spark, sf_dir):
             6,
         ).alias("vna_pub")
     )
+    # the two as-ofs reference pubs ~3x each; without materialization the
+    # lineitem aggregation re-scans + re-shuffles the fact table on every
+    # reference (measured: 4 lineitem scans in the plan). pubs is a tiny
+    # monthly series — localCheckpoint truncates the lineage so the
+    # aggregation runs exactly once at any scale.
+    pubs = pubs.localCheckpoint(eager=False)
     alvo = od.select("o_orderkey", F.to_date("o_orderdate").alias("data"))
     prev = asof_join(
         alvo,
@@ -684,7 +690,12 @@ def q_premio_limpo(spark, sf_dir):
     from pyield_spark.bonds.bootstrap import premio_limpo
 
     od = tables(spark, sf_dir, "orders")
-    di_curve = _di_curve_df(spark, sf_dir)
+    # both panels are tiny but fact-derived, and each is referenced 3+
+    # times downstream (the semi join, the spread kernel, the repricing
+    # arm, the meta join) — materialize once instead of re-scanning
+    # lineitem/orders per reference (measured: 5 lineitem + 4 orders
+    # scans in the plan before checkpointing)
+    di_curve = _di_curve_df(spark, sf_dir).localCheckpoint(eager=False)
     bonds = (
         od.filter(F.col("o_orderkey") % 37 == 0)
         .select(
@@ -701,6 +712,7 @@ def q_premio_limpo(spark, sf_dir):
         )
         .join(di_curve.select("grupo").distinct(), "grupo", "left_semi")
     )
+    bonds = bonds.localCheckpoint(eager=False)
     prem = premio_limpo(
         bonds,
         di_curve,
