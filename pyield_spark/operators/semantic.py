@@ -1,0 +1,156 @@
+"""Semantic clustering and SemDeDup-style embedding dedup.
+
+K-means (Lloyd) with a fixed, deterministic setup — seed centroids are
+the ``k`` lowest-id vectors, a fixed number of iterations — so the whole
+computation is replayable bit-exactly by a SQL engine (the DuckDB
+oracle): distances are sequential double folds (deterministic
+association order), centroid means accumulate through DECIMAL (the
+groupBy-sum order is arbitrary, decimal makes it exact), and every
+argmin carries an id tie-break.
+
+Scale design (100 TB): centroids are a k-row broadcast — assignment is
+a map-only pass over the embeddings (no shuffle of the fact table);
+the only shuffles are the per-(cluster, dim) mean (k·dim groups,
+map-side combinable) and the final cluster-blocked self-join, whose
+pair space is bounded by the cluster size — the SemDeDup trick: pick k
+proportional to N/target_cluster_size so intra-cluster pairs stay
+linear. (Real deployments run more Lloyd rounds and a sampled init;
+the dataflow is identical — each extra round is one more broadcast
+assignment + one more tiny aggregation.)
+
+Reference anchor: this is an engine extension beyond PYield's surface
+(SURVEY §7 step 10); the clustering restates Lloyd's algorithm, the
+dedup rule follows SemDeDup (Abbas et al. 2023): within a cluster,
+among pairs with cosine ≥ tau keep the lowest id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pyield_spark.operators.similarity import _as_double, dot_dec, norm_sq_dec
+
+
+def sqdist_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance — sequential double fold (deterministic
+    association order on any engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd assignment.
+
+    Returns (_vid, _v, _cid, _dist): each vector, its final cluster
+    (named by the seed vector's id) and the squared L2 distance to the
+    final centroid.
+
+    Each assignment is broadcast-join + map-side ``min(struct(dist,
+    cid))`` — the N·k candidate rows never shuffle (partial aggregation
+    collapses them to N on the map side), unlike a window-rank argmin
+    which would shuffle the expanded set.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    base = emb.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    cents = base.orderBy("_vid").limit(k).select(
+        F.col("_vid").alias("_cid"), F.col("_v").alias("_c")
+    )
+    assigned = None
+    for it in range(iters):
+        cand = base.crossJoin(F.broadcast(cents)).withColumn(
+            "_dist", sqdist_expr(F.col("_v"), F.col("_c"))
+        )
+        # argmin: (dist, cid) pairs are unique per vector (cid distinct),
+        # so min(struct) is a total order — map-side combinable.
+        assigned = (
+            cand.groupBy("_vid")
+            .agg(
+                F.min(F.struct("_dist", "_cid")).alias("_s"),
+                F.first("_v").alias("_v"),  # all candidates carry the same _v
+            )
+            .select("_vid", "_v", F.col("_s._cid").alias("_cid"), F.col("_s._dist").alias("_dist"))
+        )
+        if it < iters - 1:
+            # new centroid = per-dimension mean; decimal sum (exact,
+            # order-independent), ONE double division at the end.
+            sums = (
+                assigned.select("_cid", F.posexplode("_v").alias("_i", "_x"))
+                .groupBy("_cid", "_i")
+                .agg(
+                    (
+                        F.sum(F.col("_x").cast("decimal(27,12)")).cast("double")
+                        / F.count("*")
+                    ).alias("_m")
+                )
+            )
+            cents = sums.groupBy("_cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_c")
+            )
+    return assigned
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.2,
+) -> DataFrame:
+    """SemDeDup keep/drop decision per vector.
+
+    Clusters bound the pair space (blocking key); within a cluster any
+    pair with cosine ≥ ``tau`` drops the higher id. Returns
+    (vec_id, cluster, keep).
+    """
+    from pyield_spark.functions.numbers import pround_expr
+
+    assigned = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters).withColumn(
+        "_n2", norm_sq_dec(F.col("_v"))
+    )
+    a = assigned.select(
+        F.col("_vid").alias("_ida"), F.col("_v").alias("_va"),
+        F.col("_n2").alias("_na"), "_cid",
+    )
+    b = assigned.select(
+        F.col("_vid").alias("_idb"), F.col("_v").alias("_vb"),
+        F.col("_n2").alias("_nb"), "_cid",
+    )
+    dropped = (
+        a.join(b, "_cid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn(
+            "_cos",
+            pround_expr(
+                dot_dec(F.col("_va"), F.col("_vb"))
+                / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
+                6,
+            ),
+        )
+        .filter(F.col("_cos") >= tau)
+        .select(F.col("_idb").alias("_vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "_vid", "left")
+        .select(
+            F.col("_vid").alias(id_col),
+            F.col("_cid").alias("cluster"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -162,6 +162,37 @@ def pii_count_expr(text: str | Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("long")
 
 
+def spans_expr(text: str | Column, span_tokens: int = 10) -> Column:
+    """Fixed-width non-overlapping token spans (exact-substring-dedup
+    granularity, Lee et al. 2021 simplified to aligned windows).
+
+    Only complete ``span_tokens``-token spans are emitted (a ragged tail
+    would never hash-match another doc's aligned span anyway). Empty /
+    short docs map to an empty array — the ``sequence(1, 0)`` descending
+    trap is guarded exactly like ``char_codes_expr``.
+    """
+    toks = tokens_expr(text)
+    n = F.floor(F.size(toks) / span_tokens).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - 1) * span_tokens + 1, span_tokens)
+        ),
+    )
+    return F.when(n >= 1, spans).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_count_expr(n_chars: Column, size: int, stride: int) -> Column:
+    """How many chunks a ``size``-char window with ``stride`` step cuts
+    from a doc: 1 + ceil(max(len - size, 0) / stride), in pure integer
+    arithmetic (both engines floor integer division identically)."""
+    extra = F.when(
+        n_chars > size,
+        F.floor((n_chars - size + stride - 1) / stride),
+    ).otherwise(F.lit(0))
+    return (extra + 1).cast("int")
+
+
 def gopher_rules(
     text: str | Column,
     lang: str | Column,

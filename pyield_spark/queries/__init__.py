@@ -50,6 +50,7 @@ def load_all() -> None:
         fixed_income,
         leiloes,
         llm_data,
+        semantic,
         training_data,
     )
 

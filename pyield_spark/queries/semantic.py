@@ -1,0 +1,222 @@
+"""Semantic-clustering and span/chunk training-data queries.
+
+Four operators a 100 TB pre-training pipeline runs between scoring and
+assembly: aligned-span exact substring dedup (Lee et al. 2021,
+simplified to fixed token windows), fixed-size chunking with stride
+(training-sample prep), deterministic k-means clustering, and
+SemDeDup-style semantic dedup (Abbas et al. 2023) with clusters as the
+blocking key.
+
+Oracle strategy: spans/chunks are pure string slicing (bit-portable);
+k-means distances are sequential double folds, centroid means are
+decimal-accumulated, and every argmin/ranking carries an id tie-break —
+DuckDB replays all four bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import semantic as sm
+from pyield_spark.operators import text as tx
+from pyield_spark.functions.numbers import pround_expr
+from pyield_spark.queries import query, tables
+from pyield_spark.queries.llm_data import _TOKS
+from pyield_spark.queries.oracle_helpers import pround_sql
+
+_SPAN = 10  # tokens per aligned span
+_CHUNK, _STRIDE = 200, 150  # chars
+
+_SPANS_SQL = f"""
+  list_transform(
+    range(1, CAST(len({_TOKS}) // {_SPAN} AS BIGINT) + 1),
+    i -> array_to_string(
+           list_slice({_TOKS}, (i - 1) * {_SPAN} + 1, (i - 1) * {_SPAN} + {_SPAN}),
+           ' '))
+""".strip()
+
+_SQDIST = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+    " i -> ({a}.v[i] - {c}.c[i]) * ({a}.v[i] - {c}.c[i]))), (acc, x) -> acc + x)"
+)
+_DOT_AB = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+    " i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)"
+)
+
+# shared k-means CTE chain (k=8 seed = lowest ids, 2 Lloyd iterations):
+# assignment tie-breaks on (dist, cid); centroid means sum in DECIMAL
+# then divide once in DOUBLE — both replayed exactly by DuckDB.
+_KMEANS_CTES = f"""
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM base ORDER BY vec_id LIMIT 8),
+    d1 AS (
+      SELECT b.vec_id, c.cid, {_SQDIST.format(a="b", c="c")} AS dist
+      FROM base b, c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    s1 AS (
+      SELECT a1.cid, t.i,
+             CAST(SUM(CAST(b.v[t.i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM a1 JOIN base b USING (vec_id), generate_series(1, 64) t(i)
+      GROUP BY a1.cid, t.i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM s1 GROUP BY cid),
+    d2 AS (
+      SELECT b.vec_id, c.cid, {_SQDIST.format(a="b", c="c")} AS dist
+      FROM base b, c1 c
+    ),
+    a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "q_span_dedup",
+    oracle=f"""
+    WITH sp0 AS (SELECT doc_id, {_SPANS_SQL} AS spans FROM documents),
+    sp AS (SELECT doc_id, md5(unnest(spans)) AS h FROM sp0),
+    cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY h)
+    SELECT sp.doc_id,
+      CAST(COUNT(*) AS INT) AS n_spans,
+      CAST(SUM(CASE WHEN cnt.df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans,
+      {pround_sql(
+          "CAST(SUM(CASE WHEN cnt.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)",
+          6)} AS dup_frac
+    FROM sp JOIN cnt USING (h)
+    GROUP BY sp.doc_id
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Aligned-span exact substring dedup: per document, how many of its
+    10-token spans appear (verbatim) in at least one other document.
+
+    Scale shape: explode → md5 span key (128-bit: join stays narrow and
+    collision-free at 100 TB, no raw-text shuffle) → one groupBy(h) with
+    a map-side-combinable distinct-doc count → hash join back → one
+    groupBy(doc_id). All shuffles are on uniform hash keys.
+    """
+    docs = tables(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id", F.explode(tx.spans_expr("text", _SPAN)).alias("_span")
+    ).select("doc_id", F.md5("_span").alias("h"))
+    cnt = sp.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        sp.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_spans"),
+            dup.cast("int").alias("n_dup_spans"),
+            pround_expr(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, text,
+        CAST(CASE WHEN length(text) > {_CHUNK}
+                  THEN (length(text) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+                  ELSE 0 END + 1 AS INT) AS n_chunks
+      FROM documents
+    ),
+    e AS (SELECT doc_id, text, unnest(range(0, CAST(n_chunks AS BIGINT))) AS i FROM n)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      substr(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK}) AS chunk_text,
+      CAST(length(substr(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK})) AS INT)
+        AS chunk_len
+    FROM e
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size chunking with stride (200-char windows every 150):
+    the standard training-sample prep cut. One narrow explode (≤ a
+    small constant per doc), no shuffle at all — chunking is map-only,
+    which is exactly why it belongs in the scan stage at 100 TB."""
+    docs = tables(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        "text",
+        tx.chunk_count_expr(F.length("text"), _CHUNK, _STRIDE).alias("n_chunks"),
+    )
+    e = n.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    chunk = F.col("text").substr(
+        F.col("chunk_id") * _STRIDE + 1, F.lit(_CHUNK)
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )
+
+
+@query(
+    "q_kmeans_clusters",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
+    SELECT vec_id, cid AS cluster, {pround_sql("dist", 6)} AS dist
+    FROM a2
+    """,
+)
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic 2-iteration Lloyd over the embeddings (k=8, seeds =
+    lowest ids). Assignment is broadcast + map-side min(struct) — the
+    N·k candidates never shuffle; the only aggregations are k·dim mean
+    cells. See operators/semantic.py for the 100 TB notes."""
+    emb = tables(spark, sf_dir, "embeddings")
+    out = sm.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+    return out.select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_cid").alias("cluster"),
+        pround_expr(F.col("_dist"), 6).alias("dist"),
+    )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    n2 AS (
+      SELECT vec_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (acc, x) -> acc + x) AS norm2
+      FROM base
+    ),
+    j AS (
+      SELECT a2.vec_id, a2.cid, base.v, n2.norm2
+      FROM a2 JOIN base USING (vec_id) JOIN n2 USING (vec_id)
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {pround_sql(_DOT_AB + " / (sqrt(a.norm2) * sqrt(b.norm2))", 6)} >= 0.2
+    )
+    SELECT j.vec_id, j.cid AS cluster,
+           j.vec_id NOT IN (SELECT vec_id FROM drops) AS keep
+    FROM j
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means clusters as the blocking key, cosine ≥ 0.2
+    within a cluster drops the higher id. Pair space is bounded by the
+    cluster size (pick k ∝ N at scale), so the self-join stays linear —
+    the same reasoning as the LSH-bucketed near-dup path."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sm.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2, tau=0.2)
