@@ -59,21 +59,28 @@ def tables(spark: SparkSession, sf_dir: str, *names: str):
     from pyspark.sql import functions as F
 
     # Defensive session confs (runtime-settable): the driver may hand us
-    # a vanilla SparkSession. events.parquet is TIMESTAMP(NANOS) —
-    # unreadable without nanosAsLong; UTC keeps timestamp→date casts
-    # aligned with the (tz-naive) DuckDB oracle.
+    # a vanilla SparkSession. events.parquet has shipped as both
+    # TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata generations —
+    # nanosAsLong keeps the NANOS variant readable; UTC keeps
+    # timestamp→date casts aligned with the (tz-naive) DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     out = []
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        # events.ts is TIMESTAMP(NANOS) parquet — read as LONG (see
-        # session conf nanosAsLong) and converted to micros here, exactly
-        # matching DuckDB's own nanos→micros truncation.
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
+        # NANOS-generation events.ts reads as LONG under nanosAsLong —
+        # convert to micros exactly as DuckDB truncates; the MICROS
+        # generation arrives as a native timestamp and passes through.
+        if n == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                # value-preserving under the UTC session tz set above;
+                # keeps unix_micros()/window() applicable downstream
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out.append(df)
     return out if len(out) > 1 else out[0]

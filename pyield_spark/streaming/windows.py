@@ -20,9 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
-)  # ts arrives as raw nanos (TIMESTAMP(NANOS) parquet + nanosAsLong)
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,7 +35,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # stage dir keyed by the ABSOLUTE source path (basename alone would
     # collide for two sf_dirs with the same leaf name and silently keep
     # a stale symlink to the wrong data)
@@ -56,7 +55,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
 
 
