@@ -47,6 +47,7 @@ def load_all() -> None:
         corpus,
         events,
         extras,
+        curation,
         fixed_income,
         leiloes,
         llm_data,

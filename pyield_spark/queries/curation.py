@@ -1,0 +1,300 @@
+"""Corpus-curation quotas and distributed-deterministic statistics.
+
+Two groups of operators a 100 TB training-data pipeline needs beyond
+per-document scoring:
+
+- **quota capping** (``q_domain_cap``): bound the contribution of any
+  one source/domain to the corpus — the standard defense against a
+  single crawl domain dominating the mixture. One rank window per
+  source; AQE handles hot-domain skew (a pathological domain can also
+  be pre-salted with ``operators.skew.salted_join`` discipline).
+- **moment statistics** (``q_moment_stats``, ``q_value_histogram``,
+  Q3/Q10-shaped revenue joins): grouped mean/stddev/correlation and
+  fixed-bin histograms computed from DECIMAL moment sums, so results
+  are independent of partitioning/association order — the built-in
+  ``stddev``/``corr`` aggregates accumulate in doubles and drift
+  between runs and engines; these don't.
+
+Reference surface: statistical summaries in the reference are driver
+-side pandas/Polars ``describe``-style calls (e.g.
+/root/reference/pyield/tpf/premios_pre.py post-processing); here they
+are first-class distributed aggregates under the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from pyield_spark.queries import query, tables
+
+DEC = "decimal(18,6)"
+
+
+def _dsum(c):
+    """Order-independent double sum: per-row cast to DECIMAL, exact
+    decimal accumulation, one cast back to double."""
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+# === per-source quota capping (domain balancing) ==========================
+
+_CAP = 20
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS src_rank
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_CAP}
+    ORDER BY source, src_rank
+    """,
+)
+def q_domain_cap(spark, sf_dir):
+    """Keep at most {_CAP} documents per source, preferring longer
+    documents (deterministic doc_id tie-break).
+
+    Plan: ONE shuffle (window partitioned by ``source``), then a
+    map-side filter — no second pass. At 100 TB the per-domain rank is
+    the canonical quota operator; domains are high-cardinality so the
+    shuffle spreads, and AQE splits the few hot ones.
+    """
+    docs = tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("src_rank"),
+        )
+        .filter(F.col("src_rank") <= _CAP)
+        .orderBy("source", "src_rank")
+    )
+
+
+# === grouped moment statistics (deterministic stddev / corr) ==============
+
+
+@query(
+    "q_moment_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(sx / n, 8) AS qty_mean,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 8) AS qty_stddev,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8)
+             AS qty_price_corr
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_moment_stats(spark, sf_dir):
+    """Grouped mean / sample stddev / Pearson correlation from decimal
+    moment sums (n, Σx, Σx², Σy, Σy², Σxy).
+
+    The built-in ``stddev_samp``/``corr`` accumulate running doubles —
+    partition-order dependent, so two runs (or Spark vs DuckDB) can
+    differ in the last ulps. Moment sums in DECIMAL are exact and
+    order-free; the final combination is one fixed IEEE expression per
+    engine. Map-side partial aggregation still applies — this is a
+    single groupBy scan, same shuffle profile as any sum.
+    """
+    li = tables(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _dsum(x).alias("sx"),
+        _dsum(x * x).alias("sxx"),
+        _dsum(y).alias("sy"),
+        _dsum(y * y).alias("syy"),
+        _dsum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy = F.col("sy"), F.col("syy")
+    sxy = F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 8).alias("qty_mean"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 8).alias(
+            "qty_stddev"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            8,
+        ).alias("qty_price_corr"),
+    ).orderBy("l_returnflag")
+
+
+# === fixed-bin histogram ==================================================
+
+_BIN_W = 25.0
+_N_BINS = 20
+
+
+@query(
+    "q_value_histogram",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR(value / {_BIN_W}), {_N_BINS - 1}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY bin ORDER BY bin
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of ``events.value`` ({_N_BINS} bins of
+    {_BIN_W}, last bin open-ended).
+
+    Bucket assignment is a map-side integer expression (no sort, no
+    sampling pass — unlike quantile-based binning); the aggregate is
+    one {_N_BINS}-group groupBy. The cheapest possible distribution
+    profile at any scale.
+    """
+    ev = tables(spark, sf_dir, "events")
+    bin_ = (
+        F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1))
+        .cast("long")
+        .alias("bin")
+    )
+    return (
+        ev.groupBy(bin_)
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+# === Q3-shaped shipping priority (3-way join + top-k) =====================
+
+_Q3_DATE = "1998-06-01"
+
+
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customers × open orders ×
+    not-yet-shipped lines, revenue top-10.
+
+    Both filters are pushed to the parquet scans (PushedFilters on
+    ``c_mktsegment``/``o_orderdate``/``l_shipdate``); the filtered
+    customer side shrinks ~5× so AQE converts that join to broadcast at
+    moderate SF, and the orderkey join stays a shuffle join co-
+    partitioned with the final groupBy (one exchange serves both).
+    Top-10 is a TakeOrdered, not a full sort.
+    """
+    cu, od, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = F.lit(_Q3_DATE).cast("timestamp")
+    return (
+        cu.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            od.filter(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_shipdate") > cut).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# === Q10-shaped returned-item revenue (4-way join + top-k) ================
+
+
+@query(
+    "q_returned_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    nation attached, top-20.
+
+    Join order declared small-to-large: nation is an explicit
+    broadcast (25 rows — never a shuffle); the returnflag filter
+    reaches the lineitem scan; the orders⋈lineitem shuffle join feeds
+    a groupBy on the customer key that reuses the customer join's
+    partitioning.
+    """
+    cu, na, od, li = tables(
+        spark, sf_dir, "customer", "nation", "orders", "lineitem"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            od.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cu.select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
