@@ -22,14 +22,16 @@ def truncar_expr(col: Column | str, decimals: int) -> Column:
     """Truncate toward zero at ``decimals`` places.
 
     sign(x) * floor(|x| * 10^d) / 10^d — exact for the magnitudes the
-    pricing rules touch (|x|·10^d < 2^53). NaN/null pass through.
+    pricing rules touch (|x|·10^d < 2^53). NaN/null pass through via
+    signum (no explicit guard: a when(isnan) wrapper would re-reference
+    the child and grow nested trunc chains 4× per level — measured as
+    the dominant planning+eval cost in the composite pricing queries).
     """
     if decimals < 0:
         raise ValueError("decimals must be non-negative")
     c = F.col(col) if isinstance(col, str) else col
     s = F.lit(float(10**decimals))
-    truncated = F.signum(c) * F.floor(F.abs(c) * s) / s
-    return F.when(F.isnan(c), c).otherwise(truncated)
+    return F.signum(c) * F.floor(F.abs(c) * s) / s
 
 
 def pround_expr(col: Column | str, decimals: int) -> Column:
@@ -47,8 +49,7 @@ def pround_expr(col: Column | str, decimals: int) -> Column:
         raise ValueError("decimals must be non-negative")
     c = F.col(col) if isinstance(col, str) else col
     s = F.lit(float(10**decimals))
-    r = F.signum(c) * F.floor(F.abs(c) * s + F.lit(0.5)) / s
-    return F.when(F.isnan(c), c).otherwise(r)
+    return F.signum(c) * F.floor(F.abs(c) * s + F.lit(0.5)) / s
 
 
 def trunc_decimal_sum_expr(sum_col: Column, decimals: int = 6) -> Column:

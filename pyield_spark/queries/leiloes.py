@@ -84,6 +84,22 @@ def _family_pricing(panel):
     """One exploded pass pricing NTN-F (base-1000, vp bround9) and NTN-B
     (base-1, vp bround12) at taxa and taxa+1bp, plus Macaulay duration."""
     fam = panel.filter(F.col("titulo").isin("NTN-F", "NTN-B"))
+    # the reference's dv01 truncates the rate, adds 1bp with round8, and
+    # the pricing function then re-truncates (normalizar) — re-truncation
+    # is NOT a no-op in float (trunc8(0.1445) = 0.14449999), so mirror
+    # the double application exactly (ltn.py:281-289, _utils.py:195-197).
+    # Both rate scenarios are computed BEFORE the flow explode: the
+    # Generate is a projection barrier, so the nested truncation chains
+    # evaluate once per bond, not once per cash flow.
+    fam = fam.withColumn(
+        "_t1", truncar_expr(truncar_expr(F.col("taxa_media"), 8), 8)
+    ).withColumn(
+        "_t2",
+        truncar_expr(
+            pround_expr(truncar_expr(F.col("taxa_media"), 8) + F.lit(0.0001), 8),
+            8,
+        ),
+    )
     flows = explode_payment_dates(fam, "liq", "data_vencimento", 6, "pay")
     flows = du_mod.contar(flows, "liq", "pay", alias="_du_f")
     au = anos_uteis_expr("_du_f")
@@ -92,14 +108,8 @@ def _family_pricing(panel):
         F.col("pay") == F.col("data_vencimento"),
         F.when(is_f, F.lit(1048.80885)).otherwise(F.lit(1.02956301)),
     ).otherwise(F.when(is_f, F.lit(48.80885)).otherwise(F.lit(0.02956301)))
-    # the reference's dv01 truncates the rate, adds 1bp with round8, and
-    # the pricing function then re-truncates (normalizar) — re-truncation
-    # is NOT a no-op in float (trunc8(0.1445) = 0.14449999), so mirror
-    # the double application exactly (ltn.py:281-289, _utils.py:195-197)
-    t1 = truncar_expr(truncar_expr(F.col("taxa_media"), 8), 8)
-    t2 = truncar_expr(
-        pround_expr(truncar_expr(F.col("taxa_media"), 8) + F.lit(0.0001), 8), 8
-    )
+    t1 = F.col("_t1")
+    t2 = F.col("_t2")
     vp1 = F.when(is_f, F.bround(cf / F.pow(1 + t1, au), 9)).otherwise(
         F.bround(cf / F.pow(1 + t1, au), 12)
     )
