@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from pyield_spark.operators import vocab as vb
 from pyield_spark.queries import query, tables
-from pyield_spark.queries.llm_data import _TOKS
+from pyield_spark.queries.llm_data import _GRAMS3, _TOKS
 
 _TOK_CTES = f"""
     tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
@@ -111,3 +111,116 @@ def q_repetition_stats(spark, sf_dir):
     (doc, gram) — map-side combinable, no cross-document keys."""
     docs = tables(spark, sf_dir, "documents")
     return vb.repetition_stats(docs, "text", "doc_id")
+
+
+# === cross-source contamination: shared shingles between sources ==========
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT source, unnest({_GRAMS3}) AS shingle
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 3-token shingles they share — the provenance-audit
+    companion to per-document dedup (is source A a scrape of source B?).
+
+    Plan: distinct (source, shingle) is one shuffle; the self-join is
+    equi on the shingle (bucketed by construction, never all-pairs);
+    the pair aggregate is tiny (|sources|²). A corpus-wide hub shingle
+    skews the join key — AQE skew-join splits it; at 100 TB also cap
+    hub shingles by document frequency first (they carry no
+    provenance signal)."""
+    docs = tables(spark, sf_dir, "documents")
+    from pyield_spark.operators.dedup import shingles_expr
+
+    d = docs.select(
+        "source", F.explode(shingles_expr("text", 3)).alias("shingle")
+    ).distinct()
+    a = d.select(F.col("source").alias("source_a"), "shingle")
+    b = d.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# === winnowing fingerprints (MOSS-style local-min sampling) ===============
+
+_WINNOW_W = 4  # hashes per winnowing window (guarantee threshold w+k-1 tokens)
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(
+          range(1, greatest(len({_TOKS}) - 2, 0) + 1),
+          i -> md5(concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))
+        ) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(greatest(len(h) - {_WINNOW_W - 1}, 0) AS BIGINT) AS n_windows,
+      CAST(len(list_distinct(list_transform(
+        range(1, greatest(len(h) - {_WINNOW_W - 1}, 0) + 1),
+        i -> least(h[i], h[i+1], h[i+2], h[i+3])
+      ))) AS BIGINT) AS n_fp
+    FROM g ORDER BY doc_id
+    """,
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (Schleimer et al. 2003, MOSS): hash every ordered
+    3-token k-gram, slide a {_WINNOW_W}-hash window, keep each window's
+    minimum — the classic position-robust document fingerprint (any
+    shared run of w+k-1 tokens is guaranteed a shared fingerprint).
+
+    Entirely in the array domain — no explode, no shuffle: the k-gram
+    chain is aligned ``zip_with`` slices (NOT lambda indexing, which
+    re-evaluates the captured token array per element), the window min
+    is a balanced ``least`` tree over four shifted slices, and the
+    output is one row per document from a map-only plan. The md5 hex
+    ordering is bytewise on both engines."""
+    docs = tables(spark, sf_dir, "documents")
+    from pyield_spark.operators.text import tokens_expr
+
+    toks = tokens_expr("text")
+    grams = toks
+    for j in range(1, 3):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda g, z: F.concat(g, F.lit(" "), z))
+    h = F.transform(
+        F.filter(grams, lambda g: g.isNotNull()), lambda g: F.md5(g)
+    )
+
+    def shift(arr, j):
+        return F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
+
+    d = docs.select("doc_id", h.alias("_h"))
+    a = F.zip_with(F.col("_h"), shift(F.col("_h"), 1), lambda x, y: F.least(x, y))
+    b = F.zip_with(
+        shift(F.col("_h"), 2), shift(F.col("_h"), 3), lambda x, y: F.least(x, y)
+    )
+    n_win = F.greatest(F.size(F.col("_h")) - (_WINNOW_W - 1), F.lit(0))
+    wins = F.slice(F.zip_with(a, b, lambda x, y: F.least(x, y)), 1, n_win)
+    return (
+        d.select(
+            "doc_id",
+            n_win.cast("long").alias("n_windows"),
+            F.size(F.array_distinct(wins)).cast("long").alias("n_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -167,3 +167,53 @@ def q_stream_stateful(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("event_type", "n_events", F.bround("sum_value", 6).alias("sum_value"))
     )
+
+
+# === sliding (hopping) window: 10-min windows every 5 min =================
+
+
+@query(
+    "q_events_sliding",
+    oracle="""
+    WITH expanded AS (
+      SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - off)
+                            * 300 * 1000000) AS window_start,
+             value
+      FROM events, unnest([0, 1]) t(off)
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_value
+    FROM expanded GROUP BY window_start
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """Hopping-window average: every event lands in exactly two
+    10-minute windows 5 minutes apart. Spark's ``window(size, slide)``
+    expands rows window-count times BEFORE the aggregation (same as the
+    oracle's unnest) — partial aggregation still collapses map-side, so
+    the shuffle carries one row per (window, partition), not per event.
+    Average = decimal sum ÷ count (one IEEE division, engine-exact)."""
+    ev = tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            (F.col("_sum").cast("double") / F.col("n_events")).alias("avg_value"),
+        )
+    )
+
+
+@query("q_stream_sliding")
+def q_stream_sliding(spark, sf_dir):
+    """Structured Streaming twin of ``q_events_sliding`` (rows-only;
+    replay-equals-batch asserted in tests/test_streaming.py)."""
+    ev = sw.read_events_stream(spark, sf_dir)
+    agg = sw.sliding_avg(ev, "10 minutes", "5 minutes", "10 minutes")
+    return sw.run_to_memory(agg, "stream_sliding_out", mode="complete")

@@ -88,13 +88,19 @@ def sliding_avg(
     slide: str = "5 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
+    # decimal accumulation + one double division: the bounded replay
+    # reproduces the batch twin bit-exactly regardless of micro-batch
+    # partial-aggregation order
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_size, slide).alias("win"))
-        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n_events"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+            F.count("*").alias("n_events"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
-            "avg_value",
+            (F.col("_sum").cast("double") / F.col("n_events")).alias("avg_value"),
             "n_events",
         )
     )

@@ -68,3 +68,11 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     for k in batch:
         assert final[k][0] == batch[k][0]
         assert abs(final[k][1] - batch[k][1]) < 1e-6 * max(1.0, abs(batch[k][1]))
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    batch = QUERIES["q_events_sliding"](spark, sf_dir)
+    stream = QUERIES["q_stream_sliding"](spark, sf_dir)
+    b = {(r.window_start): (r.n_events, r.avg_value) for r in batch.collect()}
+    s = {(r.window_start): (r.n_events, r.avg_value) for r in stream.collect()}
+    assert b == s
