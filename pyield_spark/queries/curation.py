@@ -298,3 +298,99 @@ def q_returned_revenue(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# === exact per-language quality-percentile filter =========================
+
+
+def _qscore_sql() -> str:
+    from pyield_spark.queries.llm_data import _SW_EN, _TOKS
+    from pyield_spark.queries.oracle_helpers import pround_sql
+
+    return pround_sql(
+        "0.4 * least(len(" + _TOKS + ") / 100.0, 1.0)"
+        " + 0.4 * (len(list_filter(" + _TOKS + ", t -> list_contains(" + _SW_EN + ", t)))"
+        "          / CAST(len(" + _TOKS + ") AS DOUBLE))"
+        " + 0.2 * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+        "              / CAST(length(text) AS DOUBLE))",
+        6,
+    )
+
+
+@query(
+    "q_quality_percentile",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_qscore_sql()} AS quality_score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM scored
+    )
+    SELECT doc_id, lang, quality_score
+    FROM ranked WHERE rn <= CAST(ceil(n_lang / 2.0) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def q_quality_percentile(spark, sf_dir):
+    """Keep the top half of each language by quality score (exact, with
+    doc_id tie-break) — the per-group quantile filter of a curation
+    pipeline, WITHOUT ranking the fact table.
+
+    A per-lang ``row_number`` would funnel each language through one
+    reducer (lang is low-cardinality — the classic skewed-window trap).
+    Instead: scores are 6dp-rounded, so the (lang, score) histogram is
+    small and bounded — aggregate it, run the cumulative window over
+    THAT (thousands of rows, not documents), derive each language's
+    cutoff score + quota at the cutoff, broadcast the cutoffs back, and
+    rank only the cutoff-score ties (a vanishing fraction). The fact
+    table is never globally sorted; the only full shuffle is the
+    (lang, score) groupBy — map-side combinable.
+
+    The oracle states the same selection as the naive per-lang ranking —
+    the two formulations are equivalent because within a kept score every
+    doc is kept, and at the cutoff score the lowest doc_ids fill the
+    remaining quota.
+    """
+    from pyield_spark.operators import text as tx
+
+    docs = tables(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", tx.quality_score_expr("text").alias("quality_score")
+    )
+
+    hist = scored.groupBy("lang", "quality_score").agg(
+        F.count("*").alias("_cnt")
+    )
+    w_lang = Window.partitionBy("lang")
+    w_cum = (
+        w_lang.orderBy(F.col("quality_score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cuts = (
+        hist.withColumn("_before", F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)))
+        .withColumn("_k", F.ceil(F.sum("_cnt").over(w_lang) / 2.0))
+        .filter(F.col("_before") < F.col("_k"))
+        .select(
+            "lang",
+            "quality_score",
+            # quota at this score: full bucket, or the remainder at the cutoff
+            F.least(F.col("_cnt"), F.col("_k") - F.col("_before")).alias("_quota"),
+            (F.col("_before") + F.col("_cnt") <= F.col("_k")).alias("_full"),
+        )
+    )
+    joined = scored.join(F.broadcast(cuts), ["lang", "quality_score"])
+    full = joined.filter(F.col("_full")).select("doc_id", "lang", "quality_score")
+    # ties at the cutoff score only: rank by doc_id inside (lang, score)
+    w_tie = Window.partitionBy("lang", "quality_score").orderBy("doc_id")
+    partial = (
+        joined.filter(~F.col("_full"))
+        .withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .select("doc_id", "lang", "quality_score")
+    )
+    return full.unionByName(partial).orderBy("doc_id")

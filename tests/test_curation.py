@@ -84,3 +84,32 @@ def test_shipping_priority_filter_pushdown(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThan(l_shipdate" in plan
+
+
+def test_quality_percentile_no_factwide_rank(spark, sf_dir):
+    """The per-lang quantile filter must not rank the fact table: the
+    only row_number window may partition by (lang, quality_score) —
+    cutoff ties — never by lang alone."""
+    import re
+
+    plan = (
+        QUERIES["q_quality_percentile"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "quality_score" in spec, f"fact-wide rank window: {spec}"
+
+
+def test_quality_percentile_halves_each_lang(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = QUERIES["q_quality_percentile"](spark, sf_dir).collect()
+    per_lang = {}
+    for r in kept:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    assert set(per_lang) == set(totals)
+    for lang, n in totals.items():
+        assert per_lang[lang] == -(-n // 2)  # ceil(n/2)
