@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyield_spark.operators import vocab as vb
 from pyield_spark.queries import query, tables
 from pyield_spark.queries.llm_data import _GRAMS3, _TOKS
+from pyield_spark.queries.oracle_helpers import pround_sql
 
 _TOK_CTES = f"""
     tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
@@ -223,4 +224,127 @@ def q_winnow_fingerprint(spark, sf_dir):
             F.size(F.array_distinct(wins)).cast("long").alias("n_fp"),
         )
         .orderBy("doc_id")
+    )
+
+
+# === inverted index (relational postings) =================================
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len({_TOKS}) + 1),
+               i -> struct_pack(p := i, tok := {_TOKS}[i]))) AS u
+      FROM documents
+    )
+    SELECT u.tok AS token, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(min(u.p) AS BIGINT) AS first_pos
+    FROM pos GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted index in relational form: one posting row per
+    (token, document) with occurrence count and first position.
+
+    posexplode + one (token, doc_id) groupBy — map-side combinable, a
+    single shuffle keyed by the posting pair (high cardinality, spreads
+    evenly; hub tokens split by AQE). The array-of-postings form is one
+    ``collect_list`` away but stays out of the oracle-checked surface
+    (array ordering is engine-specific)."""
+    docs = tables(spark, sf_dir, "documents")
+    from pyield_spark.operators.text import tokens_expr
+
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("_p", "token")
+    )
+    return (
+        pos.groupBy("token", "doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            (F.min("_p") + 1).cast("long").alias("first_pos"),  # 1-based
+        )
+        .orderBy("token", "doc_id")
+    )
+
+
+# === bigram lift (log-free PMI ranking) ===================================
+
+
+@query(
+    "q_bigram_lift",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+    bg AS (
+      SELECT unnest({_BIGRAMS}) AS bigram FROM documents
+    ),
+    bgc AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY 1, 2
+    )
+    SELECT w1, w2, c_ab,
+           {pround_sql("CAST(n.total AS DOUBLE) * c_ab / (CAST(u1.c AS DOUBLE) * u2.c)", 6)} AS lift
+    FROM bgc JOIN uni u1 ON bgc.w1 = u1.token
+             JOIN uni u2 ON bgc.w2 = u2.token
+             CROSS JOIN n
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_bigram_lift(spark, sf_dir):
+    """Collocation strength without logarithms: lift = N·c(a,b) /
+    (c(a)·c(b)) — the monotone core of PMI, computed as one rounded
+    IEEE division chain (libm-free, engine-exact), ranked with a full
+    (w1, w2) tie-break.
+
+    Plan: adjacent-pair bigrams from aligned zip_with slices (no lambda
+    indexing), two counting aggregates, two equi-joins against the
+    unigram vocabulary (broadcastable — vocab ≪ corpus), the corpus
+    total as a 1-row broadcast. Top-50 is a TakeOrdered."""
+    docs = tables(spark, sf_dir, "documents")
+    from pyield_spark.functions.numbers import pround_expr
+    from pyield_spark.operators.text import tokens_expr
+
+    toks = tokens_expr("text")
+    tok = docs.select(F.explode(toks).alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("total"))
+
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg")
+    ).filter(F.col("_bg.w2").isNotNull())
+    bgc = pairs.groupBy(
+        F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    ).agg(F.count("*").alias("c_ab"))
+
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("_c2"))
+    return (
+        bgc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            pround_expr(
+                F.col("total").cast("double")
+                * F.col("c_ab")
+                / (F.col("_c1").cast("double") * F.col("_c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(50)
     )

@@ -217,3 +217,110 @@ def q_stream_sliding(spark, sf_dir):
     ev = sw.read_events_stream(spark, sf_dir)
     agg = sw.sliding_avg(ev, "10 minutes", "5 minutes", "10 minutes")
     return sw.run_to_memory(agg, "stream_sliding_out", mode="complete")
+
+
+# === funnel analysis: signup → click → purchase ordering per user =========
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, t_signup, t_click, t_purchase,
+           (t_signup IS NOT NULL AND t_click IS NOT NULL
+            AND t_signup <= t_click) AS reached_click,
+           (t_signup IS NOT NULL AND t_click IS NOT NULL
+            AND t_purchase IS NOT NULL
+            AND t_signup <= t_click AND t_click <= t_purchase)
+             AS reached_purchase
+    FROM firsts ORDER BY user_id
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered-funnel analysis: per user, the first occurrence of each
+    stage and whether the stages happened in funnel order. One
+    conditional-min groupBy over the fact table (map-side combinable) —
+    no self-joins, no windows; the canonical scalable funnel shape."""
+    ev = tables(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    reached_click = (
+        F.col("t_signup").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_signup") <= F.col("t_click"))
+    )
+    reached_purchase = (
+        reached_click
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_click") <= F.col("t_purchase"))
+    )
+    return f.select(
+        "user_id",
+        "t_signup",
+        "t_click",
+        "t_purchase",
+        reached_click.alias("reached_click"),
+        reached_purchase.alias("reached_purchase"),
+    ).orderBy("user_id")
+
+
+# === cohort retention: first-seen day × activity-day offset ===============
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Classic cohort-retention triangle: users bucketed by first-seen
+    day, activity counted per day offset.
+
+    Two aggregations share the user_id partitioning: the first-day
+    groupBy and the per-(user, offset) distinct both hash on user_id, so
+    the join between them is co-partitioned (one fact shuffle reused);
+    the final (cohort, offset) aggregate is tiny."""
+    ev = tables(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.select("user_id", F.col("ts").cast("date").alias("_day"))
+        .join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
