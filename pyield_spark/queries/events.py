@@ -324,3 +324,65 @@ def q_cohort_retention(spark, sf_dir):
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# === bucketed range join: purchases within 10 min after an error ==========
+
+
+@query(
+    "q_error_purchase_window",
+    oracle="""
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+           e.ts AS error_ts, p.ts AS purchase_ts
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    ORDER BY error_id, purchase_id
+    """,
+)
+def q_error_purchase_window(spark, sf_dir):
+    """Interval join — purchases at most 10 minutes after an error by
+    the same user — via the bucketed range-join pattern.
+
+    A naive non-equi join degenerates to a nested-loop / broadcast scan
+    of every (error, purchase) pair per user. Instead both sides are
+    binned to 10-minute epochs; a purchase within (t, t+10min] can only
+    land in the error's bin or the next one, so the right side is
+    duplicated twice (explode of a 2-element array), the join becomes a
+    pure EQUI join on (user_id, bin) — shuffle-hash, AQE-skew-safe —
+    and the exact interval predicate filters inside the matched bins.
+    Pair blowup is bounded by per-(user, bin) density, not per-user
+    totals. This is the standard time-range co-location recipe at
+    100 TB (same reasoning as the as-of range buckets)."""
+    ev = tables(spark, sf_dir, "events")
+    bin_ = (F.unix_micros("ts") / F.lit(600_000_000)).cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        bin_.alias("_bin"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            bin_.alias("_pbin"),
+        )
+        # a purchase answers probes from its own bin and the previous one
+        .withColumn("_bin", F.explode(F.array(F.col("_pbin"), F.col("_pbin") - 1)))
+    )
+    return (
+        errors.join(purchases, ["user_id", "_bin"])
+        .filter(
+            (F.col("purchase_ts") > F.col("error_ts"))
+            & (
+                F.unix_micros("purchase_ts")
+                <= F.unix_micros("error_ts") + F.lit(600_000_000)
+            )
+        )
+        .select("error_id", "purchase_id", "error_ts", "purchase_ts")
+        .orderBy("error_id", "purchase_id")
+    )

@@ -113,3 +113,16 @@ def test_quality_percentile_halves_each_lang(spark, sf_dir):
     assert set(per_lang) == set(totals)
     for lang, n in totals.items():
         assert per_lang[lang] == -(-n // 2)  # ceil(n/2)
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join must plan as an equi join on
+    (user_id, bin) — never a nested-loop over non-equi predicates."""
+    plan = (
+        QUERIES["q_error_purchase_window"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
