@@ -52,3 +52,35 @@ def write_sharded_parquet(
         .option("maxRecordsPerFile", rows_per_file)
         .parquet(path)
     )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout with optional within-file ordering —
+    the read-side pruning complement to :func:`write_sharded_parquet`.
+
+    - ``partitionBy`` turns the partition columns into directory keys:
+      a reader filtering on them prunes whole directories at PLANNING
+      time (``PartitionFilters`` in the scan — zero I/O for excluded
+      partitions). At 100 TB this is the first line of defense: a
+      date-partitioned corpus makes "last 30 days" scan 30 directories,
+      not the lake.
+    - ``sort_cols`` sorts WITHIN each task's output file, so parquet
+      row-group min/max stats become selective for those columns —
+      point lookups skip row groups inside the files that survive
+      directory pruning (the poor man's Z-order; one clustered column
+      is usually the right call).
+
+    Partition columns should be low-cardinality (directories are
+    metadata operations); high-cardinality keys belong in
+    ``write_sharded_parquet``'s hash shards or bucketing instead.
+    """
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -32,3 +32,26 @@ def test_sharded_write_respects_row_cap(spark, sf_dir, tmp_path):
         f"SELECT filename LIKE '%part-00000%', count(*) FROM read_parquet('{out2}/*.parquet', filename=true) GROUP BY 1 ORDER BY 1"
     ).fetchall()
     assert a == b
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    from pyield_spark.sources.sinks import write_partitioned_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "bylang")
+    write_partitioned_parquet(docs, out, ["lang"], sort_cols=["doc_id"])
+
+    # hive-style directories per partition value
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    dirs = {p.rsplit("=", 1)[1] for p in glob.glob(f"{out}/lang=*")}
+    assert dirs == langs
+
+    back = spark.read.parquet(out).filter("lang = 'en'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the lang predicate is a partition filter (planning-time directory
+    # pruning) and does NOT appear as a per-row data filter
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert "(lang" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "DataFilters: []" in plan
+    n_en = docs.filter("lang = 'en'").count()
+    assert back.count() == n_en
