@@ -27,7 +27,11 @@ def test_truncar_properties(x, d):
     if abs(x) * 10.0**d >= 2.0**52:
         return
     t = scalar.truncar(x, d)
-    assert abs(t) <= abs(x) + 1e-9  # toward zero never grows magnitude
+    # toward zero never grows magnitude — except the half-ulp overshoot
+    # when |x|·10^d rounds UP to the next integer in the scale multiply
+    # (hypothesis: x=562949953.7307479, d=6); the relative term bounds
+    # that double-rounding, shared by the reference's float kernel
+    assert abs(t) <= abs(x) * (1 + 2**-52) + 1e-9
     assert math.copysign(1, t) == math.copysign(1, x) or t == 0
     # within one grid step
     assert abs(x - t) < 10.0 ** (-d) + 1e-9
