@@ -275,3 +275,74 @@ def running_totals_stateful(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(
+    events: DataFrame,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """The same running-totals operator on the modern
+    ``transformWithStateInPandas`` API (Spark 4): typed ValueState
+    replaces the tuple GroupState, the processor owns its lifecycle
+    (init/close), and the engine adds timers/TTL and state-schema
+    evolution for free — the forward-looking home for custom stateful
+    operators (applyInPandasWithState is the 3.x-era API kept above for
+    parity).
+
+    ENV-BLOCKED in this image: the operator's state-server protocol
+    needs ``google.protobuf``, which is not installed (same class of
+    gap as the Excel reader, documented in COVERAGE.md). The topology
+    is complete and runs wherever protobuf is present; the test skips
+    when the import is missing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, s = self._totals.get()
+            else:
+                n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {group_col: [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(group_col, "value")
+        .groupBy(group_col)
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

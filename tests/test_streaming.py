@@ -1,5 +1,7 @@
 """Structured Streaming layer: bounded replay equals batch results."""
 
+from pyspark.sql import functions as F
+
 from pyield_spark.queries import QUERIES, load_all
 
 load_all()
@@ -75,4 +77,52 @@ def test_stream_sliding_matches_batch(spark, sf_dir):
     stream = QUERIES["q_stream_sliding"](spark, sf_dir)
     b = {(r.window_start): (r.n_events, r.avg_value) for r in batch.collect()}
     s = {(r.window_start): (r.n_events, r.avg_value) for r in stream.collect()}
+    assert b == s
+
+
+import pytest
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in image)",
+)
+def test_tws_running_totals_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas carries typed ValueState across
+    micro-batches; the final emitted row per group equals the batch
+    aggregate (same contract as the applyInPandasWithState twin)."""
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.bround(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    from pyield_spark.streaming import windows as sw
+
+    ev = sw.read_events_stream(spark, sf_dir)
+    out = sw.running_totals_tws(ev)
+    got = sw.run_to_memory(out, "tws_test_out", mode="update", shuffle_partitions=8)
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    final = (
+        got.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_events", F.bround("sum_value", 6).alias("sum_value"))
+    )
+    b = {(r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
+    s = {(r.event_type): (r.n_events, r.sum_value) for r in final.collect()}
     assert b == s
