@@ -20,7 +20,7 @@ from pyield_spark.operators import graph as gr
 from pyield_spark.operators import sampling as sp
 from pyield_spark.operators import text as tx
 from pyield_spark.queries import query, tables
-from pyield_spark.queries.llm_data import _GRAMS3
+from pyield_spark.queries.llm_data import _GRAMS3, _NORM
 
 
 def _h32(s: str) -> str:
@@ -339,3 +339,101 @@ def q_pack_sequences(spark, sf_dir):
     )
     out = sp.pack_sequences(docs, "n_tokens", key="doc_id", budget=512, n_shards=8)
     return out.select("doc_id", "n_tokens", "shard", "bin", "offset_in_bin")
+
+
+# === incremental ingestion: dedup a new batch against the corpus ==========
+
+_NORM_NB = _NORM.replace("text", "nb.text")
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH newb AS (SELECT * FROM documents WHERE source = 'src0'),
+    corp AS (SELECT * FROM documents WHERE source <> 'src0'),
+    ch AS (SELECT DISTINCT md5({_NORM}) AS h FROM corp),
+    nsh AS (
+      SELECT doc_id, unnest(list_distinct({_GRAMS3})) AS shingle FROM newb
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct({_GRAMS3})) AS shingle FROM corp
+    ),
+    ov AS (
+      SELECT n.doc_id, c.doc_id AS corpus_doc, count(*) AS o
+      FROM nsh n JOIN csh c USING (shingle)
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT doc_id, CAST(max(o) AS BIGINT) AS max_overlap FROM ov GROUP BY 1)
+    SELECT nb.doc_id,
+           (md5({_NORM_NB}) IN (SELECT h FROM ch)) AS exact_dup,
+           COALESCE(b.max_overlap, 0) AS max_overlap,
+           NOT ((md5({_NORM_NB}) IN (SELECT h FROM ch))
+                OR COALESCE(b.max_overlap, 0) >= 5) AS keep
+    FROM newb nb LEFT JOIN best b USING (doc_id)
+    ORDER BY nb.doc_id
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Delta-ingestion dedup: a new batch (source 'src0') is admitted
+    against the existing corpus — dropped on an exact content-hash match
+    or when it shares ≥5 distinct 3-gram shingles with any single corpus
+    document.
+
+    Scale shape (the decontaminate pattern applied to dedup): the NEW
+    side is the small one, so its content hashes and shingles broadcast;
+    the 100 TB corpus is scanned map-only — no corpus shuffle, no
+    corpus re-indexing per ingestion batch. The per-(new, corpus-doc)
+    overlap count only materializes pairs that actually share a
+    shingle. At larger deltas swap the broadcast for the LSH bucket
+    join (q_minhash_lsh) — the admission rule is unchanged.
+    """
+    from pyield_spark.operators.dedup import content_hash_expr, shingles_expr
+
+    docs = tables(spark, sf_dir, "documents")
+    newb = docs.filter(F.col("source") == "src0")
+    corp = docs.filter(F.col("source") != "src0")
+
+    # exact leg: corpus hashes never leave their partitions — the new
+    # batch's hash set broadcasts into a left-semi probe
+    new_hash = newb.select(
+        "doc_id", content_hash_expr("text").alias("_h")
+    )
+    corp_hash = corp.select(content_hash_expr("text").alias("_h")).distinct()
+    exact = (
+        corp_hash.join(F.broadcast(new_hash), "_h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+
+    # near leg: broadcast the new batch's exploded shingles; corpus
+    # shingles stream map-side into the join
+    nsh = newb.select(
+        F.col("doc_id").alias("_nid"),
+        F.explode(shingles_expr("text", 3)).alias("shingle"),
+    )
+    csh = corp.select(
+        F.col("doc_id").alias("_cid"),
+        F.explode(shingles_expr("text", 3)).alias("shingle"),
+    )
+    best = (
+        csh.join(F.broadcast(nsh), "shingle")
+        .groupBy("_nid", "_cid")
+        .agg(F.count("*").alias("_o"))
+        .groupBy("_nid")
+        .agg(F.max("_o").alias("max_overlap"))
+    )
+
+    out = (
+        newb.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best.withColumnRenamed("_nid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("max_overlap"), F.lit(0)).alias("max_overlap"),
+        )
+    )
+    return out.withColumn(
+        "keep", ~(F.col("exact_dup") | (F.col("max_overlap") >= 5))
+    ).orderBy("doc_id")
