@@ -150,3 +150,118 @@ def read_rmd_13_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame
         F.bround(F.trim("_vraw").cast("double") * 1_000_000, 2).alias("valor"),
     )
     return out.filter(F.col("valor").isNotNull() & (F.col("valor") != 0))
+
+
+# --- tab 2.1: debt-stock holders (explicit transition table) --------------
+
+# label (upper) → (detentor, tipo, categoria, pode_emitir); pode_emitir
+# False marks an intermediate state whose leaf rows are ignored until the
+# next emitting transition (pyield/tpf/rmd/_aba_2_1.py:16-26)
+_TRANSICOES_21: dict[str, tuple[str | None, str | None, str | None, bool]] = {
+    "DPF EM PODER DO PÚBLICO": (None, None, None, False),
+    "DPMFI": ("Público", "DPMFi", None, False),
+    "TESOURO NACIONAL": ("Público", "DPMFi", "Tesouro Nacional", True),
+    "BANCO CENTRAL": ("Público", "DPMFi", "Banco Central", True),
+    "DPFE": ("Público", "DPFe", None, False),
+    "DÍVIDA MOBILIÁRIA": ("Público", "DPFe", "Mobiliária", True),
+    "DÍVIDA CONTRATUAL": ("Público", "DPFe", "Contratual", True),
+    "DPMFI EM PODER DO BANCO CENTRAL": ("Banco Central", "DPMFi", None, True),
+}
+
+
+def _rotulo_limpo(col) -> F.Column:
+    """The reference's limpar_rotulo (_common.py:38-41): strip footnote
+    marks ¹ ², collapse whitespace, trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.translate(col, "¹²", ""), r"\s+", " "
+        )
+    )
+
+
+def read_rmd_21_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
+    """Parse RMD tab-2.1 re-export(s) into the reference's long frame:
+    (source_file, periodo, detentor, tipo, categoria, titulo, valor).
+
+    The reference walks the label column updating a 4-tuple state from
+    an explicit transition table and emits only leaf rows while the
+    state allows it (pyield/tpf/rmd/_aba_2_1.py:40-72). Spark-first:
+    every transition packs its whole state into ONE struct marker and a
+    single fill-down window (`last ignorenulls`) carries it to the leaf
+    rows — transitions are atomic, so per-field fill-downs (which could
+    mix fields from different transitions) are wrong by construction;
+    the struct keeps the 4-tuple intact. Values scale ×1e9 rounded 2dp;
+    nulls drop, zeros KEPT (unlike tab 1.3 — the reference keeps them).
+    """
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("_file"),
+        F.col("value"),
+        F.monotonically_increasing_id().alias("_idx"),
+    )
+    wf = Window.partitionBy("_file").orderBy("_idx")
+    raw = raw.withColumn("_row", F.row_number().over(wf) - 1)
+    fields = raw.withColumn("fields", F.split("value", sep))
+
+    mes_map = F.create_map(
+        *[x for k, v in _MESES_PT.items() for x in (F.lit(k), F.lit(v))]
+    )
+    per = (
+        fields.filter(F.col("_row") == _LINHA_PERIODOS)
+        .select(
+            "_file",
+            F.posexplode(F.slice("fields", 2, 10000)).alias("_mcol", "_plabel"),
+        )
+        .withColumn("_plabel", F.trim("_plabel"))
+        .withColumn("_mes", mes_map[F.split("_plabel", "/")[0]])
+        .withColumn("_ano", F.split("_plabel", "/")[1].cast("int") + 2000)
+        .filter(F.col("_mes").isNotNull() & F.col("_ano").isNotNull())
+        .select(
+            "_file",
+            "_mcol",
+            F.make_date("_ano", "_mes", F.lit(1)).alias("periodo"),
+        )
+    )
+
+    data = fields.filter(F.col("_row") >= _LINHA_INICIO_DADOS)
+    rot = _rotulo_limpo(F.col("fields")[0])
+    data = data.withColumn("_rot", rot).filter(F.col("_rot") != "")
+
+    # one CASE ladder over the transition table → atomic state struct
+    marker = None
+    for label, (det, tipo, cat, pode) in _TRANSICOES_21.items():
+        state = F.struct(
+            F.lit(det).cast("string").alias("det"),
+            F.lit(tipo).cast("string").alias("tipo"),
+            F.lit(cat).cast("string").alias("cat"),
+            F.lit(pode).alias("pode"),
+        )
+        cond = F.upper(F.col("_rot")) == label
+        marker = F.when(cond, state) if marker is None else marker.when(cond, state)
+
+    fill = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data = data.withColumn("_trans", marker).withColumn(
+        "_state", F.last("_trans", ignorenulls=True).over(fill)
+    )
+
+    leaves = data.filter(
+        F.col("_trans").isNull() & F.coalesce(F.col("_state.pode"), F.lit(False))
+    )
+
+    long = leaves.select(
+        "_file",
+        F.col("_state.det").alias("detentor"),
+        F.col("_state.tipo").alias("tipo"),
+        F.col("_state.cat").alias("categoria"),
+        F.col("_rot").alias("titulo"),
+        F.posexplode(F.slice("fields", 2, 10000)).alias("_mcol", "_vraw"),
+    ).join(F.broadcast(per), ["_file", "_mcol"])
+    out = long.select(
+        F.col("_file").alias("source_file"),
+        "periodo",
+        "detentor",
+        "tipo",
+        "categoria",
+        "titulo",
+        F.bround(F.trim("_vraw").cast("double") * 1_000_000_000, 2).alias("valor"),
+    )
+    return out.filter(F.col("valor").isNotNull())

@@ -309,3 +309,48 @@ def test_imaq_estoque_silver(spark, tmp_path):
     assert ntb.data_vencimento == dt.date(2035, 5, 15)
     assert ntb.variacao_quantidade == -1987
     assert ntb.codigo_selic == 760199
+
+
+def test_rmd_21_transition_state_machine(spark, tmp_path):
+    """RMD 2.1: explicit transition table drives an atomic 4-tuple state
+    (detentor, tipo, categoria, pode_emitir); leaf rows emit only under
+    an emitting state; footnote marks stripped; 1e9 scale; nulls drop,
+    zeros kept."""
+    p = tmp_path / "rmd_21.csv"
+    p.write_text(
+        "RELATÓRIO MENSAL DA DÍVIDA;;;\n"
+        "Tabela 2.1;;;\n"
+        "Categoria;Jan/24;Fev/24;Acumulado\n"
+        "DPF em poder do público;;;\n"
+        "LFT;9.9;9.9;9.9\n"          # pode_emitir=False → ignored
+        "DPMFi;;;\n"
+        "Tesouro Nacional¹;;;\n"
+        "LFT;1.5;0;1.5\n"
+        "LTN;2.25;;2.25\n"
+        "Banco  Central;;;\n"         # double space collapses
+        "NTN-B;3.5;4.5;8.0\n"
+        "DPFe;;;\n"
+        "NTN-F;8.8;8.8;8.8\n"        # DPFe is intermediate → ignored
+        "Dívida Mobiliária;;;\n"
+        "Global 2030;0.75;0.5;1.25\n"
+        "DPMFi em poder do Banco Central;;;\n"
+        "LFT;6.0;7.0;13.0\n",
+        encoding="utf-8",
+    )
+    from pyield_spark.sources.rmd import read_rmd_21_csv
+
+    got = {
+        (r.periodo.isoformat(), r.detentor, r.tipo, r.categoria, r.titulo): r.valor
+        for r in read_rmd_21_csv(spark, str(p)).collect()
+    }
+    assert got == {
+        ("2024-01-01", "Público", "DPMFi", "Tesouro Nacional", "LFT"): 1.5e9,
+        ("2024-02-01", "Público", "DPMFi", "Tesouro Nacional", "LFT"): 0.0,  # zero KEPT
+        ("2024-01-01", "Público", "DPMFi", "Tesouro Nacional", "LTN"): 2.25e9,
+        ("2024-01-01", "Público", "DPMFi", "Banco Central", "NTN-B"): 3.5e9,
+        ("2024-02-01", "Público", "DPMFi", "Banco Central", "NTN-B"): 4.5e9,
+        ("2024-01-01", "Público", "DPFe", "Mobiliária", "Global 2030"): 0.75e9,
+        ("2024-02-01", "Público", "DPFe", "Mobiliária", "Global 2030"): 0.5e9,
+        ("2024-01-01", "Banco Central", "DPMFi", None, "LFT"): 6.0e9,
+        ("2024-02-01", "Banco Central", "DPMFi", None, "LFT"): 7.0e9,
+    }
