@@ -69,7 +69,22 @@ def asof_join(
     if not values:
         raise ValueError("right side has no payload columns to attach")
 
-    key_t = dict(left.dtypes)[on]
+    # Null-payload struct types are derived from the INPUT schemas (one
+    # cached analysis pass per input), not from the tagged projections —
+    # each .schema on a derived frame re-analyzes its whole tree, and on
+    # composite upstreams (q_leiloes-sized expression forests) those two
+    # extra passes dominated the Python-side build time.
+    from pyspark.sql.types import StructField, StructType
+
+    lschema = left.schema
+    rschema = right.schema
+    key_t = lschema[on].dataType
+    v_type = StructType(
+        [StructField(v, rschema[v].dataType, True) for v in values]
+    )
+    l_type = StructType(
+        [StructField(f.name, f.dataType, True) for f in lschema.fields]
+    )
 
     right_tagged = right.select(
         F.col(right_on).cast(key_t).alias("_k"),
@@ -83,10 +98,10 @@ def asof_join(
         F.col(on).cast(key_t).alias("_k"),
         *[F.col(c) for c in by_cols],
         F.lit(1).alias("_is_left"),
-        F.lit(None).cast(right_tagged.schema["_v"].dataType).alias("_v"),
+        F.lit(None).cast(v_type).alias("_v"),
     )
     right_tagged = right_tagged.withColumn(
-        "_l", F.lit(None).cast(left_tagged.schema["_l"].dataType)
+        "_l", F.lit(None).cast(l_type)
     ).select(*left_tagged.columns)
 
     unioned = right_tagged.unionByName(left_tagged)
@@ -189,7 +204,7 @@ def asof_join(
             spine.select("_bkt", carry.over(wp).alias("_v"))
             .filter(F.col("_v").isNotNull())
             .select(
-                F.lit(None).cast(left_tagged.schema["_l"].dataType).alias("_l"),
+                F.lit(None).cast(l_type).alias("_l"),
                 F.lit(None).cast(key_t).alias("_k"),
                 F.lit(None).cast("double").alias("_kn"),
                 F.lit(0).alias("_is_left"),
