@@ -1,0 +1,84 @@
+"""Suite-wide physical-plan guards.
+
+These are the anti-pattern sweeps the scale design depends on, run
+against EVERY registered query's executed plan so a regression in any
+operator shows up as a named failure:
+
+- no row-at-a-time Python (`BatchEvalPython`) anywhere — Python is
+  allowed only Arrow-batched (mapInPandas / applyInPandas) and only in
+  the designated kernels;
+- exchange budgets on the flagship operators — the shuffle counts the
+  100 TB story is built on, pinned so a refactor can't silently add
+  one.
+"""
+
+import pytest
+
+from pyield_spark.queries import QUERIES, load_all
+
+load_all()
+
+# queries whose plans legitimately contain Arrow-batched Python
+# (mapInPandas / applyInPandas / applyInPandasWithState kernels)
+ARROW_KERNELS = {
+    "q_implied_rate",        # K4 bisection (mapInPandas)
+    "q_bootstrap_zero",      # K5 sequential solve (applyInPandas)
+    "q_curva_pre",           # composes the bootstrap
+    "q_breakeven",           # composes the bootstrap (zero-curve leg)
+    "q_premio_limpo",        # K4-style spread root finder
+    "q_ntnb1_curva_zero",    # equivalent-IRR bisection
+    "q_multimodal_features", # declared stub decode (mapInPandas)
+    "q_frame_sample",        # fake frame decode (mapInPandas)
+    "q_resize_payload",      # fake resize (mapInPandas)
+}
+
+# stream queries execute eagerly inside queries() (memory-sink replay) —
+# their batch twins carry the plan guarantees
+STREAMING = {n for n in QUERIES if n.startswith("q_stream_")}
+
+_BATCH = sorted(n for n in QUERIES if n not in STREAMING)
+
+
+@pytest.mark.parametrize("name", _BATCH)
+def test_no_rowwise_python_udf(spark, sf_dir, name):
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    if name not in ARROW_KERNELS:
+        for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, f"{name} unexpectedly runs Python ({marker})"
+
+
+EXCHANGE_BUDGETS = {
+    # operator core: curve agg + one window shuffle
+    "q_interp_flat_forward": 3,
+    # broadcast-calendar business days: fact side never shuffles (the
+    # only exchange is the tiny output sort)
+    "q_bd_count": 1,
+    # grouped as-of: one window partitioning + broadcastable right agg
+    "q_asof_last_order": 2,
+    # explode-and-aggregate pricing: one groupBy on the bond id
+    "q_ntnf_pricing": 3,
+    # one hash-groupBy
+    "q_exact_dedup": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, sf_dir, name):
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # count shuffle Exchange nodes (not BroadcastExchange)
+    import re
+
+    n = len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
+    budget = EXCHANGE_BUDGETS[name]
+    assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan[:2000]}"
