@@ -52,6 +52,7 @@ def load_all() -> None:
         leiloes,
         llm_data,
         semantic,
+        sqlapi,
         training_data,
     )
 
