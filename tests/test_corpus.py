@@ -63,3 +63,41 @@ def test_repetition_stats_hand_check(spark):
     assert (r2["top_tf"], r2["top_bigram_tf"], r2["dup_word_ratio"]) == (1, 1, 0.0)
     r3 = got[3]
     assert (r3["n_tokens"], r3["top_bigram_tf"]) == (1, 0)
+
+
+# --- winnowing: scalar twin + the Schleimer guarantee ---------------------
+
+
+def _winnow_fps(text: str, k: int = 3, w: int = 4) -> set[str]:
+    """Scalar twin of q_winnow_fingerprint's per-doc pipeline."""
+    import hashlib
+
+    toks = text.lower().strip().split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_matches_scalar_twin(spark, sf_dir):
+    from pyield_spark.queries import QUERIES, load_all
+
+    load_all()
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").collect()}
+    got = {r.doc_id: (r.n_windows, r.n_fp) for r in
+           QUERIES["q_winnow_fingerprint"](spark, sf_dir).collect()}
+    for doc_id, text in docs.items():
+        fps = _winnow_fps(text)
+        n_grams = max(len(text.lower().strip().split()) - 2, 0)
+        n_windows = max(n_grams - 3, 0)
+        assert got[doc_id] == (n_windows, len(fps)), doc_id
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint():
+    """Schleimer guarantee: two documents sharing a token run of at
+    least w+k-1 (=6) tokens share at least one fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    a = "one two three " + shared + " four five six seven"
+    b = "nine ten " + shared + " eleven twelve thirteen fourteen"
+    assert _winnow_fps(a) & _winnow_fps(b)
