@@ -13,14 +13,14 @@ DuckDB's recursive-CTE fixpoint IS the label-propagation fixpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from pyield_spark.operators import dedup as dd
 from pyield_spark.operators import graph as gr
 from pyield_spark.operators import sampling as sp
 from pyield_spark.operators import text as tx
 from pyield_spark.queries import query, tables
-from pyield_spark.queries.llm_data import _GRAMS3, _NORM
+from pyield_spark.queries.llm_data import _GRAMS3, _MWL, _NORM, _PR, _SW_OWN, _TOKS
 
 
 def _h32(s: str) -> str:
@@ -436,4 +436,84 @@ def q_incremental_dedup(spark, sf_dir):
     )
     return out.withColumn(
         "keep", ~(F.col("exact_dup") | (F.col("max_overlap") >= 5))
+    ).orderBy("doc_id")
+
+
+# === end-to-end corpus assembly (one composed plan) =======================
+
+_ASM_CAP = 50
+_ASM_SHARDS = 8
+
+
+@query(
+    "q_corpus_assembly",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, n_chars, text FROM documents
+      WHERE (len({_TOKS}) BETWEEN 30 AND 100000)
+        AND ({_MWL} >= 3.0 AND {_MWL} <= 10.0)
+        AND ({_PR} <= 0.1)
+        AND ({_SW_OWN} >= 2)
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5({_NORM})
+                                  ORDER BY doc_id) AS dup_rn
+        FROM quality
+      ) WHERE dup_rn = 1
+    ),
+    capped AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM deduped
+      ) WHERE rn <= {_ASM_CAP}
+    )
+    SELECT doc_id, lang,
+           CAST({{H32}} % {_ASM_SHARDS} AS BIGINT) AS shard
+    FROM capped ORDER BY doc_id
+    """.replace(
+        "{H32}", _h32("concat('asm', CAST(doc_id AS VARCHAR))")
+    ),
+)
+def q_corpus_assembly(spark, sf_dir):
+    """The full assembly DAG as ONE composed Spark plan: Gopher quality
+    gate → exact dedup (content-hash keep-min) → per-language quota cap
+    → deterministic md5 shard assignment.
+
+    Composition is the point: the quality gate is a scan-stage filter
+    (pushes below everything), the dedup and cap are one window shuffle
+    each over the already-filtered minority, and the shard key is pure
+    hash arithmetic — so the whole pipeline is THREE stages end-to-end
+    regardless of corpus size, and every stage's semantics is exactly
+    the standalone operator already verified above (q_quality_filter,
+    q_exact_dedup, q_domain_cap, q_stratified_sample's hash
+    discipline)."""
+    from pyield_spark.operators.dedup import content_hash_expr
+
+    docs = tables(spark, sf_dir, "documents")
+    rules = tx.gopher_rules("text", "lang")
+    quality = docs.filter(rules["keep"])
+
+    w_dup = Window.partitionBy(content_hash_expr("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("_dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("_dup_rn") == 1)
+    )
+
+    w_cap = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    capped = (
+        deduped.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= _ASM_CAP)
+    )
+
+    from pyield_spark.operators.text import h32_expr
+
+    h32 = h32_expr(F.concat(F.lit("asm"), F.col("doc_id").cast("string")))
+    return capped.select(
+        "doc_id", "lang", (h32 % _ASM_SHARDS).cast("long").alias("shard")
     ).orderBy("doc_id")
