@@ -575,3 +575,47 @@ def q_resize_payload(spark, sf_dir):
         F.octet_length("resized").cast("bigint").alias("resized_bytes"),
         F.sha2("resized", 256).alias("resized_sha256"),
     )
+
+
+# === language-ID audit: predicted vs labeled confusion matrix =============
+
+_SW_HITS = {
+    code: f"len(list_filter({_TOKS}, t -> list_contains({lst}, t)))"
+    for code, lst in _SW_LISTS_SQL.items()
+}
+_BEST = "greatest(" + ", ".join(_SW_HITS[c] for c in sorted(_SW_HITS)) + ")"
+_PRED = (
+    f"CASE WHEN {_BEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_SW_HITS[c]} = {_BEST} THEN '{c}'"
+        for c in sorted(_SW_HITS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    SELECT lang AS labeled, {_PRED} AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID audit: the n-gram/stopword classifier's predictions
+    cross-tabulated against the labeled ``lang`` column — the confusion
+    matrix a curation run reports before trusting the classifier as a
+    filter. Pure column expressions + one tiny (|langs|²-group)
+    aggregate; the argmax tie-break (sorted language-code order) is
+    stated identically in both engines."""
+    docs = tables(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("labeled"),
+            tx.lang_id_expr("text").alias("predicted"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("labeled", "predicted")
+    )
