@@ -394,3 +394,67 @@ def q_quality_percentile(spark, sf_dir):
         .select("doc_id", "lang", "quality_score")
     )
     return full.unionByName(partial).orderBy("doc_id")
+
+
+# === Q9-shaped product profit (5-way join, year rollup) ===================
+
+
+@query(
+    "q_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * 0.6 * l_quantity
+                    AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue − 60%-of-retail supply cost) per
+    supplier nation per order year, parts filtered by name.
+
+    Five-way join declared smallest-dims-first: nation broadcasts
+    (25 rows), supplier and the name-filtered part side are broadcast
+    at bench scale and hash joins co-partitioned on the lineitem keys
+    beyond the AQE threshold; the orderkey join is the only big-×-big
+    shuffle and it feeds the (nation, year) aggregate directly. The
+    LIKE filter is pushed into the part scan (StringContains)."""
+    li, od, pa, su, na = tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    return (
+        li.join(
+            od.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .join(
+            pa.filter(F.col("p_name").contains("a")).select(
+                "p_partkey", "p_retailprice"
+            ),
+            li.l_partkey == pa.p_partkey,
+        )
+        .join(su.select("s_suppkey", "s_nationkey"), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", "o_year")
+    )
