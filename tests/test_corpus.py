@@ -101,3 +101,10 @@ def test_winnow_guarantee_shared_run_shares_fingerprint():
     a = "one two three " + shared + " four five six seven"
     b = "nine ten " + shared + " eleven twelve thirteen fourteen"
     assert _winnow_fps(a) & _winnow_fps(b)
+
+
+def test_winnow_short_docs_zero_windows():
+    # fewer than k tokens → no grams; k..w+k-2 tokens → grams but no window
+    assert _winnow_fps("one two") == set()
+    assert _winnow_fps("one two three four five") == set()  # 3 grams < w
+    assert len(_winnow_fps("a b c d e f")) == 1  # exactly one window

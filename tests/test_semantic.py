@@ -122,3 +122,16 @@ def test_semantic_dedup_keeps_lowest_id(spark):
     }
     # the near-dups with higher ids drop; the lowest id of the group stays
     assert out == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    from pyield_spark.operators.semantic import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2).collect()
+    assert len(out) == 2
+    # every vector still assigned (centroid seeds = the 2 vectors)
+    assert {r._vid for r in out} == {1, 2}
+    assert all(r._dist == 0.0 for r in out)
