@@ -386,3 +386,42 @@ def q_error_purchase_window(spark, sf_dir):
         .select("error_id", "purchase_id", "error_ts", "purchase_ts")
         .orderBy("error_id", "purchase_id")
     )
+
+
+# === semi-structured JSON column processing ===============================
+
+
+@query(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                                IS NOT NULL THEN 1 END) AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    """Semi-structured column processing: the ``props`` JSON string is
+    parsed with a declared schema (``from_json`` — vectorized Jackson in
+    the JVM, no Python) and aggregated per event type.
+
+    A declared schema beats ``get_json_object`` per field at scale: one
+    parse per row regardless of field count, and nulls are well-typed.
+    Integer aggregates keep the oracle comparison exact."""
+    ev = tables(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "_p", F.from_json("props", "k BIGINT")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.col("_p.k")).alias("n_with_k"),
+            F.sum(F.col("_p.k")).alias("sum_k"),
+            F.max(F.col("_p.k")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
