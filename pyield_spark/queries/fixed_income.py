@@ -460,3 +460,91 @@ def q_ntnf_pricing(spark, sf_dir):
             "o_orderkey", "liq", "ven", "taxa", "n_flows", "pu", "duration"
         )
     )
+
+
+# === carry / roll-down on the curve (interpolation composed) ==============
+
+_ROLL_DU = 21  # one business month
+
+
+@query(
+    "q_carry_rolldown",
+    oracle=f"""
+    WITH {_CURVE_SQL},
+    targets AS (
+      SELECT grupo, du, taxa,
+             CAST(du - {_ROLL_DU} AS BIGINT) AS du_alvo
+      FROM curve
+    ),
+    extremes AS (
+      SELECT grupo, MIN(du) AS du_min, MAX(du) AS du_max,
+             MIN_BY(taxa, du) AS tx_min, MAX_BY(taxa, du) AS tx_max
+      FROM curve GROUP BY grupo
+    ),
+    j AS (
+      SELECT t.*, c.du AS du_j, c.taxa AS tx_j
+      FROM targets t ASOF LEFT JOIN curve c
+        ON t.grupo = c.grupo AND t.du_alvo >= c.du
+    ),
+    jk AS (
+      SELECT j.*, c.du AS du_k, c.taxa AS tx_k
+      FROM j ASOF LEFT JOIN (SELECT grupo, -du AS ndu, du, taxa FROM curve) c
+        ON j.grupo = c.grupo AND -j.du_alvo >= c.ndu
+    ),
+    fin AS (
+      SELECT jk.*, e.du_min, e.du_max, e.tx_min, e.tx_max,
+        (jk.du_alvo / 252.0) AS au, (jk.du_j / 252.0) AS au_j, (jk.du_k / 252.0) AS au_k
+      FROM jk LEFT JOIN extremes e ON jk.grupo = e.grupo
+    ),
+    rolled AS (
+      SELECT grupo, du, taxa,
+        {pround_sql(_INTERP_LADDER, 6)} AS taxa_roll
+      FROM fin
+    )
+    SELECT grupo, du, taxa, taxa_roll,
+      {pround_sql("(taxa - taxa_roll) * 10000.0", 4)} AS rolldown_bps
+    FROM rolled ORDER BY grupo, du
+    """,
+)
+def q_carry_rolldown(spark, sf_dir):
+    """Roll-down per curve vertex: today's rate minus the rate the same
+    position will carry after rolling {_ROLL_DU} business days down the
+    (unchanged) curve — the standard curve-carry number a rates desk
+    quotes in bps.
+
+    Pure composition: the target set IS the curve shifted by
+    −{_ROLL_DU} du, fed through the same flat-forward interpolation
+    engine (one extra window over the already-aggregated curve — the
+    fact table is touched once, by the curve derivation). Below-minimum
+    targets take the short-end flat extrapolation, exactly the
+    reference's interpolador ladder."""
+    curve = _curve_df(spark, sf_dir)
+    targets = curve.select(
+        "grupo", "du", "taxa", (F.col("du") - _ROLL_DU).cast("long").alias("du_alvo")
+    )
+    out = interpolar(
+        targets,
+        _curve_df(spark, sf_dir),
+        du_col="du_alvo",
+        curve_du="du",
+        curve_rate="taxa",
+        by="grupo",
+        extrapolar=False,
+        alias="_raw_roll",
+    )
+    from pyield_spark.functions.numbers import pround_expr
+
+    taxa_roll = pround_expr("_raw_roll", 6)
+    return (
+        out.withColumn("taxa_roll", taxa_roll)
+        .select(
+            "grupo",
+            "du",
+            "taxa",
+            "taxa_roll",
+            pround_expr(
+                (F.col("taxa") - F.col("taxa_roll")) * 10000.0, 4
+            ).alias("rolldown_bps"),
+        )
+        .orderBy("grupo", "du")
+    )
