@@ -68,11 +68,20 @@ def q_approx_stats(spark, sf_dir):
     li = tables(spark, sf_dir, "lineitem")
     # split aggregations: countDistinct plans through an Expand that
     # would multiply every percentile buffer's input 3× (measured 24.5s
-    # → 5.8s at sf0.1); the 3-row join is free
-    counts = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # → 5.8s at sf0.1); the 3-row joins are free. Round 2: even pairing
+    # countDistinct WITH approx_count_distinct re-introduces the Expand
+    # (5.4s → 1.3s split), and the exact distinct is cheapest two-phase
+    # (distinct pairs, then count — both map-side combinable).
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
     )
+    counts = exact.join(approx, "l_returnflag")
     pcts = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_median"),
         # exact p45/p55 bracket for the approx median (rank error at
