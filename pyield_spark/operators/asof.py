@@ -55,13 +55,19 @@ def asof_join(
         on: ordering key column in ``left``.
         right_on: ordering key in ``right`` (defaults to ``on``).
         by: optional equality group key(s) present in both sides.
-        strategy: "backward" or "forward".
+        strategy: "backward", "forward", or "nearest" (closer of the
+            two; a distance tie takes the backward match — pandas
+            ``merge_asof(direction='nearest')`` parity).
         values: right payload columns to attach (default: all right
             columns except keys). Unmatched rows get nulls.
         allow_exact_matches: whether an equal key counts as a match.
     """
+    if strategy == "nearest":
+        return _asof_nearest(
+            left, right, on, right_on, by, values, allow_exact_matches
+        )
     if strategy not in ("backward", "forward"):
-        raise ValueError("strategy must be 'backward' or 'forward'")
+        raise ValueError("strategy must be 'backward', 'forward' or 'nearest'")
     right_on = right_on or on
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if values is None:
@@ -146,8 +152,17 @@ def asof_join(
         n_buckets = max(n_buckets, 2)
 
         def _numeric(c):
-            if key_t == "date":
+            # type-BASED dispatch (key_t is a DataType): a string compare
+            # here once let date keys fall through to cast-to-double,
+            # which yields NULL — every row landed in the null bucket and
+            # the operator silently serialized (correct results, scale
+            # property lost; test_bucketing now pins the date-key plan)
+            from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+            if isinstance(key_t, DateType):
                 return F.datediff(c, F.lit("1970-01-01")).cast("double")
+            if isinstance(key_t, (TimestampType, TimestampNTZType)):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
             return c.cast("double")
 
         fracs = F.array(
@@ -224,3 +239,54 @@ def asof_join(
 
     left_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     return out.select(*left_cols, *[F.col(f"_m.{v}").alias(v) for v in values])
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str | None,
+    by,
+    values: list[str] | None,
+    allow_exact_matches: bool,
+) -> DataFrame:
+    """Nearest = the closer of the backward and forward matches (ties →
+    backward). Composed from two passes of the directional operator —
+    each pass is the documented one-shuffle plan, and the second pass
+    reuses the first's output as its left side, so the total is the two
+    window shuffles the direction pair costs anyway.
+
+    The matched right key is attached internally to compute the
+    distances, then dropped.
+    """
+    right_on = right_on or on
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    if values is None:
+        values = [c for c in right.columns if c != right_on and c not in by_cols]
+
+    probe = [right_on] + [v for v in values if v != right_on]
+    bwd = asof_join(
+        left, right, on, right_on, by, "backward", probe, allow_exact_matches
+    )
+    ren_b = bwd.select(
+        *left.columns,
+        *[F.col(v).alias(f"_b_{v}") for v in probe],
+    )
+    both = asof_join(
+        ren_b, right, on, right_on, by, "forward", probe, allow_exact_matches
+    ).select(
+        *ren_b.columns,
+        *[F.col(v).alias(f"_f_{v}") for v in probe],
+    )
+
+    d_b = F.abs(F.col(on) - F.col(f"_b_{right_on}"))
+    d_f = F.abs(F.col(f"_f_{right_on}") - F.col(on))
+    # backward wins when it exists and is at least as close
+    take_b = F.col(f"_b_{right_on}").isNotNull() & (
+        F.col(f"_f_{right_on}").isNull() | (d_b <= d_f)
+    )
+    out_cols = list(left.columns) + [
+        F.when(take_b, F.col(f"_b_{v}")).otherwise(F.col(f"_f_{v}")).alias(v)
+        for v in values
+    ]
+    return both.select(*out_cols)

@@ -78,3 +78,42 @@ def test_asof_matches_pandas(spark, seed, strategy, with_groups, exact):
             assert g is None, f"lid={lid}: got {g}, want null"
         else:
             assert g == pytest.approx(e), f"lid={lid}"
+
+
+@pytest.mark.parametrize("seed", [11, 33])
+@pytest.mark.parametrize("with_groups", [False, True])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_nearest_matches_pandas(spark, seed, with_groups, exact):
+    left, right = _random_frames(seed, with_groups)
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            sl,
+            sr,
+            on="k",
+            right_on="rk",
+            by="g" if with_groups else None,
+            strategy="nearest",
+            values=["payload"],
+            allow_exact_matches=exact,
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        left.sort_values("k").reset_index(drop=True),
+        right.sort_values("rk").reset_index(drop=True),
+        left_on="k",
+        right_on="rk",
+        by="g" if with_groups else None,
+        direction="nearest",
+        allow_exact_matches=exact,
+    )
+    exp = {row.lid: row.payload for row in exp_df.itertuples()}
+    assert set(got) == set(exp)
+    for lid in exp:
+        g, e = got[lid], exp[lid]
+        if pd.isna(e):
+            assert g is None, f"lid={lid}: got {g}, want null"
+        else:
+            assert g == pytest.approx(e), f"lid={lid}"

@@ -130,3 +130,32 @@ def test_ungrouped_interpolar_is_distributed(spark):
             assert got[tid] is None
         else:
             assert got[tid] == pytest.approx(v, abs=1e-15), tid
+
+
+def test_ungrouped_asof_date_keys_bucket_distributed(spark):
+    """Regression: DATE ordering keys must go through the datediff
+    numeric mapping. A type-check bug once let them cast-to-double
+    (NULL), sending every row to the null bucket — a silent
+    single-partition degradation the int-key test can't see."""
+    import datetime as dt
+
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, dt.date(2020, 1, 1) + dt.timedelta(days=i % 1500)) for i in range(4000)],
+        "id long, d date",
+    )
+    right = spark.createDataFrame(
+        [(dt.date(2020, 1, 1) + dt.timedelta(days=30 * i), float(i)) for i in range(50)],
+        "rd date, v double",
+    )
+    out = asof_join(left, right, on="d", right_on="rd", strategy="backward")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the numeric bucket mapping is datediff-based, not a null-producing cast
+    assert "datediff" in plan, plan[:1500]
+    # and results are still the brute-force as-of
+    rk = sorted((r.rd, r.v) for r in right.collect())
+    got = {r.id: r.v for r in out.collect()}
+    for r in left.collect():
+        cand = [v for k, v in rk if k <= r.d]
+        assert got[r.id] == (cand[-1] if cand else None)
