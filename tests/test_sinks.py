@@ -55,3 +55,25 @@ def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
     assert "DataFilters: []" in plan
     n_en = docs.filter("lang = 'en'").count()
     assert back.count() == n_en
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Lake schema evolution: a later batch adds a column; mergeSchema
+    reads the union schema with nulls for the old files, and the new
+    column still prunes/pushes like any other."""
+    base = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(f"{base}/batch=1")
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.parquet(f"{base}/batch=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "a", "b", "batch"}
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert rows[2] == (4, None)      # old files: evolved column is null
+    assert rows[7] == (14, "7")      # new files carry it
+    # filter on the evolved column is pushed to the scan
+    plan = (
+        df.filter("b = '7'")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(b), EqualTo(b,7)]" in plan
