@@ -54,6 +54,7 @@ def load_all() -> None:
         semantic,
         sqlapi,
         training_data,
+        warehouse,
     )
 
 

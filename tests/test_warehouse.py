@@ -1,0 +1,100 @@
+"""Warehouse patterns: SCD2 invariants, MERGE dispatch, rolling frame,
+and the decorrelation plan guarantees for the correlated-subquery
+shapes (queries/warehouse.py)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from pyield_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _exchanges(plan):
+    return len(re.findall(r"\bExchange hashpartitioning", plan))
+
+
+def test_scd2_invariants(spark, sf_dir):
+    df = QUERIES["q_scd2_dim"](spark, sf_dir).cache()
+    # exactly one open (current) interval per customer
+    bad_current = (
+        df.groupBy("custkey")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+    )
+    assert bad_current == 0
+    # intervals are well-formed and chain without overlap: valid_to of
+    # row i equals valid_from of row i+1 (by construction via lead)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    chained = df.withColumn("_next_from", F.lead("valid_from").over(w))
+    broken = chained.filter(
+        F.col("_next_from").isNotNull() & (F.col("valid_to") != F.col("_next_from"))
+    ).count()
+    assert broken == 0
+    # consecutive segments always differ (change compression)
+    no_change = (
+        df.withColumn("_prev_seg", F.lag("segment").over(w))
+        .filter(F.col("_prev_seg") == F.col("segment"))
+        .count()
+    )
+    assert no_change == 0
+    df.unpersist()
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # dedup agg + lag filter + lead close all partition on custkey:
+    # one shuffle for the whole build
+    plan = _plan(spark, sf_dir, "q_scd2_dim")
+    assert _exchanges(plan) == 1, plan
+
+
+def test_merge_dispatch_covers_all_keys(spark, sf_dir):
+    out = QUERIES["q_merge_upsert"](spark, sf_dir).cache()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = cust.count()
+    keys_with_orders = od.select("o_custkey").distinct().count()
+    counts = dict(
+        out.groupBy("action").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert counts.get("update", 0) + counts.get("insert", 0) == keys_with_orders
+    assert counts.get("update", 0) + counts.get("keep", 0) == n_cust
+    # one output row per key (MERGE determinism)
+    assert out.select("custkey").distinct().count() == out.count()
+    out.unpersist()
+
+
+def test_rolling_window_is_range_frame(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_rolling_revenue_30d")
+    assert "RangeFrame, -29" in plan, plan
+    assert _exchanges(plan) == 1, plan
+
+
+def test_correlated_shapes_decorrelate(spark, sf_dir):
+    # every correlated subquery must become a hash join, never a
+    # nested-loop re-execution per row
+    for name in (
+        "q_sql_min_price_part",
+        "q_sql_small_qty_revenue",
+        "q_sql_exists_discount",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), name
+    # the EXISTS specifically plans as a left-semi join
+    plan = _plan(spark, sf_dir, "q_sql_exists_discount")
+    assert "LeftSemi" in plan, plan
