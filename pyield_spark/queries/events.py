@@ -169,6 +169,15 @@ def q_stream_stateful(spark, sf_dir):
     )
 
 
+@query("q_stream_join")
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval self-join (rows-only; replay-equals-batch
+    vs q_error_purchase_window asserted in tests/test_streaming.py)."""
+    ev = sw.read_events_stream(spark, sf_dir)
+    j = sw.stream_stream_interval_join(ev, "10 minutes", "10 minutes")
+    return sw.run_to_memory(j, "stream_join_out", mode="append")
+
+
 # === sliding (hopping) window: 10-min windows every 5 min =================
 
 

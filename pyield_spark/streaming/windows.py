@@ -131,6 +131,50 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def stream_stream_interval_join(
+    events: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases at most ``max_delay`` after
+    an error by the same user, with BOTH sides live streams (a
+    self-join over one source — Spark consumes the source once and
+    buffers each side in join state).
+
+    This is the streaming twin of the batch bucketed interval join
+    (queries/events.py::q_error_purchase_window): same equi key, same
+    time-range predicate, same output columns. State stays bounded
+    because each side carries a watermark and the join condition
+    time-bounds the match window — the engine derives an eviction
+    horizon (error state older than watermark + max_delay is dropped),
+    which is exactly what makes stream-stream joins feasible on an
+    unbounded source.
+    """
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    ).withWatermark("error_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return (
+        errors.join(
+            purchases,
+            (F.col("user_id") == F.col("_p_user"))
+            & (F.col("purchase_ts") > F.col("error_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("error_ts") + F.expr(f"INTERVAL {max_delay}")
+            ),
+            "inner",
+        )
+        .select("error_id", "purchase_id", "error_ts", "purchase_ts")
+    )
+
+
 def market_hours_filter(
     ts: str = "ts",
     open_time: str = "09:16:00",

@@ -22,6 +22,17 @@ def test_stream_dedup_rowcount(spark, sf_dir):
     assert out.select("event_id").distinct().count() == out.count()
 
 
+def test_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join replays to exactly the batch
+    bucketed-interval-join pair set."""
+    batch = QUERIES["q_error_purchase_window"](spark, sf_dir)
+    stream = QUERIES["q_stream_join"](spark, sf_dir)
+    b = {(r.error_id, r.purchase_id) for r in batch.collect()}
+    s = {(r.error_id, r.purchase_id) for r in stream.collect()}
+    assert b == s
+    assert len(b) > 0
+
+
 def test_foreach_batch_enrichment(spark, sf_dir):
     """T4: batch du engine applied inside foreachBatch micro-batches."""
     from pyield_spark.streaming.windows import enrich_with_batch_ops
