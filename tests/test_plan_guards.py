@@ -82,3 +82,44 @@ def test_exchange_budget(spark, sf_dir, name):
     n = len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
     budget = EXCHANGE_BUDGETS[name]
     assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan[:2000]}"
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Scale technique: with runtime bloom filters on, a selective
+    predicate on the dimension side of a shuffle join injects a
+    ``might_contain`` filter into the FACT side's scan stage — rows that
+    cannot match are dropped before the shuffle, which at 100 TB is the
+    difference between shuffling the whole fact table and shuffling the
+    matching slice. Local thresholds are lowered to make the tiny test
+    tables eligible; on a cluster the defaults (10MB creation side)
+    trigger on any realistically-sized dimension filter."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan, plan[:3000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
