@@ -257,3 +257,27 @@ def q_sql_exists_discount(spark, sf_dir):
     circuit on first match) — plan-asserted in tests."""
     _register(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_SQL_EXISTS)
+
+
+_SQL_GSETS = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("q_sql_grouping_sets", oracle=_SQL_GSETS)
+def q_sql_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (the general form behind rollup/cube,
+    both already covered): three independent aggregation granularities
+    in one pass, with GROUPING() markers disambiguating real nulls from
+    subtotal rows. Catalyst plans this as one Expand (3× row expansion)
+    + one partial-aggregated groupBy — a single shuffle for all three
+    granularities instead of three scans + a union. Identical SQL text
+    runs on DuckDB."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_GSETS)
