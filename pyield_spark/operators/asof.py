@@ -30,6 +30,13 @@ carrier rows — per bucket, the best right row from preceding (backward)
 and a window over #buckets rows. Two shuffles total, both distributed;
 ``tests/test_bucketing.py`` asserts the plan contains no single-partition
 Exchange. Null ordering keys never match (Polars ``join_asof`` parity).
+
+When the right side is dimension-sized (a rate/PTAX/VNA series),
+``distribution="broadcast"`` takes the second scale-out route: the
+series becomes broadcast bracketing intervals exploded onto a coarse
+bucket grid and the match is a broadcast hash equi-join — ZERO
+fact-side shuffles (``tests/test_bucketing.py::
+test_broadcast_asof_no_fact_shuffle``).
 """
 
 from __future__ import annotations
@@ -46,6 +53,7 @@ def asof_join(
     strategy: str = "backward",
     values: list[str] | None = None,
     allow_exact_matches: bool = True,
+    distribution: str = "shuffle",
 ) -> DataFrame:
     """Match each left row to the nearest right row at-or-before
     (backward) / at-or-after (forward) on the ordering key.
@@ -61,6 +69,15 @@ def asof_join(
         values: right payload columns to attach (default: all right
             columns except keys). Unmatched rows get nulls.
         allow_exact_matches: whether an equal key counts as a match.
+        distribution: "shuffle" (default — the window plan; grouped =
+            one shuffle, ungrouped = range buckets + ghost stitch) or
+            "broadcast" — for an UNGROUPED as-of against a
+            dimension-sized right side (a rate/PTAX/VNA series): the
+            right side becomes broadcast bracketing intervals and the
+            match is a broadcast hash equi-join on a coarse bucket key
+            — the fact side is NEVER shuffled. This is the second
+            scale-out route for J5 (the one a 100 TB plan wants when
+            the series fits in a broadcast).
     """
     if strategy == "nearest":
         return _asof_nearest(
@@ -68,6 +85,18 @@ def asof_join(
         )
     if strategy not in ("backward", "forward"):
         raise ValueError("strategy must be 'backward', 'forward' or 'nearest'")
+    if distribution not in ("shuffle", "broadcast"):
+        raise ValueError("distribution must be 'shuffle' or 'broadcast'")
+    if distribution == "broadcast":
+        if by:
+            raise ValueError(
+                "distribution='broadcast' supports only the ungrouped as-of"
+                " (for grouped joins the window plan is already one shuffle)"
+            )
+        return _asof_broadcast(
+            left, right, on, right_on or on, strategy, values,
+            allow_exact_matches,
+        )
     right_on = right_on or on
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if values is None:
@@ -152,18 +181,7 @@ def asof_join(
         n_buckets = max(n_buckets, 2)
 
         def _numeric(c):
-            # type-BASED dispatch (key_t is a DataType): a string compare
-            # here once let date keys fall through to cast-to-double,
-            # which yields NULL — every row landed in the null bucket and
-            # the operator silently serialized (correct results, scale
-            # property lost; test_bucketing now pins the date-key plan)
-            from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
-
-            if isinstance(key_t, DateType):
-                return F.datediff(c, F.lit("1970-01-01")).cast("double")
-            if isinstance(key_t, (TimestampType, TimestampNTZType)):
-                return F.unix_micros(c.cast("timestamp")).cast("double")
-            return c.cast("double")
+            return _numeric_key(c, key_t)
 
         fracs = F.array(
             *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
@@ -239,6 +257,149 @@ def asof_join(
 
     left_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     return out.select(*left_cols, *[F.col(f"_m.{v}").alias(v) for v in values])
+
+
+def _numeric_key(c, key_t):
+    # type-BASED dispatch (key_t is a DataType): a string compare
+    # here once let date keys fall through to cast-to-double,
+    # which yields NULL — every row landed in the null bucket and
+    # the operator silently serialized (correct results, scale
+    # property lost; test_bucketing now pins the date-key plan)
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(key_t, DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if isinstance(key_t, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    return c.cast("double")
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    strategy: str,
+    values: list[str] | None,
+    allow_exact_matches: bool,
+) -> DataFrame:
+    """Ungrouped as-of as a broadcast hash join — zero fact-side
+    shuffles.
+
+    Each right row owns a half-open bracketing interval of the key line
+    (backward: [kᵢ, kᵢ₊₁), forward: (kᵢ₋₁, kᵢ], boundary membership per
+    ``allow_exact_matches``). Intervals are exploded onto a coarse
+    integer bucket grid with pitch ≈ span/n (so the exploded dimension
+    stays O(n) rows), broadcast, and the fact side equi-joins on its
+    clamped bucket — the exact interval predicate rides in the join
+    condition, so each left row matches at most one interval. The only
+    window runs over the dimension-sized right side (documented
+    single-partition, like every dimension build).
+
+    Right keys are assumed unique (same contract as the bucketed path);
+    duplicate keys are deduped arbitrarily.
+    """
+    by_cols: list[str] = []
+    if values is None:
+        values = [c for c in right.columns if c != right_on and c not in by_cols]
+    if not values:
+        raise ValueError("right side has no payload columns to attach")
+
+    from pyspark.sql.types import StructField, StructType
+
+    lschema = left.schema
+    rschema = right.schema
+    key_t = lschema[on].dataType
+    v_type = StructType(
+        [StructField(v, rschema[v].dataType, True) for v in values]
+    )
+
+    rs = (
+        right.select(
+            _numeric_key(F.col(right_on).cast(key_t), key_t).alias("_kn"),
+            F.struct(*[F.col(v) for v in values]).alias("_v"),
+        )
+        .filter(F.col("_kn").isNotNull())
+        .dropDuplicates(["_kn"])
+    )
+    # interval bounds: one window over the dimension-sized series
+    w = Window.orderBy("_kn")
+    if strategy == "backward":
+        iv = rs.select(
+            F.col("_kn").alias("_start"),
+            F.lead("_kn").over(w).alias("_end"),
+            "_v",
+        )
+    else:
+        iv = rs.select(
+            F.lag("_kn").over(w).alias("_start"),
+            F.col("_kn").alias("_end"),
+            "_v",
+        )
+    stats = rs.agg(
+        F.min("_kn").alias("_mn"),
+        F.max("_kn").alias("_mx"),
+        F.count("*").alias("_n"),
+    )
+
+    # bucket pitch ≈ span/(n-1): the total exploded row count is
+    # Σ(interval_len/g) + n ≈ 2n regardless of key distribution. The
+    # pitch/clamp bounds are derived from the SAME 1-row stats broadcast
+    # on both sides (pure column math, no Python-side collect), so the
+    # two bucket computations can never disagree.
+    def _pitch():
+        return F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("_mx") - F.col("_mn"))
+            / F.greatest(F.col("_n") - 1, F.lit(1)),
+        ).otherwise(F.lit(1.0))
+
+    iv = iv.crossJoin(F.broadcast(stats))
+    g = _pitch()
+    b_lo = F.floor(F.coalesce(F.col("_start"), F.col("_end")) / g)
+    b_hi = F.floor(F.coalesce(F.col("_end"), F.col("_start")) / g)
+    ivs = iv.select(
+        "_start",
+        "_end",
+        "_v",
+        F.explode(F.sequence(b_lo, b_hi)).alias("_rbkt"),
+    )
+
+    l_packed = left.select(
+        F.struct(*left.columns).alias("_l"),
+        _numeric_key(F.col(on).cast(key_t), key_t).alias("_kn"),
+    ).crossJoin(F.broadcast(stats))
+    g_l = _pitch()
+    raw_bkt = F.floor(F.col("_kn") / g_l)
+    if strategy == "backward":
+        # targets above the last key still match the last (unbounded)
+        # interval; targets below the first key match nothing
+        clamped = F.least(raw_bkt, F.floor(F.col("_mx") / g_l))
+    else:
+        clamped = F.greatest(raw_bkt, F.floor(F.col("_mn") / g_l))
+    l_packed = l_packed.select(
+        "_l",
+        "_kn",
+        F.when(F.col("_kn").isNotNull(), clamped).alias("_bkt"),
+    )
+
+    k = F.col("_kn")
+    if strategy == "backward":
+        lo_ok = (k >= F.col("_start")) if allow_exact_matches else (k > F.col("_start"))
+        hi_ok = F.col("_end").isNull() | (
+            (k < F.col("_end")) if allow_exact_matches else (k <= F.col("_end"))
+        )
+    else:
+        hi_ok = (k <= F.col("_end")) if allow_exact_matches else (k < F.col("_end"))
+        lo_ok = F.col("_start").isNull() | (
+            (k > F.col("_start")) if allow_exact_matches else (k >= F.col("_start"))
+        )
+    cond = (F.col("_bkt") == F.col("_rbkt")) & lo_ok & hi_ok
+    out = l_packed.join(F.broadcast(ivs), cond, "left")
+    left_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    return out.select(
+        *left_cols, *[F.col(f"_v.{v}").alias(v) for v in values]
+    )
 
 
 def _asof_nearest(

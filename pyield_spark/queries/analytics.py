@@ -257,6 +257,9 @@ def q_vna_prorata(spark, sf_dir):
     # aggregation runs exactly once at any scale.
     pubs = pubs.localCheckpoint(eager=False)
     alvo = od.select("o_orderkey", F.to_date("o_orderdate").alias("data"))
+    # the publication series is dimension-sized (one row per month) →
+    # the broadcast as-of route: zero fact-side shuffles for BOTH
+    # bracketing lookups (the shuffle route costs 2 fact shuffles each)
     prev = asof_join(
         alvo,
         pubs.select(F.col("data_pub").alias("pub_prev"), F.col("vna_pub").alias("vna_prev")),
@@ -265,6 +268,7 @@ def q_vna_prorata(spark, sf_dir):
         strategy="backward",
         values=["pub_prev", "vna_prev"],
         allow_exact_matches=False,
+        distribution="broadcast",
     )
     both = asof_join(
         prev,
@@ -274,6 +278,7 @@ def q_vna_prorata(spark, sf_dir):
         strategy="forward",
         values=["pub_next", "vna_next"],
         allow_exact_matches=False,
+        distribution="broadcast",
     )
     frac = F.datediff(F.col("data"), F.col("pub_prev")) / F.datediff(
         F.col("pub_next"), F.col("pub_prev")

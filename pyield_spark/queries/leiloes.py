@@ -370,9 +370,12 @@ def q_leiloes(spark, sf_dir):
             / 1000.0,
         )
     )
+    # the PTAX series is dimension-sized → broadcast as-of (no fact
+    # shuffle for the attach)
     p = asof_join(
         p, ptax, on="data_leilao", right_on="data_ref",
         strategy="backward", values=["data_ref", "ptax"],
+        distribution="broadcast",
     )
 
     unit = F.col("dv01_unitario")

@@ -42,7 +42,10 @@ def _random_frames(seed: int, with_groups: bool):
 @pytest.mark.parametrize("strategy", ["backward", "forward"])
 @pytest.mark.parametrize("with_groups", [False, True])
 @pytest.mark.parametrize("exact", [True, False])
-def test_asof_matches_pandas(spark, seed, strategy, with_groups, exact):
+@pytest.mark.parametrize("distribution", ["shuffle", "broadcast"])
+def test_asof_matches_pandas(spark, seed, strategy, with_groups, exact, distribution):
+    if distribution == "broadcast" and with_groups:
+        pytest.skip("broadcast path is the ungrouped route only")
     left, right = _random_frames(seed, with_groups)
 
     sl = spark.createDataFrame(left)
@@ -56,6 +59,7 @@ def test_asof_matches_pandas(spark, seed, strategy, with_groups, exact):
         strategy=strategy,
         values=["payload"],
         allow_exact_matches=exact,
+        distribution=distribution,
     )
     got = {r.lid: r.payload for r in got_df.collect()}
 

@@ -159,3 +159,49 @@ def test_ungrouped_asof_date_keys_bucket_distributed(spark):
     for r in left.collect():
         cand = [v for k, v in rk if k <= r.d]
         assert got[r.id] == (cand[-1] if cand else None)
+
+
+def test_broadcast_asof_no_fact_shuffle(spark):
+    """J5 broadcast route: against a dimension-sized right side the
+    as-of must be a pure broadcast hash join — the fact side never
+    exchanges. The only shuffles allowed in the whole plan are on the
+    dimension lineage: its dedup (1 hash exchange over the tiny series)
+    and its interval window + stats agg (single-partition over
+    dimension-sized input, the same class as any dimension build)."""
+    import re
+
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.range(5000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 7 % 9973).cast("int").alias("k"),
+    )
+    right = spark.range(40).select(
+        (F.col("id") * 200).cast("int").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    for strategy in ("backward", "forward"):
+        out = asof_join(
+            left, right, on="k", strategy=strategy, distribution="broadcast"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        # every hash exchange partitions on the DIMENSION key (_kn, from
+        # the tiny series' dedup) — none on the fact lineage
+        for m in re.findall(r"Exchange hashpartitioning\((\w+)", plan):
+            assert m.startswith("_kn"), (m, plan[:2000])
+        # no window ever touches the fact side
+        assert not re.search(r"windowspecdefinition\(_bkt", plan), plan
+
+        # brute-force oracle (same as the shuffle-route test)
+        rk = sorted((r.k, r.v) for r in right.collect())
+        got = {r.id: r.v for r in out.collect()}
+        assert len(got) == 5000
+        for r in left.collect():
+            if strategy == "backward":
+                cand = [v for k, v in rk if k <= r.k]
+                want = cand[-1] if cand else None
+            else:
+                cand = [v for k, v in rk if k >= r.k]
+                want = cand[0] if cand else None
+            assert got[r.id] == want, (strategy, r.id, r.k, got[r.id], want)
