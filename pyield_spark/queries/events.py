@@ -175,7 +175,12 @@ def q_stream_join(spark, sf_dir):
     vs q_error_purchase_window asserted in tests/test_streaming.py)."""
     ev = sw.read_events_stream(spark, sf_dir)
     j = sw.stream_stream_interval_join(ev, "10 minutes", "10 minutes")
-    return sw.run_to_memory(j, "stream_join_out", mode="append")
+    # join state = 2 stores per shuffle partition, re-opened every
+    # micro-batch — scope the partition count to the key cardinality
+    # (same sizing note as run_to_memory's docstring)
+    return sw.run_to_memory(
+        j, "stream_join_out", mode="append", shuffle_partitions=8
+    )
 
 
 # === sliding (hopping) window: 10-min windows every 5 min =================
