@@ -225,6 +225,81 @@ def enrich_with_batch_ops(spark: SparkSession, sf_dir: str, name: str) -> DataFr
     )
 
 
+def foreach_batch_upsert(
+    events: DataFrame,
+    target_path: str,
+    key_col: str = "user_id",
+    ord_cols: tuple[str, str] = ("ts", "event_id"),
+    value_cols: tuple[str, ...] = ("ts", "event_id", "value"),
+):
+    """Streaming dimension maintenance: each micro-batch MERGEs into a
+    parquet target — the ``foreachBatch`` body of the batch
+    ``q_merge_upsert`` shape (pre-aggregate the batch to one row per
+    key, full-outer against the target, keep the later version by the
+    ordering columns).
+
+    Exactly the upsert loop a real deployment runs against a table
+    format; on plain parquet the swap is a rewrite (small dimension),
+    with Delta/Iceberg it becomes ``MERGE INTO`` with the same batch
+    body. Keep-latest is associative ((ts, id) max-struct), so the
+    result is independent of micro-batch boundaries — the restart test
+    and the batch twin rely on that.
+
+    Returns the started query's ``awaitTermination``-ready handle.
+    """
+    import os
+    import shutil
+
+    spark = events.sparkSession
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        upd = (
+            batch_df.groupBy(key_col)
+            .agg(
+                F.max(F.struct(*ord_cols)).alias("_o"),
+                F.max_by(
+                    F.struct(*[F.col(c) for c in value_cols]),
+                    F.struct(*ord_cols),
+                ).alias("_v"),
+            )
+            .select(key_col, "_o", "_v")
+        )
+        if os.path.isdir(target_path):
+            cur = spark.read.parquet(target_path)
+            merged = (
+                cur.join(upd, key_col, "full_outer")
+                .select(
+                    key_col,
+                    F.when(
+                        F.col("_o").isNull()
+                        | (F.col("_cur_o").isNotNull() & (F.col("_cur_o") >= F.col("_o"))),
+                        F.col("_cur_v"),
+                    )
+                    .otherwise(F.col("_v"))
+                    .alias("_nv"),
+                    F.greatest(F.col("_cur_o"), F.col("_o")).alias("_no"),
+                )
+                .select(
+                    key_col,
+                    F.col("_nv").alias("_cur_v"),
+                    F.col("_no").alias("_cur_o"),
+                )
+            )
+        else:
+            merged = upd.select(
+                key_col,
+                F.col("_v").alias("_cur_v"),
+                F.col("_o").alias("_cur_o"),
+            )
+        tmp = target_path + "._tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_path):
+            shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+
+    return events.writeStream.foreachBatch(handle)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

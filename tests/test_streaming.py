@@ -137,3 +137,114 @@ def test_tws_running_totals_matches_batch(spark, sf_dir):
     b = {(r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
     s = {(r.event_type): (r.n_events, r.sum_value) for r in final.collect()}
     assert b == s
+
+
+def _stage_split(spark, sf_dir, base, n_files=4):
+    """Split the events table into n parquet files under base/all and
+    return their sorted paths (scratch lives in the gitignored
+    .stream_cache, same as the stream staging)."""
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(n_files).write.parquet(os.path.join(base, "all"))
+    files = sorted(glob.glob(os.path.join(base, "all", "part-*.parquet")))
+    assert len(files) == n_files
+    return ev, files
+
+
+def test_stream_restart_exactly_once(spark, sf_dir):
+    """Durability: a checkpointed file-source stream stopped after the
+    first half of its input and RESTARTED with the same checkpoint
+    processes only the new files — the sink ends with exactly the batch
+    row set (no loss, no duplicates). This is the recovery contract a
+    production deployment leans on; the memory-sink replays elsewhere in
+    this suite don't exercise it."""
+    import os
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".stream_cache",
+        "restart_test",
+    )
+    ev, files = _stage_split(spark, sf_dir, base)
+    src, ck, out = (os.path.join(base, d) for d in ("src", "ck", "out"))
+    os.makedirs(src)
+
+    def run():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:2]:
+        shutil.copy(f, src)
+    run()
+    n_first = spark.read.parquet(out).count()
+
+    for f in files[2:]:
+        shutil.copy(f, src)
+    run()
+    got = spark.read.parquet(out)
+    total = ev.count()
+    assert 0 < n_first < total
+    assert got.count() == total
+    assert (
+        got.select("event_id").distinct().count()
+        == ev.select("event_id").distinct().count()
+    )
+
+
+def test_foreach_batch_upsert_matches_batch(spark, sf_dir):
+    """The foreachBatch MERGE body (q_merge_upsert's shape) maintained
+    across micro-batches converges to the batch keep-latest dimension —
+    keep-latest is associative, so micro-batch boundaries don't matter."""
+    import os
+
+    from pyield_spark.streaming.windows import foreach_batch_upsert
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".stream_cache",
+        "upsert_test",
+    )
+    ev, files = _stage_split(spark, sf_dir, base)
+    target = os.path.join(base, "dim")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "all"))
+    )
+    q = (
+        foreach_batch_upsert(stream, target)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r._cur_v.ts, r._cur_v.event_id, r._cur_v.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    exp = {
+        r.user_id: (r._v.ts, r._v.event_id, r._v.value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "value"), F.struct("ts", "event_id")
+            ).alias("_v")
+        )
+        .collect()
+    }
+    assert got == exp
