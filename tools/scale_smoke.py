@@ -112,6 +112,23 @@ def main():
 
     timed("asof_ungrouped_10x", asof_ungrouped)
 
+    # UNGROUPED as-of, broadcast route (round 2): same join against a
+    # dimension-sized series — zero fact-side shuffles
+    def asof_broadcast():
+        left = od.select(F.to_date("o_orderdate").alias("d"))
+        right = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(F.to_date("o_orderdate").alias("dr"))
+            .distinct()
+            .withColumn("v", F.dayofmonth("dr").cast("double"))
+        )
+        out = asof_join(left, right, on="d", right_on="dr",
+                        strategy="backward", values=["dr", "v"],
+                        distribution="broadcast")
+        return out.filter(F.col("v").isNotNull()).count()
+
+    timed("asof_broadcast_10x", asof_broadcast)
 
 
 if __name__ == "__main__":
