@@ -186,6 +186,9 @@ def premio_limpo(
 
     flows = explode_payment_dates(bonds, settlement, maturity, 6, "data_pagamento")
     flows = du_mod.contar(flows, settlement, "data_pagamento", alias="_du_f")
+    # the DI panel is dimension-sized (vertices × dates) → broadcast
+    # interval route: the exploded flow table never shuffles for the
+    # interpolation
     flows = interpolar(
         flows,
         di_curve,
@@ -195,6 +198,7 @@ def premio_limpo(
         by=by_cols,
         method="flat_forward",
         alias="_di_raw",
+        distribution="broadcast",
     ).withColumn("_di", pround_expr("_di_raw", 10))
     flows = flows.withColumn(
         "_cf", coupon_flow_expr("data_pagamento", maturity, coupon_value, final_value)
@@ -337,6 +341,11 @@ def ntnb_taxas_zero(
     from pyield_spark.curves.interpolate import interpolar
     from pyield_spark.functions.numbers import pround_expr
 
+    # window route on purpose: the grid (targets) is grid-sized — the
+    # same order as the vertex panel — so the broadcast interval route
+    # buys nothing on the target side while paying to materialize the
+    # fact-derived vertex lineage (measured 2.7s → 3.9s at sf0.1);
+    # broadcast wins when targets outnumber vertices (premio_limpo flows)
     grid = interpolar(
         grid,
         vert,

@@ -39,6 +39,7 @@ def interpolar(
     extrapolar: bool = False,
     alias: str = "taxa_interpolada",
     order_col: str | None = None,
+    distribution: str = "shuffle",
 ) -> DataFrame:
     """Attach an interpolated-rate column to ``targets``.
 
@@ -55,9 +56,19 @@ def interpolar(
             reference's keep='last' on revised-vertex feeds. When None,
             the deterministic keep-max-rate stand-in applies (arrival
             order is undefined on a distributed table).
+        distribution: "shuffle" (default — union + dual window, one
+            shuffle on the group key) or "broadcast" — when the WHOLE
+            curve panel (all groups) is dimension-sized, consecutive
+            vertex pairs become broadcast bracketing intervals exploded
+            onto a per-group bucket grid and the match is ONE broadcast
+            hash equi-join: the target side is never shuffled. Both
+            bracketing neighbors AND the group extremes arrive in the
+            same joined row, so the ladder below is shared verbatim.
     """
     if method not in ("flat_forward", "linear"):
         raise ValueError("method must be 'flat_forward' or 'linear'")
+    if distribution not in ("shuffle", "broadcast"):
+        raise ValueError("distribution must be 'shuffle' or 'broadcast'")
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
     cur = curve.select(
@@ -78,6 +89,10 @@ def interpolar(
         )
     else:
         cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
+
+    if distribution == "broadcast":
+        joined = _broadcast_brackets(targets, cur, by_cols, du_col)
+        return _ladder(joined, targets.columns, method, extrapolar, alias)
 
     # ---- union + dual window ----
     tgt = targets.select(
@@ -237,6 +252,19 @@ def interpolar(
             .crossJoin(ext)
         )
 
+    return _ladder(joined, targets.columns, method, extrapolar, alias)
+
+
+def _ladder(
+    joined: DataFrame,
+    target_cols: list[str],
+    method: str,
+    extrapolar: bool,
+    alias: str,
+) -> DataFrame:
+    """The reference's edge-case ladder (interpolador.py:481-491) over a
+    frame carrying (_l, _k, _j, _kk, _du_min/_du_max/_tx_min/_tx_max) —
+    shared by the window and broadcast routes."""
     du = F.col("_k").cast("double")
     du_j = F.col("_j._du").cast("double")
     tx_j = F.col("_j._tx")
@@ -268,5 +296,125 @@ def interpolar(
     # NaN → null at the exit (reference: interpolador.py:497)
     taxa = F.when(F.isnan(taxa), nulo).otherwise(taxa)
 
-    left_cols = [F.col(f"_l.{c}").alias(c) for c in targets.columns]
+    left_cols = [F.col(f"_l.{c}").alias(c) for c in target_cols]
     return joined.select(*left_cols, taxa.alias(alias))
+
+
+def _broadcast_brackets(
+    targets: DataFrame,
+    cur: DataFrame,
+    by_cols: list[str],
+    du_col: str,
+) -> DataFrame:
+    """Broadcast route: consecutive (deduped, sorted) vertex pairs are
+    bracketing intervals [du_j, du_k) — exploded onto a per-group bucket
+    grid with pitch ≈ span/n (O(n) exploded rows for any vertex
+    distribution) and broadcast. Targets compute their bucket from the
+    SAME per-group stats (attached by a broadcast join — no shuffle) and
+    equi-join on (group, bucket) with the exact interval predicate in
+    the join condition, so each target matches at most one interval.
+    Both neighbors and the group extremes arrive in that single row:
+    exact hits short-circuit in the ladder (du_j == du), below-minimum
+    targets miss every interval and fall to the _du_min ladder arm,
+    above-maximum targets clamp into the last (open-ended) interval and
+    fall to the _du_max arm. The only windows/aggregations run over the
+    dimension-sized curve panel."""
+    # the curve lineage feeds THREE consumers (interval window, extreme
+    # agg, target-side stats join); when the curve is derived from a
+    # fact table, an unmaterialized lineage would re-execute per
+    # consumer — checkpoint once (lazy: materializes on first use)
+    cur = cur.localCheckpoint(eager=False)
+    wv = Window.partitionBy(*by_cols).orderBy("_du") if by_cols else Window.orderBy("_du")
+    iv = cur.select(
+        *by_cols,
+        F.col("_du").alias("_du_j"),
+        F.col("_tx").alias("_tx_j"),
+        F.lead("_du").over(wv).alias("_du_k"),
+        F.lead("_tx").over(wv).alias("_tx_k"),
+    )
+    ext = cur.groupBy(*by_cols).agg(
+        F.min("_du").alias("_du_min"),
+        F.max("_du").alias("_du_max"),
+        F.min_by("_tx", "_du").alias("_tx_min"),
+        F.max_by("_tx", "_du").alias("_tx_max"),
+        F.count("*").alias("_n"),
+    )
+    iv = iv.join(F.broadcast(ext), by_cols) if by_cols else iv.crossJoin(
+        F.broadcast(ext)
+    )
+
+    def pitch():
+        return F.when(
+            F.col("_du_max") > F.col("_du_min"),
+            (F.col("_du_max") - F.col("_du_min")).cast("double")
+            / F.greatest(F.col("_n") - 1, F.lit(1)),
+        ).otherwise(F.lit(1.0))
+
+    g = pitch()
+    b_lo = F.floor(F.col("_du_j") / g)
+    b_hi = F.floor(F.coalesce(F.col("_du_k"), F.col("_du_j")) / g)
+    ivb = iv.select(
+        *by_cols,
+        "_du_j",
+        "_tx_j",
+        "_du_k",
+        "_tx_k",
+        F.explode(F.sequence(b_lo, b_hi)).alias("_rbkt"),
+    )
+
+    tgt = targets.select(
+        F.struct(*targets.columns).alias("_l"),
+        *[F.col(c) for c in by_cols],
+        F.col(du_col).cast("long").alias("_k"),
+    )
+    # per-group stats by broadcast join (left side untouched); groups
+    # absent from the curve get null stats → the ladder's null arm
+    tgt = (
+        tgt.join(F.broadcast(ext), by_cols, "left")
+        if by_cols
+        else tgt.crossJoin(F.broadcast(ext))
+    )
+    g_t = pitch()
+    raw = F.floor(F.col("_k") / g_t)
+    # above-max targets clamp into the last, open-ended interval
+    clamped = F.least(raw, F.floor(F.col("_du_max") / g_t))
+    tgt = tgt.select(
+        "_l",
+        *by_cols,
+        "_k",
+        "_du_min",
+        "_du_max",
+        "_tx_min",
+        "_tx_max",
+        F.when(F.col("_k").isNotNull(), clamped).alias("_bkt"),
+    )
+
+    ivbs = ivb.select(
+        *[F.col(c).alias(f"_r_{c}") for c in by_cols],
+        "_rbkt", "_du_j", "_tx_j", "_du_k", "_tx_k",
+    )
+    k = F.col("_k")
+    cond = (
+        (F.col("_bkt") == F.col("_rbkt"))
+        & (k >= F.col("_du_j"))
+        & (F.col("_du_k").isNull() | (k < F.col("_du_k")))
+    )
+    for c in by_cols:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    out = tgt.join(F.broadcast(ivbs), cond, "left")
+    return out.select(
+        "_l",
+        "_k",
+        F.when(
+            F.col("_du_j").isNotNull(),
+            F.struct(F.col("_du_j").alias("_du"), F.col("_tx_j").alias("_tx")),
+        ).alias("_j"),
+        F.when(
+            F.col("_du_k").isNotNull(),
+            F.struct(F.col("_du_k").alias("_du"), F.col("_tx_k").alias("_tx")),
+        ).alias("_kk"),
+        "_du_min",
+        "_du_max",
+        "_tx_min",
+        "_tx_max",
+    )

@@ -321,6 +321,10 @@ def _asof_broadcast(
         )
         .filter(F.col("_kn").isNotNull())
         .dropDuplicates(["_kn"])
+        # the series lineage feeds the interval window AND the stats
+        # agg — checkpoint once so a fact-derived series isn't
+        # re-executed per consumer (lazy: materializes on first use)
+        .localCheckpoint(eager=False)
     )
     # interval bounds: one window over the dimension-sized series
     w = Window.orderBy("_kn")

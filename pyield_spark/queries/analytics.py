@@ -831,6 +831,8 @@ def q_breakeven(spark, sf_dir):
         method="flat_forward",
         extrapolar=False,
         alias="_nom_raw",
+        # window route: the targets here are the (tiny) zero vertices —
+        # see the bootstrap grid note for the route trade-off
     ).withColumn("taxa_nominal", pround_expr("_nom_raw", 10))
     nom = F.col("taxa_nominal")
     zr = F.col("taxa_zero")

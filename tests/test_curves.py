@@ -114,3 +114,55 @@ def test_dedupe_keep_last_by_order_col(spark):
     # without order_col the deterministic stand-in keeps the max rate
     got2 = interpolar(tgt, curve.drop("ord"), by="g").collect()
     assert got2[0].taxa_interpolada == 0.10
+
+
+import numpy as np
+import pytest as _pt
+
+
+@_pt.mark.parametrize("seed", [3, 11])
+@_pt.mark.parametrize("grouped", [False, True])
+@_pt.mark.parametrize("method", ["flat_forward", "linear"])
+@_pt.mark.parametrize("extrapolar", [False, True])
+def test_interpolar_broadcast_route_parity(spark, seed, grouped, method, extrapolar):
+    """The broadcast (interval-join) route must reproduce the window
+    route bit-for-bit on random curves/targets — exact hits, below-min,
+    above-max, duplicate vertices, null targets, missing groups."""
+    from pyield_spark.curves.interpolate import interpolar
+
+    rng = np.random.default_rng(seed)
+    n_t, n_v = 300, 25
+    groups = ["a", "b", "c"] if grouped else ["x"]
+    tgt_rows = [
+        (
+            int(i),
+            str(rng.choice(groups + (["ghost"] if grouped else []))),
+            None if i % 17 == 0 else int(rng.integers(-50, 1300)),
+        )
+        for i in range(n_t)
+    ]
+    cur_rows = [
+        (
+            str(rng.choice(groups)),
+            int(rng.integers(0, 1250)),
+            float(np.round(rng.uniform(0.05, 0.15), 6)),
+        )
+        for _ in range(n_v * len(groups))
+    ]
+    tgt = spark.createDataFrame(tgt_rows, "tid long, g string, du_alvo long")
+    cur = spark.createDataFrame(cur_rows, "g string, du long, taxa double")
+    by = "g" if grouped else None
+
+    def run(dist):
+        out = interpolar(
+            tgt, cur, du_col="du_alvo", curve_du="du", curve_rate="taxa",
+            by=by, method=method, extrapolar=extrapolar, distribution=dist,
+        )
+        return {r.tid: r.taxa_interpolada for r in out.collect()}
+
+    a, b = run("shuffle"), run("broadcast")
+    assert set(a) == set(b) and len(a) == n_t
+    for t in a:
+        assert (a[t] is None) == (b[t] is None), (t, a[t], b[t])
+        if a[t] is not None:
+            assert a[t] == b[t], (t, a[t], b[t])  # bit-exact, same exprs
