@@ -339,9 +339,19 @@ def _broadcast_brackets(
         F.max_by("_tx", "_du").alias("_tx_max"),
         F.count("*").alias("_n"),
     )
-    iv = iv.join(F.broadcast(ext), by_cols) if by_cols else iv.crossJoin(
-        F.broadcast(ext)
-    )
+    if by_cols:
+        exti = ext.select(
+            *[F.col(c).alias(f"_x_{c}") for c in by_cols], "_du_min", "_du_max", "_n"
+        )
+        icond = None
+        for c in by_cols:
+            e = F.col(c).eqNullSafe(F.col(f"_x_{c}"))
+            icond = e if icond is None else (icond & e)
+        iv = iv.join(F.broadcast(exti), icond).drop(
+            *[f"_x_{c}" for c in by_cols]
+        )
+    else:
+        iv = iv.crossJoin(F.broadcast(ext))
 
     def pitch():
         return F.when(
@@ -368,12 +378,23 @@ def _broadcast_brackets(
         F.col(du_col).cast("long").alias("_k"),
     )
     # per-group stats by broadcast join (left side untouched); groups
-    # absent from the curve get null stats → the ladder's null arm
-    tgt = (
-        tgt.join(F.broadcast(ext), by_cols, "left")
-        if by_cols
-        else tgt.crossJoin(F.broadcast(ext))
-    )
+    # absent from the curve get null stats → the ladder's null arm.
+    # Null-safe equality: the window route co-partitions null group
+    # keys, so a null-group curve must serve null-group targets here too
+    if by_cols:
+        exts = ext.select(
+            *[F.col(c).alias(f"_e_{c}") for c in by_cols],
+            "_du_min", "_du_max", "_tx_min", "_tx_max", "_n",
+        )
+        scond = None
+        for c in by_cols:
+            e = F.col(c).eqNullSafe(F.col(f"_e_{c}"))
+            scond = e if scond is None else (scond & e)
+        tgt = tgt.join(F.broadcast(exts), scond, "left").drop(
+            *[f"_e_{c}" for c in by_cols]
+        )
+    else:
+        tgt = tgt.crossJoin(F.broadcast(ext))
     g_t = pitch()
     raw = F.floor(F.col("_k") / g_t)
     # above-max targets clamp into the last, open-ended interval
@@ -400,7 +421,7 @@ def _broadcast_brackets(
         & (F.col("_du_k").isNull() | (k < F.col("_du_k")))
     )
     for c in by_cols:
-        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
     out = tgt.join(F.broadcast(ivbs), cond, "left")
     return out.select(
         "_l",

@@ -133,17 +133,24 @@ def test_interpolar_broadcast_route_parity(spark, seed, grouped, method, extrapo
     rng = np.random.default_rng(seed)
     n_t, n_v = 300, 25
     groups = ["a", "b", "c"] if grouped else ["x"]
+
+    def _g():
+        # include a NULL group on both sides (the window route
+        # co-partitions null keys — the broadcast joins must too)
+        pick = rng.choice(groups + (["ghost", "__null__"] if grouped else []))
+        return None if pick == "__null__" else str(pick)
+
     tgt_rows = [
         (
             int(i),
-            str(rng.choice(groups + (["ghost"] if grouped else []))),
+            _g(),
             None if i % 17 == 0 else int(rng.integers(-50, 1300)),
         )
         for i in range(n_t)
     ]
     cur_rows = [
         (
-            str(rng.choice(groups)),
+            None if grouped and rng.integers(0, 8) == 0 else str(rng.choice(groups)),
             int(rng.integers(0, 1250)),
             float(np.round(rng.uniform(0.05, 0.15), 6)),
         )
