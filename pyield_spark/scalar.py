@@ -169,6 +169,60 @@ def _pround(x: float, decimals: int) -> float:
     return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
 
 
+def interpolar_taxa(
+    vertices: list[tuple[int | None, float | None]],
+    du: int | None,
+    method: str = "flat_forward",
+    extrapolar: bool = False,
+) -> float | None:
+    """Scalar twin of ``curves.interpolate.interpolar`` — the
+    reference's scalar path (pyield/futuro/di1.py:296-309 collecting
+    ``.item()`` from the vectorized engine; ladder
+    pyield/interpolador.py:481-491). Same cleaning (drop null/NaN
+    vertices, dedupe (du) keep-max-rate), same ladder: null du or empty
+    curve → None; exact hit → vertex rate; below minimum → first rate;
+    above maximum → last rate if ``extrapolar`` else None.
+
+    Parity with BOTH distributed routes asserted in
+    tests/test_scalar_parity.py.
+    """
+    import bisect
+
+    if method not in ("flat_forward", "linear"):
+        raise ValueError("method must be 'flat_forward' or 'linear'")
+    if du is None:
+        return None
+    clean: dict[int, float] = {}
+    for d, t in vertices or []:
+        if d is None or t is None or (isinstance(t, float) and math.isnan(t)):
+            continue
+        d = int(d)
+        if d not in clean or t > clean[d]:
+            clean[d] = float(t)
+    if not clean:
+        return None
+    verts = sorted(clean.items())
+    dus = [d for d, _ in verts]
+    if du < dus[0]:
+        return verts[0][1]
+    if du > dus[-1]:
+        return verts[-1][1] if extrapolar else None
+    i = bisect.bisect_left(dus, du)
+    if dus[i] == du:
+        return verts[i][1]
+    du_j, tx_j = verts[i - 1]
+    du_k, tx_k = verts[i]
+    if method == "linear":
+        out = tx_j + (du - du_j) * (tx_k - tx_j) / (du_k - du_j)
+    else:
+        au, au_j, au_k = du / 252.0, du_j / 252.0, du_k / 252.0
+        fa_j = (1 + tx_j) ** au_j
+        fa_k = (1 + tx_k) ** au_k
+        ft = (au - au_j) / (au_k - au_j)
+        out = (fa_j * (fa_k / fa_j) ** ft) ** (1.0 / au) - 1.0
+    return None if math.isnan(out) else out
+
+
 def _interp_flat_forward(verts: list[tuple[int, float]], du: int) -> float:
     """Flat-forward ladder on sorted (du, taxa) vertices — scalar twin of
     curves/interpolate.py (reference: pyield/interpolador.py:306-497)."""

@@ -145,3 +145,50 @@ def test_vna_projetado_scalar_matches_dataframe(spark):
             vna_projetado_expr("data", "base", "pct", day_start=ds).alias("v")
         ).collect()[0].v
         assert got == scalar.vna_projetado(data, base, pct, day_start=ds)
+
+
+def test_interpolar_taxa_scalar_vs_distributed(spark):
+    """The public scalar interpolar_taxa must agree with BOTH
+    distributed routes over a randomized curve (exact hits, below-min,
+    above-max, duplicate vertices), to float tolerance (JVM vs libm pow
+    differ in the last ulp)."""
+    import numpy as np
+    import pytest
+
+    from pyield_spark.curves.interpolate import interpolar
+    from pyield_spark.scalar import interpolar_taxa
+
+    rng = np.random.default_rng(5)
+    verts = [
+        (int(rng.integers(0, 1000)), float(np.round(rng.uniform(0.05, 0.15), 6)))
+        for _ in range(20)
+    ]
+    targets = [None] + [int(x) for x in rng.integers(-20, 1100, 60)] + [
+        verts[0][0], verts[5][0]  # exact hits
+    ]
+    for method in ("flat_forward", "linear"):
+        for extrapolar in (False, True):
+            exp = {
+                i: interpolar_taxa(verts, t, method, extrapolar)
+                for i, t in enumerate(targets)
+            }
+            tgt = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(targets)], "tid long, du_alvo long"
+            )
+            cur = spark.createDataFrame(verts, "du long, taxa double")
+            for dist in ("shuffle", "broadcast"):
+                got = {
+                    r.tid: r.taxa_interpolada
+                    for r in interpolar(
+                        tgt, cur, du_col="du_alvo", curve_du="du",
+                        curve_rate="taxa", method=method,
+                        extrapolar=extrapolar, distribution=dist,
+                    ).collect()
+                }
+                for i in exp:
+                    if exp[i] is None:
+                        assert got[i] is None, (method, extrapolar, dist, i)
+                    else:
+                        assert got[i] == pytest.approx(exp[i], rel=1e-12), (
+                            method, extrapolar, dist, i,
+                        )
