@@ -353,12 +353,12 @@ def _broadcast_brackets(
     else:
         iv = iv.crossJoin(F.broadcast(ext))
 
+    from pyield_spark.operators.asof import grid_pitch_expr
+
     def pitch():
-        return F.when(
-            F.col("_du_max") > F.col("_du_min"),
-            (F.col("_du_max") - F.col("_du_min")).cast("double")
-            / F.greatest(F.col("_n") - 1, F.lit(1)),
-        ).otherwise(F.lit(1.0))
+        return grid_pitch_expr(
+            F.col("_du_min"), F.col("_du_max"), F.col("_n")
+        )
 
     g = pitch()
     b_lo = F.floor(F.col("_du_j") / g)

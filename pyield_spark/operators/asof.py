@@ -79,14 +79,15 @@ def asof_join(
             scale-out route for J5 (the one a 100 TB plan wants when
             the series fits in a broadcast).
     """
+    if distribution not in ("shuffle", "broadcast"):
+        raise ValueError("distribution must be 'shuffle' or 'broadcast'")
     if strategy == "nearest":
         return _asof_nearest(
-            left, right, on, right_on, by, values, allow_exact_matches
+            left, right, on, right_on, by, values, allow_exact_matches,
+            distribution,
         )
     if strategy not in ("backward", "forward"):
         raise ValueError("strategy must be 'backward', 'forward' or 'nearest'")
-    if distribution not in ("shuffle", "broadcast"):
-        raise ValueError("distribution must be 'shuffle' or 'broadcast'")
     if distribution == "broadcast":
         if by:
             raise ValueError(
@@ -259,6 +260,19 @@ def asof_join(
     return out.select(*left_cols, *[F.col(f"_m.{v}").alias(v) for v in values])
 
 
+def grid_pitch_expr(mn, mx, n):
+    """Bucket pitch ≈ span/(n-1) for the broadcast interval routes:
+    guarantees the total exploded interval rows stay O(n) for ANY key
+    distribution (Σ interval_len/g + n ≈ 2n). Shared by the as-of and
+    interpolation broadcast routes so their bucket math cannot drift
+    apart; both sides of each join derive it from the same broadcast
+    1-row stats, so float rounding is identical by construction."""
+    return F.when(
+        mx > mn,
+        (mx - mn).cast("double") / F.greatest(n - 1, F.lit(1)),
+    ).otherwise(F.lit(1.0))
+
+
 def _numeric_key(c, key_t):
     # type-BASED dispatch (key_t is a DataType): a string compare
     # here once let date keys fall through to cast-to-double,
@@ -299,20 +313,25 @@ def _asof_broadcast(
     Right keys are assumed unique (same contract as the bucketed path);
     duplicate keys are deduped arbitrarily.
     """
-    by_cols: list[str] = []
     if values is None:
-        values = [c for c in right.columns if c != right_on and c not in by_cols]
+        values = [c for c in right.columns if c != right_on]
     if not values:
         raise ValueError("right side has no payload columns to attach")
 
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
 
-    lschema = left.schema
-    rschema = right.schema
-    key_t = lschema[on].dataType
-    v_type = StructType(
-        [StructField(v, rschema[v].dataType, True) for v in values]
-    )
+    key_t = left.schema[on].dataType
+    # the route's bucket math needs a faithful numeric image of the key;
+    # any other type would cast to null and silently match NOTHING (the
+    # shuffle route orders by the native key and stays correct) — refuse
+    # rather than degrade
+    if not isinstance(
+        key_t, (NumericType, DateType, TimestampType, TimestampNTZType)
+    ):
+        raise ValueError(
+            f"distribution='broadcast' needs a numeric/date/timestamp key;"
+            f" {on} is {key_t.simpleString()} — use distribution='shuffle'"
+        )
 
     rs = (
         right.select(
@@ -346,20 +365,11 @@ def _asof_broadcast(
         F.count("*").alias("_n"),
     )
 
-    # bucket pitch ≈ span/(n-1): the total exploded row count is
-    # Σ(interval_len/g) + n ≈ 2n regardless of key distribution. The
-    # pitch/clamp bounds are derived from the SAME 1-row stats broadcast
-    # on both sides (pure column math, no Python-side collect), so the
-    # two bucket computations can never disagree.
-    def _pitch():
-        return F.when(
-            F.col("_mx") > F.col("_mn"),
-            (F.col("_mx") - F.col("_mn"))
-            / F.greatest(F.col("_n") - 1, F.lit(1)),
-        ).otherwise(F.lit(1.0))
-
+    # the pitch/clamp bounds are derived from the SAME 1-row stats
+    # broadcast on both sides (pure column math, no Python-side
+    # collect), so the two bucket computations can never disagree
     iv = iv.crossJoin(F.broadcast(stats))
-    g = _pitch()
+    g = grid_pitch_expr(F.col("_mn"), F.col("_mx"), F.col("_n"))
     b_lo = F.floor(F.coalesce(F.col("_start"), F.col("_end")) / g)
     b_hi = F.floor(F.coalesce(F.col("_end"), F.col("_start")) / g)
     ivs = iv.select(
@@ -373,7 +383,7 @@ def _asof_broadcast(
         F.struct(*left.columns).alias("_l"),
         _numeric_key(F.col(on).cast(key_t), key_t).alias("_kn"),
     ).crossJoin(F.broadcast(stats))
-    g_l = _pitch()
+    g_l = grid_pitch_expr(F.col("_mn"), F.col("_mx"), F.col("_n"))
     raw_bkt = F.floor(F.col("_kn") / g_l)
     if strategy == "backward":
         # targets above the last key still match the last (unbounded)
@@ -414,6 +424,7 @@ def _asof_nearest(
     by,
     values: list[str] | None,
     allow_exact_matches: bool,
+    distribution: str = "shuffle",
 ) -> DataFrame:
     """Nearest = the closer of the backward and forward matches (ties →
     backward). Composed from two passes of the directional operator —
@@ -431,14 +442,16 @@ def _asof_nearest(
 
     probe = [right_on] + [v for v in values if v != right_on]
     bwd = asof_join(
-        left, right, on, right_on, by, "backward", probe, allow_exact_matches
+        left, right, on, right_on, by, "backward", probe, allow_exact_matches,
+        distribution,
     )
     ren_b = bwd.select(
         *left.columns,
         *[F.col(v).alias(f"_b_{v}") for v in probe],
     )
     both = asof_join(
-        ren_b, right, on, right_on, by, "forward", probe, allow_exact_matches
+        ren_b, right, on, right_on, by, "forward", probe, allow_exact_matches,
+        distribution,
     ).select(
         *ren_b.columns,
         *[F.col(v).alias(f"_f_{v}") for v in probe],

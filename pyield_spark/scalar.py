@@ -192,6 +192,9 @@ def interpolar_taxa(
         raise ValueError("method must be 'flat_forward' or 'linear'")
     if du is None:
         return None
+    # match the distributed twin, which casts the target key to long
+    # (truncation toward zero, like int())
+    du = int(du)
     clean: dict[int, float] = {}
     for d, t in vertices or []:
         if d is None or t is None or (isinstance(t, float) and math.isnan(t)):

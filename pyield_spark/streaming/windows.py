@@ -251,6 +251,17 @@ def foreach_batch_upsert(
     import shutil
 
     spark = events.sparkSession
+    old_path = target_path + "._old"
+
+    def _current() -> str | None:
+        # crash-safe read: if a swap died between the two renames, the
+        # previous state survives under ._old — never silently restart
+        # from only the replayed batch
+        if os.path.isdir(target_path):
+            return target_path
+        if os.path.isdir(old_path):
+            return old_path
+        return None
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         upd = (
@@ -264,8 +275,9 @@ def foreach_batch_upsert(
             )
             .select(key_col, "_o", "_v")
         )
-        if os.path.isdir(target_path):
-            cur = spark.read.parquet(target_path)
+        cur_path = _current()
+        if cur_path is not None:
+            cur = spark.read.parquet(cur_path)
             merged = (
                 cur.join(upd, key_col, "full_outer")
                 .select(
@@ -291,11 +303,17 @@ def foreach_batch_upsert(
                 F.col("_v").alias("_cur_v"),
                 F.col("_o").alias("_cur_o"),
             )
+        # swap with the previous state kept aside until the new one is
+        # in place: a crash at ANY point leaves either target or ._old
+        # readable (keep-latest merge is idempotent under the replayed
+        # batch, so at-least-once delivery still converges)
         tmp = target_path + "._tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old_path, ignore_errors=True)
         if os.path.isdir(target_path):
-            shutil.rmtree(target_path)
+            os.rename(target_path, old_path)
         os.rename(tmp, target_path)
+        shutil.rmtree(old_path, ignore_errors=True)
 
     return events.writeStream.foreachBatch(handle)
 

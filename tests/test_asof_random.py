@@ -87,7 +87,10 @@ def test_asof_matches_pandas(spark, seed, strategy, with_groups, exact, distribu
 @pytest.mark.parametrize("seed", [11, 33])
 @pytest.mark.parametrize("with_groups", [False, True])
 @pytest.mark.parametrize("exact", [True, False])
-def test_asof_nearest_matches_pandas(spark, seed, with_groups, exact):
+@pytest.mark.parametrize("distribution", ["shuffle", "broadcast"])
+def test_asof_nearest_matches_pandas(spark, seed, with_groups, exact, distribution):
+    if distribution == "broadcast" and with_groups:
+        pytest.skip("broadcast path is the ungrouped route only")
     left, right = _random_frames(seed, with_groups)
     sl = spark.createDataFrame(left)
     sr = spark.createDataFrame(right)
@@ -102,6 +105,7 @@ def test_asof_nearest_matches_pandas(spark, seed, with_groups, exact):
             strategy="nearest",
             values=["payload"],
             allow_exact_matches=exact,
+            distribution=distribution,
         ).collect()
     }
     exp_df = pd.merge_asof(

@@ -205,3 +205,17 @@ def test_broadcast_asof_no_fact_shuffle(spark):
                 cand = [v for k, v in rk if k >= r.k]
                 want = cand[0] if cand else None
             assert got[r.id] == want, (strategy, r.id, r.k, got[r.id], want)
+
+
+def test_broadcast_asof_rejects_unsupported_key(spark):
+    """String keys have no faithful numeric image for the bucket grid:
+    the broadcast route must refuse (the shuffle route handles them) —
+    a silent all-null degradation is the failure class this guards."""
+    import pytest
+
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("2024-01-02", 1)], "d string, i int")
+    right = spark.createDataFrame([("2024-01-01", 1.0)], "d string, v double")
+    with pytest.raises(ValueError, match="broadcast"):
+        asof_join(left, right, on="d", distribution="broadcast")
