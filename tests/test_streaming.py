@@ -248,3 +248,56 @@ def test_foreach_batch_upsert_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_foreach_batch_upsert_recovers_from_crashed_swap(spark, sf_dir):
+    """Crash window: a swap that died between the two renames leaves the
+    previous state under ._old only. The next batch must merge INTO that
+    state, not silently rebuild from the replayed batch alone."""
+    import os
+    import shutil
+
+    from pyield_spark.streaming.windows import foreach_batch_upsert
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".stream_cache",
+        "upsert_crash_test",
+    )
+    ev, files = _stage_split(spark, sf_dir, base)
+    target = os.path.join(base, "dim")
+
+    # run to completion once → full dimension state
+    q = (
+        foreach_batch_upsert(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(base, "all")),
+            target,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    full = {r.user_id for r in spark.read.parquet(target).collect()}
+
+    # simulate the crash: state moved aside, new target never landed
+    os.rename(target, target + "._old")
+
+    # a fresh run over the same files (at-least-once replay) must see
+    # the ._old state and converge to the same dimension
+    q = (
+        foreach_batch_upsert(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(base, "all")),
+            target,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id for r in spark.read.parquet(target).collect()}
+    assert got == full
+    assert not os.path.isdir(target + "._old")  # cleaned up after swap
+    shutil.rmtree(base, ignore_errors=True)
