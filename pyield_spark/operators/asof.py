@@ -71,12 +71,12 @@ def asof_join(
         allow_exact_matches: whether an equal key counts as a match.
         distribution: "shuffle" (default — the window plan; grouped =
             one shuffle, ungrouped = range buckets + ghost stitch) or
-            "broadcast" — for an UNGROUPED as-of against a
-            dimension-sized right side (a rate/PTAX/VNA series): the
-            right side becomes broadcast bracketing intervals and the
-            match is a broadcast hash equi-join on a coarse bucket key
-            — the fact side is NEVER shuffled. This is the second
-            scale-out route for J5 (the one a 100 TB plan wants when
+            "broadcast" — for an as-of (grouped or not) whose WHOLE
+            right panel is dimension-sized (a rate/PTAX/VNA series):
+            the right side becomes broadcast bracketing intervals and
+            the match is a broadcast hash equi-join on a coarse bucket
+            key — the fact side is NEVER shuffled. This is the second
+            scale-out route for J3/J5 (the one a 100 TB plan wants when
             the series fits in a broadcast).
     """
     if distribution not in ("shuffle", "broadcast"):
@@ -89,13 +89,8 @@ def asof_join(
     if strategy not in ("backward", "forward"):
         raise ValueError("strategy must be 'backward', 'forward' or 'nearest'")
     if distribution == "broadcast":
-        if by:
-            raise ValueError(
-                "distribution='broadcast' supports only the ungrouped as-of"
-                " (for grouped joins the window plan is already one shuffle)"
-            )
         return _asof_broadcast(
-            left, right, on, right_on or on, strategy, values,
+            left, right, on, right_on or on, by, strategy, values,
             allow_exact_matches,
         )
     right_on = right_on or on
@@ -293,28 +288,32 @@ def _asof_broadcast(
     right: DataFrame,
     on: str,
     right_on: str,
+    by,
     strategy: str,
     values: list[str] | None,
     allow_exact_matches: bool,
 ) -> DataFrame:
-    """Ungrouped as-of as a broadcast hash join — zero fact-side
-    shuffles.
+    """As-of as a broadcast hash join — zero fact-side shuffles, grouped
+    or ungrouped (the WHOLE right panel, all groups together, must be
+    dimension-sized).
 
-    Each right row owns a half-open bracketing interval of the key line
-    (backward: [kᵢ, kᵢ₊₁), forward: (kᵢ₋₁, kᵢ], boundary membership per
-    ``allow_exact_matches``). Intervals are exploded onto a coarse
-    integer bucket grid with pitch ≈ span/n (so the exploded dimension
-    stays O(n) rows), broadcast, and the fact side equi-joins on its
-    clamped bucket — the exact interval predicate rides in the join
-    condition, so each left row matches at most one interval. The only
-    window runs over the dimension-sized right side (documented
-    single-partition, like every dimension build).
+    Each right row owns a half-open bracketing interval of its group's
+    key line (backward: [kᵢ, kᵢ₊₁), forward: (kᵢ₋₁, kᵢ], boundary
+    membership per ``allow_exact_matches``). Intervals are exploded onto
+    a per-group coarse bucket grid with pitch ≈ span/n (so the exploded
+    dimension stays O(n) rows), broadcast, and the fact side equi-joins
+    on (group, clamped bucket) — the exact interval predicate rides in
+    the join condition, so each left row matches at most one interval.
+    Group equality is NULL-SAFE (the shuffle route co-partitions null
+    group keys, so they must match here too). The only window/agg runs
+    over the dimension-sized right side.
 
-    Right keys are assumed unique (same contract as the bucketed path);
-    duplicate keys are deduped arbitrarily.
+    Right keys are assumed unique per group (same contract as the
+    bucketed path); duplicate keys are deduped arbitrarily.
     """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
     if values is None:
-        values = [c for c in right.columns if c != right_on]
+        values = [c for c in right.columns if c != right_on and c not in by_cols]
     if not values:
         raise ValueError("right side has no payload columns to attach")
 
@@ -335,54 +334,82 @@ def _asof_broadcast(
 
     rs = (
         right.select(
+            *[F.col(c) for c in by_cols],
             _numeric_key(F.col(right_on).cast(key_t), key_t).alias("_kn"),
             F.struct(*[F.col(v) for v in values]).alias("_v"),
         )
         .filter(F.col("_kn").isNotNull())
-        .dropDuplicates(["_kn"])
+        .dropDuplicates(by_cols + ["_kn"])
         # the series lineage feeds the interval window AND the stats
         # agg — checkpoint once so a fact-derived series isn't
         # re-executed per consumer (lazy: materializes on first use)
         .localCheckpoint(eager=False)
     )
     # interval bounds: one window over the dimension-sized series
-    w = Window.orderBy("_kn")
+    w = (
+        Window.partitionBy(*by_cols).orderBy("_kn")
+        if by_cols
+        else Window.orderBy("_kn")
+    )
     if strategy == "backward":
         iv = rs.select(
+            *by_cols,
             F.col("_kn").alias("_start"),
             F.lead("_kn").over(w).alias("_end"),
             "_v",
         )
     else:
         iv = rs.select(
+            *by_cols,
             F.lag("_kn").over(w).alias("_start"),
             F.col("_kn").alias("_end"),
             "_v",
         )
-    stats = rs.agg(
+    stats = rs.groupBy(*by_cols).agg(
         F.min("_kn").alias("_mn"),
         F.max("_kn").alias("_mx"),
         F.count("*").alias("_n"),
     )
 
-    # the pitch/clamp bounds are derived from the SAME 1-row stats
+    def _nullsafe_join(df, st, how="inner"):
+        if not by_cols:
+            return df.crossJoin(F.broadcast(st))
+        sts = st.select(
+            *[F.col(c).alias(f"_s_{c}") for c in by_cols],
+            *[c for c in st.columns if c not in by_cols],
+        )
+        cond = None
+        for c in by_cols:
+            e = F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+            cond = e if cond is None else (cond & e)
+        return df.join(F.broadcast(sts), cond, how).drop(
+            *[f"_s_{c}" for c in by_cols]
+        )
+
+    # the pitch/clamp bounds are derived from the SAME per-group stats
     # broadcast on both sides (pure column math, no Python-side
     # collect), so the two bucket computations can never disagree
-    iv = iv.crossJoin(F.broadcast(stats))
+    iv = _nullsafe_join(iv, stats)
     g = grid_pitch_expr(F.col("_mn"), F.col("_mx"), F.col("_n"))
     b_lo = F.floor(F.coalesce(F.col("_start"), F.col("_end")) / g)
     b_hi = F.floor(F.coalesce(F.col("_end"), F.col("_start")) / g)
     ivs = iv.select(
+        *[F.col(c).alias(f"_r_{c}") for c in by_cols],
         "_start",
         "_end",
         "_v",
         F.explode(F.sequence(b_lo, b_hi)).alias("_rbkt"),
     )
 
-    l_packed = left.select(
-        F.struct(*left.columns).alias("_l"),
-        _numeric_key(F.col(on).cast(key_t), key_t).alias("_kn"),
-    ).crossJoin(F.broadcast(stats))
+    l_packed = _nullsafe_join(
+        left.select(
+            F.struct(*left.columns).alias("_l"),
+            *[F.col(c) for c in by_cols],
+            _numeric_key(F.col(on).cast(key_t), key_t).alias("_kn"),
+        ),
+        stats,
+        how="left",  # groups absent from the series still keep their rows
+    )
     g_l = grid_pitch_expr(F.col("_mn"), F.col("_mx"), F.col("_n"))
     raw_bkt = F.floor(F.col("_kn") / g_l)
     if strategy == "backward":
@@ -393,6 +420,7 @@ def _asof_broadcast(
         clamped = F.greatest(raw_bkt, F.floor(F.col("_mn") / g_l))
     l_packed = l_packed.select(
         "_l",
+        *by_cols,
         "_kn",
         F.when(F.col("_kn").isNotNull(), clamped).alias("_bkt"),
     )
@@ -409,6 +437,8 @@ def _asof_broadcast(
             (k > F.col("_start")) if allow_exact_matches else (k >= F.col("_start"))
         )
     cond = (F.col("_bkt") == F.col("_rbkt")) & lo_ok & hi_ok
+    for c in by_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
     out = l_packed.join(F.broadcast(ivs), cond, "left")
     left_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     return out.select(

@@ -44,8 +44,6 @@ def _random_frames(seed: int, with_groups: bool):
 @pytest.mark.parametrize("exact", [True, False])
 @pytest.mark.parametrize("distribution", ["shuffle", "broadcast"])
 def test_asof_matches_pandas(spark, seed, strategy, with_groups, exact, distribution):
-    if distribution == "broadcast" and with_groups:
-        pytest.skip("broadcast path is the ungrouped route only")
     left, right = _random_frames(seed, with_groups)
 
     sl = spark.createDataFrame(left)
@@ -89,8 +87,6 @@ def test_asof_matches_pandas(spark, seed, strategy, with_groups, exact, distribu
 @pytest.mark.parametrize("exact", [True, False])
 @pytest.mark.parametrize("distribution", ["shuffle", "broadcast"])
 def test_asof_nearest_matches_pandas(spark, seed, with_groups, exact, distribution):
-    if distribution == "broadcast" and with_groups:
-        pytest.skip("broadcast path is the ungrouped route only")
     left, right = _random_frames(seed, with_groups)
     sl = spark.createDataFrame(left)
     sr = spark.createDataFrame(right)
