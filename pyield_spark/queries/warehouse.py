@@ -281,3 +281,54 @@ def q_sql_grouping_sets(spark, sf_dir):
     runs on DuckDB."""
     _register(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_GSETS)
+
+
+_SQL_TOP_SUPPLIER = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                         AND DATE '1996-03-31'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q_sql_top_supplier", oracle=_SQL_TOP_SUPPLIER)
+def q_sql_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: a revenue view referenced twice — once as the
+    join input, once inside an uncorrelated scalar MAX subquery.
+    Catalyst evaluates the scalar subquery once (a 1-row broadcast) and
+    reuses the aggregated view; the DOUBLE equality is safe because the
+    revenue comes through an exact decimal sum on both engines (ties
+    all survive, same set)."""
+    _register(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_SQL_TOP_SUPPLIER)
+
+
+_SQL_BIG_ORDERS = """
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+    GROUP BY c_custkey, o_orderkey
+"""
+
+
+@query("q_sql_big_orders", oracle=_SQL_BIG_ORDERS)
+def q_sql_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders via an IN over a grouped
+    HAVING subquery. The IN-list is itself an aggregation result —
+    Catalyst plans it as a left-semi join against the aggregated
+    lineitem (no materialized list, no per-row membership scan); the
+    HAVING sum is exact (integer-valued doubles)."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_SQL_BIG_ORDERS)
