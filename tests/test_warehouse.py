@@ -90,6 +90,8 @@ def test_correlated_shapes_decorrelate(spark, sf_dir):
         "q_sql_min_price_part",
         "q_sql_small_qty_revenue",
         "q_sql_exists_discount",
+        "q_sql_top_supplier",
+        "q_sql_big_orders",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
