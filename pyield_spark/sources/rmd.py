@@ -9,9 +9,11 @@ rows classified (grupo, subgrupo, titulo); month columns come from the
 period header row ("Jan/24" → 2024-01-01, _common.py:24-35), values
 scale ×1e6 rounded 2dp, zero/null dropped.
 
-The Excel lib is out of this environment, so the byte-level xlsx decode
-stays out of scope (documented, COVERAGE.md §2.1); this module parses
-the same grid from a semicolon-separated re-export and keeps ALL the
+Both parsers run over EITHER a semicolon-separated re-export
+(``read_rmd_13_csv``/``read_rmd_21_csv``) or the actual .xlsx workbook
+(``read_rmd_13_xlsx``/``read_rmd_21_xlsx`` via the stdlib S10 scan,
+``sources/xlsx.py``) — the two sources converge on one cell grid
+``(_file, _row, fields)`` and share the grid→long core, keeping ALL the
 hierarchical-label logic — re-expressed Spark-first:
 
 - the state machine is two FILL-DOWN windows (last section marker /
@@ -55,9 +57,8 @@ def _starts_with_any(col, prefixes) -> F.Column:
     return out
 
 
-def read_rmd_13_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
-    """Parse RMD tab-1.3 re-export(s) into the reference's long frame:
-    (source_file, periodo, grupo, subgrupo, titulo, valor)."""
+def _csv_grid(spark: SparkSession, path: str, sep: str) -> DataFrame:
+    """Text re-export → the shared cell grid (_file, _row, fields)."""
     raw = spark.read.text(path).select(
         F.input_file_name().alias("_file"),
         F.col("value"),
@@ -66,7 +67,38 @@ def read_rmd_13_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame
     # per-file row number (monotonic ids order within a file's partition)
     wf = Window.partitionBy("_file").orderBy("_idx")
     raw = raw.withColumn("_row", F.row_number().over(wf) - 1)
-    fields = raw.withColumn("fields", F.split("value", sep))
+    return raw.select("_file", "_row", F.split("value", sep).alias("fields"))
+
+
+def _xlsx_grid(spark: SparkSession, path: str, sheet: str) -> DataFrame:
+    """One workbook tab via the S10 stdlib scan → the shared cell grid."""
+    from pyield_spark.sources.xlsx import read_xlsx
+
+    g = read_xlsx(spark, path, sheet=sheet)
+    return g.select(
+        F.col("source_file").alias("_file"),
+        F.col("row_idx").alias("_row"),
+        F.col("cells").alias("fields"),
+    )
+
+
+def read_rmd_13_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
+    """Parse RMD tab-1.3 re-export(s) into the reference's long frame:
+    (source_file, periodo, grupo, subgrupo, titulo, valor)."""
+    return _grid_to_long_13(_csv_grid(spark, path, sep))
+
+
+def read_rmd_13_xlsx(
+    spark: SparkSession, path: str, sheet: str = "1.3"
+) -> DataFrame:
+    """Tab 1.3 straight from the RMD .xlsx workbook (S10 scan), same
+    long frame as the CSV path (pyield/tpf/rmd/_aba_1_3.py:81-85 reads
+    the same grid via read_excel has_header=False)."""
+    return _grid_to_long_13(_xlsx_grid(spark, path, sheet))
+
+
+def _grid_to_long_13(fields: DataFrame) -> DataFrame:
+    wf = Window.partitionBy("_file").orderBy("_row")
 
     # --- period header: row 2, columns 1.. ; "Mes/yy" → date -------------
     mes_map = F.create_map(
@@ -193,14 +225,18 @@ def read_rmd_21_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame
     the struct keeps the 4-tuple intact. Values scale ×1e9 rounded 2dp;
     nulls drop, zeros KEPT (unlike tab 1.3 — the reference keeps them).
     """
-    raw = spark.read.text(path).select(
-        F.input_file_name().alias("_file"),
-        F.col("value"),
-        F.monotonically_increasing_id().alias("_idx"),
-    )
-    wf = Window.partitionBy("_file").orderBy("_idx")
-    raw = raw.withColumn("_row", F.row_number().over(wf) - 1)
-    fields = raw.withColumn("fields", F.split("value", sep))
+    return _grid_to_long_21(_csv_grid(spark, path, sep))
+
+
+def read_rmd_21_xlsx(
+    spark: SparkSession, path: str, sheet: str = "2.1"
+) -> DataFrame:
+    """Tab 2.1 straight from the RMD .xlsx workbook (S10 scan)."""
+    return _grid_to_long_21(_xlsx_grid(spark, path, sheet))
+
+
+def _grid_to_long_21(fields: DataFrame) -> DataFrame:
+    wf = Window.partitionBy("_file").orderBy("_row")
 
     mes_map = F.create_map(
         *[x for k, v in _MESES_PT.items() for x in (F.lit(k), F.lit(v))]
