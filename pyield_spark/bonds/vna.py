@@ -53,3 +53,31 @@ def vna_projetado_expr(
     variacao = F.bround(pct, 2) / 100.0
     valor = truncar_expr(base, 6) * F.pow(F.lit(1.0) + variacao, expoente)
     return truncar_expr(valor, 6)
+
+
+def vna_sheet_silver(grid) -> "DataFrame":  # noqa: F821
+    """Official-VNA workbook tab → typed series (data date, vna double).
+
+    The reference reads the Tesouro Transparente sheet headerless and
+    normalizes two columns: column_1 text → datetime → date, column_2 →
+    float (strict=False ≈ tolerant cast), drop nulls, unique keep='last'
+    by data, sort (pyield/tpf/vna/_utils.py:12-15, ntnb.py:18-28).
+
+    ``grid`` is the S10 scan output (``sources.xlsx.read_xlsx``):
+    (source_file, sheet_name, row_idx, cells). keep='last' is arrival
+    order in the sheet → max_by(row_idx); the sort is left to consumers
+    (an unordered series distributes; order is a presentation concern).
+    """
+    c0 = F.element_at("cells", 1)
+    c1 = F.element_at("cells", 2)
+    typed = grid.select(
+        F.coalesce(
+            F.try_to_timestamp(c0),
+            F.try_to_timestamp(c0, F.lit("dd/MM/yyyy")),
+        ).cast("date").alias("data"),
+        c1.cast("double").alias("vna"),
+        F.col("row_idx"),
+    ).filter(F.col("data").isNotNull() & F.col("vna").isNotNull())
+    return typed.groupBy("data").agg(
+        F.max_by("vna", "row_idx").alias("vna")
+    )

@@ -166,3 +166,29 @@ def test_rmd_xlsx_matches_csv_reexport(spark, tmp_path, tab):
     got_c = canon(read_c(spark, str(cp)))
     assert got_x == got_c
     assert len(got_x) > 0
+
+
+def test_vna_sheet_silver(spark, tmp_path):
+    """VNA workbook tab → typed series: ISO datetimes AND dd/MM/yyyy
+    parse, junk rows drop, duplicate data keeps the LAST sheet row
+    (reference unique keep='last', tpf/vna/ntnb.py:18-28)."""
+    from pyield_spark.bonds.vna import vna_sheet_silver
+    from pyield_spark.sources.xlsx import read_xlsx
+
+    p = tmp_path / "vna.xlsx"
+    write_minimal_xlsx(
+        str(p),
+        {
+            "VNA": [
+                ["Valor Nominal Atualizado", None],
+                ["2024-01-15 00:00:00", 4_300.123456],
+                ["15/02/2024", 4_350.5],
+                ["2024-02-15 00:00:00", 4_351.75],  # revision: keep last
+                ["nota de rodapé", None],
+                ["2024-03-15 00:00:00", "not-a-number"],
+            ]
+        },
+    )
+    out = vna_sheet_silver(read_xlsx(spark, str(p), sheet="VNA"))
+    got = {r.data.isoformat(): r.vna for r in out.collect()}
+    assert got == {"2024-01-15": 4300.123456, "2024-02-15": 4351.75}
