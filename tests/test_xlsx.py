@@ -192,3 +192,59 @@ def test_vna_sheet_silver(spark, tmp_path):
     out = vna_sheet_silver(read_xlsx(spark, str(p), sheet="VNA"))
     got = {r.data.isoformat(): r.vna for r in out.collect()}
     assert got == {"2024-01-15": 4300.123456, "2024-02-15": 4351.75}
+
+
+def test_xlsx_roundtrip_property():
+    """Property: any grid of strings/numbers/bools/None survives
+    write→parse with values stringified and trailing-None truncation
+    (no Spark needed — the parser core is pure)."""
+    import io
+    import zipfile as _zf
+
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+            ),
+            max_size=12,
+        ),
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.booleans(),
+    )
+    grid_st = st.lists(st.lists(cell, max_size=6), min_size=1, max_size=8)
+
+    def expect_row(row):
+        vals = []
+        for v in row:
+            if v is None:
+                vals.append(None)
+            elif isinstance(v, bool):
+                vals.append("true" if v else "false")
+            elif isinstance(v, (int, float)):
+                vals.append(str(v))
+            else:
+                vals.append(v)
+        while vals and vals[-1] is None:
+            vals.pop()
+        return vals
+
+    @settings(max_examples=60, deadline=None)
+    @given(grid_st)
+    def check(grid):
+        buf = io.BytesIO()
+        # write_minimal_xlsx wants a path-like; give it a real temp zip
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "g.xlsx")
+            write_minimal_xlsx(p, {"G": grid})
+            content = open(p, "rb").read()
+        got = {r: cells for _, r, cells in parse_xlsx_bytes(content)}
+        for i, row in enumerate(grid):
+            assert got.get(i, []) == expect_row(row)
+
+    check()
