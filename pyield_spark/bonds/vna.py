@@ -81,3 +81,35 @@ def vna_sheet_silver(grid) -> "DataFrame":  # noqa: F821
     return typed.groupBy("data").agg(
         F.max_by("vna", "row_idx").alias("vna")
     )
+
+
+def ipca_projecao_silver(grid) -> "DataFrame":  # noqa: F821
+    """ANBIMA indicators workbook → the IPCA projection record
+    (pyield/ipca/projetado.py:32-104): header cell "Data e Hora da
+    Última Atualização: DD/MM/YYYY - HH:MM h" → timestamp; the row whose
+    column_1 starts with "IPCA" and column_2 with "Projeção" carries the
+    reference period "(mmm/yy)" and the projected value (percent → /100
+    round 4). One row out per workbook — pure column expressions over
+    the S10 grid (the reference's .xls transport differs; the parse is
+    the semantics).
+    """
+    c1 = F.element_at("cells", 1)
+    c2 = F.element_at("cells", 2)
+    c3 = F.element_at("cells", 3)
+    hdr = grid.filter(
+        c1.startswith("Data e Hora da Última Atualização:")
+    ).select(
+        "source_file",
+        F.to_timestamp(
+            F.regexp_extract(c1, r":\s*(\d{2}/\d{2}/\d{4} - \d{2}:\d{2})", 1),
+            "dd/MM/yyyy - HH:mm",
+        ).alias("ultima_atualizacao"),
+    )
+    proj = grid.filter(
+        c1.startswith("IPCA") & c2.startswith("Projeção")
+    ).select(
+        "source_file",
+        F.regexp_extract(c2, r"\(([^)]*)\)", 1).alias("periodo_referencia"),
+        F.round(c3.cast("double") / 100.0, 4).alias("valor_projetado"),
+    )
+    return proj.join(hdr, "source_file")

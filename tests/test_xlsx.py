@@ -248,3 +248,30 @@ def test_xlsx_roundtrip_property():
             assert got.get(i, []) == expect_row(row)
 
     check()
+
+
+def test_ipca_projecao_silver(spark, tmp_path):
+    """ANBIMA indicators sheet → one projection record per workbook
+    (pyield/ipca/projetado.py goldens: header datetime, '(mar/26)'
+    period, percent/100 round4)."""
+    from pyield_spark.bonds.vna import ipca_projecao_silver
+    from pyield_spark.sources.xlsx import read_xlsx
+
+    p = tmp_path / "indicadores.xlsx"
+    write_minimal_xlsx(
+        str(p),
+        {
+            "Ind": [
+                ["Data e Hora da Última Atualização: 13/03/2026 - 15:20 h"],
+                ["Indicadores de Projeção"],
+                ["IGP-M1", "Projeção (fev/26)", 0.4812],
+                ["IPCA1", "Projeção (mar/26)", 0.43785],
+            ]
+        },
+    )
+    out = ipca_projecao_silver(read_xlsx(spark, str(p))).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.periodo_referencia == "mar/26"
+    assert r.valor_projetado == 0.0044
+    assert r.ultima_atualizacao.isoformat() == "2026-03-13T15:20:00"
