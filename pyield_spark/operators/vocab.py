@@ -124,3 +124,81 @@ def repetition_stats(df: DataFrame, text: str, id_col: str) -> DataFrame:
         ),
         (F.col("top_tf").cast("double") / n).alias("top_token_share"),
     )
+
+
+def lm_typicality(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM typicality score per document — the CCNet-style "how
+    much does this text look like the corpus" quality signal (a pruned
+    KenLM in the published pipeline; here the corpus scores itself with
+    an add-k-smoothed bigram model, so no external model file).
+
+    Per document: mean over its bigram occurrences of
+    ``ln((c(w1,w2) + k) / (c(w1) + k·V))`` where counts are corpus-wide
+    and V is the vocabulary size. Low (more negative) scores mark
+    atypical text (boilerplate, gibberish, wrong-language fragments) —
+    the standard filter ranks documents by this score and drops tails.
+
+    Engine portability: each log term is portably rounded to 9 decimals
+    (``pround_expr``: ln may differ in the last ulp across libm
+    implementations) and accumulated in DECIMAL(28,12) — an exact,
+    order-independent sum — so an oracle replays the result bit-exactly.
+
+    Scale shape (100 TB): the bigram model is itself corpus-derived and
+    can exceed broadcast size, so the occurrence→model attach is an
+    equi-shuffle join on the bigram key, co-partitioned with the model's
+    own groupBy (one logical shuffle of the exploded pairs, reused by
+    AQE). The unigram vocabulary and the 1-row V are broadcast. With a
+    pruned/external model, swap the shuffle join for a broadcast —
+    semantics unchanged.
+
+    Output: (id_col, n_bigrams long, avg_logprob double 6dp — null when
+    the document has no bigram).
+    """
+    from pyield_spark.functions.numbers import pround_expr
+
+    toks = tx.tokens_expr(text)
+    tok = df.select(F.explode(toks).alias("token"))
+    uni = tok.groupBy("token").agg(F.count("*").alias("_c1"))
+    vocab_n = uni.agg(F.count("*").alias("_V"))
+
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    bgm = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_cab"))
+
+    lp = pround_expr(
+        F.log(
+            (F.col("_cab") + F.lit(k))
+            / (F.col("_c1") + F.lit(k) * F.col("_V").cast("double"))
+        ),
+        9,
+    )
+    scored = (
+        pairs.join(bgm, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("token", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(lp.cast("decimal(28,12)")).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_bigrams"),
+        pround_expr(F.col("_s").cast("double") / F.col("_n"), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -348,3 +348,39 @@ def q_bigram_lift(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "q_lm_typicality",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY token),
+    vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    bgo AS (SELECT doc_id, unnest({_BIGRAMS}) AS bg FROM documents),
+    bgm AS (SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM bgo GROUP BY bg),
+    sc AS (
+      SELECT o.doc_id,
+             {pround_sql("ln((m.cab + 0.5) / (u.c1 + 0.5 * vv.v))", 9)} AS lp
+      FROM bgo o
+      JOIN bgm m USING (bg)
+      JOIN uni u ON u.token = split_part(o.bg, ' ', 1)
+      CROSS JOIN vv
+    ),
+    agg AS (
+      SELECT doc_id, SUM(CAST(lp AS DECIMAL(28,12))) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n, 0) AS n_bigrams,
+           {pround_sql("CAST(a.s AS DOUBLE) / a.n", 6)} AS avg_logprob
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def q_lm_typicality(spark, sf_dir):
+    """Bigram-LM typicality (CCNet-style corpus self-scoring): mean
+    smoothed bigram log-prob per document; the quality filter ranks by
+    this and drops the atypical tail. See
+    ``operators/vocab.py::lm_typicality`` for the portability and
+    100 TB shuffle-shape notes."""
+    docs = tables(spark, sf_dir, "documents")
+    return vb.lm_typicality(docs, "text", "doc_id")

@@ -108,3 +108,41 @@ def test_winnow_short_docs_zero_windows():
     assert _winnow_fps("one two") == set()
     assert _winnow_fps("one two three four five") == set()  # 3 grams < w
     assert len(_winnow_fps("a b c d e f")) == 1  # exactly one window
+
+
+def test_lm_typicality_hand_computed(spark):
+    """Toy corpus vs a literal Python replica of the smoothed bigram
+    model: 'a b' occurs twice ('a b a b' + 'a b'), vocabulary {a,b,c}."""
+    import math
+
+    from pyield_spark.operators.vocab import lm_typicality
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in
+           lm_typicality(docs, "text", "doc_id").collect()}
+
+    # corpus-wide: c(a)=3, c(b)=3, c(c)=1, V=3 (empty-string token from
+    # doc 4's split counts like any token? '' splits to [''] -> token ''
+    # exists; recompute: tokens of "" -> [''] so c('')=1 and V=4)
+    c1 = {"a": 3, "b": 3, "c": 1, "": 1}
+    V = 4
+    cab = {("a", "b"): 3, ("b", "a"): 1}
+
+    def lp(w1, w2):
+        x = math.log((cab[(w1, w2)] + 0.5) / (c1[w1] + 0.5 * V))
+        return round(math.copysign(math.floor(abs(x) * 1e9 + 0.5), x) / 1e9, 12)
+
+    def avg(pairs):
+        s = sum(lp(*p) for p in pairs)  # 9dp terms: exact in binary? use same scheme
+        m = s / len(pairs)
+        return math.copysign(math.floor(abs(m) * 1e6 + 0.5), m) / 1e6
+
+    exp1 = avg([("a", "b"), ("b", "a"), ("a", "b")])
+    exp2 = avg([("a", "b")])
+    assert out[1][0] == 3 and abs(out[1][1] - exp1) < 1e-9
+    assert out[2][0] == 1 and abs(out[2][1] - exp2) < 1e-9
+    assert out[3] == (0, None)
+    assert out[4] == (0, None)
