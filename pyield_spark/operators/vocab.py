@@ -202,3 +202,47 @@ def lm_typicality(
             "avg_logprob"
         ),
     )
+
+
+def token_entropy(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Shannon entropy of the token distribution per document (nats).
+
+    Low entropy flags keyword-stuffed / repeated-token spam that length
+    and repetition ratios miss (a 10k-token page of one word has high
+    top-2-gram share AND entropy ≈ 0; mixed boilerplate can pass the
+    n-gram share check yet still sit far below prose entropy ~5-6).
+
+    Computed from the same per-(doc, token) counts shuffle the
+    vocabulary builder uses, via the decomposition
+    ``H = ln(n) − (Σ tf·ln(tf)) / n``. Portability: each ``ln(tf)`` is
+    scaled to an INTEGER (floor(·1e9 + 0.5), exact — ln(tf) ≥ 0) and the
+    weighted sum accumulates in BIGINT, because a DECIMAL×DECIMAL
+    rescale rounds half-up on the JVM and half-even in other engines
+    (observed flipping the 6th decimal); integer arithmetic has no
+    rescale. One groupBy on the id — no second pass over the corpus
+    text. tf·K stays under int64 for documents up to ~10^8 tokens.
+
+    Output: (id_col, n_tokens long, token_entropy double 6dp — 0.0 for
+    a single-token doc, null only when the text tokenizes to nothing,
+    which the shared splitter never produces).
+    """
+    from pyield_spark.functions.numbers import pround_expr
+
+    per = doc_term_counts(df, text, id_col)
+    k_scaled = F.floor(
+        F.log(F.col("tf_doc").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    agg = per.groupBy(id_col).agg(
+        F.sum("tf_doc").alias("_n"),
+        F.sum(F.col("tf_doc") * k_scaled).alias("_s"),
+    )
+    h = pround_expr(
+        pround_expr(F.log(F.col("_n").cast("double")), 9)
+        - (F.col("_s").cast("double") / F.lit(1e9)) / F.col("_n"),
+        6,
+    )
+    return agg.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        h.alias("token_entropy"),
+    )

@@ -384,3 +384,28 @@ def q_lm_typicality(spark, sf_dir):
     100 TB shuffle-shape notes."""
     docs = tables(spark, sf_dir, "documents")
     return vb.lm_typicality(docs, "text", "doc_id")
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH {_TOK_CTES},
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf_doc) AS BIGINT) AS n,
+             CAST(SUM(tf_doc * CAST(floor(
+                 ln(CAST(tf_doc AS DOUBLE)) * 1000000000.0 + 0.5
+             ) AS BIGINT)) AS BIGINT) AS s
+      FROM pd GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           {pround_sql(
+               pround_sql("ln(CAST(n AS DOUBLE))", 9)
+               + " - (CAST(s AS DOUBLE) / 1000000000.0) / n", 6)} AS token_entropy
+    FROM agg
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document token-distribution entropy (spam/stuffing filter) —
+    see ``operators/vocab.py::token_entropy``."""
+    docs = tables(spark, sf_dir, "documents")
+    return vb.token_entropy(docs, "text", "doc_id")

@@ -146,3 +146,22 @@ def test_lm_typicality_hand_computed(spark):
     assert out[2][0] == 1 and abs(out[2][1] - exp2) < 1e-9
     assert out[3] == (0, None)
     assert out[4] == (0, None)
+
+
+def test_token_entropy_hand_computed(spark):
+    """Entropy vs literal Shannon formula on a toy corpus; uniform doc
+    hits ln(k), single-repeated-token doc hits 0."""
+    import math
+
+    from pyield_spark.operators.vocab import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x x"), (3, "a a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.token_entropy) for r in
+           token_entropy(docs, "text", "doc_id").collect()}
+    assert out[1] == (4, round(math.log(4), 6))
+    assert out[2] == (5, 0.0)
+    h3 = math.log(3) - (2 * math.log(2)) / 3
+    assert out[3][0] == 3 and abs(out[3][1] - h3) < 2e-6
