@@ -227,3 +227,68 @@ def ivf_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_pred: Column | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the top-k most-cosine-similar vectors with a DIFFERENT label —
+    near-misses the loss learns the most from (the standard dense-
+    retrieval / embedding-training curation step).
+
+    Same exactness-baseline stance as ``cosine_topk``: brute force with
+    a bounded probe set; at scale, prune candidates through the LSH
+    buckets or IVF probe lists first (``lsh_bucket_expr`` / ``ivf_topk``
+    keep the pair space linear) and rescore exactly here. Ties break on
+    neighbor id for determinism.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rnk).
+    """
+    from pyspark.sql import Window
+
+    from pyield_spark.functions.numbers import pround_expr
+
+    base = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.col(label_col).cast("int").alias("_lbl"),
+        F.col(vec_col).alias("_vec"),
+    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    probes = base.filter(
+        query_pred if query_pred is not None else (F.col("_vid") % 41 == 0)
+    ).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_lbl").alias("query_label"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm2").alias("_qnorm2"),
+    )
+    pairs = probes.crossJoin(base).filter(F.col("_lbl") != F.col("query_label"))
+    scored = pairs.withColumn(
+        "cosine",
+        pround_expr(
+            dot_dec(F.col("_qvec"), F.col("_vec"))
+            / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_vid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            F.col("_vid").alias("neighbor_id"),
+            F.col("_lbl").alias("neighbor_label"),
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

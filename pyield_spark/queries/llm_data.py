@@ -619,3 +619,46 @@ def q_lang_confusion(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("labeled", "predicted")
     )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH hnbase AS (
+      SELECT vec_id, CAST(label AS INT) AS label,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    hnnorms AS (
+      SELECT vec_id, label, v,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (a, b) -> a + b) AS norm2
+      FROM hnbase
+    ),
+    hnpairs AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             b.vec_id AS neighbor_id, b.label AS neighbor_label,
+        {pround_sql(
+          "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+          " i -> q.v[i] * b.v[i])), (a, b) -> a + b)"
+          " / (sqrt(q.norm2) * sqrt(b.norm2))", 6)} AS cosine
+      FROM hnnorms q JOIN hnnorms b ON b.label <> q.label
+      WHERE q.vec_id % 41 = 0
+    ),
+    hnranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM hnpairs
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM hnranked WHERE rnk <= 3
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per probe, the 3 nearest
+    different-label vectors — see
+    ``operators/similarity.py::hard_negatives`` (brute-force baseline;
+    LSH/IVF prune is the scale path)."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(emb, "vec_id", "embedding", "label", k=3)

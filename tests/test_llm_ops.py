@@ -208,3 +208,24 @@ def test_resize_payload_stride(spark):
     assert out[1] == data[::4]  # ceil(100/32)=4
     assert len(out[1]) == 25
     assert out[2] == b"ok"
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative has a different label than its probe, and
+    ranks follow cosine desc / id asc."""
+    from pyield_spark.operators.similarity import hard_negatives
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]), (1, 0, [0.9, 0.1]),
+            (2, 1, [1.0, 0.05]), (3, 1, [0.0, 1.0]), (4, 2, [0.8, 0.6]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = hard_negatives(
+        emb, query_pred=F.col("_vid") == 0, k=3
+    ).collect()
+    assert [r.neighbor_id for r in out] == [2, 4, 3]
+    assert all(r.neighbor_label != r.query_label for r in out)
+    assert [r.rnk for r in out] == [1, 2, 3]
