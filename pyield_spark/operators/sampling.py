@@ -183,3 +183,36 @@ def pack_sequences(
         .withColumn("offset_in_bin", F.col("_before") % budget)
         .drop("_before")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): keep the top-``n`` rows by ``u^(1/w)`` where ``u``
+    is a hash-derived uniform in (0, 1] — inclusion probability is
+    proportional to ``weight`` (length- or quality-proportional corpus
+    subsetting), and the same rows survive on every run/engine/retry.
+
+    Ordering uses the monotone transform ``ln(u)/w`` (no pow), portably
+    rounded; ties (only possible through the rounding) break on the key.
+    Rows with null/non-positive weight are excluded, as in the A-ES
+    contract. Scale shape: a pure scan-stage key computation + global
+    top-n — Spark runs TakeOrderedAndProject (per-partition heaps, no
+    full sort, no shuffle of the corpus).
+    """
+    from pyield_spark.functions.numbers import pround_expr
+
+    u = (sample_bucket_expr(key, salt) + 1).cast("double") / F.lit(1e6)
+    w = F.col(weight).cast("double")
+    es = pround_expr(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("es_key", es)
+        .orderBy(F.col("es_key").desc(), F.col(key).asc())
+        .limit(n)
+    )

@@ -21,6 +21,7 @@ from pyield_spark.operators import sampling as sp
 from pyield_spark.operators import text as tx
 from pyield_spark.queries import query, tables
 from pyield_spark.queries.llm_data import _GRAMS3, _MWL, _NORM, _PR, _SW_OWN, _TOKS
+from pyield_spark.queries.oracle_helpers import pround_sql
 
 
 def _h32(s: str) -> str:
@@ -517,3 +518,31 @@ def q_corpus_assembly(spark, sf_dir):
     return capped.select(
         "doc_id", "lang", (h32 % _ASM_SHARDS).cast("long").alias("shard")
     ).orderBy("doc_id")
+
+
+# === weighted sampling without replacement (A-ES) =========================
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH wk AS (
+      SELECT doc_id, lang, n_chars,
+        {pround_sql(
+            "ln((" + _bucket("doc_id", "wsamp") + " + 1) / 1000000.0)"
+            " / CAST(n_chars AS DOUBLE)", 9)} AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, es_key
+    FROM wk ORDER BY es_key DESC, doc_id LIMIT 200
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Length-proportional corpus subset via deterministic A-ES keys —
+    see ``operators/sampling.py::weighted_sample`` (TakeOrdered, no
+    corpus shuffle)."""
+    docs = tables(spark, sf_dir, "documents")
+    return sp.weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        key="doc_id", weight="n_chars", n=200, salt="wsamp",
+    )

@@ -114,3 +114,26 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert r["offset_in_bin"] == before % 256
         by_shard[r["shard"]] = before + r["n_tokens"]
     assert len(by_shard) == 4
+
+
+def test_weighted_sample_proportionality(spark):
+    """A-ES sampling: (a) deterministic across runs, (b) heavier rows
+    are sampled more often — with weights 50:1, the heavy stratum must
+    dominate a small sample."""
+    from pyield_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50 if i % 2 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    s1 = weighted_sample(df, key="id", weight="w", n=100, salt="t")
+    got1 = sorted(r.id for r in s1.collect())
+    got2 = sorted(r.id for r in weighted_sample(
+        df, key="id", weight="w", n=100, salt="t").collect())
+    assert got1 == got2
+    heavy = sum(1 for i in got1 if i % 2 == 0)
+    assert heavy >= 85  # 50:1 weights → heavy stratum dominates
+
+    # zero/negative/null weights never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, None), (4, 10)], "id long, w int"
+    )
+    assert [r.id for r in weighted_sample(df2, "id", "w", 4).collect()] == [4]
