@@ -130,6 +130,34 @@ def main():
 
     timed("asof_broadcast_10x", asof_broadcast)
 
+    # MinHash/LSH dedup pipeline at 10x documents: signatures + banded
+    # candidate pairs stay linear (equi-join on (band, bkey), never
+    # all-pairs) — the shape that must hold at 100 TB
+    def minhash_10x():
+        from pyield_spark.operators import dedup as dd
+
+        docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text"),
+            ["doc_id"],
+        )
+        pairs = dd.lsh_candidate_pairs(docs, "text", "doc_id", n=3, band_size=2)
+        return pairs.count()
+
+    timed("minhash_lsh_10x", minhash_10x)
+
+    # LM typicality at 10x: token explode + model groupBy + attach join
+    def lm_10x():
+        from pyield_spark.operators.vocab import lm_typicality
+
+        docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text"),
+            ["doc_id"],
+        )
+        out = lm_typicality(docs, "text", "doc_id")
+        return out.filter(F.col("avg_logprob").isNotNull()).count()
+
+    timed("lm_typicality_10x", lm_10x)
+
 
 if __name__ == "__main__":
     main()
