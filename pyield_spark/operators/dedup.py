@@ -203,3 +203,60 @@ def simhash_expr_input(df: DataFrame, text: str, id_col: str, bits: int = 32) ->
             )
         ).alias("simhash")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block: str | None = None,
+) -> DataFrame:
+    """All pairs (a < b) whose smaller shingle SET is >= ``threshold``
+    contained in the pair's intersection: ``|A∩B| / min(|A|,|B|)``.
+
+    Jaccard misses subset duplication — a paragraph quoted inside a
+    10× longer page scores J ≈ 0.1 but containment ≈ 1.0 — so curation
+    pipelines run containment alongside it to catch excerpt/wrapper
+    duplicates. Set semantics (distinct shingles), unlike the bag
+    semantics of ``jaccard_pairs``, because containment is a coverage
+    question, not a frequency one.
+
+    Same scale stance as ``jaccard_pairs``: ``block`` bounds the
+    quadratic stage; at full scale feed LSH candidates instead.
+    """
+    blk = [block] if block else []
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(b) for b in blk],
+        F.explode(F.array_distinct(shingles_expr(text, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(
+        F.col("_id").alias("id_a"), *[F.col(b).alias(f"_ba_{b}") for b in blk], "shingle"
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), *[F.col(b).alias(f"_bb_{b}") for b in blk], "shingle"
+    )
+    cond = [a.shingle == b.shingle] + [
+        F.col(f"_ba_{k}") == F.col(f"_bb_{k}") for k in blk
+    ]
+    inter = (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
+        .withColumn(
+            "containment",
+            pround_expr(
+                F.col("n_inter") / F.least("n_a", "n_b").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")

@@ -662,3 +662,36 @@ def q_hard_negatives(spark, sf_dir):
     LSH/IVF prune is the scale path)."""
     emb = tables(spark, sf_dir, "embeddings")
     return sim.hard_negatives(emb, "vec_id", "embedding", "label", k=3)
+
+
+@query(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH csh AS (
+      SELECT DISTINCT doc_id AS _id, source, unnest({_GRAMS3}) AS shingle
+      FROM documents
+    ),
+    csizes AS (SELECT _id, COUNT(*) AS _n FROM csh GROUP BY _id),
+    cinter AS (
+      SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_inter
+      FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.source = b.source
+      WHERE a._id < b._id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa._n AS BIGINT) AS n_a, CAST(sb._n AS BIGINT) AS n_b,
+           {pround_sql("n_inter / CAST(least(sa._n, sb._n) AS DOUBLE)", 6)} AS containment
+    FROM cinter
+    JOIN csizes sa ON sa._id = id_a
+    JOIN csizes sb ON sb._id = id_b
+    WHERE {pround_sql("n_inter / CAST(least(sa._n, sb._n) AS DOUBLE)", 6)} >= 0.5
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Excerpt/wrapper duplicate detection: smaller-set containment
+    over distinct shingles — see
+    ``operators/dedup.py::containment_pairs``."""
+    docs = tables(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, block="source"
+    )

@@ -229,3 +229,19 @@ def test_hard_negatives_excludes_same_label(spark):
     assert [r.neighbor_id for r in out] == [2, 4, 3]
     assert all(r.neighbor_label != r.query_label for r in out)
     assert [r.rnk for r in out] == [1, 2, 3]
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0
+    while Jaccard stays far below a dedup threshold."""
+    from pyield_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)], "doc_id long, text string"
+    )
+    cont = containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    jac = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
+    assert jac == []  # symmetric Jaccard misses the excerpt
