@@ -220,3 +220,80 @@ def q_semantic_dedup(spark, sf_dir):
     the same reasoning as the LSH-bucketed near-dup path."""
     emb = tables(spark, sf_dir, "embeddings")
     return sm.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2, tau=0.2)
+
+
+@query(
+    "q_boilerplate_strip",
+    oracle=f"""
+    WITH bsp0 AS (SELECT doc_id, source, {_SPANS_SQL} AS spans FROM documents),
+    bsp AS (SELECT doc_id, source, u.i AS i, spans[u.i] AS span
+            FROM bsp0, LATERAL unnest(range(1, len(spans) + 1)) u(i)),
+    bdf AS (SELECT source, span, COUNT(DISTINCT doc_id) AS df
+            FROM bsp GROUP BY 1, 2),
+    kept AS (
+      SELECT s.doc_id, s.i, s.span, d.df >= 2 AS is_bp
+      FROM bsp s JOIN bdf d ON d.source = s.source AND d.span = s.span
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             COALESCE(string_agg(CASE WHEN NOT is_bp THEN span END, ' '
+                                 ORDER BY i), '') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def q_boilerplate_strip(spark, sf_dir):
+    """Boilerplate removal as a TRANSFORM, not a flag: spans repeated
+    across >= 2 documents of the same source (header/footer/nav
+    boilerplate at web scale) are dropped and the document text is
+    REBUILT from the surviving spans in order. The ordered reassembly
+    is the distributed-engine-specific part: collect_list carries the
+    span index, array_sort restores document order deterministically
+    (no ordering guarantee from the shuffle itself). Aligned-span
+    granularity — the ragged tail under one span never participates.
+
+    Scale shape: one explode + one (source, span) count + one groupBy
+    per doc; the span-frequency side joins back per (source, span) —
+    corpus-sized, co-partitioned, never broadcast-blind at 100 TB."""
+    docs = tables(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tx.spans_expr("text", 10)).alias("i", "span"),
+    )
+    dfc = sp.groupBy("source", "span").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    kept = sp.join(dfc, ["source", "span"]).withColumn(
+        "_is_bp", F.col("_df") >= 2
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("_is_bp").cast("int")).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_is_bp"),
+                            F.struct(F.col("i").alias("i"), F.col("span").alias("s")),
+                        )
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

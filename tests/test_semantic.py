@@ -135,3 +135,41 @@ def test_kmeans_fewer_vectors_than_k(spark):
     # every vector still assigned (centroid seeds = the 2 vectors)
     assert {r._vid for r in out} == {1, 2}
     assert all(r._dist == 0.0 for r in out)
+
+
+def test_boilerplate_strip_rebuild_order(spark):
+    """Shared 10-token boilerplate span drops; surviving spans rebuild
+    in document order; doc with no complete span yields empty text."""
+    from pyield_spark.queries.semantic import q_boilerplate_strip  # noqa: F401
+    from pyield_spark.operators import text as tx
+    from pyspark.sql import functions as F
+
+    bp = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    u1 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    u2 = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"
+    docs = spark.createDataFrame(
+        [
+            (1, "s", f"{u1} {bp} {u2}"),
+            (2, "s", f"{bp} {u2.replace('v', 'w')}"),
+            (3, "s", "short doc"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    sp = docs.select(
+        "doc_id", "source", F.posexplode(tx.spans_expr("text", 10)).alias("i", "span")
+    )
+    dfc = sp.groupBy("source", "span").agg(F.count_distinct("doc_id").alias("_df"))
+    kept = sp.join(dfc, ["source", "span"]).withColumn("_is_bp", F.col("_df") >= 2)
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("_is_bp"),
+                           F.struct(F.col("i").alias("i"), F.col("span").alias("s"))))),
+                lambda s: s["s"],
+            ), " ").alias("clean_text"),
+    )
+    got = {r.doc_id: r.clean_text for r in agg.collect()}
+    assert got[1] == f"{u1} {u2}"          # bp removed, order preserved
+    assert got[2] == u2.replace("v", "w")  # leading bp removed
+    assert 3 not in got                     # no complete span at all
