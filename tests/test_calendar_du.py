@@ -101,3 +101,26 @@ def test_gerar_df_and_ultimo_dia_util(spark):
     got = {str(r.d): r.ultimo_dia_util for r in ultimo_dia_util(d, "d").collect()}
     assert got["2024-01-06"] == dt.date(2024, 1, 5)  # Saturday rolls back
     assert got["2024-01-05"] == dt.date(2024, 1, 5)  # already a business day
+
+
+def test_ntnb_maturity_du_goldens_36y():
+    """Published dias_uteis from the reference's taxas_zero docstring
+    (pyield/tpf/titulos/ntnb.py:497-509, liquidação 2024-08-16): ten
+    business-day counts spanning 2025→2060 — an independent golden for
+    the GENERATED holiday calendar (computus + fixed dates) against the
+    official list the reference ships, 36 years out."""
+    import datetime as dt
+
+    from pyield_spark import du
+
+    want = {
+        "2025-05-15": 185, "2026-08-15": 502, "2027-05-15": 687,
+        "2028-08-15": 1002, "2029-05-15": 1186, "2040-08-15": 4009,
+        "2045-05-15": 5196, "2050-08-15": 6511, "2055-05-15": 7700,
+        "2060-08-15": 9017,
+    }
+    liq = dt.date(2024, 8, 16)
+    got = {
+        v: du.contar_scalar(liq, dt.date.fromisoformat(v)) for v in want
+    }
+    assert got == want
