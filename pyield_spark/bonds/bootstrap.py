@@ -425,3 +425,52 @@ def ntnb_taxas_zero(
     # keep only the input maturities (reference: ntnb.py:576-577)
     keep = clean.select(*by_cols, F.col("_ven").alias("data_vencimento"))
     return solved.join(keep, on=by_cols + ["data_vencimento"], how="left_semi")
+
+
+def lft_taxas(
+    df: DataFrame,
+    id_cols: list[str],
+    du_col: str = "dias_uteis",
+    vna: str = "vna",
+    price: str = "pu",
+    alias: str = "taxa_implicita",
+) -> DataFrame:
+    """Implied LFT rate from price — the reference's numeric inversion
+    of the truncated pricing chain (pyield/tpf/titulos/lft.py:161-204):
+    root of ``trunc6(vna·cotacao(taxa)) − pu`` via bracket sweep +
+    bisection (encontrar_raiz), result trunc8.
+
+    No closed form exists BECAUSE of the truncations (the chain is a
+    step function; the solver converges onto the correct step), so this
+    is a third K4-family kernel: business-day counts come in columnar
+    (compute ``du_col`` with ``du.contar`` upstream — no calendar state
+    in the workers), and the per-row solve is embarrassingly parallel
+    ``mapInPandas``.
+    """
+    from pyield_spark.scalar import pu_from_vna, truncar
+
+    cols = [*id_cols, du_col, vna, price]
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf[cols].itertuples(index=False):
+                *ids, du_v, vna_v, pu_v = row
+                if pu_v is None or pu_v <= 0 or du_v is None:
+                    out_rows.append((*ids, float("nan")))
+                    continue
+                au = truncar(float(du_v) / 252.0, 14)
+
+                def diff(t: float) -> float:
+                    cot = truncar(1.0 / (1.0 + truncar(t, 8)) ** au, 6)
+                    return pu_from_vna(float(vna_v), cot) - float(pu_v)
+
+                out_rows.append((*ids, truncar(_encontrar_raiz(diff), 8)))
+            yield pd.DataFrame(out_rows, columns=[*id_cols, alias])
+
+    id_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema
+        if f.name in id_cols
+    )
+    return df.select(*cols).mapInPandas(solve, f"{id_schema}, {alias} double")

@@ -51,8 +51,8 @@ _NTNB_VP = (
 
 @query(
     "q_ntnb_pricing",
-    oracle=f"""
-    WITH {_CAL},
+    oracle="""
+    WITH " + _CAL + ",
     bonds AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS liq,
@@ -79,7 +79,7 @@ _NTNB_VP = (
              {_NTNB_COT} AS cotacao
       FROM pv GROUP BY o_orderkey
     )
-    SELECT o_orderkey, liq, ven, taxa, vna, cotacao, {_PU_CHAIN} AS pu
+    SELECT o_orderkey, liq, ven, taxa, vna, cotacao, " + _PU_CHAIN + " AS pu
     FROM quoted
     """,
 )
@@ -109,8 +109,8 @@ def q_ntnb_pricing(spark, sf_dir):
 
 @query(
     "q_lft_pricing",
-    oracle=f"""
-    WITH {_CAL},
+    oracle="""
+    WITH " + _CAL + ",
     bonds AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS liq,
@@ -127,9 +127,9 @@ def q_ntnb_pricing(spark, sf_dir):
       JOIN cal ce ON ce.data = b.ven
     ),
     quoted AS (
-      SELECT *, {_LFT_COT} AS cotacao FROM wdu
+      SELECT *, " + _LFT_COT + " AS cotacao FROM wdu
     )
-    SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, {_PU_CHAIN} AS pu
+    SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, " + _PU_CHAIN + " AS pu
     FROM quoted
     """,
 )
@@ -163,8 +163,8 @@ _NTNBP_COT = trunc_sql(
 
 @query(
     "q_ntnbp_pricing",
-    oracle=f"""
-    WITH {_CAL},
+    oracle="""
+    WITH " + _CAL + ",
     bonds AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS liq,
@@ -184,7 +184,7 @@ _NTNBP_COT = trunc_sql(
       SELECT *, {_NTNBP_COT} AS cotacao FROM wdu
     ),
     priced AS (
-      SELECT *, {_PU_CHAIN} AS pu FROM quoted
+      SELECT *, " + _PU_CHAIN + " AS pu FROM quoted
     )
     SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, pu,
            {pround_sql(
@@ -393,7 +393,7 @@ _VNAP_EXPOENTE = trunc_sql(
 
 @query(
     "q_vna_projetado",
-    oracle=f"""
+    oracle="""
     WITH base AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS data,
@@ -702,3 +702,79 @@ def q_ntnb1_curva_zero(spark, sf_dir):
             )
 
     return packed.mapInPandas(kernel, out_schema)
+
+
+# === K4 (third kernel): implied LFT rate from price =======================
+# The truncated chain is a STEP function: many rates map to one price
+# (the reference's own docstring recovers 0.001717 as 0.00171691), so a
+# rate round-trip is NOT an identity. The correct oracle is the PRICE
+# round-trip: repricing at the solver's rate must reproduce the
+# original price exactly — hash-compared against the closed-form price.
+
+
+@query(
+    "q_lft_implied",
+    oracle=f"""
+    WITH {_CAL},
+    lpanel AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS liq,
+             CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                  + TO_MONTHS(CAST(12 + (o_orderkey % 8) * 9 AS INT)) AS DATE) AS ven,
+             round(0.0008 + (o_orderkey % 300) / 1000000.0, 6) AS taxa,
+             14000.0 + (o_orderkey % 5000) / 10.0 AS vna
+      FROM orders WHERE o_orderkey % 53 = 0
+    ),
+    ldu AS (
+      SELECT p.*, CAST({bd_count_sql("p.liq", "p.ven")} AS BIGINT) AS dias_uteis
+      FROM lpanel p JOIN cal cs ON cs.data = p.liq JOIN cal ce ON ce.data = p.ven
+    ),
+    lcot AS (SELECT o_orderkey, vna, {_LFT_COT} AS cotacao FROM ldu)
+    SELECT o_orderkey, {_PU_CHAIN} AS pu FROM lcot
+    """,
+)
+def q_lft_implied(spark, sf_dir):
+    """LFT rate inversion (lft.py:161-204): price each synthetic LFT
+    through the truncated STN chain, solve the rate back with the
+    bracket-sweep bisection kernel (``bonds/bootstrap.py::lft_taxas``),
+    then REPRICE at the solved rate — the output price hash-matches the
+    oracle's closed-form price, verifying the solver landed on the
+    correct step of the truncated chain."""
+    from pyield_spark import du as du_mod
+    from pyield_spark.bonds.bootstrap import lft_taxas
+    from pyield_spark.bonds.pricing import lft_cotacao_expr, pu_from_vna_expr
+
+    od = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    panel = od.filter(k % 53 == 0).select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("liq"),
+        F.add_months(
+            F.date_trunc("month", "o_orderdate").cast("date"),
+            F.lit(12) + (k % 8).cast("int") * 9,
+        ).alias("ven"),
+        F.round(F.lit(0.0008) + (k % 300) / 1000000.0, 6).alias("taxa"),
+        (F.lit(14000.0) + (k % 5000) / 10.0).alias("vna"),
+    )
+    panel = du_mod.contar(panel, "liq", "ven", alias="dias_uteis")
+    priced = panel.withColumn(
+        "pu",
+        pu_from_vna_expr("vna", lft_cotacao_expr("dias_uteis", "taxa")),
+    )
+    implied = lft_taxas(priced, ["o_orderkey"])
+    back = priced.select("o_orderkey", "dias_uteis", "vna").join(implied, "o_orderkey")
+    # reprice with the solved rate RAW: it already lies on the 8dp grid
+    # and the solver priced it without a second normalization — feeding
+    # it back through lft_cotacao_expr would re-truncate (trunc8 of an
+    # 8dp double is NOT a no-op) and can slip one grid step
+    from pyield_spark.bonds.pricing import anos_uteis_expr
+    from pyield_spark.functions.numbers import truncar_expr
+
+    cot_back = truncar_expr(
+        F.lit(1.0)
+        / F.pow(F.lit(1.0) + F.col("taxa_implicita"), anos_uteis_expr("dias_uteis")),
+        6,
+    )
+    return back.select(
+        "o_orderkey", pu_from_vna_expr("vna", cot_back).alias("pu")
+    )

@@ -299,3 +299,30 @@ def _bround(x: float, decimals: int) -> float:
 
     q = Decimal(10) ** -decimals
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN))
+
+
+def lft_cotacao(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float) -> float:
+    """STN LFT quote (lft.py:104-158): trunc6((1+trunc8(taxa))^-trunc14(du/252))."""
+    du = du_mod.contar_scalar(data_liquidacao, data_vencimento)
+    if du is None:
+        return float("nan")
+    t = truncar(taxa, 8)
+    au = truncar(du / 252.0, 14)
+    return truncar(1.0 / (1.0 + t) ** au, 6)
+
+
+def lft_taxa(
+    data_liquidacao: dt.date, data_vencimento: dt.date, vna: float, pu: float
+) -> float:
+    """Implied LFT rate from price (lft.py:161-204): root of
+    ``trunc6(vna·cotacao(taxa)) − pu`` via the reference's bracket
+    sweep + bisection (encontrar_raiz, _utils.py:262-348), trunc8."""
+    from pyield_spark.bonds.bootstrap import _encontrar_raiz
+
+    if pu <= 0:
+        return float("nan")
+
+    def diff(t: float) -> float:
+        return pu_from_vna(vna, lft_cotacao(data_liquidacao, data_vencimento, t)) - pu
+
+    return truncar(_encontrar_raiz(diff), 8)

@@ -192,3 +192,25 @@ def test_interpolar_taxa_scalar_vs_distributed(spark):
                         assert got[i] == pytest.approx(exp[i], rel=1e-12), (
                             method, extrapolar, dist, i,
                         )
+
+
+def test_lft_docstring_goldens():
+    """All five published LFT decimals (pyield/tpf/titulos/lft.py
+    docstrings): cotacao incl. the negative-rate 2008 case, and the
+    root-found implied taxa (which is NOT the priced rate — the
+    truncated chain is a step function)."""
+    import datetime as dt
+
+    from pyield_spark import scalar as sc
+
+    assert sc.lft_cotacao(dt.date(2024, 7, 24), dt.date(2030, 9, 1), 0.001717) == 0.989645
+    assert sc.lft_cotacao(dt.date(2008, 5, 21), dt.date(2014, 3, 7), -0.000200009) == 1.001158
+    assert sc.lft_taxa(
+        dt.date(2024, 7, 24), dt.date(2030, 9, 1), 15785.324502, 15621.867466
+    ) == 0.00171691
+    assert sc.lft_taxa(
+        dt.date(2024, 7, 24), dt.date(2025, 3, 1), 15785.324502, 15774.132706
+    ) == 0.00115966
+    assert sc.lft_taxa(
+        dt.date(2008, 5, 21), dt.date(2014, 3, 7), 3451.215345, 3426.649594
+    ) == 0.00123443
