@@ -176,3 +176,38 @@ def test_ntnb1_curva_zero_flat_curve_identity(spark):
     for g in range(8):
         rates = [tx for (gg, du, tx) in _nb1z_curve() if gg == g]
         assert rates == sorted(rates) and len(set(rates)) == len(rates)
+
+
+def test_ntnc_cotacao_goldens_incl_2031_exception(spark):
+    """Published NTN-C decimals (pyield/tpf/titulos/ntnc.py:250-254):
+    the 2031 maturity prices with the 12% coupon exception, the 2011
+    with the regular 6%."""
+    from pyield_spark.bonds.pricing import ntnc_cotacao
+
+    cases = [
+        (1, dt.date(2025, 3, 21), dt.date(2031, 1, 1), 0.067626, 1.264958),
+        (2, dt.date(2008, 5, 21), dt.date(2011, 3, 1), 0.069000009, 0.990981),
+    ]
+    df = spark.createDataFrame(
+        cases,
+        "id INT, data_liquidacao DATE, data_vencimento DATE, taxa DOUBLE, want DOUBLE",
+    )
+    got = ntnc_cotacao(df, ["id"]).join(df.select("id", "want"), "id").collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.cotacao == r.want, r.id
+
+
+def test_ntnf_ltn_scalar_goldens():
+    """Remaining published NTN-F pu / LTN taxa decimals
+    (ntnf.py:331-337, ltn.py:180-186)."""
+    import datetime as dt
+
+    from pyield_spark import scalar as sc
+
+    assert sc.ntnf_pu(dt.date(2024, 7, 5), dt.date(2035, 1, 1), 0.11921) == 895.359254
+    assert sc.ntnf_pu(dt.date(2024, 7, 1), dt.date(2027, 1, 1), 0.10) == 999.931303
+    assert sc.ntnf_pu(dt.date(2008, 5, 21), dt.date(2014, 1, 1), 0.136600009) == 903.075616
+    assert sc.ltn_taxa(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 535.279902) == 0.12145
+    assert sc.ltn_taxa(dt.date(2026, 3, 13), dt.date(2027, 1, 1), 895.563913) == 0.148307
+    assert sc.ltn_taxa(dt.date(2008, 5, 21), dt.date(2010, 7, 1), 753.3) == 0.14361101
