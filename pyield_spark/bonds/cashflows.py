@@ -74,18 +74,24 @@ def amortization_flows(
     value_alias: str = "valor_amortizacao",
 ):
     """Monthly amortization schedule — NTN-B1 Renda+/Educa+ pattern
-    (240 / 60 equal monthly payments ending at maturity,
-    pyield/tpf/titulos/ntnb1.py:28-31,55-118).
+    (240 / 60 monthly payments ending at maturity,
+    pyield/tpf/titulos/ntnb1.py:28-51,55-118).
 
-    Emits one row per payment in (settlement, maturity] with the base-1
-    amortization fraction 1/n_amort; payments before settlement have
-    already been received by prior holders and drop out (the schedule
-    itself always spans n_amort months back from maturity).
+    Payment values follow the reference exactly: each amortization is
+    ``trunc8(1/n_amort)`` and the FINAL payment absorbs the truncation
+    remainder (``1 − trunc8(1/n)·(n−1)``, ntnb1.py:34-51) so the base-1
+    fractions sum to exactly 1. Payments before settlement have already
+    been received by prior holders and drop out (the schedule itself
+    always spans n_amort months back from maturity).
     """
+    from pyield_spark.scalar import truncar as _truncar_py
+
+    amort = _truncar_py(1.0 / n_amort, 8)
+    final = 1.0 - amort * (n_amort - 1)
     out = explode_payment_dates(df, settlement, maturity, 1, alias)
-    liq = F.to_date(F.col(settlement) if isinstance(settlement, str) else settlement)
     ven = F.to_date(F.col(maturity) if isinstance(maturity, str) else maturity)
     first_pay = F.add_months(ven, -(n_amort - 1))
     return out.filter(F.col(alias) >= first_pay).withColumn(
-        value_alias, F.lit(1.0 / n_amort)
+        value_alias,
+        F.when(F.col(alias) == ven, F.lit(final)).otherwise(F.lit(amort)),
     )

@@ -119,7 +119,10 @@ def test_amortization_flows_schedule(spark):
     assert rows[0].data_pagamento == dt.date(2025, 2, 15)
     assert rows[-1].data_pagamento == dt.date(2026, 1, 15)
     assert len(rows) == 12
-    assert all(abs(r.valor_amortizacao - 1 / 12) < 1e-12 for r in rows)
+    # reference amortization values: trunc8(1/12) per payment, final
+    # absorbs the remainder so the fractions sum exactly to 1
+    assert all(r.valor_amortizacao == 0.08333333 for r in rows[:-1])
+    assert rows[-1].valor_amortizacao == 1 - 0.08333333 * 11
 
 
 def test_rentabilidade_docstring_golden(spark):
@@ -211,3 +214,40 @@ def test_ntnf_ltn_scalar_goldens():
     assert sc.ltn_taxa(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 535.279902) == 0.12145
     assert sc.ltn_taxa(dt.date(2026, 3, 13), dt.date(2027, 1, 1), 895.563913) == 0.148307
     assert sc.ltn_taxa(dt.date(2008, 5, 21), dt.date(2010, 7, 1), 753.3) == 0.14361101
+
+
+def test_ntnb1_cotacao_docstring_golden(spark):
+    """Published NTN-B1 Renda+ cotacao (ntnb1.py:210-213): the full
+    distributed chain — faithful amortization values (trunc8 + final
+    remainder), raw taxa (NO trunc8, unlike the coupon families),
+    round12 per flow, trunc6 sum."""
+    from pyield_spark import du as du_mod
+    from pyield_spark.bonds.cashflows import amortization_flows
+    from pyield_spark.bonds.pricing import anos_uteis_expr
+    from pyield_spark.functions.numbers import trunc_decimal_sum_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2025, 6, 18), dt.date(2084, 12, 15), 0.07010)],
+        "id INT, liq DATE, ven DATE, taxa DOUBLE",
+    )
+    flows = amortization_flows(df, "liq", "ven", n_amort=240)
+    flows = du_mod.contar(flows, "liq", "data_pagamento", alias="_du")
+    vp = F.bround(
+        F.col("valor_amortizacao")
+        / F.pow(F.lit(1.0) + F.col("taxa"), anos_uteis_expr("_du")),
+        12,
+    )
+    out = (
+        flows.withColumn("_vp", vp)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n"),
+            trunc_decimal_sum_expr(
+                F.sum(F.col("_vp").cast("decimal(28,12)")), 6
+            ).alias("cotacao"),
+        )
+        .collect()
+    )
+    assert out[0].n == 240
+    assert out[0].cotacao == 0.038332
