@@ -65,13 +65,22 @@ def main():
         .write.format("noop").mode("overwrite").save()
     )
 
-    # full suite: headline first (r1-comparable ordering), then the rest
+    # full suite: headline first (r1-comparable ordering), then the rest.
+    # SPARK_GRAFT_BENCH_REPS > 1 takes the per-query MIN over reps —
+    # run-to-run variance on a shared box is ±15%, and min-of-N is the
+    # standard stable estimator for comparing rounds (default 1 keeps
+    # the driver's wall-clock unchanged).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     names = HEADLINE + sorted(n for n in QUERIES if n not in HEADLINE)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt_q = time.perf_counter() - t0
+            best = dt_q if best is None else min(best, dt_q)
+        timings[name] = round(best, 3)
 
     headline_total = round(sum(timings[n] for n in HEADLINE), 3)
     full_total = round(sum(timings.values()), 3)
