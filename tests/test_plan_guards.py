@@ -22,6 +22,7 @@ load_all()
 # (mapInPandas / applyInPandas / applyInPandasWithState kernels)
 ARROW_KERNELS = {
     "q_implied_rate",        # K4 bisection (mapInPandas)
+    "q_lft_implied",         # K4 LFT step-chain inversion (mapInPandas)
     "q_bootstrap_zero",      # K5 sequential solve (applyInPandas)
     "q_curva_pre",           # composes the bootstrap
     "q_breakeven",           # composes the bootstrap (zero-curve leg)
