@@ -316,8 +316,10 @@ _NTNB1_ORACLE = f"""
     ),
     pv AS (
       SELECT f.o_orderkey, f.liq, f.ven, f.n_amort, f.taxa,
-        round_even((1.0 / f.n_amort)
-          / power(1 + {trunc_sql("f.taxa", 8)},
+        round_even((CASE WHEN f.pay_date = f.ven
+                   THEN 1.0 - (CASE f.n_amort WHEN 60 THEN 0.01666666 ELSE 0.00416666 END) * (f.n_amort - 1)
+                   ELSE CASE f.n_amort WHEN 60 THEN 0.01666666 ELSE 0.00416666 END END)
+          / power(1 + f.taxa,
                   {trunc_sql("CAST(" + bd_count_sql("f.liq", "f.pay_date") + " AS BIGINT) / 252.0", 14)}),
           12) AS vp
       FROM flows f
@@ -360,9 +362,19 @@ def q_ntnb1_schedule(spark, sf_dir):
         >= F.add_months(F.col("ven"), -(F.col("n_amort").cast("int") - 1))
     )
     flows = du_mod.contar(flows, "liq", "pay_date", alias="_du")
+    # faithful NTN-B1 semantics (ntnb1.py:34-51,218-226): amortization
+    # value trunc8(1/n) with the final payment absorbing the remainder,
+    # and the RAW taxa in the discount factor (the amortizing family
+    # does NOT trunc8 the rate, unlike coupon bonds)
+    amort = F.when(F.col("n_amort") == 60, F.lit(0.01666666)).otherwise(
+        F.lit(0.00416666)
+    )
+    valor = F.when(
+        F.col("pay_date") == F.col("ven"),
+        F.lit(1.0) - amort * (F.col("n_amort") - 1),
+    ).otherwise(amort)
     vp = F.bround(
-        (F.lit(1.0) / F.col("n_amort"))
-        / F.pow(F.lit(1.0) + _trunc(F.col("taxa"), 8), anos_uteis_expr("_du")),
+        valor / F.pow(F.lit(1.0) + F.col("taxa"), anos_uteis_expr("_du")),
         12,
     )
     flows = flows.withColumn("_vp", vp)
