@@ -51,8 +51,8 @@ _NTNB_VP = (
 
 @query(
     "q_ntnb_pricing",
-    oracle="""
-    WITH " + _CAL + ",
+    oracle=f"""
+    WITH {_CAL},
     bonds AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS liq,
@@ -79,7 +79,7 @@ _NTNB_VP = (
              {_NTNB_COT} AS cotacao
       FROM pv GROUP BY o_orderkey
     )
-    SELECT o_orderkey, liq, ven, taxa, vna, cotacao, " + _PU_CHAIN + " AS pu
+    SELECT o_orderkey, liq, ven, taxa, vna, cotacao, {_PU_CHAIN} AS pu
     FROM quoted
     """,
 )
@@ -109,8 +109,8 @@ def q_ntnb_pricing(spark, sf_dir):
 
 @query(
     "q_lft_pricing",
-    oracle="""
-    WITH " + _CAL + ",
+    oracle=f"""
+    WITH {_CAL},
     bonds AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS liq,
@@ -127,9 +127,9 @@ def q_ntnb_pricing(spark, sf_dir):
       JOIN cal ce ON ce.data = b.ven
     ),
     quoted AS (
-      SELECT *, " + _LFT_COT + " AS cotacao FROM wdu
+      SELECT *, {_LFT_COT} AS cotacao FROM wdu
     )
-    SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, " + _PU_CHAIN + " AS pu
+    SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, {_PU_CHAIN} AS pu
     FROM quoted
     """,
 )
@@ -163,8 +163,8 @@ _NTNBP_COT = trunc_sql(
 
 @query(
     "q_ntnbp_pricing",
-    oracle="""
-    WITH " + _CAL + ",
+    oracle=f"""
+    WITH {_CAL},
     bonds AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS liq,
@@ -184,7 +184,7 @@ _NTNBP_COT = trunc_sql(
       SELECT *, {_NTNBP_COT} AS cotacao FROM wdu
     ),
     priced AS (
-      SELECT *, " + _PU_CHAIN + " AS pu FROM quoted
+      SELECT *, {_PU_CHAIN} AS pu FROM quoted
     )
     SELECT o_orderkey, liq, ven, taxa, vna, dias_uteis, cotacao, pu,
            {pround_sql(
@@ -405,7 +405,7 @@ _VNAP_EXPOENTE = trunc_sql(
 
 @query(
     "q_vna_projetado",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT o_orderkey,
              CAST(o_orderdate AS DATE) AS data,
