@@ -404,3 +404,50 @@ def q_compromissadas(spark, sf_dir):
         .otherwise(F.lit(100.0) - br_num_expr("pct_corte_str"))
         .alias("pct_aceito"),
     )
+
+
+@query(
+    "q_sketch_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS merged_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — the 100 TB pre-aggregation pattern:
+    distinct-count sketches built once per FINE group (returnflag ×
+    linestatus, e.g. a daily partition job) then union-merged to the
+    COARSE level without rescanning the fact table. Datasketches HLL
+    (`hll_sketch_agg`/`hll_union_agg`) because, unlike
+    approx_count_distinct's internal buffer, the sketch is a column —
+    persistable to parquet and mergeable across jobs/days.
+
+    Oracle: the q_approx_stats bounds-flag pattern (exact value + a
+    TRUE flag the Spark side must reproduce by holding the ±2% error
+    bound) — sketch binaries are engine-specific, estimates are not
+    hash-comparable across engines.
+    """
+    li = tables(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("_sk")
+    )
+    merged = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_est") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.02
+        ).alias("merged_within_2pct"),
+    )

@@ -100,3 +100,24 @@ def test_correlated_shapes_decorrelate(spark, sf_dir):
     # the EXISTS specifically plans as a left-semi join
     plan = _plan(spark, sf_dir, "q_sql_exists_discount")
     assert "LeftSemi" in plan, plan
+
+
+def test_sketch_rollup_merge_equals_direct(spark, sf_dir):
+    """The union-merged two-level sketch estimate equals the single-pass
+    sketch estimate built directly at the coarse level: mergeability is
+    exact for HLL, not approximate — the property that lets partial
+    sketches persist per partition/day and roll up later."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(14))).alias("d")
+    )
+    merged = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("s"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("m"))
+    )
+    rows = direct.join(merged, "l_returnflag").collect()
+    assert rows and all(r.d == r.m for r in rows)
