@@ -451,3 +451,89 @@ def q_sketch_rollup(spark, sf_dir):
             <= 0.02
         ).alias("merged_within_2pct"),
     )
+
+
+@query(
+    "q_theta_overlap",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_both,
+           TRUE AS theta_within_5pct
+    FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+      INTERSECT
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    )
+    """,
+)
+def q_theta_overlap(spark, sf_dir):
+    """Sketch-space set intersection — the audience-overlap pattern:
+    how many orders have BOTH open and fulfilled lines, computed from
+    two independently-built Theta sketches (`theta_sketch_agg` →
+    `theta_intersection`) with NO join between the sides. HLL can only
+    union; Theta's set algebra (intersect/difference) is why it is the
+    overlap sketch at 100 TB — per-segment sketches persist and any
+    pairwise overlap is answerable later in O(k).
+
+    Oracle: exact INTERSECT count + the bounds flag (lgK=14 holds the
+    estimate well inside ±5% at every driver SF)."""
+    li = tables(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_linestatus").agg(
+        F.theta_sketch_agg("l_orderkey", F.lit(14)).alias("_sk")
+    )
+    inter = sk.filter(F.col("l_linestatus").isin("O", "F")).agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("_sk")).alias("_est")
+    )
+    o = li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
+    f = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    exact = o.intersect(f).agg(F.count("*").alias("exact_both"))
+    return exact.crossJoin(F.broadcast(inter)).select(
+        "exact_both",
+        (
+            F.abs(F.col("_est") - F.col("exact_both")) / F.col("exact_both")
+            <= 0.05
+        ).alias("theta_within_5pct"),
+    )
+
+
+@query(
+    "q_kll_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS kll_median_within_decile
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_kll_quantiles(spark, sf_dir):
+    """Mergeable quantiles: per-(returnflag, linestatus) KLL sketches of
+    the extended price, union-merged per returnflag, median read off the
+    merged sketch — the percentile twin of the HLL rollup (per-partition
+    sketches persist, quantiles answerable after any regrouping without
+    touching the fact table again).
+
+    Oracle: q_approx_stats discipline — the merged-sketch median must
+    land inside the exact p45..p55 bracket (KLL k=200 rank error is
+    ~1.6%, a decile bracket is safe)."""
+    li = tables(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("_sk")
+    )
+    merged = fine.groupBy("l_returnflag").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("_sk"), F.lit(0.5)
+        ).alias("_med")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.45), F.lit(0.55))
+        ).alias("_pcts"),
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        (
+            (F.col("_med") >= F.col("_pcts")[0])
+            & (F.col("_med") <= F.col("_pcts")[1])
+        ).alias("kll_median_within_decile"),
+    )

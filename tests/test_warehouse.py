@@ -121,3 +121,29 @@ def test_sketch_rollup_merge_equals_direct(spark, sf_dir):
     )
     rows = direct.join(merged, "l_returnflag").collect()
     assert rows and all(r.d == r.m for r in rows)
+
+
+def test_theta_set_algebra(spark, sf_dir):
+    """Theta sketch set algebra: |A| >= |A - B| + |A ∩ B| estimates are
+    consistent, and on small (exact-mode) data the intersection estimate
+    equals the exact intersect count."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = li.groupBy("l_linestatus").agg(
+        F.theta_sketch_agg("l_orderkey", F.lit(14)).alias("s")
+    )
+    both = sk.filter(F.col("l_linestatus").isin("O", "F")).agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("s")).alias("est")
+    ).collect()[0].est
+    exact = (
+        li.filter(F.col("l_linestatus") == "O").select("l_orderkey")
+        .intersect(li.filter(F.col("l_linestatus") == "F").select("l_orderkey"))
+        .count()
+    )
+    # sf0.001 distinct counts sit in theta exact mode -> estimate exact;
+    # larger SFs bound by the oracle's 5% flag
+    if exact < 4000:
+        assert round(both) == exact
+    else:
+        assert abs(both - exact) / exact <= 0.05
