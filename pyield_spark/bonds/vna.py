@@ -65,12 +65,16 @@ def vna_sheet_silver(grid) -> "DataFrame":  # noqa: F821
 
     ``grid`` is the S10 scan output (``sources.xlsx.read_xlsx``):
     (source_file, sheet_name, row_idx, cells). keep='last' is arrival
-    order in the sheet → max_by(row_idx); the sort is left to consumers
-    (an unordered series distributes; order is a presentation concern).
+    order in the sheet → max_by(row_idx) — scoped PER WORKBOOK
+    (grouped by source_file: the reference's keep='last' is within one
+    downloaded sheet; deduping by bare row_idx across a glob of
+    workbooks would let an older, longer file shadow a newer revision).
+    The sort is left to consumers (an unordered series distributes).
     """
     c0 = F.element_at("cells", 1)
     c1 = F.element_at("cells", 2)
     typed = grid.select(
+        F.col("source_file"),
         F.coalesce(
             F.try_to_timestamp(c0),
             F.try_to_timestamp(c0, F.lit("dd/MM/yyyy")),
@@ -78,7 +82,7 @@ def vna_sheet_silver(grid) -> "DataFrame":  # noqa: F821
         c1.cast("double").alias("vna"),
         F.col("row_idx"),
     ).filter(F.col("data").isNotNull() & F.col("vna").isNotNull())
-    return typed.groupBy("data").agg(
+    return typed.groupBy("source_file", "data").agg(
         F.max_by("vna", "row_idx").alias("vna")
     )
 
@@ -105,11 +109,24 @@ def ipca_projecao_silver(grid) -> "DataFrame":  # noqa: F821
             "dd/MM/yyyy - HH:mm",
         ).alias("ultima_atualizacao"),
     )
-    proj = grid.filter(
-        c1.startswith("IPCA") & c2.startswith("Projeção")
-    ).select(
-        "source_file",
-        F.regexp_extract(c2, r"\(([^)]*)\)", 1).alias("periodo_referencia"),
-        F.round(c3.cast("double") / 100.0, 4).alias("valor_projetado"),
+    # the reference takes the FIRST matching row (item(0), a workbook
+    # can carry more IPCA-prefixed rows, e.g. IPCA-15) → min_by(row_idx)
+    proj = (
+        grid.filter(c1.startswith("IPCA") & c2.startswith("Projeção"))
+        .groupBy("source_file")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.regexp_extract(c2, r"\(([^)]*)\)", 1).alias("per"),
+                    F.round(c3.cast("double") / 100.0, 4).alias("val"),
+                ),
+                F.col("row_idx"),
+            ).alias("_p")
+        )
+        .select(
+            "source_file",
+            F.col("_p.per").alias("periodo_referencia"),
+            F.col("_p.val").alias("valor_projetado"),
+        )
     )
     return proj.join(hdr, "source_file")

@@ -82,24 +82,25 @@ def exploded_shingles(df: DataFrame, text: str, id_col: str, n: int = 3) -> Data
     )
 
 
-def jaccard_pairs(
+def _shingle_intersection(
     df: DataFrame,
     text: str,
     id_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    block: str | None = None,
-) -> DataFrame:
-    """All pairs (a < b) with n-gram Jaccard >= threshold.
-
-    ``block`` optionally restricts comparisons to equal-key groups —
-    at full scale, feed LSH candidates instead of blocking.
-    """
+    n: int,
+    block: str | None,
+    distinct: bool,
+):
+    """Shared plumbing for the pairwise shingle scores: exploded
+    shingles (bag or set semantics), per-doc sizes, and the blocked
+    self-join intersection counts. Returns (inter, sizes)."""
     blk = [block] if block else []
+    sh_expr = shingles_expr(text, n)
+    if distinct:
+        sh_expr = F.array_distinct(sh_expr)
     sh = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(b) for b in blk],
-        F.explode(shingles_expr(text, n)).alias("shingle"),
+        F.explode(sh_expr).alias("shingle"),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     a = sh.select(
@@ -117,6 +118,24 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    return inter, sizes
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block: str | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram Jaccard >= threshold (bag
+    semantics — shingle multiplicity counts).
+
+    ``block`` optionally restricts comparisons to equal-key groups —
+    at full scale, feed LSH candidates instead of blocking.
+    """
+    inter, sizes = _shingle_intersection(df, text, id_col, n, block, distinct=False)
     out = (
         inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
@@ -226,28 +245,7 @@ def containment_pairs(
     Same scale stance as ``jaccard_pairs``: ``block`` bounds the
     quadratic stage; at full scale feed LSH candidates instead.
     """
-    blk = [block] if block else []
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(b) for b in blk],
-        F.explode(F.array_distinct(shingles_expr(text, n))).alias("shingle"),
-    )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    a = sh.select(
-        F.col("_id").alias("id_a"), *[F.col(b).alias(f"_ba_{b}") for b in blk], "shingle"
-    )
-    b = sh.select(
-        F.col("_id").alias("id_b"), *[F.col(b).alias(f"_bb_{b}") for b in blk], "shingle"
-    )
-    cond = [a.shingle == b.shingle] + [
-        F.col(f"_ba_{k}") == F.col(f"_bb_{k}") for k in blk
-    ]
-    inter = (
-        a.join(b, cond)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    inter, sizes = _shingle_intersection(df, text, id_col, n, block, distinct=True)
     out = (
         inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")

@@ -260,9 +260,9 @@ def hard_negatives(
         F.col(label_col).cast("int").alias("_lbl"),
         F.col(vec_col).alias("_vec"),
     ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
-    probes = base.filter(
-        query_pred if query_pred is not None else (F.col("_vid") % 41 == 0)
-    ).select(
+    # default: EVERY vector is a probe (the library contract); callers
+    # bound the probe set themselves (q_hard_negatives samples ids)
+    probes = (base.filter(query_pred) if query_pred is not None else base).select(
         F.col("_vid").alias("query_id"),
         F.col("_lbl").alias("query_label"),
         F.col("_vec").alias("_qvec"),

@@ -339,7 +339,6 @@ _NTNB1_ORACLE = f"""
 def q_ntnb1_schedule(spark, sf_dir):
     from pyield_spark.bonds.pricing import anos_uteis_expr
     from pyield_spark.functions.numbers import pround_expr, trunc_decimal_sum_expr
-    from pyield_spark.functions.numbers import truncar_expr as _trunc
 
     od = tables(spark, sf_dir, "orders")
     bonds = od.filter(F.col("o_orderkey") % 97 == 0).select(

@@ -661,7 +661,10 @@ def q_hard_negatives(spark, sf_dir):
     ``operators/similarity.py::hard_negatives`` (brute-force baseline;
     LSH/IVF prune is the scale path)."""
     emb = tables(spark, sf_dir, "embeddings")
-    return sim.hard_negatives(emb, "vec_id", "embedding", "label", k=3)
+    return sim.hard_negatives(
+        emb, "vec_id", "embedding", "label",
+        query_pred=F.col("_vid") % 41 == 0, k=3,
+    )
 
 
 @query(

@@ -214,8 +214,12 @@ def write_minimal_xlsx(
     sheet_items = list(sheets.items())
 
     def esc(s: str) -> str:
+        # attribute-safe: sheet names land inside name="..." attributes
         return (
-            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            s.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&quot;")
         )
 
     def col_ref(i: int) -> str:

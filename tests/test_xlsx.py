@@ -190,7 +190,9 @@ def test_vna_sheet_silver(spark, tmp_path):
         },
     )
     out = vna_sheet_silver(read_xlsx(spark, str(p), sheet="VNA"))
-    got = {r.data.isoformat(): r.vna for r in out.collect()}
+    rows = out.collect()
+    assert all(r.source_file.endswith("vna.xlsx") for r in rows)
+    got = {r.data.isoformat(): r.vna for r in rows}
     assert got == {"2024-01-15": 4300.123456, "2024-02-15": 4351.75}
 
 

@@ -43,7 +43,7 @@ def main() -> None:
     flagged = []
     for name in sorted(set(qa) & set(qb)):
         t0, t1 = qa[name], qb[name]
-        if t0 > 0 and (t1 / t0 > thr or t0 / t1 > thr):
+        if t0 > 0 and t1 > 0 and (t1 / t0 > thr or t0 / t1 > thr):
             flagged.append((t1 / t0, name, t0, t1))
     for ratio, name, t0, t1 in sorted(flagged, reverse=True):
         tag = "SLOWER" if ratio > 1 else "faster"
