@@ -242,8 +242,9 @@ def hard_negatives(
     near-misses the loss learns the most from (the standard dense-
     retrieval / embedding-training curation step).
 
-    Same exactness-baseline stance as ``cosine_topk``: brute force with
-    a bounded probe set; at scale, prune candidates through the LSH
+    Same exactness-baseline stance as ``cosine_topk``: brute force —
+    every vector is a probe unless ``query_pred`` bounds the set (do
+    bound it for large corpora); at scale, prune candidates through LSH
     buckets or IVF probe lists first (``lsh_bucket_expr`` / ``ivf_topk``
     keep the pair space linear) and rescore exactly here. Ties break on
     neighbor id for determinism.
