@@ -70,7 +70,11 @@ def read_html_tables(
                         out["table_idx"].append(t_i)
                         out["row_idx"].append(r_i)
                         out["cells"].append(cells)
-            yield pd.DataFrame(out)
+            if next(iter(out.values()), None):
+                # all-empty batch: pandas would type the list column
+                # float64 and Arrow can't cast that to array<string>;
+                # yielding nothing is valid for mapInPandas
+                yield pd.DataFrame(out)
 
     return bin_df.select("path", "content").mapInPandas(
         parse,

@@ -145,7 +145,11 @@ def read_zip_members(
                             out["source_file"].append(fname)
                             out["member_name"].append(member)
                             out["line"].append(line)
-            yield pd.DataFrame(out)
+            if next(iter(out.values()), None):
+                # all-empty batch: pandas would type the list column
+                # float64 and Arrow can't cast that to array<string>;
+                # yielding nothing is valid for mapInPandas
+                yield pd.DataFrame(out)
 
     return bin_df.select("path", "content").mapInPandas(
         unzip, "source_file string, member_name string, line string"

@@ -179,25 +179,46 @@ def parse_xlsx_bytes(
 
 
 def read_xlsx(
-    spark: SparkSession, path: str, sheet: str | None = None
+    spark: SparkSession,
+    path: str,
+    sheet: str | None = None,
+    skip_bad_files: bool = False,
 ) -> DataFrame:
     """Sheet grid(s) from .xlsx workbook(s): (source_file, sheet_name,
     row_idx, cells array<string>). ``sheet`` filters to one tab (the
-    reference's ``sheet_name=aba``); None reads every sheet."""
+    reference's ``sheet_name=aba``); None reads every sheet.
+
+    ``skip_bad_files`` drops workbooks that fail to parse (truncated
+    zip, malformed XML) instead of failing the job — the
+    ``ignoreCorruptFiles`` stance for lake-scale globs where one bad
+    object must not kill a 100 TB scan. Default False: corruption is
+    loud unless the caller opts into skipping.
+    """
     bin_df = spark.read.format("binaryFile").load(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"source_file": [], "sheet_name": [], "row_idx": [], "cells": []}
             for fname, content in zip(pdf["path"], pdf["content"]):
-                for name, row_idx, cells in parse_xlsx_bytes(
-                    bytes(content), sheet
-                ):
+                try:
+                    rows = list(parse_xlsx_bytes(bytes(content), sheet))
+                except Exception:
+                    # BadZipFile / missing workbook part / XML ParseError —
+                    # under the opt-in flag a corrupt object is skipped,
+                    # mirroring ignoreCorruptFiles; otherwise loud
+                    if skip_bad_files:
+                        continue
+                    raise
+                for name, row_idx, cells in rows:
                     out["source_file"].append(fname)
                     out["sheet_name"].append(name)
                     out["row_idx"].append(row_idx)
                     out["cells"].append(cells)
-            yield pd.DataFrame(out)
+            if next(iter(out.values()), None):
+                # all-empty batch: pandas would type the list column
+                # float64 and Arrow can't cast that to array<string>;
+                # yielding nothing is valid for mapInPandas
+                yield pd.DataFrame(out)
 
     return bin_df.select("path", "content").mapInPandas(
         parse,

@@ -277,3 +277,20 @@ def test_ipca_projecao_silver(spark, tmp_path):
     assert r.periodo_referencia == "mar/26"
     assert r.valor_projetado == 0.0044
     assert r.ultima_atualizacao.isoformat() == "2026-03-13T15:20:00"
+
+
+def test_skip_bad_files(spark, tmp_path):
+    """A corrupt workbook in the glob fails the scan loudly by default
+    and is dropped under skip_bad_files=True (the ignoreCorruptFiles
+    stance for lake-scale ingestion)."""
+    import pytest
+
+    good = tmp_path / "good.xlsx"
+    write_minimal_xlsx(str(good), {"S": [["ok", 1]]})
+    (tmp_path / "bad.xlsx").write_bytes(b"PK\x03\x04 truncated-not-a-zip")
+
+    glob = str(tmp_path / "*.xlsx")
+    with pytest.raises(Exception):
+        read_xlsx(spark, glob).collect()
+    rows = read_xlsx(spark, glob, skip_bad_files=True).collect()
+    assert len(rows) == 1 and rows[0].cells == ["ok", "1"]
