@@ -84,6 +84,9 @@ def extract_features(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty partition: a 0-row frame types the
+                # list column float64, which Arrow can't cast to array
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
