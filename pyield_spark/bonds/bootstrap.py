@@ -74,10 +74,11 @@ def implied_rates(
         F.collect_list("_au").alias("_aus"),
     )
 
+    # schema in id_cols order — the kernel emits columns in id_cols
+    # order, so a caller passing ids in non-DataFrame order must not
+    # silently bind values to the wrong names
     id_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in packed.schema
-        if f.name in id_cols
+        f"{c} {packed.schema[c].dataType.simpleString()}" for c in id_cols
     )
     out_schema = f"{id_schema}, {alias} double"
 
@@ -203,6 +204,19 @@ def premio_limpo(
     flows = flows.withColumn(
         "_cf", coupon_flow_expr("data_pagamento", maturity, coupon_value, final_value)
     )
+    # STN price in the SAME groupBy as the flow packing: the exploded
+    # flow table already carries taxa/du/cf, so pricing does not need a
+    # second explode+calendar-join lineage plus an equi-join back
+    # (identical semantics to price_coupon_bond: vp bround9 on
+    # (1+trunc8 taxa)^trunc14(du/252), decimal Σ, trunc6)
+    from pyield_spark.bonds.pricing import anos_uteis_expr
+    from pyield_spark.functions.numbers import trunc_decimal_sum_expr, truncar_expr
+
+    _vp_price = F.bround(
+        F.col("_cf")
+        / F.pow(F.lit(1.0) + truncar_expr(F.col(taxa), 8), anos_uteis_expr("_du_f")),
+        9,
+    )
     packed = flows.groupBy(*id_cols).agg(
         F.sort_array(
             F.collect_list(
@@ -212,27 +226,14 @@ def premio_limpo(
                     F.col("_di").alias("di"),
                 )
             )
-        ).alias("_flows")
+        ).alias("_flows"),
+        trunc_decimal_sum_expr(
+            F.sum(_vp_price.cast("decimal(28,12)")), 6
+        ).alias("_preco"),
     )
-    from pyield_spark.bonds.pricing import price_coupon_bond
-
-    priced = price_coupon_bond(
-        bonds,
-        id_cols,
-        settlement=settlement,
-        maturity=maturity,
-        taxa=taxa,
-        coupon_value=coupon_value,
-        final_value=final_value,
-        vp_round=9,
-        alias="_preco",
-    )
-    packed = packed.join(priced, on=id_cols)
 
     id_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in packed.schema
-        if f.name in id_cols
+        f"{c} {packed.schema[c].dataType.simpleString()}" for c in id_cols
     )
     out_schema = f"{id_schema}, {alias} double"
 
@@ -469,8 +470,6 @@ def lft_taxas(
             yield pd.DataFrame(out_rows, columns=[*id_cols, alias])
 
     id_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema
-        if f.name in id_cols
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
     )
     return df.select(*cols).mapInPandas(solve, f"{id_schema}, {alias} double")

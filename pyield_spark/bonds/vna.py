@@ -71,10 +71,14 @@ def vna_sheet_silver(grid) -> "DataFrame":  # noqa: F821
     workbooks would let an older, longer file shadow a newer revision).
     The sort is left to consumers (an unordered series distributes).
     """
-    c0 = F.element_at("cells", 1)
-    c1 = F.element_at("cells", 2)
+    # try_element_at: NULL out of bounds regardless of the session's
+    # ANSI setting — the grid parser emits empty rows as [] to keep
+    # positional indices, and plain element_at throws under ANSI mode
+    c0 = F.try_element_at("cells", F.lit(1))
+    c1 = F.try_element_at("cells", F.lit(2))
     typed = grid.select(
         F.col("source_file"),
+        F.col("sheet_name"),
         F.coalesce(
             F.try_to_timestamp(c0),
             F.try_to_timestamp(c0, F.lit("dd/MM/yyyy")),
@@ -82,7 +86,9 @@ def vna_sheet_silver(grid) -> "DataFrame":  # noqa: F821
         c1.cast("double").alias("vna"),
         F.col("row_idx"),
     ).filter(F.col("data").isNotNull() & F.col("vna").isNotNull())
-    return typed.groupBy("source_file", "data").agg(
+    # sheet_name in the dedupe scope: row_idx restarts per sheet, so
+    # keep-last comparisons are only meaningful within one tab
+    return typed.groupBy("source_file", "sheet_name", "data").agg(
         F.max_by("vna", "row_idx").alias("vna")
     )
 
@@ -97,9 +103,9 @@ def ipca_projecao_silver(grid) -> "DataFrame":  # noqa: F821
     the S10 grid (the reference's .xls transport differs; the parse is
     the semantics).
     """
-    c1 = F.element_at("cells", 1)
-    c2 = F.element_at("cells", 2)
-    c3 = F.element_at("cells", 3)
+    c1 = F.try_element_at("cells", F.lit(1))
+    c2 = F.try_element_at("cells", F.lit(2))
+    c3 = F.try_element_at("cells", F.lit(3))
     hdr = grid.filter(
         c1.startswith("Data e Hora da Última Atualização:")
     ).select(

@@ -129,8 +129,16 @@ def jaccard_pairs(
     threshold: float = 0.5,
     block: str | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with n-gram Jaccard >= threshold (bag
-    semantics — shingle multiplicity counts).
+    """All pairs (a < b) with n-gram Jaccard >= threshold.
+
+    Multiplicity semantics: the intersection term is the join
+    cross-product sum over shared shingles, Σ cnt_a(s)·cnt_b(s) — NOT
+    the bag intersection Σ min(cnt_a, cnt_b). For mostly-distinct
+    shingles (natural text) the two coincide; for highly repetitive
+    documents the cross-product overshoots and the union denominator
+    n_a + n_b − n_inter can reach zero or below, so such degenerate
+    pairs are filtered out (use ``containment_pairs`` — set semantics —
+    when self-repetitive text matters).
 
     ``block`` optionally restricts comparisons to equal-key groups —
     at full scale, feed LSH candidates instead of blocking.
@@ -139,6 +147,7 @@ def jaccard_pairs(
     out = (
         inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
+        .filter(F.col("n_a") + F.col("n_b") - F.col("n_inter") > 0)
         .withColumn(
             "jaccard",
             pround_expr(

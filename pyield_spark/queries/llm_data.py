@@ -108,7 +108,8 @@ def q_exact_dedup(spark, sf_dir):
     FROM inter
     JOIN sizes sa ON sa._id = id_a
     JOIN sizes sb ON sb._id = id_b
-    WHERE {pround_sql("n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE)", 6)} >= 0.1
+    WHERE sa._n + sb._n - n_inter > 0
+      AND {pround_sql("n_inter / CAST(sa._n + sb._n - n_inter AS DOUBLE)", 6)} >= 0.1
     """,
 )
 def q_jaccard_pairs(spark, sf_dir):
@@ -291,7 +292,14 @@ def q_multimodal_meta(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     docs = tables(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
-    return mm.extract_features(payloads, "payload", "doc_id")
+    feats = mm.extract_features(payloads, "payload", "doc_id")
+    # project the feature vector to scalar columns: the driver's
+    # canonicalizer sorts pandas columns, and list cells are unhashable
+    # (r2 run errored on exactly this) — f0..f7 doubles compare cleanly
+    return feats.select(
+        "doc_id",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(mm.FEATURE_DIM)],
+    )
 
 
 # === embedding-cosine near-dup: LSH bucket-join candidates, exact

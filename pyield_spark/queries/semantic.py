@@ -44,12 +44,18 @@ _DOT_AB = (
     " i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)"
 )
 
-# shared k-means CTE chain (k=8 seed = lowest ids, 2 Lloyd iterations):
+# shared k-means CTE chain (seed = lowest ids, 2 Lloyd iterations):
 # assignment tie-breaks on (dist, cid); centroid means sum in DECIMAL
 # then divide once in DOUBLE — both replayed exactly by DuckDB.
+# k follows the SemDeDup sizing rule k ≈ N / target_cluster_size: the
+# intra-cluster pair space is Σ n_c² ≈ N²/k, so k must GROW with N for
+# the blocked self-join to stay linear — 32 clusters ≈ 60 vectors each
+# at this SF (k=8 left ~250-vector clusters: 4× the pairs for the same
+# dedup quality).
+_KM_K = 32
 _KMEANS_CTES = f"""
     base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS c FROM base ORDER BY vec_id LIMIT 8),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM base ORDER BY vec_id LIMIT {_KM_K}),
     d1 AS (
       SELECT b.vec_id, c.cid, {_SQDIST.format(a="b", c="c")} AS dist
       FROM base b, c0 c
@@ -176,12 +182,12 @@ def q_chunk_documents(spark, sf_dir):
     """,
 )
 def q_kmeans_clusters(spark, sf_dir):
-    """Deterministic 2-iteration Lloyd over the embeddings (k=8, seeds =
-    lowest ids). Assignment is broadcast + map-side min(struct) — the
-    N·k candidates never shuffle; the only aggregations are k·dim mean
-    cells. See operators/semantic.py for the 100 TB notes."""
+    """Deterministic 2-iteration Lloyd over the embeddings (k=_KM_K,
+    seeds = lowest ids). Assignment is broadcast + map-side min(struct)
+    — the N·k candidates never shuffle; the only aggregations are k·dim
+    mean cells. See operators/semantic.py for the 100 TB notes."""
     emb = tables(spark, sf_dir, "embeddings")
-    out = sm.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+    out = sm.kmeans_assign(emb, "vec_id", "embedding", k=_KM_K, iters=2)
     return out.select(
         F.col("_vid").alias("vec_id"),
         F.col("_cid").alias("cluster"),
@@ -216,10 +222,11 @@ def q_kmeans_clusters(spark, sf_dir):
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means clusters as the blocking key, cosine ≥ 0.2
     within a cluster drops the higher id. Pair space is bounded by the
-    cluster size (pick k ∝ N at scale), so the self-join stays linear —
-    the same reasoning as the LSH-bucketed near-dup path."""
+    cluster size (k = _KM_K follows k ∝ N — see the CTE note), so the
+    self-join stays linear — the same reasoning as the LSH-bucketed
+    near-dup path."""
     emb = tables(spark, sf_dir, "embeddings")
-    return sm.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2, tau=0.2)
+    return sm.semantic_dedup(emb, "vec_id", "embedding", k=_KM_K, iters=2, tau=0.2)
 
 
 @query(

@@ -126,9 +126,12 @@ def _cell_value(cell, shared: list[str]) -> str | None:
         return None
     if ctype == "s":
         try:
-            return shared[int(v)]
-        except (ValueError, IndexError):
+            idx = int(v)
+        except ValueError:
             return None
+        # explicit bounds check: a malformed negative index must degrade
+        # to null, not resolve a shared string via python negative indexing
+        return shared[idx] if 0 <= idx < len(shared) else None
     if ctype == "b":
         return "true" if v.strip() == "1" else "false"
     return v  # "n" numeric / "str" formula cache / "e" error — verbatim
