@@ -162,9 +162,15 @@ def premio_limpo(
     coupon_value: float = 48.80885,
     final_value: float = 1048.80885,
     alias: str = "premio_limpo",
+    price_alias: str | None = None,
 ) -> DataFrame:
     """Clean spread of an NTN-F over the DI curve — the reference's
     flagship relative-value number (pyield/tpf/titulos/ntnf.py:702-795).
+
+    ``price_alias`` additionally returns the STN price at the TIR (the
+    same number ``price_coupon_bond`` computes, already produced here as
+    the solver's target) — callers that need both should use it instead
+    of running a second pricing lineage and joining.
 
     Per bond: price it at its TIR with the full STN chain, flat-forward
     interpolate the DI curve at each coupon flow's business-day count,
@@ -236,6 +242,8 @@ def premio_limpo(
         f"{c} {packed.schema[c].dataType.simpleString()}" for c in id_cols
     )
     out_schema = f"{id_schema}, {alias} double"
+    if price_alias:
+        out_schema += f", {price_alias} double"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,9 +259,10 @@ def premio_limpo(
                     )
 
                 prems.append(_encontrar_raiz(diff))
-            yield pd.DataFrame(
-                {**{c: pdf[c] for c in id_cols}, alias: prems}
-            )
+            out = {**{c: pdf[c] for c in id_cols}, alias: prems}
+            if price_alias:
+                out[price_alias] = [float(p) for p in pdf["_preco"]]
+            yield pd.DataFrame(out)
 
     return packed.mapInPandas(kernel, out_schema)
 
@@ -321,10 +330,17 @@ def ntnb_taxas_zero(
     by_cols = [by] if isinstance(by, str) else list(by)
 
     liq = F.to_date(settlement)
+    # clean (the deduped vertex panel) feeds three consumers — the grid
+    # span, the TIR interpolation vertices, and the final maturity
+    # semi-join. It is curve-sized (vertices, not facts), but its
+    # lineage aggregates the INPUT panel — localCheckpoint materializes
+    # it once instead of re-running that aggregation per consumer
+    # (same pattern as semantic_dedup's assignment reuse).
     clean = (
         bonds.filter(F.to_date(maturity) > liq)
         .groupBy(*by_cols, F.to_date(maturity).alias("_ven"))
         .agg(F.max(F.col(tir).cast("double")).alias("_tir"), F.min(liq).alias("_liq"))
+        .localCheckpoint(eager=False)
     )
     grp = clean.groupBy(*by_cols).agg(
         F.min("_liq").alias("_liq"),

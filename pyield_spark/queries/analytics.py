@@ -718,6 +718,8 @@ def q_premio_limpo(spark, sf_dir):
         .join(di_curve.select("grupo").distinct(), "grupo", "left_semi")
     )
     bonds = bonds.localCheckpoint(eager=False)
+    # price_alias: the solver's target IS the STN price at the TIR —
+    # no second pricing lineage + join just to surface pu
     prem = premio_limpo(
         bonds,
         di_curve,
@@ -726,16 +728,11 @@ def q_premio_limpo(spark, sf_dir):
         settlement="liq",
         maturity="ven",
         taxa="taxa",
-    )
-    from pyield_spark.bonds.pricing import price_coupon_bond
-
-    priced = price_coupon_bond(
-        bonds, ["o_orderkey"], settlement="liq", maturity="ven", taxa="taxa"
+        price_alias="pu",
     )
     meta = bonds.select("o_orderkey", "taxa")
     return (
-        meta.join(priced, "o_orderkey")
-        .join(prem, "o_orderkey")
+        meta.join(prem, "o_orderkey")
         .select(
             "o_orderkey",
             "taxa",

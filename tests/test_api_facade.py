@@ -1,0 +1,75 @@
+"""The reference-shaped namespace (pyield_spark.api) — the "a reference
+user could switch" contract."""
+
+import datetime as dt
+
+import pytest
+
+import pyield_spark.api as yd
+
+# the reference's public __init__ surface
+# (/root/reference/pyield/__init__.py:25-50), minus transport-only
+# wrappers whose local equivalents are documented in MIGRATION.md:
+#   b3 / futuro / selic / tpf / ipca submodule trees -> MIGRATION.md
+#   sections (readers + queries); di_over / ptax -> readers + as-of.
+REFERENCE_NAMES = [
+    "agora",
+    "du",
+    "forward",
+    "forwards",
+    "forwards_expr",
+    "hoje",
+    "Interpolador",
+    "interpolar",
+    "lft",
+    "ltn",
+    "ntnb",
+    "ntnb1",
+    "ntnbp",
+    "ntnc",
+    "ntnf",
+    "ptax_serie",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_NAMES)
+def test_reference_name_exposed(name):
+    assert hasattr(yd, name), f"api facade is missing reference name {name}"
+
+
+def test_family_members():
+    # one signature-level probe per family: the scalar twins answer with
+    # reference docstring goldens (full goldens in test_bonds.py /
+    # test_scalar_parity.py — here we pin the NAMES)
+    assert callable(yd.ltn.pu) and callable(yd.ltn.taxa)
+    assert callable(yd.ntnf.premio_limpo) and callable(yd.ntnf.datas_pagamento)
+    assert callable(yd.ntnb.taxas_zero) and callable(yd.ntnb.vna_projetado)
+    assert callable(yd.ntnbp.dv01) and callable(yd.ntnbp.cotacao)
+    assert callable(yd.lft.taxa) and callable(yd.lft.cotacao)
+    assert callable(yd.ntnc.cotacao_df) and callable(yd.ntnb1.fluxos_caixa)
+
+
+def test_interpolador_flat_forward_matches_scalar_twin():
+    """Constructor order mirrors the reference (dias_uteis, taxas,
+    metodo, extrapolar); __call__ is the scalar shortcut."""
+    interp = yd.Interpolador([126, 252, 504], [0.11, 0.115, 0.12], "flat_forward")
+    from pyield_spark import scalar
+
+    for du_alvo in (50, 126, 200, 252, 400, 504):
+        assert interp(du_alvo) == scalar.interpolar_taxa(
+            [(126, 0.11), (252, 0.115), (504, 0.12)], du_alvo
+        )
+    # long-end ladder: None without extrapolar, last rate with it
+    assert interp(600) is None
+    assert yd.Interpolador([126], [0.11], "flat_forward", extrapolar=True)(600) == 0.11
+
+
+def test_interpolador_rejects_unknown_method():
+    with pytest.raises(ValueError):
+        yd.Interpolador([126], [0.11], "cubic")
+
+
+def test_scalar_golden_through_facade():
+    # LTN docstring golden via the facade path (ltn.py:160-168)
+    pu = yd.ltn.pu(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 0.12145)
+    assert pu == pytest.approx(535.279902, abs=1e-6)

@@ -30,6 +30,30 @@ def test_registry_shapes():
     assert len(oracles) >= 0.8 * len(qs)
 
 
+def test_driver_window_invariants(spark, sf_dir):
+    """The driver hash-checks only the FIRST 50 queries() entries: that
+    window must stay exactly 50 curated names, every one oracle-backed,
+    and none may emit column types the driver's pandas canonicalizer
+    cannot sort (array/map/struct cells are unhashable — the r2 failure
+    mode of q_multimodal_features)."""
+    from pyield_spark.queries import DRIVER_PRIORITY
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    window = list(qs)[:50]
+    assert window == DRIVER_PRIORITY
+    assert len(DRIVER_PRIORITY) == 50
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"driver-window queries without oracle: {missing}"
+    bad_types = [
+        (n, c, t)
+        for n in window
+        for c, t in qs[n](spark, sf_dir).dtypes
+        if t.startswith(("array", "map", "struct"))
+    ]
+    assert not bad_types, f"unsortable driver-window outputs: {bad_types}"
+
+
 def _canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 

@@ -136,8 +136,18 @@ def test_premio_limpo_docstring_golden(spark):
     [row] = premio_limpo(
         bonds, di, id_cols=["id"], by="grupo",
         settlement="liq", maturity="ven", taxa="taxa",
+        price_alias="pu",
     ).collect()
     assert round(row.premio_limpo * 10_000, 2) == pytest.approx(12.13, abs=0.011)
+
+    # price_alias parity: the solver's in-groupBy target must equal the
+    # standalone pricing operator bit-for-bit (same STN chain)
+    from pyield_spark.bonds.pricing import price_coupon_bond
+
+    [priced] = price_coupon_bond(
+        bonds, ["id"], settlement="liq", maturity="ven", taxa="taxa"
+    ).collect()
+    assert row.pu == priced.pu
 
 
 def test_month_code_roundtrip(spark):
