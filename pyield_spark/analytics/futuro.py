@@ -24,6 +24,30 @@ MONTH_CODES = "FGHJKMNQUVXZ"  # Jan..Dec
 RATE_CONTRACTS = {"DI1", "DAP", "DDI", "FRC", "FRO"}
 
 
+def normalizar_contrato_expr(contrato: str | Column) -> Column:
+    """Contract-code normalization (pyield/b3/_contratos.py:8-21):
+    trim + upper-case, empty/null → null (the engine's null is the
+    reference's dropped-empty)."""
+    c = F.col(contrato) if isinstance(contrato, str) else contrato
+    up = F.upper(F.trim(c.cast("string")))
+    return F.when(up == "", F.lit(None).cast("string")).otherwise(up)
+
+
+def normalizar_contratos(valores) -> list[str]:
+    """Scalar twin (pyield/b3/_contratos.py:24-50): normalize a
+    str/sequence to a deduped upper-case list, input order kept."""
+    if isinstance(valores, str):
+        valores = [valores]
+    out: list[str] = []
+    for v in valores or []:
+        if v is None:
+            continue
+        code = str(v).strip().upper()
+        if code and code not in out:
+            out.append(code)
+    return out
+
+
 def month_from_code_expr(code: str | Column) -> Column:
     """Month-code letter → month number (invalid → null)."""
     c = F.upper(F.col(code) if isinstance(code, str) else code)

@@ -382,6 +382,67 @@ def q_ltn_pricing(spark, sf_dir):
     ).select("o_orderkey", "liq", "ven", "taxa", "dias_uteis", "pu", "dv01")
 
 
+# === ltn.taxas_forward (pyield/tpf/titulos/ltn.py:348-407): LTN
+# indicative rates are already spot (zero-coupon), so forwards apply
+# directly over the (dias_uteis, taxa) maturity structure =================
+
+
+@query(
+    "q_ltn_forwards",
+    oracle=f"""
+    WITH {_CAL},
+    {_BONDS_SQL.lstrip()},
+    panel AS (
+      SELECT CAST(date_trunc('month', liq) AS DATE) AS grupo,
+             ven AS data_vencimento,
+             MAX(taxa) AS taxa_indicativa
+      FROM bonds GROUP BY 1, 2
+    ),
+    wdu AS (
+      SELECT p.*, CAST({bd_count_sql("p.grupo", "p.data_vencimento")} AS BIGINT)
+               AS dias_uteis
+      FROM panel p
+      JOIN cal cs ON cs.data = p.grupo
+      JOIN cal ce ON ce.data = p.data_vencimento
+    ),
+    lagged AS (
+      SELECT *, dias_uteis / 252.0 AS au,
+             LAG(taxa_indicativa) OVER (PARTITION BY grupo ORDER BY dias_uteis) AS tx_j,
+             LAG(dias_uteis / 252.0) OVER (PARTITION BY grupo ORDER BY dias_uteis) AS au_j,
+             MIN(dias_uteis) OVER (PARTITION BY grupo) AS du_min
+      FROM wdu
+    )
+    SELECT grupo, data_vencimento, dias_uteis, taxa_indicativa,
+      {pround_sql("CASE WHEN dias_uteis = du_min THEN taxa_indicativa ELSE power(power(1 + taxa_indicativa, au) / power(1 + tx_j, au_j), 1.0 / (au - au_j)) - 1 END", 6)} AS taxa_forward
+    FROM lagged
+    """,
+)
+def q_ltn_forwards(spark, sf_dir):
+    """``ltn.taxas_forward``: per reference month, the LTN maturity
+    structure (data_vencimento, dias_uteis, taxa_indicativa) with the
+    forward between consecutive vertices — first vertex's forward IS its
+    spot (reference output, ltn.py:361-388). One window shuffle on the
+    curve key; the (grupo, ven) groupBy guarantees unique vertices so
+    the duplicate null-cascade stays inert."""
+    bonds = _bonds_df(spark, sf_dir)
+    panel = bonds.groupBy(
+        F.date_trunc("month", "liq").cast("date").alias("grupo"),
+        F.col("ven").alias("data_vencimento"),
+    ).agg(F.max("taxa").alias("taxa_indicativa"))
+    panel = du_mod.contar(panel, "grupo", "data_vencimento", alias="dias_uteis")
+    from pyield_spark.functions.numbers import pround_expr
+
+    return panel.select(
+        "grupo",
+        "data_vencimento",
+        "dias_uteis",
+        "taxa_indicativa",
+        pround_expr(
+            forwards_expr("dias_uteis", "taxa_indicativa", "grupo"), 6
+        ).alias("taxa_forward"),
+    )
+
+
 # === K1/K2/K6/K7: coupon-bond (NTN-F) pricing + Macaulay duration by
 # explode-and-aggregate (pyield/tpf/titulos/ntnf.py:283-301,870-901) =======
 

@@ -150,6 +150,27 @@ def test_premio_limpo_docstring_golden(spark):
     assert row.pu == priced.pu
 
 
+def test_normalizar_contratos(spark):
+    """Contract normalization (b3/_contratos.py:8-50): trim+upper,
+    empties drop (expr: null), dedupe preserving order (scalar)."""
+    from pyield_spark.analytics.futuro import (
+        normalizar_contrato_expr,
+        normalizar_contratos,
+    )
+
+    df = spark.createDataFrame(
+        [(" di1f26 ",), ("DAP",), ("",), (None,), ("dap",)], "c STRING"
+    )
+    got = [r.n for r in df.select(normalizar_contrato_expr("c").alias("n")).collect()]
+    assert got == ["DI1F26", "DAP", None, None, "DAP"]
+    assert normalizar_contratos([" di1f26 ", "DAP", "", None, "dap"]) == [
+        "DI1F26",
+        "DAP",
+    ]
+    assert normalizar_contratos("dol") == ["DOL"]
+    assert normalizar_contratos(None) == []
+
+
 def test_month_code_roundtrip(spark):
     df = spark.createDataFrame([("F",), ("G",), ("Z",), ("E",)], "c STRING")
     got = [r.m for r in df.select(month_from_code_expr("c").alias("m")).collect()]

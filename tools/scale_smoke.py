@@ -145,6 +145,30 @@ def main():
 
     timed("minhash_lsh_10x", minhash_10x)
 
+    # K5 bootstrap at 10x curve groups: the applyInPandas recursion is
+    # O(grid) per group with O(1) state, parallel ACROSS groups — the
+    # 100 TB axis is #reference-dates, so 10x the curves should grow
+    # wall-clock far below 10x (the columnar grid/cotacao stages
+    # dominate and parallelize)
+    def bootstrap_10x():
+        from pyield_spark.bonds.bootstrap import ntnb_taxas_zero
+        from pyield_spark.queries.analytics import _ntnb_panel
+
+        panel = _ntnb_panel(spark, SF)
+        out = None
+        for i in range(FACTOR):
+            c = panel
+            for col in ("grupo", "liq", "ven"):
+                # shift each copy by i months: distinct curve groups,
+                # coherent settlement/maturity chains
+                c = c.withColumn(col, F.add_months(F.col(col), i))
+            out = c if out is None else out.unionByName(c)
+        z = ntnb_taxas_zero(out, by="grupo", settlement="liq",
+                            maturity="ven", tir="taxa")
+        return z.filter(F.col("taxa_zero").isNotNull()).count()
+
+    timed("bootstrap_10x", bootstrap_10x)
+
     # LM typicality at 10x: token explode + model groupBy + attach join
     def lm_10x():
         from pyield_spark.operators.vocab import lm_typicality
