@@ -131,14 +131,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with n-gram Jaccard >= threshold.
 
-    Multiplicity semantics: the intersection term is the join
-    cross-product sum over shared shingles, Σ cnt_a(s)·cnt_b(s) — NOT
-    the bag intersection Σ min(cnt_a, cnt_b). For mostly-distinct
-    shingles (natural text) the two coincide; for highly repetitive
-    documents the cross-product overshoots and the union denominator
-    n_a + n_b − n_inter can reach zero or below, so such degenerate
-    pairs are filtered out (use ``containment_pairs`` — set semantics —
-    when self-repetitive text matters).
+    SET semantics end to end: ``shingles_expr`` emits distinct shingles
+    per document, so the self-join intersection count is exactly
+    |A ∩ B| (each shared shingle joins 1×1) and the denominator
+    n_a + n_b − n_inter is the true union size — self-repetitive
+    documents collapse to their shingle-type sets and exact duplicates
+    score 1.0. The denominator guard below is defensive only (union
+    size ≥ 1 whenever a pair exists under set semantics).
 
     ``block`` optionally restricts comparisons to equal-key groups —
     at full scale, feed LSH candidates instead of blocking.

@@ -34,6 +34,29 @@ def test_shingles_and_jaccard(spark):
     assert 0.3 <= pairs[0].jaccard < 1.0
 
 
+def test_jaccard_set_semantics_on_repetitive_text(spark):
+    """Self-repetitive docs collapse to their distinct shingle-type
+    sets (shingles_expr is array_distinct): two docs made of the same
+    repeated phrase are EXACT duplicates under set semantics
+    (jaccard == 1.0, never a degenerate denominator), and every emitted
+    score stays in (0, 1]."""
+    rep = "spam ham spam ham " * 12  # 2 distinct shingle types, huge counts
+    df = spark.createDataFrame(
+        [
+            (1, "a", rep),
+            (2, "a", rep + "spam ham"),
+            (3, "a", "an ordinary sentence with mostly distinct tokens here"),
+            (4, "a", "an ordinary sentence with mostly distinct words here"),
+        ],
+        "doc_id INT, src STRING, text STRING",
+    )
+    pairs = dd.jaccard_pairs(df, "text", "doc_id", threshold=0.1, block="src").collect()
+    by_pair = {(p.id_a, p.id_b): p for p in pairs}
+    assert by_pair[(1, 2)].jaccard == 1.0  # same shingle-type set
+    assert (3, 4) in by_pair
+    assert all(0 < p.jaccard <= 1.0 for p in pairs)
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     df = spark.createDataFrame(
         [
