@@ -806,17 +806,13 @@ def q_breakeven(spark, sf_dir):
     from pyield_spark.curves.interpolate import interpolar
 
     bonds = _ntnb_panel(spark, sf_dir)
+    # the bootstrap's taxa_tir at the kept maturities IS the input TIR
+    # (flat-forward exact-hit at a vertex returns the vertex rate, and
+    # the panel is duplicate-free by construction) — renaming it avoids
+    # a join back to the panel that re-runs the lineitem aggregation
     zero = ntnb_taxas_zero(
         bonds, by="grupo", settlement="liq", maturity="ven", tir="taxa"
-    ).drop("taxa_tir")
-    zero = zero.join(
-        bonds.select(
-            "grupo",
-            F.col("ven").alias("data_vencimento"),
-            F.col("taxa").alias("taxa_tir_real"),
-        ),
-        ["grupo", "data_vencimento"],
-    )
+    ).withColumnRenamed("taxa_tir", "taxa_tir_real")
     di_curve = _di_curve_df(spark, sf_dir)
     out = interpolar(
         zero,
