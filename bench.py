@@ -91,20 +91,23 @@ def main():
     # 123-query JSON line blew past it (BENCH_r02.json: parsed=null).
     # The printed line stays r1-shaped (headline dict only, ~1 KB);
     # BENCH_FULL.json carries every query for tools/bench_diff.py.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
-        json.dump(
-            {
-                "metric": "full_suite_seconds",
-                "value": full_total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
-                "sf": sf_val,
-            },
-            fh,
-            indent=1,
-        )
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            json.dump(
+                {
+                    "metric": "full_suite_seconds",
+                    "value": full_total,
+                    "unit": "sec",
+                    "n_queries": len(timings),
+                    "queries": timings,
+                    "sf": sf_val,
+                },
+                fh,
+                indent=1,
+            )
+    except OSError as e:  # read-only/full fs must not kill the stdout line
+        print(f"BENCH_FULL.json write failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -54,16 +54,33 @@ class Interpolador:
         if metodo not in ("flat_forward", "linear"):
             raise ValueError(f"unknown metodo {metodo!r}")
         self._metodo = metodo
-        self._verts = sorted(zip(dias_uteis, taxas))
+        # reference cleaning (interpolador.py:62-80): drop null/NaN
+        # vertices, dedupe duplicate du keep='last' (later input wins)
+        import math as _math
+
+        clean: dict[int, float] = {}
+        for d, t in zip(dias_uteis, taxas):
+            if d is None or t is None:
+                continue
+            t = float(t)
+            if _math.isnan(t):
+                continue
+            clean[int(d)] = t
+        self._verts = sorted(clean.items())
         self._extrapolar = extrapolar
 
-    def __call__(self, du_alvo: int) -> float | None:
-        return scalar.interpolar_taxa(
+    def __call__(self, du_alvo: int) -> float:
+        # reference: negative du -> NaN (interpolador.py:252-253)
+        if du_alvo is not None and du_alvo < 0:
+            return float("nan")
+        out = scalar.interpolar_taxa(
             self._verts,
             du_alvo,
             method=self._metodo,
             extrapolar=self._extrapolar,
         )
+        # the reference class returns NaN (not None) outside the curve
+        return float("nan") if out is None else out
 
 
 # --- bond-family namespaces (reference: pyield.tpf.titulos.*) -----------

@@ -59,9 +59,29 @@ def test_interpolador_flat_forward_matches_scalar_twin():
         assert interp(du_alvo) == scalar.interpolar_taxa(
             [(126, 0.11), (252, 0.115), (504, 0.12)], du_alvo
         )
-    # long-end ladder: None without extrapolar, last rate with it
-    assert interp(600) is None
+    # long-end ladder: NaN without extrapolar (reference returns NaN,
+    # not None — interpolador.py:252-257), last rate with it
+    import math
+
+    assert math.isnan(interp(600))
     assert yd.Interpolador([126], [0.11], "flat_forward", extrapolar=True)(600) == 0.11
+
+
+def test_interpolador_reference_edge_cases():
+    """Reference class semantics (interpolador.py:62-80, 252-253):
+    negative du -> NaN; null vertices dropped at construction;
+    duplicate du dedupes keep='last'."""
+    import math
+
+    interp = yd.Interpolador([126, 252], [0.11, 0.115])
+    assert math.isnan(interp(-10))
+    # null vertex dropped, not a crash
+    assert yd.Interpolador([126, None], [0.11, 0.12])(126) == 0.11
+    # null TAXA also drops its vertex: curve shrinks to [(126, 0.11)],
+    # so 300 is beyond the long end -> NaN without extrapolar
+    assert math.isnan(yd.Interpolador([126, 252], [0.11, None])(300))
+    # keep-last: the later duplicate wins (reference unique keep='last')
+    assert yd.Interpolador([10, 10], [0.05, 0.03])(10) == 0.03
 
 
 def test_interpolador_rejects_unknown_method():
@@ -73,3 +93,17 @@ def test_scalar_golden_through_facade():
     # LTN docstring golden via the facade path (ltn.py:160-168)
     pu = yd.ltn.pu(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 0.12145)
     assert pu == pytest.approx(535.279902, abs=1e-6)
+
+
+def test_facade_df_op_matches_scalar_twin(spark):
+    """The facade's DataFrame members are the real distributed ops:
+    yd.ntnf.price on a 1-bond frame reproduces the scalar twin
+    bit-for-bit (same STN chain on both paths)."""
+    liq, ven, taxa = dt.date(2024, 8, 23), dt.date(2035, 1, 1), 0.116586
+    bonds = spark.createDataFrame(
+        [(1, liq, ven, taxa)], "id INT, liq DATE, ven DATE, taxa DOUBLE"
+    )
+    [row] = yd.ntnf.price(
+        bonds, ["id"], settlement="liq", maturity="ven", taxa="taxa"
+    ).collect()
+    assert row.pu == yd.ntnf.pu(liq, ven, taxa)

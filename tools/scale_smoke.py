@@ -159,9 +159,14 @@ def main():
         for i in range(FACTOR):
             c = panel
             for col in ("grupo", "liq", "ven"):
-                # shift each copy by i months: distinct curve groups,
-                # coherent settlement/maturity chains
-                c = c.withColumn(col, F.add_months(F.col(col), i))
+                # shift each copy by i*96 months (8 years): the ship-date
+                # span is ~80 months, so copies occupy DISJOINT group
+                # ranges (a 1-month shift would collide almost entirely
+                # and merge copies into mega-curves); 96 ≡ 0 (mod 12)
+                # preserves month classes, and a uniform shift of all
+                # three dates preserves each curve's 3-month chain
+                # geometry exactly
+                c = c.withColumn(col, F.add_months(F.col(col), i * 96))
             out = c if out is None else out.unionByName(c)
         z = ntnb_taxas_zero(out, by="grupo", settlement="liq",
                             maturity="ven", tir="taxa")
