@@ -84,6 +84,22 @@ def test_interpolador_reference_edge_cases():
     assert yd.Interpolador([10, 10], [0.05, 0.03])(10) == 0.03
 
 
+def test_interpolador_reference_docstring_goldens():
+    """Published decimals from the reference class docstring
+    (interpolador.py:29-51): linear 0.0475, flat-forward
+    0.04833068080970859, nan beyond the curve, nan for negative du,
+    extrapolated long end 0.055."""
+    import math
+
+    dus, txs = [30, 60, 90], [0.045, 0.05, 0.055]
+    assert yd.Interpolador(dus, txs, "linear")(45) == 0.0475
+    ff = yd.Interpolador(dus, txs, "flat_forward")
+    assert ff(45) == 0.04833068080970859
+    assert math.isnan(ff(100))
+    assert math.isnan(ff(-10))
+    assert yd.Interpolador(dus, txs, "flat_forward", extrapolar=True)(100) == 0.055
+
+
 def test_interpolador_rejects_unknown_method():
     with pytest.raises(ValueError):
         yd.Interpolador([126], [0.11], "cubic")
@@ -93,6 +109,22 @@ def test_scalar_golden_through_facade():
     # LTN docstring golden via the facade path (ltn.py:160-168)
     pu = yd.ltn.pu(dt.date(2024, 7, 5), dt.date(2030, 1, 1), 0.12145)
     assert pu == pytest.approx(535.279902, abs=1e-6)
+
+
+def test_interpolar_df_op_reference_docstring_golden(spark):
+    """Published decimals from the reference's top-level yd.interpolar
+    docstring (interpolador.py:356-400): curve (5,0.10)(20,0.12)
+    (50,0.13), targets 10 and 25 -> 0.113293 / 0.123323 (6dp shown)."""
+    curve = spark.createDataFrame(
+        [(1, 5, 0.10), (1, 20, 0.12), (1, 50, 0.13)],
+        "g INT, du LONG, taxa DOUBLE",
+    )
+    targets = spark.createDataFrame([(1, 10), (1, 25)], "g INT, du_alvo LONG")
+    out = yd.interpolar(
+        targets, curve, du_col="du_alvo", curve_du="du", curve_rate="taxa", by="g"
+    )
+    got = {r.du_alvo: round(r.taxa_interpolada, 6) for r in out.collect()}
+    assert got == {10: 0.113293, 25: 0.123323}
 
 
 def test_facade_df_op_matches_scalar_twin(spark):
