@@ -31,11 +31,18 @@ _TRANSITION = cal.TRANSITION_DATE
 
 
 def _cal_prefixed(spark, prefix: str, date_alias: str) -> DataFrame:
-    c = cal.calendar_df(spark)
-    return c.select(
-        F.col("data").alias(date_alias),
-        *[F.col(n).alias(prefix + n) for n in c.columns if n != "data"],
-    )
+    # memoized per session: contar/deslocar run in most fixed-income
+    # queries, and rebuilding the identical projection costs dozens of
+    # py4j round-trips each time — query CONSTRUCTION overhead that
+    # scales with suite size (DataFrames are immutable, reuse is safe)
+    key = (id(spark.sparkContext), "calpfx", prefix, date_alias)
+    if key not in cal._DF_CACHE:
+        c = cal.calendar_df(spark)
+        cal._DF_CACHE[key] = c.select(
+            F.col("data").alias(date_alias),
+            *[F.col(n).alias(prefix + n) for n in c.columns if n != "data"],
+        )
+    return cal._DF_CACHE[key]
 
 
 def _regime_pick(start_col: Column, ant: Column, nov: Column) -> Column:
