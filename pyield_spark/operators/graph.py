@@ -99,3 +99,54 @@ def dedup_decisions(
             | (F.col(id_col) == F.col("cluster_id"))
         ).alias("keep"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Dedup verdict keeping the HIGHEST-QUALITY copy per cluster.
+
+    Production pipelines rarely keep the min-id copy: near-dup clusters
+    mix a clean original with truncated/boilerplate-wrapped mirrors, and
+    the curated survivor should be the best-scoring one (SlimPajama and
+    Dolma both pick a preferred copy by source/quality priority).
+    Canonical = ``max_by(id, (quality, -id))`` per cluster — quality
+    DESC with min-id as the deterministic tie-break — via one map-side
+    combinable aggregate over the (tiny) clustered slice; singletons
+    keep themselves without ever joining the aggregate.
+
+    Returns ``(id_col, cluster_id, quality_col, keep)``.
+    """
+    comp = connected_components(pairs, src, dst)
+    scored = docs.select(id_col, quality_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    # (quality ASC, id DESC) max == quality DESC + min-id tie-break;
+    # negating the id keeps the whole order inside ONE max_by struct
+    best = (
+        scored.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(quality_col), (-F.col(id_col)).alias("_negid")),
+            ).alias("_best_id")
+        )
+    )
+    return (
+        scored.join(F.broadcast(best), "cluster_id", "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            quality_col,
+            (
+                F.col("_best_id").isNull()
+                | (F.col(id_col) == F.col("_best_id"))
+            ).alias("keep"),
+        )
+    )

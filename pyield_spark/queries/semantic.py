@@ -304,3 +304,71 @@ def q_boilerplate_strip(spark, sf_dir):
         F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# === within-document repetition removal: keep the FIRST occurrence of
+# each repeated aligned span inside the same document ======================
+
+
+@query(
+    "q_intradoc_dedup",
+    oracle=f"""
+    WITH sp0 AS (SELECT doc_id, {_SPANS_SQL} AS spans FROM documents),
+    sp AS (SELECT doc_id, u.i AS i, spans[u.i] AS span
+           FROM sp0, LATERAL unnest(range(1, len(spans) + 1)) u(i)),
+    firsts AS (
+      SELECT doc_id, span, MIN(i) AS i, COUNT(*) AS cnt
+      FROM sp GROUP BY doc_id, span
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_spans,
+             CAST(SUM(cnt - 1) AS BIGINT) AS n_dropped,
+             string_agg(span, ' ' ORDER BY i) AS clean_text
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def q_intradoc_dedup(spark, sf_dir):
+    """Within-document repetition REMOVAL (the transform behind Gopher's
+    repetition flags, q_repetition_stats): every repeated aligned span
+    inside one document keeps only its first occurrence and the text is
+    rebuilt in order. Complements q_boilerplate_strip (cross-doc spans)
+    and q_span_dedup (cross-doc flags).
+
+    Scale shape: explode -> one (doc, span) groupBy with min(i)/count —
+    map-side combinable, no window over the exploded set -> one groupBy
+    per doc for the ordered rebuild. Both shuffles hash on uniform keys.
+    """
+    docs = tables(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id", F.posexplode(tx.spans_expr("text", _SPAN)).alias("i", "span")
+    )
+    firsts = sp.groupBy("doc_id", "span").agg(
+        F.min("i").alias("i"), F.count("*").alias("cnt")
+    )
+    agg = firsts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_spans"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("i").alias("i"), F.col("span").alias("s"))
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -105,6 +105,68 @@ def q_dedup_clusters(spark, sf_dir):
     return gr.dedup_decisions(docs, pairs, id_col="doc_id")
 
 
+# === quality-aware canonical selection: within a dup cluster keep the
+# BEST-scoring copy, not the min id ========================================
+
+
+def _qscore_sql() -> str:
+    from pyield_spark.queries.curation import _qscore_sql as q
+
+    return q()
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES.lstrip()},
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN und e ON e.u = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT d.doc_id, c.cluster_id, {{q}} AS quality_score
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    best AS (
+      SELECT cluster_id, doc_id AS best_id FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM scored WHERE cluster_id IS NOT NULL) WHERE rn = 1
+    )
+    SELECT s.doc_id,
+           COALESCE(s.cluster_id, s.doc_id) AS cluster_id,
+           s.quality_score,
+           (s.cluster_id IS NULL OR s.doc_id = b.best_id) AS keep
+    FROM scored s LEFT JOIN best b ON b.cluster_id = s.cluster_id
+    """.replace("{q}", _qscore_sql()),
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware fuzzy dedup: same LSH pairs + transitive closure as
+    q_dedup_clusters, but the surviving copy per cluster is the
+    HIGHEST-quality one (min id breaks ties) — what curated pipelines
+    (SlimPajama/Dolma source-priority rules) actually do, since near-dup
+    clusters mix a clean original with truncated or wrapper-padded
+    mirrors."""
+    docs = tables(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", tx.quality_score_expr("text").alias("quality_score")
+    )
+    pairs = dd.lsh_candidate_pairs(docs, "text", "doc_id", n=3, band_size=2)
+    return gr.dedup_keep_best(
+        scored, pairs, quality_col="quality_score", id_col="doc_id"
+    )
+
+
 # === deterministic stratified sampling ====================================
 
 _SAMPLE_RATES = {"en": 0.8, "zh": 0.5, "de": 0.25}

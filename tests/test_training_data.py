@@ -32,6 +32,24 @@ def test_dedup_decisions_keeps_one_per_cluster(spark):
     assert by_doc[5] == 1 and by_doc[7] == 6 and by_doc[4] == 4
 
 
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """Canonical selection: within {1,3,5} the best-quality doc (5)
+    survives — NOT min id; quality ties fall back to min id ({6,7} both
+    0.5 -> keep 6); singletons always keep."""
+    docs = spark.createDataFrame(
+        [(0, 0.1), (1, 0.2), (2, 0.9), (3, 0.4), (4, 0.3), (5, 0.8),
+         (6, 0.5), (7, 0.5)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], "id_a long, id_b long")
+    rows = gr.dedup_keep_best(docs, pairs, quality_col="q").collect()
+    keep = {r["doc_id"] for r in rows if r["keep"]}
+    assert keep == {0, 2, 4, 5, 6}
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # cluster ids stay min-label (stable identity), only the KEPT copy moves
+    assert by_doc[5] == 1 and by_doc[7] == 6
+
+
 def test_hash_sampling_deterministic_and_stratified(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     a = sp.hash_sample(docs, "doc_id", 0.3, salt="s").select("doc_id")
