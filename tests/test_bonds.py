@@ -251,3 +251,54 @@ def test_ntnb1_cotacao_docstring_golden(spark):
     )
     assert out[0].n == 240
     assert out[0].cotacao == 0.038332
+
+
+def test_multifamily_mask(spark):
+    """Mask-style market-truth test (reference pattern:
+    tests/tpf/test_mascara.py — published sheet across all families at
+    once): ONE mixed-family frame, per-title dispatch exactly like the
+    auction pipeline, every published docstring decimal reproduced by
+    the distributed path in a single query."""
+    from pyspark.sql import functions as F
+
+    from pyield_spark.bonds.pricing import price_coupon_bond
+
+    rows = [
+        # (id, titulo, liq, ven, taxa, want): LTN/NTN-F want = pu,
+        # NTN-B want = cotacao — all published reference decimals
+        (1, "LTN", dt.date(2024, 7, 5), dt.date(2030, 1, 1), 0.12145, 535.279902),
+        (2, "LTN", dt.date(2008, 5, 21), dt.date(2010, 7, 1), 0.143600009, 753.315323),
+        (3, "NTN-F", dt.date(2024, 7, 5), dt.date(2035, 1, 1), 0.11921, 895.359254),
+        (4, "NTN-F", dt.date(2024, 7, 1), dt.date(2027, 1, 1), 0.10, 999.931303),
+        (5, "NTN-F", dt.date(2008, 5, 21), dt.date(2014, 1, 1), 0.136600009, 903.075616),
+        (6, "NTN-B", dt.date(2024, 5, 31), dt.date(2035, 5, 15), 0.061490, 0.993651),
+        (7, "NTN-B", dt.date(2024, 5, 31), dt.date(2060, 8, 15), 0.061878, 0.995341),
+        (8, "NTN-B", dt.date(2024, 8, 15), dt.date(2032, 8, 15), 0.05929, 1.006409),
+        (9, "NTN-B", dt.date(2024, 5, 15), dt.date(2025, 5, 15), 0.10, 0.964454),
+        (10, "NTN-B", dt.date(2008, 5, 21), dt.date(2010, 8, 15), 0.082900009, 0.970813),
+    ]
+    base = spark.createDataFrame(
+        rows, "id INT, titulo STRING, liq DATE, ven DATE, taxa DOUBLE, want DOUBLE"
+    )
+    base = du.contar(base, "liq", "ven")
+    ntnf = price_coupon_bond(
+        base.filter(F.col("titulo") == "NTN-F"), ["id"],
+        settlement="liq", maturity="ven", alias="_agg",
+    )
+    ntnb = ntnb_cotacao(
+        base.filter(F.col("titulo") == "NTN-B"), ["id"],
+        settlement="liq", maturity="ven", alias="_agg",
+    )
+    out = (
+        base.join(ntnf.unionByName(ntnb), "id", "left")
+        .withColumn(
+            "valor",
+            F.when(
+                F.col("titulo") == "LTN", ltn_pu_expr("dias_uteis", "taxa")
+            ).otherwise(F.col("_agg")),
+        )
+        .collect()
+    )
+    assert len(out) == 10
+    for r in out:
+        assert r.valor == r.want, (r.id, r.titulo, r.valor, r.want)
