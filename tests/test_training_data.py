@@ -155,3 +155,63 @@ def test_weighted_sample_proportionality(spark):
         [(1, 0), (2, -3), (3, None), (4, 10)], "id long, w int"
     )
     assert [r.id for r in weighted_sample(df2, "id", "w", 4).collect()] == [4]
+
+
+def test_dedup_keep_best_randomized_vs_unionfind(spark):
+    """Seeded random graphs: exactly one keeper per cluster, the keeper
+    maximizes (quality, -id), cluster ids equal the union-find min
+    label — mirrors the python reference implementation exactly."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(3):
+        n = rng.randint(8, 20)
+        ids = list(range(n))
+        quality = {i: round(rng.random(), 3) for i in ids}
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(3, 12))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        clusters = {}
+        for i in ids:
+            root = find(i) if i in touched else i
+            # min label within the touched component; singletons self-label
+            clusters.setdefault(root if i in touched else i, []).append(i)
+        # normalize: label = min member id
+        want_label = {}
+        for members in clusters.values():
+            lbl = min(members)
+            for m in members:
+                want_label[m] = lbl
+        want_keep = set()
+        for members in clusters.values():
+            want_keep.add(
+                max(members, key=lambda m: (quality[m], -m))
+            )
+
+        docs = spark.createDataFrame(
+            [(i, quality[i]) for i in ids], "doc_id long, q double"
+        )
+        if edges:
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        else:
+            continue
+        rows = gr.dedup_keep_best(docs, pairs, quality_col="q").collect()
+        got_label = {r["doc_id"]: r["cluster_id"] for r in rows}
+        got_keep = {r["doc_id"] for r in rows if r["keep"]}
+        assert got_label == want_label
+        assert got_keep == want_keep
