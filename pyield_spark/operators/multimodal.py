@@ -64,11 +64,16 @@ def _fake_features(payload: bytes) -> list[float]:
 
     Marked FAKE: replaces decode→model-embed with a reproducible
     function of the bytes so the distributed plumbing (schema, batch
-    shape, partitioning) is fully exercised.
+    shape, partitioning) is fully exercised. Rounding is the portable
+    half-away pround (values are non-negative), not python round() —
+    so a SQL engine can replay the exact doubles.
     """
     n = len(payload) or 1
+    import math
+
     return [
-        round(sum(payload[i::FEATURE_DIM]) / (255.0 * n), 8) for i in range(FEATURE_DIM)
+        math.floor(sum(payload[i::FEATURE_DIM]) / (255.0 * n) * 1e8 + 0.5) / 1e8
+        for i in range(FEATURE_DIM)
     ]
 
 

@@ -284,11 +284,44 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 # === multimodal feature extraction (Arrow-batched stub decode) ============
-# No oracle: the mapInPandas fake-decode kernel is not SQL-expressible;
-# the driver records the weaker rows-only check.
+# The decode itself is the declared stub, but the deterministic fake
+# path IS oracle-checkable here: the kernel's byte-histogram moments run
+# over UTF-8 payload bytes, and this corpus is pure ASCII (max codepoint
+# 121 at every SF), so byte values equal char codes — DuckDB replays the
+# per-stride sums exactly (the kernel rounds with the portable pround).
+
+_MMF_CODES = """
+    mmf_codes AS (
+      SELECT doc_id, t.i AS i,
+             CAST(unicode(substr(text, CAST(t.i AS INT), 1)) AS DOUBLE) AS c,
+             length(text) AS n
+      FROM documents, LATERAL unnest(range(1, length(text) + 1)) t(i)
+    )
+""".strip()
 
 
-@query("q_multimodal_features")
+def _mmf_f(k: int) -> str:
+    return pround_sql(
+        f"COALESCE(SUM(CASE WHEN (i - 1) % 8 = {k} THEN c END), 0)"
+        f" / (255.0 * MAX(n))",
+        8,
+    )
+
+
+@query(
+    "q_multimodal_features",
+    oracle=f"""
+    WITH {_MMF_CODES},
+    f AS (
+      SELECT doc_id,
+             {", ".join(f"{_mmf_f(k)} AS f{k}" for k in range(8))}
+      FROM mmf_codes GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           {", ".join(f"COALESCE(f.f{k}, 0.0) AS f{k}" for k in range(8))}
+    FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
     docs = tables(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
