@@ -250,3 +250,40 @@ def test_cpm_dissect_composition(spark):
         # months 2 and 4 are not COPOM months in the synthetic calendar
         assert r.codigo_negociacao[3] in ("G", "J")
         assert r.dias_uteis is None
+
+
+def test_cpm_ticker_parse_docstring_goldens(spark):
+    """Reference _parse_ticker docstring tuples (selic/cpm.py:185-195):
+    CPMZ25C099500 -> (12, 2025, call, 99.5, -50);
+    CPMF25C100750 -> (1, 2025, call, 100.75, 75);
+    CPMH25P100000 -> (3, 2025, put, 100.0, 0) — through the exact
+    dissection expressions q_cpm_dissect runs."""
+    from pyspark.sql import functions as F
+
+    from pyield_spark.queries.analytics import _MONTH_ALPHABET
+
+    df = spark.createDataFrame(
+        [("CPMZ25C099500",), ("CPMF25C100750",), ("CPMH25P100000",)],
+        "codigo_negociacao STRING",
+    )
+    out = df.select(
+        "codigo_negociacao",
+        F.expr(
+            f"instr('{_MONTH_ALPHABET}', substring(codigo_negociacao, 4, 1))"
+        ).cast("int").alias("mes"),
+        (F.substring("codigo_negociacao", 5, 2).cast("int") + 2000).alias("ano"),
+        F.when(F.substring("codigo_negociacao", 7, 1) == "C", "call")
+        .when(F.substring("codigo_negociacao", 7, 1) == "P", "put")
+        .alias("tipo"),
+        (F.substring("codigo_negociacao", 8, 6).cast("bigint") / 1000.0).alias(
+            "strike"
+        ),
+        (
+            F.floor(F.substring("codigo_negociacao", 8, 6).cast("bigint") / 10)
+            - 10000
+        ).cast("int").alias("var_bps"),
+    ).collect()
+    got = {r.codigo_negociacao: (r.mes, r.ano, r.tipo, r.strike, r.var_bps) for r in out}
+    assert got["CPMZ25C099500"] == (12, 2025, "call", 99.5, -50)
+    assert got["CPMF25C100750"] == (1, 2025, "call", 100.75, 75)
+    assert got["CPMH25P100000"] == (3, 2025, "put", 100.0, 0)
