@@ -58,6 +58,25 @@ def test_ntnf_flow_dates_golden(spark):
     ]
 
 
+def test_ntnb_payment_dates_docstring_goldens(spark):
+    """NTN-B chain goldens (ntnb.py:170-188): mid-period settlement
+    includes the upcoming 15-May coupon; settlement ON a payment date is
+    EXCLUSIVE (the chain starts at the next coupon)."""
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 5, 10), dt.date(2025, 5, 15)),
+            (2, dt.date(2024, 5, 15), dt.date(2025, 5, 15)),
+        ],
+        "id INT, liq DATE, ven DATE",
+    )
+    rows = explode_payment_dates(df, "liq", "ven").orderBy("id", "data_pagamento").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.id, []).append(r.data_pagamento)
+    assert got[1] == [dt.date(2024, 5, 15), dt.date(2024, 11, 15), dt.date(2025, 5, 15)]
+    assert got[2] == [dt.date(2024, 11, 15), dt.date(2025, 5, 15)]
+
+
 def test_ntnb_cotacao_goldens(spark):
     cases = [
         (1, dt.date(2024, 5, 31), dt.date(2035, 5, 15), 0.061490, 0.993651),
