@@ -157,13 +157,24 @@ _CAL_SCHEMA = (
 
 # per-session dimension cache: building ~40k rows driver-side is cheap
 # once, but doing it per operator call serializes the whole table into
-# every query — memoize (keyed weakly by the JVM session id).
+# every query — memoize, keyed by a session token that a NEW session
+# cannot reuse. id(sparkContext) is unsafe: a stopped context's address
+# can be re-allocated to a fresh one, serving plans bound to the dead
+# session (applicationId carries a start timestamp in every master).
 _DF_CACHE: dict = {}
+
+
+def _session_token(spark) -> str:
+    sc = spark.sparkContext
+    try:
+        return f"{sc.applicationId}:{sc.startTime}"
+    except Exception:  # pragma: no cover - startTime gone on some builds
+        return str(sc.applicationId)
 
 
 def calendar_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
     """The business-day dimension as a (broadcastable) Spark DataFrame."""
-    key = (id(spark.sparkContext), "cal", start, end)
+    key = (_session_token(spark), "cal", start, end)
     if key not in _DF_CACHE:
         _DF_CACHE[key] = spark.createDataFrame(
             calendar_rows(start, end), _CAL_SCHEMA
@@ -173,7 +184,7 @@ def calendar_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
 
 def business_dates_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
     """Inverse map: (regime, ordinal) -> date, for business-day offsets."""
-    key = (id(spark.sparkContext), "bdinv", start, end)
+    key = (_session_token(spark), "bdinv", start, end)
     if key not in _DF_CACHE:
         rows = []
         for r in calendar_rows(start, end):

@@ -35,7 +35,7 @@ def _cal_prefixed(spark, prefix: str, date_alias: str) -> DataFrame:
     # queries, and rebuilding the identical projection costs dozens of
     # py4j round-trips each time — query CONSTRUCTION overhead that
     # scales with suite size (DataFrames are immutable, reuse is safe)
-    key = (id(spark.sparkContext), "calpfx", prefix, date_alias)
+    key = (cal._session_token(spark), "calpfx", prefix, date_alias)
     if key not in cal._DF_CACHE:
         c = cal.calendar_df(spark)
         cal._DF_CACHE[key] = c.select(

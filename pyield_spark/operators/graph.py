@@ -126,15 +126,17 @@ def dedup_keep_best(
     scored = docs.select(id_col, quality_col).join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     )
-    # (quality ASC, id DESC) max == quality DESC + min-id tie-break;
-    # negating the id keeps the whole order inside ONE max_by struct
+    # min over (-quality, id) == quality DESC with id ASC tie-break in
+    # ONE min_by struct. Negating QUALITY (numeric by contract) rather
+    # than the id keeps the operator correct for any orderable id type
+    # (string ids would fail the numeric negation under ANSI mode).
     best = (
         scored.filter(F.col("cluster_id").isNotNull())
         .groupBy("cluster_id")
         .agg(
-            F.max_by(
+            F.min_by(
                 F.col(id_col),
-                F.struct(F.col(quality_col), (-F.col(id_col)).alias("_negid")),
+                F.struct((-F.col(quality_col)).alias("_nq"), F.col(id_col)),
             ).alias("_best_id")
         )
     )

@@ -15,6 +15,7 @@ column pruning.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,8 +70,6 @@ def _fake_features(payload: bytes) -> list[float]:
     so a SQL engine can replay the exact doubles.
     """
     n = len(payload) or 1
-    import math
-
     return [
         math.floor(sum(payload[i::FEATURE_DIM]) / (255.0 * n) * 1e8 + 0.5) / 1e8
         for i in range(FEATURE_DIM)

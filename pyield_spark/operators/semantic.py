@@ -160,3 +160,50 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def intradoc_span_dedup(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Within-document repetition removal: every repeated aligned span
+    inside one document keeps only its FIRST occurrence, and the text is
+    rebuilt in order (the transform behind Gopher-style repetition
+    flags). Returns (id, n_spans, n_dropped, clean_text); docs without a
+    complete span yield (0, 0, '').
+
+    Scale shape: explode -> one (doc, span) groupBy with min(i)/count —
+    map-side combinable, no window over the exploded set -> one groupBy
+    per doc for the ordered rebuild. Both shuffles hash on uniform keys.
+    """
+    from pyield_spark.operators import text as tx
+
+    sp = docs.select(
+        id_col, F.posexplode(tx.spans_expr(text, span_tokens)).alias("i", "span")
+    )
+    firsts = sp.groupBy(id_col, "span").agg(
+        F.min("i").alias("i"), F.count("*").alias("cnt")
+    )
+    agg = firsts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_spans"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("i").alias("i"), F.col("span").alias("s"))
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

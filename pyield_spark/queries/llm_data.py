@@ -302,7 +302,7 @@ _MMF_CODES = """
 
 def _mmf_f(k: int) -> str:
     return pround_sql(
-        f"COALESCE(SUM(CASE WHEN (i - 1) % 8 = {k} THEN c END), 0)"
+        f"COALESCE(SUM(CASE WHEN (i - 1) % {mm.FEATURE_DIM} = {k} THEN c END), 0)"
         f" / (255.0 * MAX(n))",
         8,
     )
@@ -314,11 +314,11 @@ def _mmf_f(k: int) -> str:
     WITH {_MMF_CODES},
     f AS (
       SELECT doc_id,
-             {", ".join(f"{_mmf_f(k)} AS f{k}" for k in range(8))}
+             {", ".join(f"{_mmf_f(k)} AS f{k}" for k in range(mm.FEATURE_DIM))}
       FROM mmf_codes GROUP BY doc_id
     )
     SELECT d.doc_id,
-           {", ".join(f"COALESCE(f.f{k}, 0.0) AS f{k}" for k in range(8))}
+           {", ".join(f"COALESCE(f.f{k}, 0.0) AS f{k}" for k in range(mm.FEATURE_DIM))}
     FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
     """,
 )

@@ -338,37 +338,8 @@ def q_intradoc_dedup(spark, sf_dir):
     repetition flags, q_repetition_stats): every repeated aligned span
     inside one document keeps only its first occurrence and the text is
     rebuilt in order. Complements q_boilerplate_strip (cross-doc spans)
-    and q_span_dedup (cross-doc flags).
-
-    Scale shape: explode -> one (doc, span) groupBy with min(i)/count —
-    map-side combinable, no window over the exploded set -> one groupBy
-    per doc for the ordered rebuild. Both shuffles hash on uniform keys.
+    and q_span_dedup (cross-doc flags). See
+    ``operators/semantic.py::intradoc_span_dedup`` for the scale notes.
     """
     docs = tables(spark, sf_dir, "documents")
-    sp = docs.select(
-        "doc_id", F.posexplode(tx.spans_expr("text", _SPAN)).alias("i", "span")
-    )
-    firsts = sp.groupBy("doc_id", "span").agg(
-        F.min("i").alias("i"), F.count("*").alias("cnt")
-    )
-    agg = firsts.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_spans"),
-        F.sum(F.col("cnt") - 1).cast("long").alias("n_dropped"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("i").alias("i"), F.col("span").alias("s"))
-                    )
-                ),
-                lambda s: s["s"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    return docs.select("doc_id").join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-    )
+    return sm.intradoc_span_dedup(docs, "text", "doc_id", span_tokens=_SPAN)

@@ -109,10 +109,7 @@ def q_dedup_clusters(spark, sf_dir):
 # BEST-scoring copy, not the min id ========================================
 
 
-def _qscore_sql() -> str:
-    from pyield_spark.queries.curation import _qscore_sql as q
-
-    return q()
+from pyield_spark.queries.curation import _qscore_sql
 
 
 @query(

@@ -178,9 +178,9 @@ def test_boilerplate_strip_rebuild_order(spark):
 def test_intradoc_dedup_first_occurrence_order(spark):
     """Repeated spans WITHIN one doc keep only the first occurrence and
     the rebuild preserves document order; a doc without repetition is
-    unchanged; a short doc yields zero spans and empty text."""
-    from pyield_spark.operators import text as tx
-    from pyspark.sql import functions as F
+    unchanged; a short doc yields zero spans and empty text — asserted
+    against the PRODUCTION operator (intradoc_span_dedup)."""
+    from pyield_spark.operators.semantic import intradoc_span_dedup
 
     a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
     b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
@@ -192,23 +192,7 @@ def test_intradoc_dedup_first_occurrence_order(spark):
         ],
         "doc_id long, text string",
     )
-    sp = docs.select(
-        "doc_id", F.posexplode(tx.spans_expr("text", 10)).alias("i", "span")
-    )
-    firsts = sp.groupBy("doc_id", "span").agg(
-        F.min("i").alias("i"), F.count("*").alias("cnt")
-    )
-    agg = firsts.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_spans"),
-        F.sum(F.col("cnt") - 1).cast("long").alias("n_dropped"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct(F.col("i").alias("i"), F.col("span").alias("s")))),
-                lambda s: s["s"],
-            ), " ").alias("clean_text"),
-    )
-    got = {r.doc_id: r for r in agg.collect()}
+    got = {r.doc_id: r for r in intradoc_span_dedup(docs, "text", "doc_id").collect()}
     assert got[1].clean_text == f"{a} {b}" and got[1].n_dropped == 1
     assert got[2].clean_text == f"{b} {a}" and got[2].n_dropped == 0
-    assert 3 not in got
+    assert got[3].clean_text == "" and got[3].n_spans == 0
