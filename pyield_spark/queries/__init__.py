@@ -68,9 +68,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_pivot_linestatus", "q_sql_grouping_sets", "q_merge_upsert",
     # streaming batch twins (T1-T4 replay-equals-batch anchors)
     "q_events_tumbling", "q_events_sessionize", "q_events_dedup_latest",
-    # LLM-data pipeline operators
+    # LLM-data pipeline operators. q_multimodal_features over
+    # q_multimodal_meta: both cover the multimodal surface, but the
+    # feature query value-verifies the Arrow mapInPandas kernel against
+    # its oracle — the stronger evidence (meta stays in the local sweep)
     "q_text_stats", "q_exact_dedup", "q_minhash_lsh", "q_simhash",
-    "q_embedding_neardup", "q_ivf_topk", "q_multimodal_meta",
+    "q_embedding_neardup", "q_ivf_topk", "q_multimodal_features",
     "q_sketch_rollup",
 ]
 
