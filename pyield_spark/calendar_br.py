@@ -172,20 +172,39 @@ def _session_token(spark) -> str:
         return str(sc.applicationId)
 
 
+def df_cache_get(spark, subkey: tuple, builder):
+    """Memoized per-session DataFrame lookup with dead-session eviction.
+
+    On a cache miss, entries keyed to a DIFFERENT session token are
+    purged: a long-lived process that starts/stops many sessions would
+    otherwise accumulate DataFrame plans bound to dead sessions forever
+    (each carries a cached RDD handle). A miss only happens on the first
+    use of a new (session, dimension) pair, so the sweep is rare.
+    """
+    token = _session_token(spark)
+    key = (token, *subkey)
+    if key not in _DF_CACHE:
+        for stale in [k for k in _DF_CACHE if k[0] != token]:
+            del _DF_CACHE[stale]
+        _DF_CACHE[key] = builder()
+    return _DF_CACHE[key]
+
+
 def calendar_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
     """The business-day dimension as a (broadcastable) Spark DataFrame."""
-    key = (_session_token(spark), "cal", start, end)
-    if key not in _DF_CACHE:
-        _DF_CACHE[key] = spark.createDataFrame(
+    return df_cache_get(
+        spark,
+        ("cal", start, end),
+        lambda: spark.createDataFrame(
             calendar_rows(start, end), _CAL_SCHEMA
-        ).cache()
-    return _DF_CACHE[key]
+        ).cache(),
+    )
 
 
 def business_dates_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
     """Inverse map: (regime, ordinal) -> date, for business-day offsets."""
-    key = (_session_token(spark), "bdinv", start, end)
-    if key not in _DF_CACHE:
+
+    def build():
         rows = []
         for r in calendar_rows(start, end):
             d, bd_a, bd_n, c_a, c_n = r[0], r[1], r[2], r[3], r[4]
@@ -193,7 +212,8 @@ def business_dates_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END)
                 rows.append(("antigo", c_a, d))
             if bd_n:
                 rows.append(("novo", c_n, d))
-        _DF_CACHE[key] = spark.createDataFrame(
+        return spark.createDataFrame(
             rows, "regime STRING, ordinal BIGINT, data DATE"
         ).cache()
-    return _DF_CACHE[key]
+
+    return df_cache_get(spark, ("bdinv", start, end), build)

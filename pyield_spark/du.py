@@ -35,14 +35,14 @@ def _cal_prefixed(spark, prefix: str, date_alias: str) -> DataFrame:
     # queries, and rebuilding the identical projection costs dozens of
     # py4j round-trips each time — query CONSTRUCTION overhead that
     # scales with suite size (DataFrames are immutable, reuse is safe)
-    key = (cal._session_token(spark), "calpfx", prefix, date_alias)
-    if key not in cal._DF_CACHE:
+    def build():
         c = cal.calendar_df(spark)
-        cal._DF_CACHE[key] = c.select(
+        return c.select(
             F.col("data").alias(date_alias),
             *[F.col(n).alias(prefix + n) for n in c.columns if n != "data"],
         )
-    return cal._DF_CACHE[key]
+
+    return cal.df_cache_get(spark, ("calpfx", prefix, date_alias), build)
 
 
 def _regime_pick(start_col: Column, ant: Column, nov: Column) -> Column:

@@ -141,7 +141,11 @@ def dedup_keep_best(
         )
     )
     return (
-        scored.join(F.broadcast(best), "cluster_id", "left")
+        # no broadcast hint: ``best`` has one row per dup CLUSTER, which
+        # grows with corpus size — a forced broadcast of an unbounded
+        # aggregate risks OOM at 100 TB. AQE picks broadcast when the
+        # cluster count is actually small and a shuffle join when not.
+        scored.join(best, "cluster_id", "left")
         .select(
             id_col,
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),

@@ -37,6 +37,23 @@ def pack_binary_expr(text: str | Column) -> Column:
     return F.encode(c, "UTF-8")
 
 
+def ascii_payload_expr(text: str | Column, context: str = "payload") -> Column:
+    """``pack_binary_expr`` with an inline ASCII assertion.
+
+    Oracles that equate payload BYTES with CHAR CODES only hold for
+    ASCII text; this packs the payload with an ``assert_true`` woven
+    into the expression itself, so column pruning cannot drop the check
+    (a standalone assert column would be pruned away) and a future
+    non-ASCII document fails loudly instead of silently desyncing.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    ok = F.assert_true(
+        F.octet_length(c) == F.char_length(c),
+        F.lit(f"{context}: non-ASCII text — byte/codepoint equivalence broken"),
+    )
+    return F.when(ok.isNull(), F.encode(c, "UTF-8"))
+
+
 def media_metadata_exprs(payload: str | Column) -> dict[str, Column]:
     """Typed metadata computed without decoding: byte length, sha256,
     a fake 'format' sniffed from the first byte."""

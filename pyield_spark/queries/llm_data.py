@@ -293,7 +293,10 @@ def q_multimodal_meta(spark, sf_dir):
 _MMF_CODES = """
     mmf_codes AS (
       SELECT doc_id, t.i AS i,
-             CAST(unicode(substr(text, CAST(t.i AS INT), 1)) AS DOUBLE) AS c,
+             CASE WHEN octet_length(encode(text)) <> length(text)
+                  THEN error('q_multimodal_features oracle: non-ASCII document — byte/codepoint equivalence broken')
+                  ELSE CAST(unicode(substr(text, CAST(t.i AS INT), 1)) AS DOUBLE)
+             END AS c,
              length(text) AS n
       FROM documents, LATERAL unnest(range(1, length(text) + 1)) t(i)
     )
@@ -324,7 +327,14 @@ def _mmf_f(k: int) -> str:
 )
 def q_multimodal_features(spark, sf_dir):
     docs = tables(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", mm.pack_binary_expr("text").alias("payload"))
+    # the oracle equates payload BYTES with CHAR CODES, which only holds
+    # for ASCII text — assert it instead of relying on an observed data
+    # property (a future non-ASCII doc must fail loudly, not desync);
+    # the oracle carries the mirror-image error() guard.
+    payloads = docs.select(
+        "doc_id",
+        mm.ascii_payload_expr("text", "q_multimodal_features").alias("payload"),
+    )
     feats = mm.extract_features(payloads, "payload", "doc_id")
     # project the feature vector to scalar columns: the driver's
     # canonicalizer sorts pandas columns, and list cells are unhashable

@@ -191,37 +191,47 @@ def market_hours_filter(
     return (t >= open_time) & (t <= close_time) & not_special
 
 
-def enrich_with_batch_ops(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def enrich_with_batch_ops(
+    spark: SparkSession, sf_dir: str, name: str, sink_dir: str | None = None
+) -> DataFrame:
     """T4 (SURVEY §2.10): every batch operator of the engine is
     stream-safe via ``foreachBatch`` — here each micro-batch of events
     is enriched with the business-day engine (eh_dia_util on the event
     date), exactly the reference's intraday-snapshot enrichment pattern
     (pyield/futuro/intradia.py:143-172) restated on a real stream.
 
-    DEMO-ONLY HARNESS: the driver-side list sink below exists so tests
-    can assert replay-equals-batch on a bounded stream. A production
-    ``foreachBatch`` writes each micro-batch to a real sink
-    (``batch_df.write...``) — never accumulates on the driver.
+    Each micro-batch writes its enriched aggregate to a parquet sink
+    (the production ``foreachBatch`` shape — executors write, nothing
+    accumulates on the driver); the bounded-replay result is the sink
+    read back with per-epoch partials merged (a date split across two
+    micro-batches emits two partial counts — summing them is exactly
+    what a downstream MERGE/compaction would do).
     """
+    import tempfile
+
     from pyield_spark import du as du_mod
 
     ev = read_events_stream(spark, sf_dir)
-    sink: list = []
+    out_dir = sink_dir or tempfile.mkdtemp(prefix=f"pyield_enrich_{name}_")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         enriched = du_mod.eh_dia_util(
             batch_df.withColumn("event_date", F.to_date("ts")), "event_date"
         )
-        sink.append(
-            enriched.groupBy("event_date", "eh_dia_util").count().collect()
+        (
+            enriched.groupBy("event_date", "eh_dia_util")
+            .agg(F.count("*").alias("n"))
+            .write.mode("append")
+            .parquet(out_dir)
         )
 
     q = ev.writeStream.foreachBatch(handle).start()
     q.processAllAvailable()
     q.stop()
-    rows = [r for batch in sink for r in batch]
-    return spark.createDataFrame(
-        rows, "event_date DATE, eh_dia_util BOOLEAN, count BIGINT"
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_date", "eh_dia_util")
+        .agg(F.sum("n").alias("count"))
     )
 
 

@@ -124,3 +124,26 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_driver_collect_in_library_code():
+    """Source sweep: ``.collect()`` must not appear in any non-test
+    module. The single allowed site is the 1-row-per-round convergence
+    aggregate of the connected-components fixpoint (operators/graph.py)
+    — standard for iterative algorithms, bounded by max_iter. Everything
+    else (including the streaming foreachBatch demo, which now writes to
+    a parquet sink) must stay executor-side.
+    """
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "pyield_spark"
+    allowed = {"operators/graph.py"}
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        rel = py.relative_to(pkg).as_posix()
+        if rel in allowed:
+            continue
+        for ln, line in enumerate(py.read_text().splitlines(), 1):
+            if ".collect()" in line and not line.lstrip().startswith("#"):
+                offenders.append(f"{rel}:{ln}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
