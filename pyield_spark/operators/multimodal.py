@@ -68,13 +68,26 @@ def media_metadata_exprs(payload: str | Column) -> dict[str, Column]:
 
 
 def decode_image(payload: bytes) -> object:
-    """Decode one image payload. STUB: raises until codec libs exist."""
+    """Decode one image payload. STUB: raises until codec libs exist.
+
+    A codec-capable deployment replaces this (and ``featurize_image``)
+    and sets ``HAVE_IMAGE_CODECS = True`` — ``extract_features`` then
+    routes through the real path with NO other code change (the seam is
+    exercised by tests/test_llm_ops.py's fake-codec test).
+    """
     if not HAVE_IMAGE_CODECS:
         raise NotImplementedError(
             "image codecs not available in this container; "
             "extract_features uses the deterministic fake path"
         )
     raise NotImplementedError("real decode path not wired yet")
+
+
+def featurize_image(img: object) -> list[float]:
+    """Embed one decoded image into FEATURE_DIM floats. STUB: a real
+    deployment swaps in the model forward pass (same seam as
+    ``decode_image``)."""
+    raise NotImplementedError("image embedding model not available")
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -100,8 +113,22 @@ def extract_features(
 
     ``mapInPandas`` keeps the whole batch columnar; the per-row work is
     the (stubbed) decode+embed. Output: id, feature array.
+
+    The decode/featurize path is resolved at PLAN-BUILD time on the
+    driver (``HAVE_IMAGE_CODECS`` plus the module-level ``decode_image``
+    / ``featurize_image``) and captured into the kernel closure — so a
+    codec-capable deployment (or a test-injected fake codec) reaches the
+    executors through the serialized closure, not through worker-side
+    module state.
     """
     out_schema = f"{id_col} bigint, features array<double>"
+    if HAVE_IMAGE_CODECS:
+        decode, featurize = decode_image, featurize_image
+
+        def row_features(b: bytes) -> list[float]:
+            return featurize(decode(b))
+    else:
+        row_features = _fake_features
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,7 +139,7 @@ def extract_features(
                 {
                     id_col: pdf[id_col],
                     "features": [
-                        _fake_features(bytes(b)) for b in pdf[payload_col]
+                        row_features(bytes(b)) for b in pdf[payload_col]
                     ],
                 }
             )

@@ -1,0 +1,180 @@
+"""S6 intradia connector + benchmark-vigency pipeline tests.
+
+Reference shapes: pyield/b3/derivativos_intradia.py (DerivativeQuotation
+payload, dotted-path column map, optional columns) and
+pyield/tpf/benchmark.py (registros payload, vigency selection).
+"""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+PAYLOAD = {
+    "Scty": [
+        {
+            "symb": "DI1J30",
+            "desc": "DI DE 1 DIA",
+            "asset": {
+                "code": "DI1",
+                "AsstSummry": {
+                    "mtrtyCode": "2030-04-01",
+                    "opnCtrcts": 64037,
+                    "grssAmt": 5272867.79,
+                    "tradQty": 36,
+                    "traddCtrctsQty": 89,
+                },
+            },
+            "mkt": {"cd": "FUT"},
+            "SctyQtn": {
+                "curPrc": 14.105,
+                "opngPric": 14.22,
+                "minPric": 14.02,
+                "maxPric": 14.22,
+                "avrgPric": 14.1013,
+                "prvsDayAdjstmntPric": 14.127,
+                "bottomLmtPric": 13.16,
+                "topLmtPric": 15.385,
+            },
+            "buyOffer": {"price": 14.105},
+            "sellOffer": {"price": 14.13},
+        },
+        {
+            "symb": "DI1F27",
+            "desc": "DI DE 1 DIA",
+            "asset": {"code": "DI1", "AsstSummry": {"mtrtyCode": "not-a-date"}},
+            "mkt": {"cd": "FUT"},
+            "SctyQtn": {"curPrc": 13.0},
+        },
+        {
+            "symb": "DI1OPT",
+            "desc": "OPCAO",
+            "asset": {"code": "DI1", "AsstSummry": {"mtrtyCode": "2027-01-04"}},
+            "mkt": {"cd": "OPTEXER"},
+            "SctyQtn": {"curPrc": 1.0},
+        },
+    ]
+}
+
+
+@pytest.fixture()
+def snapshot_path(tmp_path):
+    p = tmp_path / "di1.json"
+    p.write_text(json.dumps(PAYLOAD))
+    return str(p)
+
+
+def test_read_derivativos_json_column_map(spark, snapshot_path):
+    from pyield_spark.sources.intradia_json import read_derivativos_json
+
+    df = read_derivativos_json(spark, snapshot_path)
+    rows = {r["codigo_negociacao"]: r for r in df.collect()}
+    assert set(rows) == {"DI1J30", "DI1F27", "DI1OPT"}
+    r = rows["DI1J30"]
+    assert r["codigo_ativo"] == "DI1"
+    assert r["codigo_mercado"] == "FUT"
+    assert r["data_vencimento"] == dt.date(2030, 4, 1)
+    assert r["preco_ultimo"] == 14.105
+    assert r["preco_ajuste_anterior"] == 14.127
+    assert r["contratos_abertos"] == 64037
+    assert r["volume_financeiro"] == 5272867.79
+    assert r["preco_oferta_compra"] == 14.105
+    assert r["preco_oferta_venda"] == 14.13
+    # tolerant maturity parse: invalid string → null, row kept
+    assert rows["DI1F27"]["data_vencimento"] is None
+    # optional paths absent from the payload are omitted entirely
+    assert "preco_exercicio" not in df.columns
+    assert "tipo_lado" not in df.columns
+
+
+def test_read_derivativos_json_unavailable(spark, tmp_path):
+    from pyield_spark.sources.intradia_json import read_derivativos_json
+
+    p = tmp_path / "empty.json"
+    p.write_text(json.dumps({"msg": "Quotation not available"}))
+    df = read_derivativos_json(spark, str(p))
+    assert df.count() == 0
+    assert "codigo_negociacao" in df.columns  # full canonical schema
+
+
+def test_processar_intradia_di1(spark, snapshot_path):
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    raw = read_derivativos_json(spark, snapshot_path)
+    out = processar_intradia(raw, "DI1", dt.date(2026, 8, 14))
+    rows = out.collect()
+    # OPTEXER row filtered (FUT slice); null-maturity row dropped
+    assert [r["codigo_negociacao"] for r in rows] == ["DI1J30"]
+    r = rows[0]
+    assert r["data_referencia"] == dt.date(2026, 8, 14)
+    assert r["dias_corridos"] == (dt.date(2030, 4, 1) - dt.date(2026, 8, 14)).days
+    assert r["dias_uteis"] > 0
+    # percent → decimal on the renamed rate columns
+    assert abs(r["taxa_ultima"] - 0.14105) < 1e-12
+    # DI1 price-from-rate: 100k discounted at taxa_ultima over du/252
+    expected = round(100_000.0 / (1 + 0.14105) ** (r["dias_uteis"] / 252.0), 2)
+    assert abs(r["preco_ultimo"] - expected) < 1e-9
+    assert r["dv01"] > 0
+    # single-point curve: forward == spot
+    assert abs(r["taxa_forward"] - r["taxa_ultima"]) < 1e-9
+    # preco_* fully renamed away for a rate contract
+    assert not [c for c in out.columns if c.startswith("preco_") and c != "preco_ultimo"]
+
+
+def test_benchmarks_json_roundtrip(spark, tmp_path):
+    from pyield_spark.bonds.benchmark import (
+        benchmarks_vigentes,
+        parse_benchmarks,
+        read_benchmarks_json,
+    )
+
+    payload = {
+        "registros": [
+            {
+                "BENCHMARK": "LFT 6 anos",
+                "VENCIMENTO": "2032-03-01",
+                "TÍTULO": "LFT",
+                "INÍCIO": "2026-01-01",
+                "TERMINO": "2026-03-31",
+            },
+            {
+                "BENCHMARK": "LTN 6 meses",
+                "VENCIMENTO": "2026-10-01",
+                "TÍTULO": " LTN ",
+                "INÍCIO": "2026-07-01",
+                "TERMINO": "2026-09-30",
+            },
+            {
+                "BENCHMARK": "broken",
+                "VENCIMENTO": "n/d",
+                "TÍTULO": "LTN",
+                "INÍCIO": "2026-07-01",
+                "TERMINO": "2026-09-30",
+            },
+        ]
+    }
+    p = tmp_path / "benchmarks.json"
+    p.write_text(json.dumps(payload))
+    parsed = parse_benchmarks(read_benchmarks_json(spark, str(p)))
+    # drop-nulls removed the malformed row; strip normalized the title
+    assert parsed.count() == 2
+    vig = benchmarks_vigentes(parsed, hoje=dt.date(2026, 8, 14)).collect()
+    assert [r["benchmark"] for r in vig] == ["LTN 6 meses"]
+    assert vig[0]["titulo"] == "LTN"
+    # historic mode keeps everything, sorted by vigency start
+    hist = benchmarks_vigentes(
+        parsed, hoje=dt.date(2026, 8, 14), incluir_historico=True
+    ).collect()
+    assert [r["data_inicio"] for r in hist] == [
+        dt.date(2026, 1, 1),
+        dt.date(2026, 7, 1),
+    ]
+    # titulo filter is exact + upper-cased
+    lft = benchmarks_vigentes(
+        parsed, hoje=dt.date(2026, 2, 1), titulo="lft"
+    ).collect()
+    assert [r["titulo"] for r in lft] == ["LFT"]

@@ -107,3 +107,35 @@ def test_dedup_keep_best_no_forced_broadcast(spark):
     assert out[2]["keep"] is False
     assert out[3]["keep"] is False
     assert out[4]["keep"] is True  # singleton keeps itself
+
+
+def test_extract_features_real_codec_seam(spark, monkeypatch):
+    """Flipping HAVE_IMAGE_CODECS with an injected codec must route
+    extract_features through decode+featurize (captured into the kernel
+    closure at plan-build time) — a codec-capable deployment is a config
+    change, not a code change."""
+    from pyield_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"abcd"), (2, b"xy")], "doc_id BIGINT, payload BINARY"
+    )
+
+    # fake path first (control): byte-histogram moments
+    fake = {r["doc_id"]: r["features"] for r in
+            mm.extract_features(df, "payload", "doc_id").collect()}
+
+    def fake_decode(b):
+        return b[::-1]  # "decoded image" = reversed bytes
+
+    def fake_featurize(img):
+        return [float(img[0])] * mm.FEATURE_DIM  # first byte of decoded img
+
+    monkeypatch.setattr(mm, "HAVE_IMAGE_CODECS", True)
+    monkeypatch.setattr(mm, "decode_image", fake_decode)
+    monkeypatch.setattr(mm, "featurize_image", fake_featurize)
+    real = {r["doc_id"]: r["features"] for r in
+            mm.extract_features(df, "payload", "doc_id").collect()}
+
+    assert real[1] == [float(ord("d"))] * mm.FEATURE_DIM
+    assert real[2] == [float(ord("y"))] * mm.FEATURE_DIM
+    assert real[1] != fake[1]

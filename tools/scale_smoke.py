@@ -187,6 +187,42 @@ def main():
 
     timed("lm_typicality_10x", lm_10x)
 
+    # --- round-4 additions: run the REGISTERED composite queries on a
+    # materialized FACTOR× sf_dir (replicated tables written to parquet,
+    # then the exact queries() plans — not hand-rolled equivalents) ---
+    import os
+    import tempfile
+
+    from pyield_spark.queries import QUERIES, load_all
+
+    load_all()
+    scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
+    od.write.mode("overwrite").parquet(os.path.join(scaled_dir, "orders.parquet"))
+    replicate(
+        spark.read.parquet(f"{SF}/documents.parquet"), ["doc_id"]
+    ).write.mode("overwrite").parquet(os.path.join(scaled_dir, "documents.parquet"))
+    replicate(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), ["vec_id"]
+    ).write.mode("overwrite").parquet(os.path.join(scaled_dir, "embeddings.parquet"))
+
+    # q_leiloes: the per-title auction dispatch composite (ungrouped
+    # as-of PTAX attach + single-pass DV01 scenarios) at FACTOR× orders
+    timed("q_leiloes_10x", lambda: QUERIES["q_leiloes"](spark, scaled_dir).count())
+
+    # q_semantic_dedup: Lloyd assignment + cluster-blocked pair space at
+    # FACTOR× vectors (clusters grow, the blocking keeps pairs bounded)
+    timed(
+        "q_semantic_dedup_10x",
+        lambda: QUERIES["q_semantic_dedup"](spark, scaled_dir).count(),
+    )
+
+    # q_embedding_neardup: LSH bucket prune + exact rescore at FACTOR×
+    # vectors — the pair space must stay near-linear via the buckets
+    timed(
+        "q_embedding_neardup_10x",
+        lambda: QUERIES["q_embedding_neardup"](spark, scaled_dir).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
