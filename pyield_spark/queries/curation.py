@@ -458,3 +458,86 @@ def q_product_profit(spark, sf_dir):
         )
         .orderBy("nation", "o_year")
     )
+
+
+# === URL canonicalization + dedup ========================================
+# The first dedup pass of every web-corpus pipeline (CommonCrawl/C4/
+# RefinedWeb): normalize crawl URLs (case-fold scheme+host, strip www,
+# fragments, and utm_* tracking params) and keep one document per
+# canonical URL. Pure column expressions end-to-end — one projection +
+# one min-over-canonical-key window (hash-partitioned by URL, no skew
+# beyond genuine hot URLs, which AQE splits).
+
+_URL_SYNTH_SQL = """
+    u0 AS (
+      SELECT doc_id,
+        'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/'
+          || CAST(doc_id % 37 AS VARCHAR)
+          || '/?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+          || CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+                  THEN '#sec' || CAST(doc_id % 6 AS VARCHAR) ELSE '' END
+          AS url
+      FROM documents
+    )"""
+
+
+@query(
+    "q_url_dedup",
+    oracle=f"""
+    WITH {_URL_SYNTH_SQL.lstrip()},
+    c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u0),
+    c2 AS (SELECT doc_id,
+                  regexp_replace(u, 'utm_[a-z]+=[^&]*&?', '', 'g') AS u
+           FROM c1),
+    c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM c2),
+    canon AS (
+      SELECT doc_id,
+        regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://[^/]*')),
+                       '://www\\.', '://')
+          || regexp_replace(u, '^[A-Za-z]+://[^/]*', '') AS canonical_url
+      FROM c3
+    )
+    SELECT doc_id, canonical_url,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+    FROM canon
+    """,
+)
+def q_url_dedup(spark, sf_dir):
+    """Canonicalize synthetic crawl URLs and keep the lowest doc_id per
+    canonical URL. Canonicalization: drop the fragment, strip utm_*
+    tracking params (and any dangling ?/&), lower-case scheme+host,
+    drop the www. prefix — path case is preserved (paths are
+    case-sensitive on real origins)."""
+    docs = tables(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM/Docs/"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_campaign=x")).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("#sec"), (F.col("doc_id") % 6).cast("string")),
+        ).otherwise(""),
+    )
+    no_frag = F.regexp_replace(url, "#.*", "")
+    no_utm = F.regexp_replace(no_frag, "utm_[a-z]+=[^&]*&?", "")
+    clean = F.regexp_replace(no_utm, "[?&]+$", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/]*", 0)),
+        "://www\\.",
+        "://",
+    )
+    rest = F.regexp_replace(clean, "^[A-Za-z]+://[^/]*", "")
+    canon = docs.select(
+        "doc_id", F.concat(host, rest).alias("canonical_url")
+    )
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
