@@ -1,0 +1,114 @@
+"""Streaming twin of the B3 intradia snapshot flow (§2.10 ∘ S6).
+
+The reference polls the DerivativeQuotation endpoint on a 10-second TTL
+(pyield/b3/derivativos_intradia.py:80-94) and re-enriches each snapshot
+(pyield/futuro/intradia.py:143-172) — a poll loop over point-in-time
+payloads. The Spark-native restatement: each fetched payload lands as a
+file in a snapshot directory, a Structured Streaming file source picks
+it up, and ``foreachBatch`` applies the SAME batch enrichment
+(``sources.intradia_json.processar_intradia``) to each micro-batch,
+appending to a parquet sink partitioned by snapshot file.
+
+``foreachBatch`` (not a streaming projection) because the enrichment
+needs batch-only ops: the business-day broadcast join, and the
+per-snapshot forward-curve window — exactly the batch-operator-reuse
+pattern the reference's poll loop embodies. Enrichment is per-snapshot
+(no cross-snapshot state), so the result is independent of micro-batch
+boundaries: replay-equals-batch holds by construction and is pinned by
+``tests/test_intradia.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyield_spark.sources.intradia_json import INTRADIA_COLUMNS, processar_intradia
+
+# Explicit payload schema for the streaming source (file-stream JSON
+# cannot infer): every column-map path is declared, so absent optional
+# fields surface as nulls instead of schema drift between snapshots.
+PAYLOAD_DDL = """
+    Scty ARRAY<STRUCT<
+      symb: STRING,
+      desc: STRING,
+      asset: STRUCT<
+        code: STRING,
+        AsstSummry: STRUCT<
+          mtrtyCode: STRING,
+          opnCtrcts: BIGINT,
+          grssAmt: DOUBLE,
+          tradQty: BIGINT,
+          traddCtrctsQty: BIGINT
+        >,
+        SdTpCd: STRUCT<desc: STRING>
+      >,
+      mkt: STRUCT<cd: STRING>,
+      SctyQtn: STRUCT<
+        curPrc: DOUBLE, opngPric: DOUBLE, minPric: DOUBLE,
+        maxPric: DOUBLE, avrgPric: DOUBLE, prvsDayAdjstmntPric: DOUBLE,
+        bottomLmtPric: DOUBLE, topLmtPric: DOUBLE, exrcPric: DOUBLE
+      >,
+      buyOffer: STRUCT<price: DOUBLE>,
+      sellOffer: STRUCT<price: DOUBLE>
+    >>
+"""
+
+
+def _canonical_select(scty: DataFrame) -> DataFrame:
+    """Dotted-path column map over the DECLARED schema (all paths
+    present by construction; same canonical names/casts as the batch
+    reader)."""
+    cols = []
+    for path_, name, typ in INTRADIA_COLUMNS:
+        c = F.col("s." + path_)
+        if typ == "date":
+            c = F.try_to_timestamp(c.cast("string"), F.lit("yyyy-MM-dd"))
+        cols.append(c.try_cast(typ).alias(name))
+    return scty.select(*cols, "snapshot_file")
+
+
+def read_intradia_stream(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Snapshot directory → canonical intradia quote stream (one row
+    per quote, tagged with its snapshot file)."""
+    raw = (
+        spark.readStream.schema(PAYLOAD_DDL)
+        .option("maxFilesPerTrigger", 1)  # one snapshot per micro-batch,
+        # mirroring the reference's one-payload-per-poll cadence
+        .json(snapshot_dir)
+    )
+    scty = raw.select(
+        F.explode("Scty").alias("s"),
+        F.col("_metadata.file_name").alias("snapshot_file"),
+    )
+    return _canonical_select(scty)
+
+
+def intradia_stream_enrich(
+    spark: SparkSession,
+    snapshot_dir: str,
+    sink_dir: str,
+    contrato: str,
+    data_negociacao,
+) -> DataFrame:
+    """Drive the (bounded) snapshot stream to completion, enriching each
+    micro-batch with the batch flow and appending to a parquet sink;
+    returns the sink contents. Enrichment is per-snapshot, so the
+    result is micro-batch-boundary independent."""
+    quotes = read_intradia_stream(spark, snapshot_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enriched = processar_intradia(batch_df, contrato, data_negociacao)
+        # re-attach the snapshot tag: processar_intradia projects the
+        # canonical column order, so join the tag back by quote code
+        # (unique within one snapshot; each micro-batch is one file)
+        tag = batch_df.select("codigo_negociacao", "snapshot_file").distinct()
+        enriched.join(tag, "codigo_negociacao", "left").write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    q = quotes.writeStream.foreachBatch(handle).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink_dir)

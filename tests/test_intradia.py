@@ -178,3 +178,43 @@ def test_benchmarks_json_roundtrip(spark, tmp_path):
         parsed, hoje=dt.date(2026, 2, 1), titulo="lft"
     ).collect()
     assert [r["titulo"] for r in lft] == ["LFT"]
+
+
+def test_intradia_stream_replay_equals_batch(spark, tmp_path):
+    """§2.10 ∘ S6: a directory of poll snapshots driven through the
+    streaming source + foreachBatch enrichment equals the batch flow
+    over the same payloads (enrichment is per-snapshot, so micro-batch
+    boundaries cannot change the result)."""
+    import copy
+
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+    from pyield_spark.streaming.intradia import intradia_stream_enrich
+
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    p2 = copy.deepcopy(PAYLOAD)
+    p2["Scty"][0]["SctyQtn"]["curPrc"] = 14.2  # the rate moved between polls
+    (snap_dir / "t0.json").write_text(json.dumps(PAYLOAD))
+    (snap_dir / "t1.json").write_text(json.dumps(p2))
+
+    hoje = dt.date(2026, 8, 14)
+    sink = str(tmp_path / "sink")
+    out = intradia_stream_enrich(spark, str(snap_dir), sink, "DI1", hoje)
+    rows = {r["snapshot_file"]: r for r in out.collect()}
+    # one enriched DI1J30 row per snapshot, each reflecting its own quote
+    assert set(rows) == {"t0.json", "t1.json"}
+    assert abs(rows["t0.json"]["taxa_ultima"] - 0.14105) < 1e-12
+    assert abs(rows["t1.json"]["taxa_ultima"] - 0.142) < 1e-12
+
+    # batch twin over one payload matches the stream's rows for it
+    batch = processar_intradia(
+        read_derivativos_json(spark, str(snap_dir / "t0.json")), "DI1", hoje
+    ).collect()
+    assert len(batch) == 1
+    b, s = batch[0], rows["t0.json"]
+    for c in ("dias_uteis", "dias_corridos", "taxa_ultima", "preco_ultimo",
+              "dv01", "taxa_forward"):
+        assert b[c] == s[c], c
