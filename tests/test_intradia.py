@@ -218,3 +218,65 @@ def test_intradia_stream_replay_equals_batch(spark, tmp_path):
     for c in ("dias_uteis", "dias_corridos", "taxa_ultima", "preco_ultimo",
               "dv01", "taxa_forward"):
         assert b[c] == s[c], c
+
+
+def test_processar_intradia_price_quoted_contract(spark, tmp_path):
+    """Price-quoted contracts (DOL/WIN family): NO preco->taxa rename,
+    no percent conversion, no DV01/forward — preco_* columns pass
+    through (pyield/futuro/intradia.py:144-172 non-rate branch)."""
+    import copy
+
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    p = copy.deepcopy(PAYLOAD)
+    p["Scty"] = [p["Scty"][0]]
+    p["Scty"][0]["symb"] = "DOLF27"
+    p["Scty"][0]["asset"]["code"] = "DOL"
+    p["Scty"][0]["SctyQtn"]["curPrc"] = 5123.5
+    f = tmp_path / "dol.json"
+    f.write_text(json.dumps(p))
+
+    out = processar_intradia(
+        read_derivativos_json(spark, str(f)), "DOL", dt.date(2026, 8, 14)
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["preco_ultimo"] == 5123.5  # untouched price
+    for absent in ("taxa_ultima", "dv01", "taxa_forward"):
+        assert absent not in out.columns, absent
+    assert r["dias_uteis"] > 0 and r["dias_corridos"] > 0
+
+
+def test_url_canonicalization_idempotent(spark):
+    """Canonicalizing an already-canonical URL is a no-op — the dedup
+    key is stable under re-ingestion of cleaned corpora."""
+    from pyield_spark.queries.curation import q_url_dedup  # noqa: F401
+    from pyspark.sql import functions as F
+
+    raw = [
+        "HTTPS://WWW.SrcA.Example.COM/Docs/3/?utm_source=feed&ref=1&utm_campaign=x#sec2",
+        "https://srcb.example.com/Docs/5/?ref=2",
+        "http://Host.Org/Path?utm_medium=m",
+    ]
+
+    def canon_df(df):
+        no_frag = F.regexp_replace("u", "#.*", "")
+        no_utm = F.regexp_replace(no_frag, "utm_[a-z]+=[^&]*&?", "")
+        clean = F.regexp_replace(no_utm, "[?&]+$", "")
+        host = F.regexp_replace(
+            F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/]*", 0)),
+            "://www\\.", "://",
+        )
+        rest = F.regexp_replace(clean, "^[A-Za-z]+://[^/]*", "")
+        return df.select(F.concat(host, rest).alias("u"))
+
+    df = spark.createDataFrame([(u,) for u in raw], "u STRING")
+    once = canon_df(df)
+    twice = canon_df(once)
+    assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
+    assert once.collect()[0]["u"] == "https://srca.example.com/Docs/3/?ref=1"
+    assert once.collect()[2]["u"] == "http://host.org/Path"
