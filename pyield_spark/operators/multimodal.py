@@ -47,8 +47,11 @@ def ascii_payload_expr(text: str | Column, context: str = "payload") -> Column:
     non-ASCII document fails loudly instead of silently desyncing.
     """
     c = F.col(text) if isinstance(text, str) else text
+    # NULL text passes the assertion (assert_true throws on null input,
+    # not just false) and packs to NULL — matching pack_binary_expr and
+    # the oracle guard's CASE, which both pass NULL through
     ok = F.assert_true(
-        F.octet_length(c) == F.char_length(c),
+        c.isNull() | (F.octet_length(c) == F.char_length(c)),
         F.lit(f"{context}: non-ASCII text — byte/codepoint equivalence broken"),
     )
     return F.when(ok.isNull(), F.encode(c, "UTF-8"))

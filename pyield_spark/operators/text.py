@@ -223,3 +223,26 @@ def gopher_rules(
         keep = keep & r
     rules["keep"] = keep
     return rules
+
+
+def canonical_url_expr(url: str | Column) -> Column:
+    """Crawl-URL canonicalization (the first dedup key of a web-corpus
+    pipeline): drop the fragment, strip utm_* tracking params (and any
+    dangling ?/&), lower-case scheme+host, drop the www. prefix — path
+    case is preserved (paths are case-sensitive on real origins).
+
+    Idempotent: canonicalizing an already-canonical URL is a no-op
+    (pinned by tests/test_intradia.py::test_url_canonicalization_idempotent),
+    so re-ingesting a cleaned corpus keeps dedup keys stable.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, "#.*", "")
+    no_utm = F.regexp_replace(no_frag, "utm_[a-z]+=[^&]*&?", "")
+    clean = F.regexp_replace(no_utm, "[?&]+$", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/]*", 0)),
+        "://www\\.",
+        "://",
+    )
+    rest = F.regexp_replace(clean, "^[A-Za-z]+://[^/]*", "")
+    return F.concat(host, rest)

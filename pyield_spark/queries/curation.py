@@ -509,6 +509,8 @@ def q_url_dedup(spark, sf_dir):
     tracking params (and any dangling ?/&), lower-case scheme+host,
     drop the www. prefix — path case is preserved (paths are
     case-sensitive on real origins)."""
+    from pyield_spark.operators.text import canonical_url_expr
+
     docs = tables(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("HTTPS://WWW."),
@@ -523,17 +525,8 @@ def q_url_dedup(spark, sf_dir):
             F.concat(F.lit("#sec"), (F.col("doc_id") % 6).cast("string")),
         ).otherwise(""),
     )
-    no_frag = F.regexp_replace(url, "#.*", "")
-    no_utm = F.regexp_replace(no_frag, "utm_[a-z]+=[^&]*&?", "")
-    clean = F.regexp_replace(no_utm, "[?&]+$", "")
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/]*", 0)),
-        "://www\\.",
-        "://",
-    )
-    rest = F.regexp_replace(clean, "^[A-Za-z]+://[^/]*", "")
     canon = docs.select(
-        "doc_id", F.concat(host, rest).alias("canonical_url")
+        "doc_id", canonical_url_expr(url).alias("canonical_url")
     )
     w = Window.partitionBy("canonical_url")
     return canon.select(

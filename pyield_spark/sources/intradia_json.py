@@ -89,14 +89,27 @@ def _has_path(schema, dotted: str) -> bool:
     return True
 
 
+# the head of the column map every downstream consumer needs — emitted
+# as typed nulls when a drifted payload lacks the path (the optional
+# tail — quotes, offers, option fields — stays presence-based, the
+# reference's colunas_disponiveis behavior)
+_REQUIRED = {
+    "codigo_negociacao", "descricao", "codigo_ativo",
+    "codigo_mercado", "data_vencimento",
+}
+
+
 def read_derivativos_json(spark: SparkSession, path: str) -> DataFrame:
     """B3 DerivativeQuotation payload(s) → canonical intradia frame.
 
     ``path`` may be one snapshot file or a directory/glob of them —
-    every ``Scty`` array is exploded into quote rows. Only the column-
-    map paths present in the payload are emitted (the reference's
-    optional-column behavior); the maturity string parses tolerantly
-    and every cast is a ``try_cast``.
+    every ``Scty`` array is exploded into quote rows tagged with their
+    ``snapshot_file`` (so a directory of polls keeps per-snapshot
+    identity — the forward curve in ``processar_intradia`` partitions
+    on it). Required columns are always present (typed nulls on schema
+    drift); the optional tail is emitted only when the payload carries
+    it; the maturity string parses tolerantly and every cast is a
+    ``try_cast``.
     """
     raw = spark.read.option("multiLine", "true").json(path)
     if "Scty" not in raw.columns or not isinstance(
@@ -105,20 +118,24 @@ def read_derivativos_json(spark: SparkSession, path: str) -> DataFrame:
         # "Quotation not available" responses / empty payloads →
         # empty frame with the full canonical schema
         fields = ", ".join(f"{n} {t}" for _, n, t in INTRADIA_COLUMNS)
-        return spark.createDataFrame([], fields)
+        return spark.createDataFrame([], fields + ", snapshot_file string")
 
-    scty = raw.select(F.explode("Scty").alias("s"))
+    scty = raw.select(
+        F.explode("Scty").alias("s"),
+        F.col("_metadata.file_name").alias("snapshot_file"),
+    )
     elem = raw.schema["Scty"].dataType.elementType
     cols = []
     for path_, name, typ in INTRADIA_COLUMNS:
-        if not _has_path(elem, path_):
-            continue
-        c = F.col("s." + path_)
-        if typ == "date":
-            # str.to_date("%Y-%m-%d", strict=False): invalid → null
-            c = F.try_to_timestamp(c.cast("string"), F.lit("yyyy-MM-dd"))
-        cols.append(c.try_cast(typ).alias(name))
-    return scty.select(*cols)
+        if _has_path(elem, path_):
+            c = F.col("s." + path_)
+            if typ == "date":
+                # str.to_date("%Y-%m-%d", strict=False): invalid → null
+                c = F.try_to_timestamp(c.cast("string"), F.lit("yyyy-MM-dd"))
+            cols.append(c.try_cast(typ).alias(name))
+        elif name in _REQUIRED:
+            cols.append(F.lit(None).cast(typ).alias(name))
+    return scty.select(*cols, "snapshot_file")
 
 
 def processar_intradia(
@@ -140,6 +157,12 @@ def processar_intradia(
     ``data_negociacao`` is explicit (the reference uses
     ``du.ultimo_dia_util()`` — wall-clock state has no place in a
     distributed plan; callers pass the trade date).
+
+    When the input carries a ``snapshot_file`` column (a directory of
+    poll snapshots read by ``read_derivativos_json``), the forward
+    curve partitions on it — each snapshot is its own curve, so a
+    multi-snapshot scan cannot collide duplicate maturities across
+    polls (which would null every forward via the dup-vertex cascade).
     """
     from pyield_spark import du as du_mod
     from pyield_spark.analytics.futuro import RATE_CONTRACTS
@@ -147,6 +170,7 @@ def processar_intradia(
     from pyield_spark.curves.forwards import forwards_expr
 
     contrato = contrato.upper()
+    has_snapshot = "snapshot_file" in df.columns
     out = df.filter(F.col("codigo_mercado") == "FUT")
     is_rate = contrato in RATE_CONTRACTS
     if is_rate:
@@ -173,6 +197,11 @@ def processar_intradia(
         )
     if contrato in {"DI1", "DAP"}:
         anos_uteis = F.col("dias_uteis") / 252.0
+        fwd_group = (
+            F.struct("snapshot_file", "data_referencia")
+            if has_snapshot
+            else F.col("data_referencia")
+        )
         out = out.withColumn(
             "preco_ultimo",
             F.round(
@@ -181,10 +210,13 @@ def processar_intradia(
             ),
         ).withColumn(
             "taxa_forward",
-            forwards_expr("dias_uteis", "taxa_ultima", F.col("data_referencia")),
+            forwards_expr("dias_uteis", "taxa_ultima", fwd_group),
         )
     if contrato == "DI1":
         out = out.withColumn(
             "dv01", dv01_expr("dias_uteis", "taxa_ultima", "preco_ultimo")
         )
-    return out.select(*[c for c in ORDEM_COLUNAS if c in out.columns])
+    keep = [c for c in ORDEM_COLUNAS if c in out.columns]
+    if has_snapshot:
+        keep = ["snapshot_file", *keep]
+    return out.select(*keep)

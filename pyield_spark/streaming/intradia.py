@@ -94,21 +94,35 @@ def intradia_stream_enrich(
     micro-batch with the batch flow and appending to a parquet sink;
     returns the sink contents. Enrichment is per-snapshot, so the
     result is micro-batch-boundary independent."""
+    import os
+
     quotes = read_intradia_stream(spark, snapshot_dir)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        enriched = processar_intradia(batch_df, contrato, data_negociacao)
-        # re-attach the snapshot tag: processar_intradia projects the
-        # canonical column order, so join the tag back by quote code
-        # (unique within one snapshot; each micro-batch is one file)
-        tag = batch_df.select("codigo_negociacao", "snapshot_file").distinct()
-        enriched.join(tag, "codigo_negociacao", "left").write.mode(
+        # snapshot_file flows THROUGH the enrichment (the forward curve
+        # partitions on it), so a micro-batch spanning several snapshot
+        # files is still correct — maxFilesPerTrigger=1 is cadence, not
+        # a correctness requirement
+        processar_intradia(batch_df, contrato, data_negociacao).write.mode(
             "append"
         ).parquet(sink_dir)
 
     q = quotes.writeStream.foreachBatch(handle).start()
     q.processAllAvailable()
     q.stop()
+    if not os.path.isdir(sink_dir):
+        # nothing enriched (empty dir / quotation-unavailable payloads):
+        # an empty frame with the canonical schema, not a read error
+        return processar_intradia(
+            _canonical_select(
+                spark.createDataFrame([], PAYLOAD_DDL).select(
+                    F.explode("Scty").alias("s"),
+                    F.lit(None).cast("string").alias("snapshot_file"),
+                )
+            ),
+            contrato,
+            data_negociacao,
+        )
     return spark.read.parquet(sink_dir)

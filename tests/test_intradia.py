@@ -253,30 +253,96 @@ def test_processar_intradia_price_quoted_contract(spark, tmp_path):
 
 def test_url_canonicalization_idempotent(spark):
     """Canonicalizing an already-canonical URL is a no-op — the dedup
-    key is stable under re-ingestion of cleaned corpora."""
-    from pyield_spark.queries.curation import q_url_dedup  # noqa: F401
-    from pyspark.sql import functions as F
+    key is stable under re-ingestion of cleaned corpora. Exercises the
+    PRODUCT helper (operators.text.canonical_url_expr), the same
+    expression q_url_dedup builds on."""
+    from pyield_spark.operators.text import canonical_url_expr
 
     raw = [
         "HTTPS://WWW.SrcA.Example.COM/Docs/3/?utm_source=feed&ref=1&utm_campaign=x#sec2",
         "https://srcb.example.com/Docs/5/?ref=2",
         "http://Host.Org/Path?utm_medium=m",
     ]
-
-    def canon_df(df):
-        no_frag = F.regexp_replace("u", "#.*", "")
-        no_utm = F.regexp_replace(no_frag, "utm_[a-z]+=[^&]*&?", "")
-        clean = F.regexp_replace(no_utm, "[?&]+$", "")
-        host = F.regexp_replace(
-            F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/]*", 0)),
-            "://www\\.", "://",
-        )
-        rest = F.regexp_replace(clean, "^[A-Za-z]+://[^/]*", "")
-        return df.select(F.concat(host, rest).alias("u"))
-
     df = spark.createDataFrame([(u,) for u in raw], "u STRING")
-    once = canon_df(df)
-    twice = canon_df(once)
+    once = df.select(canonical_url_expr("u").alias("u"))
+    twice = once.select(canonical_url_expr("u").alias("u"))
     assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
     assert once.collect()[0]["u"] == "https://srca.example.com/Docs/3/?ref=1"
     assert once.collect()[2]["u"] == "http://host.org/Path"
+
+
+def test_multi_snapshot_directory_per_snapshot_forwards(spark, tmp_path):
+    """A directory of polls read in ONE batch scan keeps per-snapshot
+    identity: duplicate maturities across snapshots must NOT collide
+    into the dup-vertex null cascade — each snapshot is its own forward
+    curve."""
+    import copy
+
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    d = tmp_path / "snaps"
+    d.mkdir()
+    p2 = copy.deepcopy(PAYLOAD)
+    p2["Scty"][0]["SctyQtn"]["curPrc"] = 14.2
+    (d / "t0.json").write_text(json.dumps(PAYLOAD))
+    (d / "t1.json").write_text(json.dumps(p2))
+
+    raw = read_derivativos_json(spark, str(d))
+    assert "snapshot_file" in raw.columns
+    out = processar_intradia(raw, "DI1", dt.date(2026, 8, 14))
+    rows = {r["snapshot_file"]: r for r in out.collect()}
+    assert set(rows) == {"t0.json", "t1.json"}
+    # same maturity in both snapshots, yet each keeps a non-null forward
+    # (single-point curve per snapshot: forward == its own spot)
+    assert abs(rows["t0.json"]["taxa_forward"] - 0.14105) < 1e-9
+    assert abs(rows["t1.json"]["taxa_forward"] - 0.142) < 1e-9
+
+
+def test_read_derivativos_schema_drift_required_nulls(spark, tmp_path):
+    """A drifted payload (mapped paths missing) still yields the
+    required column head as typed nulls instead of an unresolved-column
+    failure downstream."""
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    f = tmp_path / "drift.json"
+    f.write_text(json.dumps({"Scty": [{"foo": 1}]}))
+    df = read_derivativos_json(spark, str(f))
+    for c in ("codigo_negociacao", "codigo_mercado", "data_vencimento"):
+        assert c in df.columns, c
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["codigo_mercado"] is None
+    # and the enrichment degrades to empty, not AnalysisException
+    assert processar_intradia(df, "DOL", dt.date(2026, 8, 14)).count() == 0
+
+
+def test_intradia_stream_empty_dir(spark, tmp_path):
+    """Quotation-unavailable payloads produce an EMPTY canonical frame
+    from the stream flow, not a sink read error."""
+    from pyield_spark.streaming.intradia import intradia_stream_enrich
+
+    d = tmp_path / "empty_snaps"
+    d.mkdir()
+    (d / "t0.json").write_text(json.dumps({"msg": "Quotation not available"}))
+    out = intradia_stream_enrich(
+        spark, str(d), str(tmp_path / "sink"), "DI1", dt.date(2026, 8, 14)
+    )
+    assert out.count() == 0
+    assert "codigo_negociacao" in out.columns
+
+
+def test_ascii_payload_null_text_passes(spark):
+    """NULL text packs to NULL payload (assert passes), matching the
+    oracle guard's NULL-through CASE."""
+    from pyield_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(None,), ("ok",)], "text STRING").select(
+        mm.ascii_payload_expr("text").alias("p")
+    )
+    vals = [r["p"] for r in df.collect()]
+    assert vals == [None, b"ok"]

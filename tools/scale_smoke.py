@@ -197,10 +197,9 @@ def main():
 
     load_all()
     scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
+    # only the tables these three queries actually read: q_leiloes →
+    # orders; q_semantic_dedup / q_embedding_neardup → embeddings
     od.write.mode("overwrite").parquet(os.path.join(scaled_dir, "orders.parquet"))
-    replicate(
-        spark.read.parquet(f"{SF}/documents.parquet"), ["doc_id"]
-    ).write.mode("overwrite").parquet(os.path.join(scaled_dir, "documents.parquet"))
     replicate(
         spark.read.parquet(f"{SF}/embeddings.parquet"), ["vec_id"]
     ).write.mode("overwrite").parquet(os.path.join(scaled_dir, "embeddings.parquet"))
