@@ -84,3 +84,54 @@ def write_partitioned_parquet(
     if sort_cols:
         out = out.sortWithinPartitions(*partition_cols, *sort_cols)
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    rows_per_file: int,
+    key: str | Column | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction with a crash-safe directory swap — the
+    maintenance op every long-running ingest needs (streaming
+    foreachBatch appends and per-trigger micro-batches leave one small
+    file per task per batch; at 100 TB the object store drowns in
+    requests before capacity is an issue).
+
+    Rewrites ``path`` into ``ceil(rows / rows_per_file)`` shards (the
+    row count comes from parquet footers — a metadata-only job), then
+    swaps directories through the same rename dance as
+    ``foreach_batch_upsert``: the previous state survives under
+    ``._old`` until the new layout is fully in place, so a crash
+    between renames never loses data. With ``key``, shards are
+    hash-pre-balanced and the layout is reproducible run-to-run; plain
+    ``coalesce`` otherwise (no shuffle at all). On a real deployment a
+    table format (Delta/Iceberg OPTIMIZE) does this transactionally;
+    this is the plain-parquet stand-in with the same shape.
+
+    Returns (row_count, n_output_shards).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    shards = max(1, math.ceil(n / max(1, rows_per_file)))
+    base = path.rstrip("/")
+    tmp, old = base + "._compact", base + "._old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if key is not None:
+        write_sharded_parquet(df, tmp, rows_per_file, n_shards=shards, key=key)
+    else:
+        (
+            df.coalesce(shards)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .parquet(tmp)
+        )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+    return n, shards

@@ -346,3 +346,44 @@ def test_ascii_payload_null_text_passes(spark):
     )
     vals = [r["p"] for r in df.collect()]
     assert vals == [None, b"ok"]
+
+
+# === property tests =======================================================
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_dates = st.dates(min_value=dt.date(2020, 1, 1), max_value=dt.date(2030, 12, 31))
+_titles = st.sampled_from(["LTN", "LFT", "NTN-B", "NTN-F"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_titles, _dates, _dates, _dates), min_size=1, max_size=12
+    ),
+    _dates,
+)
+def test_benchmarks_vigentes_matches_python_model(spark, recs, hoje):
+    """benchmarks_vigentes == the obvious per-row Python filter for ANY
+    set of (titulo, vencimento, inicio, fim) windows and any reference
+    date (pyield/tpf/benchmark.py:118 semantics: inclusive BETWEEN)."""
+    from pyield_spark.bonds.benchmark import benchmarks_vigentes
+
+    rows = [
+        (t, ven, f"{t} bench", ini, fim) for t, ven, ini, fim in recs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "titulo STRING, data_vencimento DATE, benchmark STRING,"
+        " data_inicio DATE, data_fim DATE",
+    )
+    got = sorted(
+        (r["titulo"], r["data_vencimento"], r["data_inicio"])
+        for r in benchmarks_vigentes(df, hoje).collect()
+    )
+    want = sorted(
+        (t, ven, ini)
+        for t, ven, ini, fim in recs
+        if ini <= hoje <= fim
+    )
+    assert got == want

@@ -77,3 +77,35 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
         df.filter("b = '7'")._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(b), EqualTo(b,7)]" in plan
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Many tiny files (the streaming-append aftermath) compact to the
+    target sizing with identical contents; the swap leaves no temp
+    residue."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyield_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(1000).withColumn("v", F.col("id") * 2).repartition(50).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 50
+
+    n, shards = compact_parquet(spark, path, rows_per_file=250)
+    assert (n, shards) == (1000, 4)
+    files = glob.glob(path + "/*.parquet")
+    # coalesce merges input partitions unevenly, so the row cap may roll
+    # a few extra files — the point is 50 -> ~4, not an exact count
+    assert 1 <= len(files) <= 8
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(1000))
+    assert not os.path.isdir(path + "._compact") and not os.path.isdir(path + "._old")
+
+    # keyed variant: hash-pre-balanced shards, same contents
+    n2, s2 = compact_parquet(spark, path, rows_per_file=500, key="id")
+    assert (n2, s2) == (1000, 2)
+    assert spark.read.parquet(path).count() == 1000
