@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from pyield_spark.queries import query, tables
+from pyield_spark.queries.oracle_helpers import pround_sql
 from pyield_spark.streaming import windows as sw
 
 
@@ -124,37 +125,123 @@ def q_events_dedup_latest(spark, sf_dir):
     )
 
 
-# === true Structured Streaming variants (rows-only checks) ================
+# === true Structured Streaming variants ===================================
+# Round 4: these carry ORACLES now. The streams are bounded replays and
+# every operator here is either order-independent (windowed decimal
+# aggregations, inner interval join, key-dedup over a corpus with no
+# conflicting duplicates) or rounded at the edge — so the memory-sink
+# result is deterministic and equals the batch semantics the SQL
+# states. Replay-equals-batch is ALSO asserted in tests/test_streaming.py;
+# the oracle upgrades the driver's check from rows-only to value-hash.
 
 
-@query("q_stream_tumbling")
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000)
+             AS window_start,
+           make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) + 1) * 300 * 1000000)
+             AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
 def q_stream_tumbling(spark, sf_dir):
     ev = sw.read_events_stream(spark, sf_dir)
     agg = sw.tumbling_counts(ev, "5 minutes", "10 minutes")
     return sw.run_to_memory(agg, "stream_tumbling_out", mode="complete")
 
 
-@query("q_stream_sessions")
+@query(
+    "q_stream_sessions",
+    # session_window boundary semantics: ranges are [first, last+gap) and
+    # MERGE on overlap, so a gap of exactly the gap-duration starts a NEW
+    # session — hence >= here where the batch lag/cumsum twin uses > (its
+    # own convention); session_end extends gap past the last event
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {psum6} AS sum_value
+    FROM numbered GROUP BY user_id, s
+    """.format(
+        psum6=pround_sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)", 6)
+    ),
+)
 def q_stream_sessions(spark, sf_dir):
     ev = sw.read_events_stream(spark, sf_dir)
     agg = sw.session_windows(ev, "30 minutes", "10 minutes")
-    return sw.run_to_memory(agg, "stream_sessions_out", mode="complete")
+    out = sw.run_to_memory(agg, "stream_sessions_out", mode="complete")
+    # the stream's per-session sum accumulates in doubles (tiny per-
+    # session row counts); the portable 6dp round makes it hash-stable
+    # against the oracle's decimal sum
+    from pyield_spark.functions.numbers import pround_expr
+
+    return out.select(
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        pround_expr(F.col("sum_value"), 6).alias("sum_value"),
+    )
 
 
-@query("q_stream_dedup")
+@query(
+    "q_stream_dedup",
+    # the corpus has no conflicting duplicate event_ids (asserted by the
+    # n_events parity below hashing every column), so first-seen dedup
+    # is a deterministic identity projection of the stream
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
 def q_stream_dedup(spark, sf_dir):
     ev = sw.read_events_stream(spark, sf_dir)
     dedup = sw.dedup_within_watermark(ev, "10 minutes")
     return sw.run_to_memory(dedup, "stream_dedup_out", mode="append")
 
 
-@query("q_stream_stateful")
+@query(
+    "q_stream_stateful",
+    # the final state per group equals the batch aggregate over all
+    # events; the stream's float accumulation and the oracle's decimal
+    # sum coincide at the portable 6dp round (micro-batch partials add
+    # ~1e-11 relative error on these magnitudes)
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {psum6} AS sum_value
+    FROM events GROUP BY 1
+    """.format(
+        psum6=pround_sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)", 6)
+    ),
+)
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): final running
     totals per event type — one row per group, the cross-batch state
-    after the bounded replay (rows-only; replay-equals-batch asserted in
+    after the bounded replay (replay-equals-batch also asserted in
     tests/test_streaming.py)."""
     from pyspark.sql import Window
+
+    from pyield_spark.functions.numbers import pround_expr
 
     ev = sw.read_events_stream(spark, sf_dir)
     out = sw.running_totals_stateful(ev)
@@ -165,14 +252,30 @@ def q_stream_stateful(spark, sf_dir):
     return (
         got.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("event_type", "n_events", F.bround("sum_value", 6).alias("sum_value"))
+        .select(
+            "event_type",
+            "n_events",
+            pround_expr(F.col("sum_value"), 6).alias("sum_value"),
+        )
     )
 
 
-@query("q_stream_join")
+@query(
+    "q_stream_join",
+    # inner interval joins emit matches as found — a deterministic SET
+    # equal to the batch interval join (q_error_purchase_window's SQL)
+    oracle="""
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+           e.ts AS error_ts, p.ts AS purchase_ts
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    """,
+)
 def q_stream_join(spark, sf_dir):
-    """Stream-stream interval self-join (rows-only; replay-equals-batch
-    vs q_error_purchase_window asserted in tests/test_streaming.py)."""
+    """Stream-stream interval self-join (replay-equals-batch vs
+    q_error_purchase_window also asserted in tests/test_streaming.py)."""
     ev = sw.read_events_stream(spark, sf_dir)
     j = sw.stream_stream_interval_join(ev, "10 minutes", "10 minutes")
     # join state = 2 stores per shuffle partition, re-opened every
@@ -224,10 +327,27 @@ def q_events_sliding(spark, sf_dir):
     )
 
 
-@query("q_stream_sliding")
+@query(
+    "q_stream_sliding",
+    # decimal accumulation + one IEEE division: bit-equal to the batch
+    # twin regardless of micro-batch partial-aggregation order
+    oracle="""
+    WITH expanded AS (
+      SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - off)
+                            * 300 * 1000000) AS window_start,
+             value
+      FROM events, unnest([0, 1]) t(off)
+    )
+    SELECT window_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM expanded GROUP BY window_start
+    """,
+)
 def q_stream_sliding(spark, sf_dir):
-    """Structured Streaming twin of ``q_events_sliding`` (rows-only;
-    replay-equals-batch asserted in tests/test_streaming.py)."""
+    """Structured Streaming twin of ``q_events_sliding``
+    (replay-equals-batch also asserted in tests/test_streaming.py)."""
     ev = sw.read_events_stream(spark, sf_dir)
     agg = sw.sliding_avg(ev, "10 minutes", "5 minutes", "10 minutes")
     return sw.run_to_memory(agg, "stream_sliding_out", mode="complete")

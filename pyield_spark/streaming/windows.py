@@ -51,6 +51,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.remove(link)
     if not os.path.lexists(link):
         os.symlink(target, link)
+    # same session conventions as queries.tables(): UTC keeps
+    # timestamp values aligned with the (tz-naive) DuckDB oracles even
+    # when a stream query is the first thing a fresh session runs
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
