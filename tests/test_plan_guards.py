@@ -66,6 +66,12 @@ EXCHANGE_BUDGETS = {
     "q_ntnf_pricing": 3,
     # one hash-groupBy
     "q_exact_dedup": 2,
+    # round 4: registry distinct + presentation sort
+    "q_benchmarks": 2,
+    # round 4: snapshot groupBy + the one snapshot-sized forward window
+    "q_intradia_enrich": 2,
+    # round 4: one canonical-URL window shuffle
+    "q_url_dedup": 1,
 }
 
 
