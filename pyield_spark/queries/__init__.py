@@ -44,8 +44,9 @@ def query(name: str, oracle: str | None = None):
 # the as-of / interpolation / bootstrap / leilões core plus the
 # relational flagship — and 35 slots rotated to queries the driver has
 # NEVER recorded a CORRECTNESS row for (plus the two new round-4
-# pipelines). Union of r1-r3 windows + this one ≈ 102/128 registered
-# queries driver-verified; the remainder rotates in next round.
+# pipelines and three streaming queries upgraded to the hash gate).
+# Union of r1-r3 windows + this one = 102/129 registered queries
+# driver-verified; the remaining 27 rotate in next round.
 # Everything else still runs in bench.py and tools/check_oracle.py.
 DRIVER_PRIORITY: list[str] = [
     # --- permanent anchors (all hash-green in r1-r3 windows) ---
@@ -73,17 +74,22 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_clusters", "q_dedup_keep_best", "q_containment_pairs",
     # semantic / intra-document dedup family
     "q_kmeans_clusters", "q_semantic_dedup", "q_intradoc_dedup",
-    "q_span_dedup", "q_chunk_documents", "q_boilerplate_strip",
+    "q_chunk_documents", "q_boilerplate_strip",
+    # true Structured Streaming under the HASH gate (round-4 upgrade:
+    # these carried rows-only checks for three rounds; their bounded
+    # replays are deterministic, so they now hash against the
+    # batch-equivalent SQL — and none has ever had a driver row)
+    "q_stream_sliding", "q_stream_join", "q_stream_stateful",
     # sampling / packing
     "q_stratified_sample", "q_mixture_resample", "q_weighted_sample",
     "q_pack_sequences",
     # curation / warehouse maintenance
     "q_domain_cap", "q_decontaminate", "q_pii_redact", "q_scd2_dim",
-    "q_incremental_dedup", "q_corpus_assembly",
+    "q_incremental_dedup",
     # event analytics
     "q_events_sliding", "q_event_funnel", "q_cohort_retention",
     # vocab / statistics
-    "q_vocab_topk", "q_token_entropy",
+    "q_vocab_topk",
 ]
 
 
