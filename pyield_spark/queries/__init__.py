@@ -92,6 +92,22 @@ DRIVER_PRIORITY: list[str] = [
     "q_vocab_topk",
 ]
 
+# ROUND-5 ROTATION PLAN: the 27 queries still without a driver-recorded
+# CORRECTNESS row after r4 (all oracle-green locally at 3 SFs). Next
+# round: keep ~15 anchors, fill the rest from this list → full-registry
+# driver coverage in r5.
+NEVER_DRIVER_VERIFIED_AFTER_R4: list[str] = [
+    "q_ltn_forwards", "q_quality_filter", "q_frame_sample",
+    "q_resize_payload", "q_lang_confusion", "q_hard_negatives",
+    "q_distinctive_terms", "q_repetition_stats", "q_source_overlap",
+    "q_winnow_fingerprint", "q_inverted_index", "q_bigram_lift",
+    "q_lm_typicality", "q_token_entropy", "q_error_purchase_window",
+    "q_json_props", "q_moment_stats", "q_value_histogram",
+    "q_shipping_priority", "q_returned_revenue", "q_quality_percentile",
+    "q_product_profit", "q_url_dedup", "q_span_dedup",
+    "q_corpus_shuffle", "q_corpus_assembly", "q_rolling_revenue_30d",
+]
+
 
 def driver_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry reordered so DRIVER_PRIORITY occupies the driver's
