@@ -96,6 +96,10 @@ def _has_path(schema, dotted: str) -> bool:
 _REQUIRED = {
     "codigo_negociacao", "descricao", "codigo_ativo",
     "codigo_mercado", "data_vencimento",
+    # the DI1/DAP enrichment dereferences taxa_ultima (the renamed
+    # preco_ultimo) unconditionally — drifted payloads must yield null
+    # quotes, not an unresolved-column error
+    "preco_ultimo",
 }
 
 
@@ -120,9 +124,13 @@ def read_derivativos_json(spark: SparkSession, path: str) -> DataFrame:
         fields = ", ".join(f"{n} {t}" for _, n, t in INTRADIA_COLUMNS)
         return spark.createDataFrame([], fields + ", snapshot_file string")
 
+    # full file PATH, not basename: a date-partitioned poll layout
+    # (days/*/snap.json) re-uses file names across directories, and a
+    # basename tag would collide those snapshots into one forward-curve
+    # group (nulling every forward via the dup-vertex cascade)
     scty = raw.select(
         F.explode("Scty").alias("s"),
-        F.col("_metadata.file_name").alias("snapshot_file"),
+        F.col("_metadata.file_path").alias("snapshot_file"),
     )
     elem = raw.schema["Scty"].dataType.elementType
     cols = []

@@ -115,11 +115,24 @@ def compact_parquet(
     import os
     import shutil
 
-    df = spark.read.parquet(path)
-    n = df.count()
-    shards = max(1, math.ceil(n / max(1, rows_per_file)))
     base = path.rstrip("/")
     tmp, old = base + "._compact", base + "._old"
+    # crash recovery BEFORE anything else: a previous run that died
+    # between the two renames left the data under ._old (and possibly a
+    # COMPLETE new layout under ._compact — the base→old rename only
+    # happens after a successful write). Finish or roll back the swap
+    # so readers and retries see a live ``base`` again.
+    if not os.path.isdir(base):
+        if os.path.isdir(tmp) and os.path.isdir(old):
+            os.rename(tmp, base)  # finish the interrupted swap
+            shutil.rmtree(old)
+        elif os.path.isdir(old):
+            os.rename(old, base)  # roll back
+    df = spark.read.parquet(base)
+    n = df.count()
+    shards = max(1, math.ceil(n / max(1, rows_per_file)))
+    # reached only with a live base ⇒ any leftover tmp is a pre-swap
+    # partial write — safe to discard
     shutil.rmtree(tmp, ignore_errors=True)
     if key is not None:
         write_sharded_parquet(df, tmp, rows_per_file, n_shards=shards, key=key)

@@ -76,9 +76,11 @@ def read_intradia_stream(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         # mirroring the reference's one-payload-per-poll cadence
         .json(snapshot_dir)
     )
+    # full path (not basename) — same collision-avoidance rationale as
+    # the batch reader's snapshot tag
     scty = raw.select(
         F.explode("Scty").alias("s"),
-        F.col("_metadata.file_name").alias("snapshot_file"),
+        F.col("_metadata.file_path").alias("snapshot_file"),
     )
     return _canonical_select(scty)
 

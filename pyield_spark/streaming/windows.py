@@ -53,8 +53,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(target, link)
     # same session conventions as queries.tables(): UTC keeps
     # timestamp values aligned with the (tz-naive) DuckDB oracles even
-    # when a stream query is the first thing a fresh session runs
+    # when a stream query is the first thing a fresh session runs, and
+    # nanosAsLong keeps the TIMESTAMP(NANOS) testdata generation
+    # readable. The file-stream source needs a DECLARED schema, so the
+    # actual ts physical type is sniffed with a driver-side batch probe
+    # (footer-only) and the stream normalizes to TIMESTAMP exactly as
+    # tables() does — all three shipped generations stream identically.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(spark.read.parquet(target).dtypes).get("ts")
+    if ts_type == "bigint":  # NANOS generation under nanosAsLong
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts BIGINT"))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        raw = (
+            spark.readStream.schema(
+                EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts TIMESTAMP_NTZ")
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -203,8 +203,11 @@ def test_intradia_stream_replay_equals_batch(spark, tmp_path):
     hoje = dt.date(2026, 8, 14)
     sink = str(tmp_path / "sink")
     out = intradia_stream_enrich(spark, str(snap_dir), sink, "DI1", hoje)
-    rows = {r["snapshot_file"]: r for r in out.collect()}
+    import os as _os
+
+    rows = {_os.path.basename(r["snapshot_file"]): r for r in out.collect()}
     # one enriched DI1J30 row per snapshot, each reflecting its own quote
+    # (the tag is the full path — basename only for the assert)
     assert set(rows) == {"t0.json", "t1.json"}
     assert abs(rows["t0.json"]["taxa_ultima"] - 0.14105) < 1e-12
     assert abs(rows["t1.json"]["taxa_ultima"] - 0.142) < 1e-12
@@ -293,7 +296,9 @@ def test_multi_snapshot_directory_per_snapshot_forwards(spark, tmp_path):
     raw = read_derivativos_json(spark, str(d))
     assert "snapshot_file" in raw.columns
     out = processar_intradia(raw, "DI1", dt.date(2026, 8, 14))
-    rows = {r["snapshot_file"]: r for r in out.collect()}
+    import os as _os
+
+    rows = {_os.path.basename(r["snapshot_file"]): r for r in out.collect()}
     assert set(rows) == {"t0.json", "t1.json"}
     # same maturity in both snapshots, yet each keeps a non-null forward
     # (single-point curve per snapshot: forward == its own spot)
@@ -317,8 +322,10 @@ def test_read_derivativos_schema_drift_required_nulls(spark, tmp_path):
         assert c in df.columns, c
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["codigo_mercado"] is None
-    # and the enrichment degrades to empty, not AnalysisException
+    # and the enrichment degrades to empty, not AnalysisException —
+    # including the DI1/DAP rate branch that dereferences taxa_ultima
     assert processar_intradia(df, "DOL", dt.date(2026, 8, 14)).count() == 0
+    assert processar_intradia(df, "DI1", dt.date(2026, 8, 14)).count() == 0
 
 
 def test_intradia_stream_empty_dir(spark, tmp_path):
@@ -387,3 +394,33 @@ def test_benchmarks_vigentes_matches_python_model(spark, recs, hoje):
         if ini <= hoje <= fim
     )
     assert got == want
+
+
+def test_multi_snapshot_same_basename_across_dirs(spark, tmp_path):
+    """Date-partitioned poll layouts re-use file NAMES across dirs
+    (days/*/snap.json) — the snapshot tag must be the full path so the
+    per-snapshot forward curves don't collide into the dup-vertex null
+    cascade."""
+    import copy
+    import os
+
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    for d, prc in (("d1", 14.105), ("d2", 14.2)):
+        sub = tmp_path / d
+        sub.mkdir()
+        p = copy.deepcopy(PAYLOAD)
+        p["Scty"][0]["SctyQtn"]["curPrc"] = prc
+        (sub / "snap.json").write_text(json.dumps(p))
+
+    raw = read_derivativos_json(spark, str(tmp_path / "*" / "snap.json"))
+    out = processar_intradia(raw, "DI1", dt.date(2026, 8, 14)).collect()
+    assert len(out) == 2
+    # both snapshots keep a NON-NULL forward (each is its own curve)
+    fwd = sorted(round(r["taxa_forward"], 6) for r in out)
+    assert fwd == [0.14105, 0.142]
+    assert len({r["snapshot_file"] for r in out}) == 2
+    assert all(os.path.basename(r["snapshot_file"]) == "snap.json" for r in out)

@@ -109,3 +109,35 @@ def test_compact_parquet_small_files(spark, tmp_path):
     n2, s2 = compact_parquet(spark, path, rows_per_file=500, key="id")
     assert (n2, s2) == (1000, 2)
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves data under ._old
+    (and a complete new layout under ._compact); the next call must
+    recover instead of failing on a missing base path."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyield_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(100).withColumn("v", F.col("id") * 3).repartition(10).write.parquet(path)
+
+    # simulate: write finished, first rename done, second rename lost
+    spark.read.parquet(path).coalesce(1).write.parquet(path + "._compact")
+    os.rename(path, path + "._old")
+    assert not os.path.isdir(path)
+
+    n, shards = compact_parquet(spark, path, rows_per_file=50)
+    assert n == 100
+    out = spark.read.parquet(path)
+    assert out.count() == 100
+    assert out.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(100))
+    assert not os.path.isdir(path + "._old") and not os.path.isdir(path + "._compact")
+
+    # roll-back-only variant: crash BEFORE the tmp write completed
+    os.rename(path, path + "._old")
+    n2, _ = compact_parquet(spark, path, rows_per_file=100)
+    assert n2 == 100 and spark.read.parquet(path).count() == 100

@@ -301,3 +301,54 @@ def test_foreach_batch_upsert_recovers_from_crashed_swap(spark, sf_dir):
     assert got == full
     assert not os.path.isdir(target + "._old")  # cleaned up after swap
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_read_events_stream_nanos_and_ntz_generations(spark, tmp_path):
+    """The file-stream source must normalize ts exactly like the batch
+    tables() helper for all shipped testdata generations: TIMESTAMP
+    (micros), TIMESTAMP(NANOS) (reads as BIGINT under nanosAsLong), and
+    TIMESTAMP_NTZ — a declared-schema mismatch would break every stream
+    query in a regenerated-testdata environment."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyield_spark.streaming.windows import read_events_stream, run_to_memory
+
+    base_ts = dt.datetime(2026, 1, 5, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2],
+        "ts": [base_ts, base_ts + dt.timedelta(minutes=1)],
+        "user_id": [10, 11],
+        "event_type": ["click", "click"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+
+    def run(sf_dir):
+        ev = read_events_stream(spark, sf_dir)
+        got = run_to_memory(
+            ev.select("event_id", "ts", "value"), "gen_probe", mode="append"
+        ).collect()
+        assert sorted(r["event_id"] for r in got) == [1, 2]
+        assert {r["ts"] for r in got} == set(rows["ts"])
+
+    # NANOS generation via pyarrow
+    d1 = tmp_path / "nanos"
+    d1.mkdir()
+    t = pa.table(
+        {**rows, "ts": pa.array(rows["ts"], type=pa.timestamp("ns"))}
+    )
+    pq.write_table(t, str(d1 / "events.parquet"), store_schema=False)
+    run(str(d1))
+
+    # NTZ generation via pyarrow micros (no tz → reads as TIMESTAMP_NTZ
+    # under Spark's inferTimestampNTZ... declared probe handles either)
+    d2 = tmp_path / "micros"
+    d2.mkdir()
+    t2 = pa.table(
+        {**rows, "ts": pa.array(rows["ts"], type=pa.timestamp("us"))}
+    )
+    pq.write_table(t2, str(d2 / "events.parquet"))
+    run(str(d2))
