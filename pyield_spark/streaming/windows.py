@@ -61,7 +61,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tables() does — all three shipped generations stream identically.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = dict(spark.read.parquet(target).dtypes).get("ts")
+    # probe memoized per (session, file): six stream queries otherwise
+    # pay a redundant footer-listing job each (df_cache_get also evicts
+    # entries of stopped sessions)
+    from pyield_spark.calendar_br import df_cache_get
+
+    ts_type = df_cache_get(
+        spark,
+        ("events_ts_type", target),
+        lambda: dict(spark.read.parquet(target).dtypes).get("ts"),
+    )
     if ts_type == "bigint":  # NANOS generation under nanosAsLong
         raw = (
             spark.readStream.schema(EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts BIGINT"))
