@@ -1,0 +1,64 @@
+"""End-to-end golden parity: the BCB treasury-auction pipeline over the
+reference's OWN captured CSV, compared against its golden parquet.
+
+This is the reference's test_pipeline_leiloes (tests/bc/test_leiloes.py)
+re-run on this engine: same 2025-08-19 Olinda CSV, same pinned PTAX,
+full 34-column output — dates/ints/strings exact, floats within 1e-9
+relative (duration/DV01 go through pow chains where Polars and the JVM
+may differ in the last ulp; everything else lands bit-equal).
+
+Skipped when the reference fixture directory is absent.
+"""
+
+import datetime as dt
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+DATA_DIR = Path("/root/reference/tests/bc/data")
+
+pytestmark = pytest.mark.skipif(
+    not DATA_DIR.is_dir(), reason="reference fixture payloads not available"
+)
+
+
+def test_bc_leiloes_golden_parity(spark):
+    import pandas as pd
+
+    from pyield_spark.analytics.leiloes_bc import (
+        CHAVES_ORDENACAO,
+        ORDEM_COLUNAS_FINAL,
+        processar_leiloes,
+    )
+    from pyield_spark.sources.readers import read_odata_csv
+
+    raw = read_odata_csv(spark, str(DATA_DIR / "leiloes_20250819.csv"))
+    # the PTAX the reference pinned when generating the golden
+    ptax = spark.createDataFrame(
+        [(dt.date(2025, 8, 19), 5.4716)], "data_ref DATE, ptax DOUBLE"
+    )
+    mine = processar_leiloes(raw, ptax).toPandas()
+    gold = pd.read_parquet(DATA_DIR / "leiloes_20250819.parquet")
+
+    assert list(mine.columns) == list(gold.columns) == ORDEM_COLUNAS_FINAL
+    assert len(mine) == len(gold) > 0
+    # canonical sort keys line up row-for-row
+    for k in CHAVES_ORDENACAO:
+        assert list(mine[k]) == list(gold[k]), k
+
+    for c in gold.columns:
+        g, m = gold[c], mine[c]
+        if g.dtype.kind == "f":
+            gv, mv = g.to_numpy(float), m.to_numpy(float)
+            assert (np.isnan(gv) == np.isnan(mv)).all(), f"{c}: null layout"
+            ok = np.isnan(gv) | np.isclose(gv, mv, rtol=1e-9, atol=1e-9)
+            assert ok.all(), f"{c}: {gv[~ok]} vs {mv[~ok]}"
+        else:
+            assert (g.fillna("@") == m.fillna("@")).all() if g.dtype == object \
+                else list(g) == list(m), c
+
+    # spot-check the economically meaningful derived values exist
+    assert mine.duration.notna().any()
+    assert (mine.dv01_total.dropna() >= 0).all()
+    assert mine.ptax.eq(5.4716).all()
