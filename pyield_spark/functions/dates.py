@@ -18,6 +18,7 @@ _FORMATS = (
     "yyyy-MM-dd",
     "dd-MM-yyyy HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss",
+    "yyyyMMdd",  # ANBIMA taxas file dates (pyield/anbima/taxas.py:153)
 )
 
 

@@ -41,7 +41,10 @@ def read_holidays_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_anbima_csv_bronze(
-    spark: SparkSession, path: str, skip_lines: int = 2
+    spark: SparkSession,
+    path: str,
+    skip_lines: int = 2,
+    header_anchor: str | None = "Titulo",
 ) -> DataFrame:
     """S3 bronze: '@'-separated latin1 with meta lines before the header.
 
@@ -49,6 +52,14 @@ def read_anbima_csv_bronze(
     headerless/all-string, rows are numbered per file, the header row is
     fetched (one tiny driver action) and the meta+header rows dropped —
     the same all-string-then-cast discipline as the reference.
+
+    The header row is located by ``header_anchor`` (the first row whose
+    first field equals it — 'Titulo' anchors every ANBIMA taxas layout)
+    rather than a raw line count alone: Spark's CSV reader silently
+    drops blank/CR-only meta lines, so the reference's ``skip_lines=2``
+    (which counts them) would land on the wrong row for files like the
+    real 2026 download whose second line is a bare CR. ``skip_lines``
+    remains the fallback when no anchor matches.
     """
     from pyspark.sql import Window
 
@@ -70,8 +81,16 @@ def read_anbima_csv_bronze(
     )
     w = Window.partitionBy("_f").orderBy("_i")
     numbered = raw.withColumn("_rn", F.row_number().over(w))
-    header_row = numbered.filter(F.col("_rn") == skip_lines + 1).first()
-    data = numbered.filter(F.col("_rn") > skip_lines + 1)
+    header_row = None
+    if header_anchor is not None:
+        header_row = (
+            numbered.filter(F.trim(F.col("_c0")) == header_anchor)
+            .orderBy("_rn")
+            .first()
+        )
+    if header_row is None:
+        header_row = numbered.filter(F.col("_rn") == skip_lines + 1).first()
+    data = numbered.filter(F.col("_rn") > header_row["_rn"])
     return data.select(
         *[
             F.col(f"_c{i}").alias(str(header_row[f"_c{i}"]))
@@ -96,14 +115,25 @@ def anbima_silver(bronze: DataFrame) -> DataFrame:
         "codigo_selic": "codigo_selic",
         "data_base/emissao": "data_base",
         "data_de_vencimento": "data_vencimento",
+        "data_vencimento": "data_vencimento",
         "tx._compra": "taxa_compra",
         "tx._venda": "taxa_venda",
         "tx._indicativas": "taxa_indicativa",
         "pu": "pu",
+        # full reference surface (pyield/anbima/taxas.py:149-166)
+        "desvio_padrao": "desvio_padrao",
+        "interv._ind._inf._(d0)": "taxa_intervalo_inf_d0",
+        "interv._ind._sup._(d0)": "taxa_intervalo_sup_d0",
+        "interv._ind._inf._(d+1)": "taxa_intervalo_inf_d1",
+        "interv._ind._sup._(d+1)": "taxa_intervalo_sup_d1",
+        "criterio": "criterio",
     }
+    # two header spellings may map to one canonical name — first wins
+    seen: set[str] = set()
     selected = []
     for src, dst in rename.items():
-        if has(src):
+        if has(src) and dst not in seen:
+            seen.add(dst)
             selected.append(F.col(f"`{cols[src]}`").alias(dst))
     out = out.select(*selected) if selected else out
     casts = {}
@@ -114,9 +144,18 @@ def anbima_silver(bronze: DataFrame) -> DataFrame:
     ]:
         if c in out.columns:
             casts[c] = converter_datas_expr(c)
-    for c in ("taxa_compra", "taxa_venda", "taxa_indicativa", "pu"):
+    taxa_cols = (
+        "taxa_compra", "taxa_venda", "taxa_indicativa",
+        "taxa_intervalo_inf_d0", "taxa_intervalo_sup_d0",
+        "taxa_intervalo_inf_d1", "taxa_intervalo_sup_d1",
+    )
+    for c in (*taxa_cols, "pu", "desvio_padrao"):
         if c in out.columns:
-            casts[c] = F.round(br_num_expr(c) / 100.0, 10) if c.startswith("taxa") else br_num_expr(c)
+            casts[c] = (
+                F.round(br_num_expr(c) / 100.0, 10)
+                if c in taxa_cols
+                else br_num_expr(c)
+            )
     if "codigo_selic" in out.columns:
         casts["codigo_selic"] = F.col("codigo_selic").cast("long")
     return out.withColumns(casts)
