@@ -19,19 +19,33 @@ from pyspark.sql import Column, functions as F
 
 
 def truncar_expr(col: Column | str, decimals: int) -> Column:
-    """Truncate toward zero at ``decimals`` places.
+    """Truncate toward zero at ``decimals`` places — DECIMAL-REPR-AWARE.
 
-    sign(x) * floor(|x| * 10^d) / 10^d — exact for the magnitudes the
-    pricing rules touch (|x|·10^d < 2^53). NaN/null pass through via
-    signum (no explicit guard: a when(isnan) wrapper would re-reference
-    the child and grow nested trunc chains 4× per level — measured as
-    the dominant planning+eval cost in the composite pricing queries).
+    The reference's ``truncar`` (pyield/_internal/numbers.py:15-45 via
+    Polars) truncates the double's DECIMAL value: ``trunc8(0.141446)``
+    stays ``0.141446`` even though ``0.141446 × 1e8`` floats to
+    ``14144599.999999998`` (found by golden-replaying the reference's
+    captured auction data — a naive float-floor loses one 1e-8 ulp on
+    such grid points and shifts the whole downstream pricing chain).
+
+    Implementation without string round-trips: if ``x`` IS the double
+    closest to a grid decimal ``k·10^-d`` (checked by ``k/10^d == |x|``
+    with ``k = rint(|x|·10^d)``), the truncation keeps ``k``; otherwise
+    plain ``floor``. One extra multiply+compare per call. NaN/null pass
+    through via signum (no explicit guard: a when(isnan) wrapper would
+    re-reference the child and grow nested trunc chains 4× per level —
+    measured as the dominant planning+eval cost in the composite
+    pricing queries).
     """
     if decimals < 0:
         raise ValueError("decimals must be non-negative")
     c = F.col(col) if isinstance(col, str) else col
     s = F.lit(float(10**decimals))
-    return F.signum(c) * F.floor(F.abs(c) * s) / s
+    a = F.abs(c)
+    y = a * s
+    k = F.bround(y, 0)  # rint; exact-integer compare below disambiguates
+    t = F.when(k / s == a, k).otherwise(F.floor(y))
+    return F.signum(c) * t / s
 
 
 def pround_expr(col: Column | str, decimals: int) -> Column:

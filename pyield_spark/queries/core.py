@@ -396,9 +396,9 @@ def q_part_dissect(spark, sf_dir):
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS month_revenue,
-           sign(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE))
-             * floor(abs(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)) * 1000000.0)
-             / 1000000.0 AS month_revenue_trunc6,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             - (SUM(CAST(o_totalprice AS DECIMAL(18,6))) % 0.000001) AS DOUBLE)
+             AS month_revenue_trunc6,
            MAKE_DATE(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 15) AS mid_month
     FROM orders
     GROUP BY 1, 5

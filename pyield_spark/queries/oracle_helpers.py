@@ -69,14 +69,19 @@ def bd_count_sql(start_expr: str, end_expr: str) -> str:
       THEN ce.cum_ant - cs.cum_ant ELSE ce.cum_nov - cs.cum_nov END"""
 
 
-TRUNC6 = "sign({x}) * floor(abs({x}) * 1000000.0) / 1000000.0"
-TRUNC8 = "sign({x}) * floor(abs({x}) * 100000000.0) / 100000000.0"
-TRUNC14 = "sign({x}) * floor(abs({x}) * 100000000000000.0) / 100000000000000.0"
-
-
 def trunc_sql(x: str, decimals: int) -> str:
+    """Decimal-repr-aware truncation (twin of truncar_expr): if |x| IS
+    the double of a grid decimal k·10^-d, keep k; else plain floor."""
     s = f"{10**decimals}.0"
-    return f"sign({x}) * floor(abs({x}) * {s}) / {s}"
+    return (
+        f"sign({x}) * (CASE WHEN round(abs({x}) * {s}) / {s} = abs({x})"
+        f" THEN round(abs({x}) * {s}) ELSE floor(abs({x}) * {s}) END) / {s}"
+    )
+
+
+TRUNC6 = trunc_sql("{x}", 6)
+TRUNC8 = trunc_sql("{x}", 8)
+TRUNC14 = trunc_sql("{x}", 14)
 
 
 def pround_sql(x: str, decimals: int) -> str:

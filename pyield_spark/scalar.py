@@ -24,10 +24,16 @@ NTNB_CUPOM = 0.02956301
 
 
 def truncar(x: float, decimals: int) -> float:
+    """Decimal-repr-aware truncation toward zero (reference
+    pyield/_internal/numbers.py semantics — see truncar_expr)."""
     if isinstance(x, float) and math.isnan(x):
         return x
     s = 10**decimals
-    return math.copysign(math.floor(abs(x) * s), x) / s
+    a = abs(x)
+    y = a * s
+    k = round(y)  # rint; the equality below disambiguates
+    t = k if (k / s) == a else math.floor(y)
+    return math.copysign(t, x) / s
 
 
 def _add_months(d: dt.date, months: int) -> dt.date:

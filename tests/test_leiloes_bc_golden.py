@@ -62,3 +62,50 @@ def test_bc_leiloes_golden_parity(spark):
     assert mine.duration.notna().any()
     assert (mine.dv01_total.dropna() >= 0).all()
     assert mine.ptax.eq(5.4716).all()
+
+
+TPF_DATA_DIR = Path("/root/reference/tests/tpf/data")
+
+
+@pytest.mark.skipif(
+    not TPF_DATA_DIR.is_dir(), reason="reference fixture payloads not available"
+)
+def test_tpf_leiloes_golden_parity(spark):
+    """The reference's test_pipeline_leiloes_por_data rerun on this
+    engine: its captured 2025-10-23 auctions-API payload + pinned PTAX
+    reproduce its golden parquet across all 43 columns. This golden is
+    what exposed (and now pins) the decimal-repr-aware truncation
+    semantics of the reference's truncar."""
+    import pandas as pd
+
+    from pyield_spark.analytics.leiloes_tpf import (
+        ORDEM_FINAL_COLUNAS,
+        processar_leiloes_tpf,
+        read_leiloes_json,
+    )
+
+    raw = read_leiloes_json(spark, str(TPF_DATA_DIR / "leilao_20251023.json"))
+    ptax = spark.createDataFrame(
+        [
+            (dt.date(2025, 10, 22), 5.3898),
+            (dt.date(2025, 10, 23), 5.384),
+            (dt.date(2025, 10, 24), 5.3797),
+        ],
+        "data_ref DATE, ptax DOUBLE",
+    )
+    mine = processar_leiloes_tpf(raw, ptax).toPandas()
+    gold = pd.read_parquet(TPF_DATA_DIR / "leilao_20251023.parquet")
+
+    assert list(mine.columns) == list(gold.columns) == ORDEM_FINAL_COLUNAS
+    assert len(mine) == len(gold) > 0
+    for c in gold.columns:
+        g, m = gold[c], mine[c]
+        if g.dtype.kind == "f":
+            gv, mv = g.to_numpy(float), m.to_numpy(float)
+            assert (np.isnan(gv) == np.isnan(mv)).all(), f"{c}: null layout"
+            ok = np.isnan(gv) | np.isclose(gv, mv, rtol=1e-9, atol=1e-9)
+            assert ok.all(), f"{c}: {gv[~ok]} vs {mv[~ok]}"
+        elif g.dtype == object:
+            assert (g.fillna("@") == m.fillna("@")).all(), c
+        else:
+            assert list(g) == list(m), c
