@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, functions as F
 from pyield_spark import du as du_mod
 from pyield_spark.bonds.cashflows import explode_payment_dates
 from pyield_spark.bonds.pricing import anos_uteis_expr, ltn_pu_expr
-from pyield_spark.functions.numbers import br_num_expr, truncar_expr
+from pyield_spark.functions.numbers import (
+    br_num_expr,
+    bround_expr,
+    truncar_expr,
+)
 from pyield_spark.operators.asof import asof_join
 
 # Selic instrument code → title (pyield/bc/leiloes.py:26-31)
@@ -58,8 +62,11 @@ _NTNB_CUPOM, _NTNB_FINAL = 0.02956301, 1.02956301
 
 def _taxa_br(col: str) -> F.Column:
     """taxa_br: BR percent string → decimal, round 10
-    (pyield/_internal/br_numbers.py:10-39)."""
-    return F.round(br_num_expr(col) / 100.0, 10)
+    (pyield/_internal/br_numbers.py:10-39). Half-to-even: the pinned
+    Polars (>=1.39) ``Expr.round`` default is mode='half_to_even', so
+    every reference-parity ``.round`` site uses bround (ADVICE r4 —
+    both auction pipelines now share one rounding mode)."""
+    return bround_expr(br_num_expr(col) / 100.0, 10)
 
 
 def _titulo_expr() -> F.Column:
@@ -289,7 +296,7 @@ def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFram
         )
         for c in ("dv01_1v", "dv01_2v", "dv01_total"):
             typed = typed.withColumn(
-                f"{c}_usd", F.round(F.col(c) / F.col("ptax"), 2)
+                f"{c}_usd", bround_expr(F.col(c) / F.col("ptax"), 2)
             )
     else:
         typed = typed.withColumn("ptax", F.lit(None).cast("double"))

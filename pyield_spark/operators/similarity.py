@@ -121,6 +121,53 @@ def lsh_bucket_expr(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
+def _ivf_codebook(base: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic coarse codebook: the ``n_centroids`` lowest-id
+    vectors (offline k-means would slot in here unchanged)."""
+    return (
+        base.orderBy("_vid")
+        .limit(n_centroids)
+        .select(
+            F.col("_vid").alias("_cid"),
+            F.col("_vec").alias("_cvec"),
+            F.col("_norm2").alias("_cnorm2"),
+        )
+    )
+
+
+def _ivf_nearest_lists(
+    frame: DataFrame,
+    cents: DataFrame,
+    part_col: str,
+    vec_col: str,
+    norm_col: str,
+    n: int,
+) -> DataFrame:
+    """Attach each row's ``n`` nearest list ids (``_cid``) in ONE
+    broadcast codebook pass (cost rows·C, C small); every input column
+    is preserved. Scores round to 6dp with cid tie-breaks so the
+    assignment is bit-stable across engines."""
+    from pyspark.sql import Window
+
+    from pyield_spark.functions.numbers import pround_expr
+
+    score = pround_expr(
+        dot_dec(F.col(vec_col), F.col("_cvec"))
+        / (F.sqrt(F.col(norm_col)) * F.sqrt(F.col("_cnorm2"))),
+        6,
+    )
+    w = Window.partitionBy(part_col).orderBy(
+        F.col("_cscore").desc(), F.col("_cid").asc()
+    )
+    return (
+        frame.crossJoin(F.broadcast(cents))
+        .withColumn("_cscore", score)
+        .withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= n)
+        .drop("_cvec", "_cnorm2", "_cscore", "_crn")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -154,33 +201,8 @@ def ivf_topk(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
     ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
 
-    cents = (
-        base.orderBy("_vid")
-        .limit(n_centroids)
-        .select(
-            F.col("_vid").alias("_cid"),
-            F.col("_vec").alias("_cvec"),
-            F.col("_norm2").alias("_cnorm2"),
-        )
-    )
-
-    def _score(vec, norm2):
-        return pround_expr(
-            dot_dec(vec, F.col("_cvec"))
-            / (F.sqrt(norm2) * F.sqrt(F.col("_cnorm2"))),
-            6,
-        )
-
-    wassign = Window.partitionBy("_vid").orderBy(
-        F.col("_cscore").desc(), F.col("_cid").asc()
-    )
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("_cscore", _score(F.col("_vec"), F.col("_norm2")))
-        .withColumn("_crn", F.row_number().over(wassign))
-        .filter(F.col("_crn") == 1)
-        .select("_vid", "_vec", "_norm2", "_cid")
-    )
+    cents = _ivf_codebook(base, n_centroids)
+    assigned = _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1)
 
     queries = base.filter(
         query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
@@ -189,19 +211,8 @@ def ivf_topk(
         F.col("_vec").alias("_qvec"),
         F.col("_norm2").alias("_qnorm2"),
     )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("_cscore", _score(F.col("_qvec"), F.col("_qnorm2")))
-        .withColumn(
-            "_crn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("_cscore").desc(), F.col("_cid").asc()
-                )
-            ),
-        )
-        .filter(F.col("_crn") <= n_probe)
-        .select("query_id", "_qvec", "_qnorm2", "_cid")
+    probes = _ivf_nearest_lists(
+        queries, cents, "query_id", "_qvec", "_qnorm2", n_probe
     )
 
     cand = probes.join(assigned, "_cid").filter(F.col("_vid") != F.col("query_id"))
@@ -236,21 +247,30 @@ def hard_negatives(
     label_col: str = "label",
     query_pred: Column | None = None,
     k: int = 3,
+    prune: str | None = "ivf",
+    n_centroids: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each probe,
     the top-k most-cosine-similar vectors with a DIFFERENT label —
     near-misses the loss learns the most from (the standard dense-
     retrieval / embedding-training curation step).
 
-    Same exactness-baseline stance as ``cosine_topk``: brute force —
-    every vector is a probe unless ``query_pred`` bounds the set (do
-    bound it for large corpora); at scale, prune candidates through LSH
-    buckets or IVF probe lists first (``lsh_bucket_expr`` / ``ivf_topk``
-    keep the pair space linear) and rescore exactly here. Ties break on
-    neighbor id for determinism.
+    ``prune``:
+      - ``"ivf"`` (the DEFAULT and the 100 TB path): candidates come
+        from the same coarse-codebook inverted lists as ``ivf_topk`` —
+        every vector lands in one list, each probe searches its
+        ``n_probe`` nearest lists, and only in-list different-label
+        candidates are rescored exactly. Pair space ≈ Q·N·n_probe/C
+        (linear, equi-join on the list id) instead of Q·N. With
+        ``n_probe == n_centroids`` the search is exhaustive and
+        bit-identical to brute force (the parity test pins this).
+      - ``None``: the brute-force exactness baseline (unbounded
+        crossJoin) — bound the probe set via ``query_pred`` for
+        anything beyond re-verification.
 
-    Returns (query_id, query_label, neighbor_id, neighbor_label,
-    cosine, rnk).
+    Ties break on neighbor id for determinism. Returns (query_id,
+    query_label, neighbor_id, neighbor_label, cosine, rnk).
     """
     from pyspark.sql import Window
 
@@ -261,15 +281,29 @@ def hard_negatives(
         F.col(label_col).cast("int").alias("_lbl"),
         F.col(vec_col).alias("_vec"),
     ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
-    # default: EVERY vector is a probe (the library contract); callers
-    # bound the probe set themselves (q_hard_negatives samples ids)
     probes = (base.filter(query_pred) if query_pred is not None else base).select(
         F.col("_vid").alias("query_id"),
         F.col("_lbl").alias("query_label"),
         F.col("_vec").alias("_qvec"),
         F.col("_norm2").alias("_qnorm2"),
     )
-    pairs = probes.crossJoin(base).filter(F.col("_lbl") != F.col("query_label"))
+    if prune == "ivf":
+        cents = _ivf_codebook(base, n_centroids)
+        assigned = _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1)
+        probed = _ivf_nearest_lists(
+            probes, cents, "query_id", "_qvec", "_qnorm2", n_probe
+        )
+        # equi-join on the list id — the pruning step; the self pair is
+        # removed by the label filter (a vector shares its own label)
+        pairs = probed.join(assigned, "_cid").filter(
+            F.col("_lbl") != F.col("query_label")
+        )
+    elif prune is None:
+        pairs = probes.crossJoin(base).filter(
+            F.col("_lbl") != F.col("query_label")
+        )
+    else:
+        raise ValueError(f"unknown prune mode: {prune!r}")
     scored = pairs.withColumn(
         "cosine",
         pround_expr(

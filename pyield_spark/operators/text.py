@@ -237,7 +237,15 @@ def canonical_url_expr(url: str | Column) -> Column:
     """
     u = F.col(url) if isinstance(url, str) else url
     no_frag = F.regexp_replace(u, "#.*", "")
-    no_utm = F.regexp_replace(no_frag, "utm_[a-z]+=[^&]*&?", "")
+    # utm_* must sit at a parameter boundary (after ? or &): otherwise a
+    # legitimate 'my_utm_source=x' param would be partially stripped,
+    # leaving a dangling 'my_' prefix (ADVICE r4). A run of consecutive
+    # utm params collapses in ONE match (regexp_replace scans the
+    # original string left-to-right, so the second of '?utm_a=1&utm_b=2'
+    # would otherwise lack its consumed '&' delimiter).
+    no_utm = F.regexp_replace(
+        no_frag, "([?&])utm_[a-z]+=[^&]*(&utm_[a-z]+=[^&]*)*&?", "$1"
+    )
     clean = F.regexp_replace(no_utm, "[?&]+$", "")
     host = F.regexp_replace(
         F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/]*", 0)),

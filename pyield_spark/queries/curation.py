@@ -488,7 +488,9 @@ _URL_SYNTH_SQL = """
     WITH {_URL_SYNTH_SQL.lstrip()},
     c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM u0),
     c2 AS (SELECT doc_id,
-                  regexp_replace(u, 'utm_[a-z]+=[^&]*&?', '', 'g') AS u
+                  regexp_replace(
+                    u, '([?&])utm_[a-z]+=[^&]*(&utm_[a-z]+=[^&]*)*&?',
+                    '\\1', 'g') AS u
            FROM c1),
     c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM c2),
     canon AS (

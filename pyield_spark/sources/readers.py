@@ -81,16 +81,28 @@ def read_anbima_csv_bronze(
     )
     w = Window.partitionBy("_f").orderBy("_i")
     numbered = raw.withColumn("_rn", F.row_number().over(w))
+    # Column NAMES come from one header row (ANBIMA taxas headers are
+    # identical across files of a layout; the first anchored row wins).
+    # The data CUTOFF, however, must be per file: layouts differ in how
+    # many meta lines precede the header (pre/post-2026 downloads), so a
+    # single global cutoff would leak deeper files' meta+header rows
+    # into the data. Each file's own header _rn is computed and joined
+    # back on _f (broadcast — one row per file); files where no anchor
+    # matches fall back to the reference's skip_lines count.
     header_row = None
     if header_anchor is not None:
-        header_row = (
-            numbered.filter(F.trim(F.col("_c0")) == header_anchor)
-            .orderBy("_rn")
-            .first()
-        )
+        anchored = numbered.filter(F.trim(F.col("_c0")) == header_anchor)
+        header_row = anchored.orderBy("_f", "_rn").first()
     if header_row is None:
         header_row = numbered.filter(F.col("_rn") == skip_lines + 1).first()
-    data = numbered.filter(F.col("_rn") > header_row["_rn"])
+        per_file = numbered.groupBy("_f").agg(
+            F.lit(skip_lines + 1).alias("_hdr_rn")
+        )
+    else:
+        per_file = anchored.groupBy("_f").agg(F.min("_rn").alias("_hdr_rn"))
+    data = numbered.join(F.broadcast(per_file), "_f", "left").filter(
+        F.col("_rn") > F.coalesce(F.col("_hdr_rn"), F.lit(skip_lines + 1))
+    )
     return data.select(
         *[
             F.col(f"_c{i}").alias(str(header_row[f"_c{i}"]))

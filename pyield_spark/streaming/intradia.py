@@ -114,7 +114,16 @@ def intradia_stream_enrich(
     q = quotes.writeStream.foreachBatch(handle).start()
     q.processAllAvailable()
     q.stop()
-    if not os.path.isdir(sink_dir):
+    # Gate the fallback on the sink containing no parquet FILES, not on
+    # the directory existing: callers handing a pre-created empty dir
+    # (tempfile.mkdtemp is the common case) must get the canonical empty
+    # frame, not an 'unable to infer schema' read error (ADVICE r4).
+    import glob as _glob
+
+    has_parquet = os.path.isdir(sink_dir) and any(
+        _glob.glob(os.path.join(sink_dir, "*.parquet"))
+    )
+    if not has_parquet:
         # nothing enriched (empty dir / quotation-unavailable payloads):
         # an empty frame with the canonical schema, not a read error
         return processar_intradia(

@@ -265,13 +265,25 @@ def test_url_canonicalization_idempotent(spark):
         "HTTPS://WWW.SrcA.Example.COM/Docs/3/?utm_source=feed&ref=1&utm_campaign=x#sec2",
         "https://srcb.example.com/Docs/5/?ref=2",
         "http://Host.Org/Path?utm_medium=m",
+        # boundary regressions (ADVICE r4): params merely CONTAINING
+        # 'utm_' are not tracking params and must survive intact
+        "http://h.org/p?my_utm_source=x&a=1",
+        "http://h.org/p?xutm_a=1",
+        # consecutive utm params collapse fully, no dangling '&'
+        "http://h.org/p?utm_a=1&utm_b=2&x=1",
+        "http://h.org/p?x=1&utm_a=2&utm_b=3",
     ]
     df = spark.createDataFrame([(u,) for u in raw], "u STRING")
     once = df.select(canonical_url_expr("u").alias("u"))
     twice = once.select(canonical_url_expr("u").alias("u"))
     assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
-    assert once.collect()[0]["u"] == "https://srca.example.com/Docs/3/?ref=1"
-    assert once.collect()[2]["u"] == "http://host.org/Path"
+    got = [r["u"] for r in once.collect()]
+    assert got[0] == "https://srca.example.com/Docs/3/?ref=1"
+    assert got[2] == "http://host.org/Path"
+    assert got[3] == "http://h.org/p?my_utm_source=x&a=1"
+    assert got[4] == "http://h.org/p?xutm_a=1"
+    assert got[5] == "http://h.org/p?x=1"
+    assert got[6] == "http://h.org/p?x=1"
 
 
 def test_multi_snapshot_directory_per_snapshot_forwards(spark, tmp_path):
@@ -338,6 +350,24 @@ def test_intradia_stream_empty_dir(spark, tmp_path):
     (d / "t0.json").write_text(json.dumps({"msg": "Quotation not available"}))
     out = intradia_stream_enrich(
         spark, str(d), str(tmp_path / "sink"), "DI1", dt.date(2026, 8, 14)
+    )
+    assert out.count() == 0
+    assert "codigo_negociacao" in out.columns
+
+
+def test_intradia_stream_precreated_empty_sink(spark, tmp_path):
+    """Regression (ADVICE r4): a PRE-CREATED empty sink_dir (the
+    tempfile.mkdtemp pattern) must also take the canonical-empty-frame
+    fallback — the gate is 'no parquet files', not 'dir missing'."""
+    from pyield_spark.streaming.intradia import intradia_stream_enrich
+
+    d = tmp_path / "empty_snaps2"
+    d.mkdir()
+    (d / "t0.json").write_text(json.dumps({"msg": "Quotation not available"}))
+    sink = tmp_path / "pre_sink"
+    sink.mkdir()  # exists but holds no parquet
+    out = intradia_stream_enrich(
+        spark, str(d), str(sink), "DI1", dt.date(2026, 8, 14)
     )
     assert out.count() == 0
     assert "codigo_negociacao" in out.columns

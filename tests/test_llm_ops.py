@@ -247,11 +247,68 @@ def test_hard_negatives_excludes_same_label(spark):
         "vec_id long, label int, embedding array<double>",
     )
     out = hard_negatives(
-        emb, query_pred=F.col("_vid") == 0, k=3
+        emb, query_pred=F.col("_vid") == 0, k=3, prune=None
     ).collect()
     assert [r.neighbor_id for r in out] == [2, 4, 3]
     assert all(r.neighbor_label != r.query_label for r in out)
     assert [r.rnk for r in out] == [1, 2, 3]
+
+
+def test_hard_negatives_ivf_parity(spark):
+    """The IVF-pruned route with n_probe == n_centroids is EXHAUSTIVE:
+    bit-identical to the brute-force baseline (same harness as the
+    as-of broadcast/window parity). At the default n_probe < C it is a
+    true prune — every result it returns must also score correctly
+    (subset-with-correct-ranking check)."""
+    from pyield_spark.operators.similarity import hard_negatives
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(200)
+    )
+    pred = F.col("_vid") % 17 == 0
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.cosine, r.rnk) for r in df.collect()
+        )
+
+    brute = rows(hard_negatives(emb, query_pred=pred, k=3, prune=None))
+    exhaustive = rows(
+        hard_negatives(
+            emb, query_pred=pred, k=3,
+            prune="ivf", n_centroids=8, n_probe=8,
+        )
+    )
+    assert exhaustive == brute  # n_probe == C → exact
+
+    # default prune: every mined negative is a genuinely-scored pair and
+    # the probe set / label exclusion still hold
+    pruned = hard_negatives(
+        emb, query_pred=pred, k=3, prune="ivf", n_centroids=8, n_probe=3
+    ).collect()
+    assert pruned and all(r.neighbor_label != r.query_label for r in pruned)
+    brute_cos = {(q, n): c for q, n, c, _ in brute}
+    # any pair the pruned route surfaces that brute force also ranked
+    # must carry the identical exact cosine (the rescore is exact)
+    for r in pruned:
+        if (r.query_id, r.neighbor_id) in brute_cos:
+            assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_hard_negatives_ivf_plan_no_unbounded_crossjoin(spark):
+    """The pruned route's physical plan has no unbounded crossJoin: the
+    only cartesian products are against the BROADCAST codebook (bounded
+    at n_centroids rows); the candidate step is an equi-JOIN on the
+    list id."""
+    from pyield_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = hard_negatives(emb, prune="ivf")._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "CartesianProduct" in line:
+            raise AssertionError(f"unbounded cartesian in pruned plan: {line}")
 
 
 def test_containment_catches_subset_jaccard_misses(spark):

@@ -33,6 +33,42 @@ def test_anbima_at_csv(spark, tmp_path):
     assert row.codigo_selic == 100000
 
 
+def test_anbima_mixed_layout_directory(spark, tmp_path):
+    """Regression (ADVICE r4): the header cutoff must be PER FILE.
+
+    A directory mixing layouts — one file with the usual 2 meta lines,
+    one with 3 (the pre/post-2026 difference) — previously applied the
+    shallowest file's cutoff globally, leaking the deeper file's third
+    meta line and its 'Titulo' header row into the data.
+    """
+    d = tmp_path / "mix"
+    d.mkdir()
+    hdr = "Titulo@Data Referencia@Tx. Indicativas@PU\n"
+    (d / "shallow.csv").write_bytes(
+        ("meta1\nmeta2\n" + hdr + "LTN@06/02/2026@14,90@997,24\n").encode("latin1")
+    )
+    (d / "deep.csv").write_bytes(
+        ("meta1\nmeta2\nmeta3\n" + hdr + "NTN-B@06/02/2026@7,50@4321,00\n").encode(
+            "latin1"
+        )
+    )
+    bronze = rd.read_anbima_csv_bronze(spark, str(d))
+    titles = sorted(r["Titulo"] for r in bronze.collect())
+    assert titles == ["LTN", "NTN-B"]  # no meta3 / repeated header leak
+
+
+def test_anbima_no_anchor_fallback_per_file(spark, tmp_path):
+    """skip_lines fallback also applies per file when no anchor matches."""
+    d = tmp_path / "noanchor"
+    d.mkdir()
+    hdr = "Papel@Data@PU\n"
+    (d / "a.csv").write_bytes(("m1\nm2\n" + hdr + "LTN@x@1\n").encode("latin1"))
+    (d / "b.csv").write_bytes(("m1\nm2\n" + hdr + "LFT@y@2\n").encode("latin1"))
+    bronze = rd.read_anbima_csv_bronze(spark, str(d), header_anchor=None)
+    got = sorted(r["Papel"] for r in bronze.collect())
+    assert got == ["LFT", "LTN"]
+
+
 def test_zip_members(spark, tmp_path):
     z = tmp_path / "archive.zip"
     with zipfile.ZipFile(z, "w") as zf:
