@@ -30,7 +30,7 @@ from pyield_spark.bonds.cashflows import explode_payment_dates
 from pyield_spark.bonds.pricing import anos_uteis_expr, ltn_pu_expr
 from pyield_spark.functions.numbers import (
     br_num_expr,
-    bround_expr,
+    round_pl_expr,
     truncar_expr,
 )
 from pyield_spark.operators.asof import asof_join
@@ -66,7 +66,7 @@ def _taxa_br(col: str) -> F.Column:
     Polars (>=1.39) ``Expr.round`` default is mode='half_to_even', so
     every reference-parity ``.round`` site uses bround (ADVICE r4 —
     both auction pipelines now share one rounding mode)."""
-    return bround_expr(br_num_expr(col) / 100.0, 10)
+    return round_pl_expr(br_num_expr(col) / 100.0, 10)
 
 
 def _titulo_expr() -> F.Column:
@@ -296,7 +296,7 @@ def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFram
         )
         for c in ("dv01_1v", "dv01_2v", "dv01_total"):
             typed = typed.withColumn(
-                f"{c}_usd", bround_expr(F.col(c) / F.col("ptax"), 2)
+                f"{c}_usd", round_pl_expr(F.col(c) / F.col("ptax"), 2)
             )
     else:
         typed = typed.withColumn("ptax", F.lit(None).cast("double"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyield_spark import du as du_mod
 from pyield_spark.analytics.leiloes_bc import _coupon_metrics
 from pyield_spark.bonds.pricing import ltn_pu_expr
-from pyield_spark.functions.numbers import bround_expr, truncar_expr
+from pyield_spark.functions.numbers import round_pl_expr, truncar_expr
 from pyield_spark.operators.asof import asof_join
 
 # (api key, canonical name, spark type) — DEFINICOES_COLUNAS
@@ -157,7 +157,7 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
             # Polars .round parity = half-to-even (shared mode with
             # leiloes_bc; ADVICE r4)
             "pu_medio",
-            bround_expr(
+            round_pl_expr(
                 F.when(
                     F.col("pu_medio") == 0,
                     F.col("financeiro_aceito_1v") / q1,
@@ -168,9 +168,9 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
     )
     for c in ("financeiro_ofertado_1v", "financeiro_ofertado_2v",
               "financeiro_ofertado_total"):
-        typed = typed.withColumn(c, bround_expr(F.col(c), 2))
+        typed = typed.withColumn(c, round_pl_expr(F.col(c), 2))
     for c in ("taxa_media", "taxa_maxima"):
-        typed = typed.withColumn(c, bround_expr(F.col(c) / 100.0, 10))
+        typed = typed.withColumn(c, round_pl_expr(F.col(c) / 100.0, 10))
     # zero-acceptance null-out (includes the tipo_pu_medio string flag)
     nz = q1 != 0
     for c in ("pu_minimo", "pu_medio", "tipo_pu_medio", "taxa_media", "taxa_maxima"):
@@ -221,7 +221,7 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
     typed = typed.withColumn("_dv01u", dv01_unit)
     for c, q in (("dv01_1v", q1), ("dv01_2v", q2),
                  ("dv01_total", F.col("quantidade_aceita_total"))):
-        typed = typed.withColumn(c, bround_expr(F.col("_dv01u") * q, 2))
+        typed = typed.withColumn(c, round_pl_expr(F.col("_dv01u") * q, 2))
 
     if ptax is not None:
         typed = asof_join(
@@ -231,7 +231,7 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
         )
         for c in ("dv01_1v", "dv01_2v", "dv01_total"):
             typed = typed.withColumn(
-                f"{c}_usd", bround_expr(F.col(c) / F.col("ptax"), 2)
+                f"{c}_usd", round_pl_expr(F.col(c) / F.col("ptax"), 2)
             )
     else:
         typed = typed.withColumn("ptax", F.lit(None).cast("double"))

@@ -81,9 +81,30 @@ def trunc_decimal_sum_expr(sum_col: Column, decimals: int = 6) -> Column:
 
 
 def bround_expr(col: Column | str, decimals: int) -> Column:
-    """Half-to-even rounding (Polars ``round`` parity)."""
+    """Half-to-even rounding of the EXACT decimal value (Spark bround /
+    DuckDB round_even pairing — use in oracle-matched queries)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.bround(c, decimals)
+
+
+def round_pl_expr(col: Column | str, decimals: int) -> Column:
+    """Bit-exact Polars ``Expr.round`` parity (mode='half_to_even', the
+    pinned >=1.39 default) for reference-golden pipelines.
+
+    Polars rounds the SCALED double — round_ties_even(x·10^d)/10^d — so
+    the f64 multiply error decides grid-adjacent cases, whereas Spark's
+    ``bround`` rounds the exact decimal value of the double. They differ
+    whenever x·10^d crosses the midpoint: the NegE202501 golden has
+    1233000·655.769445 = 808563725.6850001 (above the .685 grid), but
+    ·100 in f64 lands at 80856372568.49998… → Polars (and the golden)
+    say …725.68 while plain bround says …725.69. ``F.bround(y, 0)``
+    rounds y's exact value half-to-even, which equals Rust's
+    round_ties_even, and the final divide is the same f64 op Polars
+    performs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(float(10**decimals))
+    return F.bround(c * s, 0) / s
 
 
 def br_num_expr(col: Column | str) -> Column:
@@ -104,6 +125,14 @@ def pct_para_decimal_expr(col: Column | str, decimals: int = 10) -> Column:
     pyield/_internal/br_numbers.py:10-16)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.bround(c.cast("double") / 100.0, decimals)
+
+
+def inteiro_br_expr(col: Column | str) -> Column:
+    """BR number string → Int64 through the float parse
+    (pyield/_internal/br_numbers.py:42-48: float_br(...).round(0)
+    .cast(Int64)) — '1.234,00' is 1234, not 123400 (which a plain
+    thousands-separator strip would produce)."""
+    return F.bround(br_num_expr(col), 0).cast("long")
 
 
 def inteiro_m_expr(col: Column | str) -> Column:

@@ -1,0 +1,105 @@
+"""S14: BCB/SELIC monthly secondary-market TPF zips → silver/gold.
+
+Reference: pyield/tpf/secundario/_mensal.py:140-309 — the zip holds one
+latin1 ';'-separated CSV; parse is all-string (infer_schema=False,
+'' → null), every string field is stripped, then an explicit typed
+select produces the canonical 18-column silver schema. Era tolerance:
+the 2003-vintage layout lacks the two corretagem columns — they come
+back null (``_processar_df_mensal``'s conditional exprs). The gold
+layer (``mensal``) adds ``financeiro = round2(quantidade * pu_medio)``
+(half-to-even — the pinned Polars ``round`` default).
+
+Spark-first: archives scan via binaryFile and unzip in Arrow batches
+(``read_zip_members`` — parallel per archive, nothing driver-side);
+header positions are resolved PER MEMBER with a broadcast join of the
+header rows, so one directory scan can mix eras/layouts and each file
+is parsed against its own header.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from pyield_spark.functions.numbers import br_num_expr, round_pl_expr
+from pyield_spark.sources.readers import read_zip_members
+
+_HEADER_FIRST_FIELD = "DATA MOV"
+
+# (canonical name, source header, conversion) — order defines the
+# silver schema (pyield/tpf/secundario/_mensal.py:166-188)
+_SILVER_COLS: list[tuple[str, str, str]] = [
+    ("data_liquidacao", "DATA MOV", "date"),
+    ("titulo", "SIGLA", "string"),
+    ("codigo_selic", "CODIGO", "long"),
+    ("isin", "CODIGO ISIN", "string"),
+    ("data_emissao", "EMISSAO", "date"),
+    ("data_vencimento", "VENCIMENTO", "date"),
+    ("operacoes", "NUM DE OPER", "long"),
+    ("quantidade", "QUANT NEGOCIADA", "long"),
+    ("pu_minimo", "PU MIN", "br_num"),
+    ("pu_medio", "PU MED", "br_num"),
+    ("pu_maximo", "PU MAX", "br_num"),
+    ("pu_lastro", "PU LASTRO", "br_num"),
+    ("valor_par", "VALOR PAR", "br_num"),
+    ("taxa_minima", "TAXA MIN", "br_num"),
+    ("taxa_media", "TAXA MED", "br_num"),
+    ("taxa_maxima", "TAXA MAX", "br_num"),
+    ("operacoes_corretagem", "NUM OPER COM CORRETAGEM", "long"),
+    ("quantidade_corretagem", "QUANT NEG COM CORRETAGEM", "long"),
+]
+
+
+def _typed(raw: Column, conv: str) -> Column:
+    if conv == "date":
+        return F.to_date(raw, "dd/MM/yyyy")
+    if conv == "long":
+        return raw.cast("long")
+    if conv == "br_num":
+        return br_num_expr(raw)
+    return raw  # string
+
+
+def mensal_silver(spark: SparkSession, path: str) -> DataFrame:
+    """Monthly secondary-market zip(s) → canonical silver frame.
+
+    ``path`` may be a single zip or a directory/glob of them; members
+    parse against their OWN header row (broadcast per-member join), so
+    mixed-era directories are safe.
+    """
+    lines = read_zip_members(spark, path, member_suffix=".csv")
+    f = lines.select(
+        "source_file", "member_name", F.split("line", ";").alias("fields")
+    ).filter(F.size("fields") >= 2)
+    first = F.trim(F.element_at("fields", 1))
+    hdr = (
+        f.filter(first == _HEADER_FIRST_FIELD)
+        .select(
+            "source_file",
+            "member_name",
+            F.transform("fields", lambda x: F.trim(x)).alias("_hfields"),
+        )
+        .dropDuplicates(["source_file", "member_name"])
+    )
+    data = f.join(F.broadcast(hdr), ["source_file", "member_name"]).filter(
+        first != _HEADER_FIRST_FIELD
+    )
+
+    def pick(src: str) -> Column:
+        pos = F.array_position("_hfields", src)
+        cell = F.trim(F.element_at("fields", pos.cast("int")))
+        # '' → null (the reference's null_values=""), absent column
+        # (old layouts) → null
+        return F.when((pos > 0) & (cell != ""), cell)
+
+    return data.select(
+        *[_typed(pick(src), conv).alias(dst) for dst, src, conv in _SILVER_COLS]
+    )
+
+
+def mensal_gold(silver: DataFrame) -> DataFrame:
+    """Gold layer: silver + financeiro = round2(quantidade · pu_medio)
+    (pyield/tpf/secundario/_mensal.py:303-309)."""
+    return silver.withColumn(
+        "financeiro",
+        round_pl_expr(F.col("quantidade") * F.col("pu_medio"), 2),
+    )

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyield_spark.functions.dates import converter_datas_expr
-from pyield_spark.functions.numbers import br_num_expr
+from pyield_spark.functions.numbers import br_num_expr, round_pl_expr
 
 
 def read_holidays_csv(spark: SparkSession, path: str) -> DataFrame:
@@ -164,7 +164,7 @@ def anbima_silver(bronze: DataFrame) -> DataFrame:
     for c in (*taxa_cols, "pu", "desvio_padrao"):
         if c in out.columns:
             casts[c] = (
-                F.round(br_num_expr(c) / 100.0, 10)
+                round_pl_expr(br_num_expr(c) / 100.0, 10)
                 if c in taxa_cols
                 else br_num_expr(c)
             )
