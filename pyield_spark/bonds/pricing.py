@@ -210,6 +210,43 @@ def ntnb_cotacao(
     )
 
 
+def ntnb1_cotacao(
+    df: DataFrame,
+    id_cols: list[str],
+    settlement: str = "data_liquidacao",
+    maturity: str = "data_vencimento",
+    taxa: str = "taxa",
+    n_amort: int = 240,
+    alias: str = "cotacao",
+) -> DataFrame:
+    """NTN-B1 (Renda+ n=240 / Educa+ n=60) quote factor per bond:
+    monthly amortizing flows (final payment absorbs the trunc8
+    remainder), PV = bround12(valor/(1+taxa)^trunc14(du/252)) with the
+    input rate RAW (no trunc8 — ntnb1.py:191-226 uses taxa directly),
+    Σ accumulated in decimal and truncated at 6."""
+    from pyield_spark import du as du_mod
+    from pyield_spark.bonds.cashflows import amortization_flows
+    from pyield_spark.functions.numbers import trunc_decimal_sum_expr
+
+    flows = amortization_flows(df, settlement, maturity, n_amort)
+    flows = du_mod.contar(flows, settlement, "data_pagamento", alias="_du")
+    t = F.col(taxa) if isinstance(taxa, str) else taxa
+    vp = F.bround(
+        F.col("valor_amortizacao")
+        / F.pow(F.lit(1.0) + t, anos_uteis_expr(F.col("_du"))),
+        12,
+    )
+    return (
+        flows.withColumn("_vp", vp)
+        .groupBy(*id_cols)
+        .agg(
+            trunc_decimal_sum_expr(
+                F.sum(F.col("_vp").cast("decimal(28,12)")), 6
+            ).alias(alias)
+        )
+    )
+
+
 def rentabilidade_expr(taxa_titulo: str | Column, taxa_di: str | Column) -> Column:
     """Bond-over-DI daily-rate ratio (pyield/tpf/titulos/ltn.py:200-227):
     ((1+tx)^(1/252) − 1) / ((1+di)^(1/252) − 1)."""
