@@ -21,7 +21,7 @@ pinned PTAX reproduce its golden parquet.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyield_spark import du as du_mod
 from pyield_spark.analytics.leiloes_bc import _coupon_metrics
@@ -179,14 +179,23 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
         typed, "data_liquidacao_1v", "data_vencimento", alias="dias_uteis"
     )
 
-    # record id for the coupon-metrics join: auction registries are
-    # dimension-sized (a handful of records per auction day), so one
-    # global row_number window is bounded by construction
-    w = Window.orderBy(
-        "data_1v", "titulo", "data_vencimento", "tipo_leilao",
-        "numero_edital", "tipo_ocorrencia",
+    # record id for the coupon-metrics join: a DETERMINISTIC composite
+    # of the six natural-key columns (injective — delimiter-joined key
+    # values), so no ungrouped row_number window and no single-partition
+    # step anywhere in the pipeline (VERDICT r4 ask #7). The id is
+    # internal plumbing only (not in ORDEM_FINAL_COLUNAS).
+    typed = typed.withColumn(
+        "id",
+        F.concat_ws(
+            "\x1f",  # unit separator keeps the key injective
+            F.col("data_1v").cast("string"),
+            F.col("titulo"),
+            F.col("data_vencimento").cast("string"),
+            F.col("tipo_leilao"),
+            F.col("numero_edital").cast("string"),
+            F.col("tipo_ocorrencia"),
+        ),
     )
-    typed = typed.withColumn("id", F.row_number().over(w))
     metrics = _coupon_metrics(
         typed.select(
             "id", "titulo",
