@@ -54,10 +54,14 @@ def kmeans_assign(
     (named by the seed vector's id) and the squared L2 distance to the
     final centroid.
 
-    Each assignment is broadcast-join + map-side ``min(struct(dist,
-    cid))`` — the N·k candidate rows never shuffle (partial aggregation
-    collapses them to N on the map side), unlike a window-rank argmin
-    which would shuffle the expanded set.
+    Each assignment is MAP-ONLY: the k centroids collapse into ONE
+    broadcast array-of-structs row, each vector computes all k distances
+    inside a ``transform`` and takes ``array_min(struct(dist, cid))`` —
+    no N·k row expansion and no argmin shuffle at all (the round-4
+    broadcast-join + map-side-combine shape still shuffled N combined
+    rows per iteration). ``array_min`` over (dist, cid) structs is the
+    same total order as ``min(struct(dist, cid))``, so results are
+    bit-identical to the SQL oracle's window argmin.
     """
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
@@ -69,18 +73,27 @@ def kmeans_assign(
     )
     assigned = None
     for it in range(iters):
-        cand = base.crossJoin(F.broadcast(cents)).withColumn(
-            "_dist", sqdist_expr(F.col("_v"), F.col("_c"))
+        # one 1-row broadcast: [(cid, centroid)] sorted by cid (fold
+        # order is then deterministic on any engine)
+        carr = cents.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_cid"), F.col("_c")))
+            ).alias("_cs")
         )
-        # argmin: (dist, cid) pairs are unique per vector (cid distinct),
-        # so min(struct) is a total order — map-side combinable.
-        assigned = (
-            cand.groupBy("_vid")
-            .agg(
-                F.min(F.struct("_dist", "_cid")).alias("_s"),
-                F.first("_v").alias("_v"),  # all candidates carry the same _v
+        best = F.array_min(
+            F.transform(
+                "_cs",
+                lambda s: F.struct(
+                    sqdist_expr(F.col("_v"), s["_c"]).alias("_dist"),
+                    s["_cid"].alias("_cid"),
+                ),
             )
-            .select("_vid", "_v", F.col("_s._cid").alias("_cid"), F.col("_s._dist").alias("_dist"))
+        )
+        assigned = base.crossJoin(F.broadcast(carr)).select(
+            "_vid",
+            "_v",
+            best["_cid"].alias("_cid"),
+            best["_dist"].alias("_dist"),
         )
         if it < iters - 1:
             # new centroid = per-dimension mean; decimal sum (exact,
