@@ -3,7 +3,9 @@ rows) by unioning shifted copies of the data — evidence the plans hold
 beyond the driver's benchmark sizes (more groups, more vertices, more
 targets; same shuffle structure).
 
-Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor]
+Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
+(ops: bd interp asof asof_ungrouped asof_broadcast minhash bootstrap lm
+composites — default all)
 """
 
 from __future__ import annotations
@@ -21,7 +23,12 @@ from pyield_spark.operators.asof import asof_join  # noqa: E402
 from pyield_spark.session import get_session  # noqa: E402
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2:])
 SF = "/root/testdata/sf0.1"
+
+
+def want(name: str) -> bool:
+    return not ONLY or name in ONLY
 
 
 def replicate(df, key_cols):
@@ -55,7 +62,8 @@ def main():
         )
         return du.contar(df, "a", "b").agg(F.sum("dias_uteis")).collect()[0][0]
 
-    timed("bd_count_10x", bd)
+    if want("bd"):
+        timed("bd_count_10x", bd)
 
     # multi-curve interpolation: 10× the curve groups and targets
     def interp():
@@ -77,7 +85,8 @@ def main():
         )
         return out.filter(F.col("taxa_interpolada").isNotNull()).count()
 
-    timed("interp_10x", interp)
+    if want("interp"):
+        timed("interp_10x", interp)
 
     # grouped as-of join at 10× groups
     def asof():
@@ -92,7 +101,8 @@ def main():
         )
         return out.filter(F.col("p").isNotNull()).count()
 
-    timed("asof_10x", asof)
+    if want("asof"):
+        timed("asof_10x", asof)
 
     # UNGROUPED as-of at 10× left rows (round-2 range-bucket design:
     # percentile buckets + enumerated ghost spine — no single-partition
@@ -110,7 +120,8 @@ def main():
                         strategy="backward", values=["dr", "v"])
         return out.filter(F.col("v").isNotNull()).count()
 
-    timed("asof_ungrouped_10x", asof_ungrouped)
+    if want("asof_ungrouped"):
+        timed("asof_ungrouped_10x", asof_ungrouped)
 
     # UNGROUPED as-of, broadcast route (round 2): same join against a
     # dimension-sized series — zero fact-side shuffles
@@ -128,7 +139,8 @@ def main():
                         distribution="broadcast")
         return out.filter(F.col("v").isNotNull()).count()
 
-    timed("asof_broadcast_10x", asof_broadcast)
+    if want("asof_broadcast"):
+        timed("asof_broadcast_10x", asof_broadcast)
 
     # MinHash/LSH dedup pipeline at 10x documents: signatures + banded
     # candidate pairs stay linear (equi-join on (band, bkey), never
@@ -143,7 +155,8 @@ def main():
         pairs = dd.lsh_candidate_pairs(docs, "text", "doc_id", n=3, band_size=2)
         return pairs.count()
 
-    timed("minhash_lsh_10x", minhash_10x)
+    if want("minhash"):
+        timed("minhash_lsh_10x", minhash_10x)
 
     # K5 bootstrap at 10x curve groups: the applyInPandas recursion is
     # O(grid) per group with O(1) state, parallel ACROSS groups — the
@@ -172,7 +185,8 @@ def main():
                             maturity="ven", tir="taxa")
         return z.filter(F.col("taxa_zero").isNotNull()).count()
 
-    timed("bootstrap_10x", bootstrap_10x)
+    if want("bootstrap"):
+        timed("bootstrap_10x", bootstrap_10x)
 
     # LM typicality at 10x: token explode + model groupBy + attach join
     def lm_10x():
@@ -185,7 +199,8 @@ def main():
         out = lm_typicality(docs, "text", "doc_id")
         return out.filter(F.col("avg_logprob").isNotNull()).count()
 
-    timed("lm_typicality_10x", lm_10x)
+    if want("lm"):
+        timed("lm_typicality_10x", lm_10x)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
@@ -196,6 +211,8 @@ def main():
     from pyield_spark.queries import QUERIES, load_all
 
     load_all()
+    if not want("composites"):
+        return
     scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
     # only the tables these three queries actually read: q_leiloes →
     # orders; q_semantic_dedup / q_embedding_neardup → embeddings
