@@ -180,20 +180,32 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
     )
 
     # record id for the coupon-metrics join: a DETERMINISTIC composite
-    # of the six natural-key columns (injective — delimiter-joined key
-    # values), so no ungrouped row_number window and no single-partition
-    # step anywhere in the pipeline (VERDICT r4 ask #7). The id is
-    # internal plumbing only (not in ORDEM_FINAL_COLUNAS).
+    # of the metric-input columns, so no ungrouped row_number window and
+    # no single-partition step anywhere in the pipeline (VERDICT r4 ask
+    # #7). Injectivity discipline (review fix): concat_ws SKIPS nulls,
+    # so every part is null-coalesced to a sentinel (old-API payloads
+    # legitimately null tipo_ocorrencia / numero_edital); and because
+    # the id covers EVERY column _coupon_metrics reads (titulo,
+    # data_liquidacao_1v, data_vencimento, taxa_media), rows that do
+    # collide agree on all metric inputs — the distinct() below then
+    # collapses them to ONE flow set, so duplicated natural keys can't
+    # double cashflows. The id is internal plumbing only (not in
+    # ORDEM_FINAL_COLUNAS).
+    def _part(c) -> F.Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+
     typed = typed.withColumn(
         "id",
         F.concat_ws(
             "\x1f",  # unit separator keeps the key injective
-            F.col("data_1v").cast("string"),
-            F.col("titulo"),
-            F.col("data_vencimento").cast("string"),
-            F.col("tipo_leilao"),
-            F.col("numero_edital").cast("string"),
-            F.col("tipo_ocorrencia"),
+            *[
+                _part(c)
+                for c in (
+                    "data_1v", "titulo", "data_vencimento", "tipo_leilao",
+                    "numero_edital", "tipo_ocorrencia",
+                    "data_liquidacao_1v", "taxa_media",
+                )
+            ],
         ),
     )
     metrics = _coupon_metrics(
@@ -201,7 +213,7 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
             "id", "titulo",
             F.col("data_liquidacao_1v").alias("data_liquidacao"),
             "data_vencimento", "taxa_media",
-        )
+        ).distinct()
     )
     typed = typed.join(metrics, "id", "left")
 

@@ -62,6 +62,11 @@ def kmeans_assign(
     rows per iteration). ``array_min`` over (dist, cid) structs is the
     same total order as ``min(struct(dist, cid))``, so results are
     bit-identical to the SQL oracle's window argmin.
+
+    Input contract: ``id_col`` is a KEY (one row per id). The map-only
+    shape emits one output row per input row — a frame with duplicated
+    ids yields duplicated assignments (the pre-round-5 groupBy argmin
+    collapsed them arbitrarily; dedup upstream if ids can repeat).
     """
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")

@@ -68,20 +68,30 @@ def mensal_silver(spark: SparkSession, path: str) -> DataFrame:
     """
     lines = read_zip_members(spark, path, member_suffix=".csv")
     f = lines.select(
-        "source_file", "member_name", F.split("line", ";").alias("fields")
+        "source_file",
+        "member_name",
+        "line_idx",
+        F.split("line", ";").alias("fields"),
     ).filter(F.size("fields") >= 2)
     first = F.trim(F.element_at("fields", 1))
+    # the member's header is its FIRST 'DATA MOV' line; data rows are
+    # strictly AFTER it, so pre-header meta/title lines and trailers
+    # that happen to contain ';' cannot leak in as phantom silver rows
+    # (review fix). Members with no header row drop out of the inner
+    # join — the same outcome as the reference, whose CSV parse keys
+    # everything on the header names.
     hdr = (
         f.filter(first == _HEADER_FIRST_FIELD)
-        .select(
-            "source_file",
-            "member_name",
-            F.transform("fields", lambda x: F.trim(x)).alias("_hfields"),
+        .groupBy("source_file", "member_name")
+        .agg(
+            F.min_by(
+                F.transform("fields", lambda x: F.trim(x)), F.col("line_idx")
+            ).alias("_hfields"),
+            F.min("line_idx").alias("_hdr_idx"),
         )
-        .dropDuplicates(["source_file", "member_name"])
     )
     data = f.join(F.broadcast(hdr), ["source_file", "member_name"]).filter(
-        first != _HEADER_FIRST_FIELD
+        F.col("line_idx") > F.col("_hdr_idx")
     )
 
     def pick(src: str) -> Column:

@@ -94,7 +94,14 @@ def read_anbima_csv_bronze(
         anchored = numbered.filter(F.trim(F.col("_c0")) == header_anchor)
         header_row = anchored.orderBy("_f", "_rn").first()
     if header_row is None:
-        header_row = numbered.filter(F.col("_rn") == skip_lines + 1).first()
+        # orderBy("_f"): deterministic column names when a directory
+        # mixes files whose headers differ (review fix — .first() alone
+        # returns whichever partition surfaces first)
+        header_row = (
+            numbered.filter(F.col("_rn") == skip_lines + 1)
+            .orderBy("_f")
+            .first()
+        )
         per_file = numbered.groupBy("_f").agg(
             F.lit(skip_lines + 1).alias("_hdr_rn")
         )
@@ -177,7 +184,10 @@ def read_zip_members(
     spark: SparkSession, path: str, member_suffix: str = ".csv", encoding: str = "latin1"
 ) -> DataFrame:
     """S4/S14: zip archives via binaryFile + Arrow-batched unzip —
-    returns (source_file, member_name, line) rows, parallel per archive.
+    returns (source_file, member_name, line_idx, line) rows, parallel
+    per archive. ``line_idx`` is the 0-based position within the member
+    (Spark rows are unordered — downstream header/data splits need the
+    explicit index).
 
     At scale: archives distribute across executors; no driver-side I/O.
     """
@@ -185,16 +195,17 @@ def read_zip_members(
 
     def unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"source_file": [], "member_name": [], "line": []}
+            out = {"source_file": [], "member_name": [], "line_idx": [], "line": []}
             for fname, content in zip(pdf["path"], pdf["content"]):
                 with zipfile.ZipFile(io.BytesIO(content)) as zf:
                     for member in zf.namelist():
                         if not member.lower().endswith(member_suffix):
                             continue
                         text = zf.read(member).decode(encoding, errors="replace")
-                        for line in text.splitlines():
+                        for idx, line in enumerate(text.splitlines()):
                             out["source_file"].append(fname)
                             out["member_name"].append(member)
+                            out["line_idx"].append(idx)
                             out["line"].append(line)
             if next(iter(out.values()), None):
                 # all-empty batch: pandas would type the list column
@@ -203,7 +214,7 @@ def read_zip_members(
                 yield pd.DataFrame(out)
 
     return bin_df.select("path", "content").mapInPandas(
-        unzip, "source_file string, member_name string, line string"
+        unzip, "source_file string, member_name string, line_idx long, line string"
     )
 
 

@@ -110,6 +110,37 @@ def test_mensal_mixed_era_directory(spark, tmp_path):
     _assert_frames_equal(mine, gold, _MENSAL_SORT)
 
 
+def test_mensal_pre_header_lines_do_not_leak(spark, tmp_path):
+    """Review regression: meta/title lines BEFORE the header (and
+    trailers) containing ';' must not become phantom silver rows — data
+    is gated on line_idx > the member's header line."""
+    import io
+    import zipfile
+
+    from pyield_spark.sources.mensal import mensal_silver
+
+    hdr = (
+        "DATA MOV;SIGLA;CODIGO;CODIGO ISIN;EMISSAO;VENCIMENTO;NUM DE OPER;"
+        "QUANT NEGOCIADA;VALOR NEGOCIADO;PU MIN;PU MED;PU MAX;PU LASTRO;"
+        "VALOR PAR;TAXA MIN;TAXA MED;TAXA MAX"
+    )
+    row = (
+        "02/06/2003;LFT;211120;BRSTNCLF0UI7;17/05/2000;11/06/2003;148;95626;"
+        "161740272,25;1691,32309403;1691,38385860;1691,39002350;"
+        "1691,33887148;1691,38583029;-0,01;0,00;0,01"
+    )
+    csv = "MERCADO SECUNDARIO;2026-06\n" + hdr + "\n" + row + "\n"
+    z = tmp_path / "meta.zip"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("NegT.csv", csv.encode("latin1"))
+    z.write_bytes(buf.getvalue())
+    out = mensal_silver(spark, str(z)).collect()
+    assert len(out) == 1  # the title line did NOT become a phantom row
+    assert out[0].titulo == "LFT"
+    assert out[0].quantidade == 95626
+
+
 def test_tpf_intradia_golden_parity(spark):
     import pandas as pd
 

@@ -24,6 +24,13 @@ from pyield_spark.session import get_session  # noqa: E402
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 ONLY = set(sys.argv[2:])
+KNOWN_OPS = {
+    "bd", "interp", "asof", "asof_ungrouped", "asof_broadcast",
+    "minhash", "bootstrap", "lm", "composites",
+}
+_unknown = ONLY - KNOWN_OPS
+if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
+    raise SystemExit(f"unknown op(s) {sorted(_unknown)}; known: {sorted(KNOWN_OPS)}")
 SF = "/root/testdata/sf0.1"
 
 
