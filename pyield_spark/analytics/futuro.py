@@ -106,6 +106,128 @@ def enrich(
     return out
 
 
+# B3 XML schema → canonical names (pyield/futuro/historico.py:83-102)
+RENOMEAR_COLUNAS_PR = {
+    "TradDt": "data_referencia",
+    "TckrSymb": "codigo_negociacao",
+    "OpnIntrst": "contratos_abertos",
+    "TradQty": "numero_negocios",
+    "FinInstrmQty": "volume_negociado",
+    "NtlFinVol": "volume_financeiro",
+    "BestBidPric": "preco_ultima_oferta_compra",
+    "BestAskPric": "preco_ultima_oferta_venda",
+    "FrstPric": "preco_abertura",
+    "MinPric": "preco_minimo",
+    "MaxPric": "preco_maximo",
+    "TradAvrgPric": "preco_medio",
+    "LastPric": "preco_fechamento",
+    "AdjstdQt": "preco_ajuste",
+    "AdjstdQtTax": "taxa_ajuste",
+    "MaxTradLmt": "preco_limite_maximo",
+    "MinTradLmt": "preco_limite_minimo",
+}
+
+# preco_* → taxa_* on rate-quoted contracts; bid/ask INVERT
+# (historico.py:15-28)
+PRECO_PARA_TAXA = {
+    "preco_abertura": "taxa_abertura",
+    "preco_minimo": "taxa_minima",
+    "preco_maximo": "taxa_maxima",
+    "preco_medio": "taxa_media",
+    "preco_fechamento": "taxa_fechamento",
+    "preco_ultima_oferta_compra": "taxa_ultima_oferta_venda",
+    "preco_ultima_oferta_venda": "taxa_ultima_oferta_compra",
+    "preco_limite_minimo": "taxa_limite_minimo",
+    "preco_limite_maximo": "taxa_limite_maximo",
+}
+
+COLUNAS_CONTRATO_PRECO = (
+    "data_referencia", "codigo_negociacao", "data_vencimento",
+    "dias_uteis", "dias_corridos", "contratos_abertos",
+    "numero_negocios", "volume_negociado", "volume_financeiro",
+    "preco_limite_minimo", "preco_limite_maximo", "preco_abertura",
+    "preco_minimo", "preco_maximo", "preco_medio", "preco_fechamento",
+    "preco_ultima_oferta_compra", "preco_ultima_oferta_venda",
+    "preco_ajuste",
+)
+
+COLUNAS_CONTRATO_TAXA = (
+    "data_referencia", "codigo_negociacao", "data_vencimento",
+    "dias_uteis", "dias_corridos", "dv01", "contratos_abertos",
+    "numero_negocios", "volume_negociado", "volume_financeiro",
+    "preco_ajuste", "taxa_limite_minimo", "taxa_limite_maximo",
+    "taxa_abertura", "taxa_minima", "taxa_maxima", "taxa_media",
+    "taxa_fechamento", "taxa_ultima_oferta_venda",
+    "taxa_ultima_oferta_compra", "taxa_ajuste", "taxa_forward",
+)
+
+
+def enriquecer(df: DataFrame, contrato: str) -> DataFrame:
+    """FULL reference enrichment: raw B3 price-report frame (XML schema,
+    e.g. ``sources.xml_report.read_price_report_xml``) → the published
+    per-contract panel (pyield/futuro/historico.py:162-195):
+
+    rename → prefix+6-char ticker filter → maturity from ticker (rolled
+    to a business day) → dias_uteis/dias_corridos (expired rows drop) →
+    rate contracts get the preco→taxa rename with INVERTED bid/ask and
+    ALL taxa_* columns converted percent→decimal (Polars-parity scaled
+    round at 10dp) → DV01 (DI1 only) → per-date forward curve (DI1 and
+    DAP) → canonical column order → sort.
+
+    Golden parity: tests/test_futuro_reference_goldens.py reproduces the
+    reference's 24 futuro_YYYYMMDD_* golden parquets from its SPRD
+    archives on every SPRD-carried and derived column.
+    """
+    from pyield_spark.functions.numbers import round_pl_expr
+
+    contrato = contrato.upper()
+    out = df.select(
+        *[
+            F.col(src).alias(dst)
+            for src, dst in RENOMEAR_COLUNAS_PR.items()
+            if src in df.columns
+        ]
+    ).filter(
+        F.col("codigo_negociacao").startswith(contrato)
+        & (F.length("codigo_negociacao") == 6)
+    )
+    out = with_vencimento(out, "codigo_negociacao", contrato)
+    out = du_mod.contar(out, "data_referencia", "data_vencimento", alias="dias_uteis")
+    out = out.withColumn(
+        "dias_corridos",
+        F.datediff("data_vencimento", "data_referencia").cast("bigint"),
+    ).filter(F.col("dias_corridos") > 0)
+
+    if contrato in RATE_CONTRACTS:
+        out = out.withColumnsRenamed(
+            {k: v for k, v in PRECO_PARA_TAXA.items() if k in out.columns}
+        )
+        out = out.withColumns(
+            {
+                c: round_pl_expr(F.col(c) / 100.0, 10)
+                for c in out.columns
+                if c.startswith("taxa_")
+            }
+        )
+    if contrato == "DI1":
+        out = out.withColumn(
+            "dv01", dv01_expr("dias_uteis", "taxa_ajuste", "preco_ajuste")
+        )
+    if contrato in {"DI1", "DAP"}:
+        out = out.withColumn(
+            "taxa_forward",
+            forwards_expr("dias_uteis", "taxa_ajuste", F.col("data_referencia")),
+        )
+    cols = (
+        COLUNAS_CONTRATO_TAXA
+        if contrato in RATE_CONTRACTS
+        else COLUNAS_CONTRATO_PRECO
+    )
+    return out.select(*[c for c in cols if c in out.columns]).orderBy(
+        "data_referencia", "data_vencimento"
+    )
+
+
 def invert_bid_ask(df: DataFrame, bid: str, ask: str) -> DataFrame:
     """Price bid/ask become rate ask/bid on rate-quoted contracts
     (historico.py:15-28): highest price bid = lowest rate ask."""
