@@ -121,6 +121,62 @@ def test_futures_layer_di1_rate_enrichment_on_fixture(spark):
     assert len(fwd_null) < len(with_rate)
 
 
+_ALL_PAYLOAD_CONTRACTS = [
+    "CPM", "D11", "DAP", "DDI", "DI1", "DOL", "FRC", "FRO", "ICF", "IDI",
+    "IND",
+]
+
+
+@pytest.mark.parametrize("contrato", _ALL_PAYLOAD_CONTRACTS)
+def test_intradia_all_captured_payloads_process(spark, contrato):
+    """Round-5 sweep: EVERY captured 2026-03-10 payload flows through
+    raw + futures layers with the per-contract invariants — FUT-slice
+    row identity against the payload itself, rate-branch column shape
+    (taxa_* renames; DV01 only on DI1; price-from-rate + forwards only
+    on DI1/DAP), price contracts untouched."""
+    from pyield_spark.analytics.futuro import RATE_CONTRACTS
+    from pyield_spark.sources.intradia_json import (
+        processar_intradia,
+        read_derivativos_json,
+    )
+
+    if not _payload(contrato).exists():
+        pytest.skip(f"payload {contrato} missing")
+    scty = _scty(contrato)
+    raw = read_derivativos_json(spark, str(_payload(contrato)))
+    assert raw.count() == len(scty)
+
+    out = processar_intradia(raw, contrato, DATA_REFERENCIA)
+    rows = out.collect()
+    fut = [s for s in scty if s.get("mkt", {}).get("cd") == "FUT"]
+    assert len(rows) <= len(fut)
+    # every emitted row is a real FUT instrument from the payload
+    fut_symbols = {s["symb"] for s in fut}
+    assert all(r["codigo_negociacao"] in fut_symbols for r in rows)
+
+    is_rate = contrato in RATE_CONTRACTS
+    has_taxa = any(c.startswith("taxa_") for c in out.columns)
+    assert has_taxa == is_rate, (contrato, out.columns)
+    assert ("dv01" in out.columns) == (contrato == "DI1")
+    if contrato in {"DI1", "DAP"}:
+        assert "taxa_forward" in out.columns
+        assert "preco_ultimo" in out.columns
+    if is_rate:
+        # percent→decimal happened: payload percents are O(1..100), so
+        # post-division magnitudes stay well under 10 (DDI cupom limits
+        # legitimately exceed 100% raw → >1 decimal; DI1 stays <1)
+        for r in rows:
+            for c in out.columns:
+                if c.startswith("taxa_") and r[c] is not None:
+                    assert abs(r[c]) < 10.0, (contrato, c, r[c])
+        if contrato == "DI1":
+            assert all(
+                0 < r["taxa_ultima"] < 1
+                for r in rows
+                if r["taxa_ultima"] is not None
+            )
+
+
 # === S5 price-report golden parity over the reference's SPRD archives ====
 # The reference's golden parquets (boletim_negociacao_YYYYMMDD_*.parquet)
 # were produced from the full PR price report; the locally shipped SPRD
