@@ -142,17 +142,126 @@ lft = SimpleNamespace(
     rentabilidade_expr=_pricing.rentabilidade_expr,
 )
 
+# --- submodule trees (reference pyield.{b3,futuro,ipca,selic,tpf}) ------
+# Every name binds to a REAL implemented equivalent; fetch-only wrappers
+# keep the parse/transform half and read local files (MIGRATION.md).
+# Shape changes are the documented ones: panel ops take/return
+# DataFrames; "intradia"/"historico" take the raw frame a reader
+# produced instead of fetching it.
+
+from pyield_spark.analytics import futuro as _futuro_mod
+from pyield_spark.analytics import selic as _selic_mod
+from pyield_spark.analytics.leiloes_bc import processar_leiloes as _bc_leiloes
+from pyield_spark.analytics.leiloes_tpf import (
+    processar_leiloes_tpf as _tpf_leiloes,
+    read_leiloes_json as _read_leiloes_json,
+)
+from pyield_spark.bonds import benchmark as _benchmark_mod
+from pyield_spark.sources import intradia_json as _ij
+from pyield_spark.sources import mensal as _mensal_mod
+from pyield_spark.sources import rmd as _rmd_mod
+from pyield_spark.sources import tpf_intradia as _tpfi_mod
+from pyield_spark.sources import xml_report as _xml_mod
+from pyield_spark.sources.html_table import (
+    imaq_estoque_silver as _imaq_silver,
+    read_html_tables as _read_html,
+)
+from pyield_spark.sources.readers import (
+    anbima_silver as _anbima_silver,
+    read_anbima_csv_bronze as _anbima_bronze,
+    read_fixed_width_rate as _di_over_reader,
+    read_ibge_json as _ibge_reader,
+)
+
+# yd.futuro — enrichment is the semantics; the cached-PR fetch is
+# transport (enriquecer(raw_pr, contrato) IS historico's transform,
+# golden-verified against all 24 reference panels)
+futuro = SimpleNamespace(
+    enriquecer=_futuro_mod.enriquecer,
+    historico=_futuro_mod.enriquecer,
+    intradia=_ij.processar_intradia,
+    vencimento=_futuro_mod.with_vencimento,  # df-op (needs the calendar)
+    dv01_expr=_pricing.dv01_expr,
+    contratos=SimpleNamespace(
+        dv01_expr=_pricing.dv01_expr,
+        normalizar=_futuro_mod.normalizar_contratos,
+    ),
+)
+# yd.di1 — DI1-curve helpers (reference pyield/futuro/di1.py): the
+# interpolation kernels ARE yd.interpolar / yd.Interpolador over the
+# DI1 panel; exposed under the reference's names
+di1 = SimpleNamespace(
+    interpolar_taxas=interpolar,
+    interpolar_taxa=scalar.interpolar_taxa,
+    dados=_futuro_mod.enriquecer,
+)
+
+# yd.b3
+b3 = SimpleNamespace(
+    boletim=_xml_mod.read_price_report_xml,
+    derivativos_intradia=_ij.read_derivativos_json,
+)
+di_over = _di_over_reader  # int/10^4 → 4dp rate (pyield/b3/di_over.py)
+ptax = ptax_serie  # scalar fetch → series reader + as-of (MIGRATION.md)
+
+# yd.selic — COPOM probability extraction + CPM chain (the full
+# composite lives in queries/analytics.py::q_copom_probs/q_cpm_dissect)
+selic = SimpleNamespace(
+    probabilities=_selic_mod.probabilities,
+)
+
+# yd.ipca — IBGE aggregate-API parse + VNA projection silver
+ipca = SimpleNamespace(
+    indices=_ibge_reader,
+    taxas=_ibge_reader,
+    projecao=_vna.ipca_projecao_silver,
+)
+
+# yd.tpf — bond families (same objects as the top level), auctions,
+# benchmarks, ANBIMA taxas/IMA-Q, RMD, secondary market
+tpf = SimpleNamespace(
+    lft=lft, ltn=ltn, ntnb=ntnb, ntnb1=ntnb1, ntnbp=ntnbp, ntnc=ntnc,
+    ntnf=ntnf,
+    leiloes=_tpf_leiloes,
+    leiloes_bc=_bc_leiloes,
+    ler_leiloes_json=_read_leiloes_json,
+    benchmarks=SimpleNamespace(
+        ler=_benchmark_mod.read_benchmarks_json,
+        processar=_benchmark_mod.parse_benchmarks,
+        vigentes=_benchmark_mod.benchmarks_vigentes,
+    ),
+    taxas=SimpleNamespace(bronze=_anbima_bronze, silver=_anbima_silver),
+    estoque=SimpleNamespace(ler_html=_read_html, silver=_imaq_silver),
+    rmd=SimpleNamespace(
+        aba_1_3=_rmd_mod.read_rmd_13_xlsx,
+        aba_1_3_csv=_rmd_mod.read_rmd_13_csv,
+        aba_2_1=_rmd_mod.read_rmd_21_xlsx,
+        aba_2_1_csv=_rmd_mod.read_rmd_21_csv,
+    ),
+    secundario=SimpleNamespace(
+        mensal=_mensal_mod.mensal_gold,
+        zip_para_silver=_mensal_mod.mensal_silver,
+        ler_zip=_mensal_mod.mensal_silver,
+        intradia=_tpfi_mod.tpf_intradia_silver,
+    ),
+)
+
 __all__ = [
     "agora",
     "agora_expr",
+    "b3",
+    "di1",
+    "di_over",
     "du",
     "forward",
     "forwards",
     "forwards_expr",
+    "futuro",
     "hoje",
     "hoje_expr",
     "Interpolador",
     "interpolar",
+    "ipca",
     "lft",
     "ltn",
     "ntnb",
@@ -160,5 +269,8 @@ __all__ = [
     "ntnbp",
     "ntnc",
     "ntnf",
+    "ptax",
     "ptax_serie",
+    "selic",
+    "tpf",
 ]

@@ -7,20 +7,25 @@ import pytest
 
 import pyield_spark.api as yd
 
-# the reference's public __init__ surface
-# (/root/reference/pyield/__init__.py:25-50), minus transport-only
-# wrappers whose local equivalents are documented in MIGRATION.md:
-#   b3 / futuro / selic / tpf / ipca submodule trees -> MIGRATION.md
-#   sections (readers + queries); di_over / ptax -> readers + as-of.
+# the reference's FULL public __init__ surface
+# (/root/reference/pyield/__init__.py:25-50, everything but
+# __version__). Round 5: the submodule trees (b3/di1/futuro/ipca/
+# selic/tpf) are real namespaces bound to implemented equivalents —
+# fetch-only wrappers keep the parse/transform half per MIGRATION.md.
 REFERENCE_NAMES = [
     "agora",
+    "b3",
+    "di1",
+    "di_over",
     "du",
     "forward",
     "forwards",
     "forwards_expr",
+    "futuro",
     "hoje",
     "Interpolador",
     "interpolar",
+    "ipca",
     "lft",
     "ltn",
     "ntnb",
@@ -28,13 +33,49 @@ REFERENCE_NAMES = [
     "ntnbp",
     "ntnc",
     "ntnf",
+    "ptax",
     "ptax_serie",
+    "selic",
+    "tpf",
 ]
 
 
 @pytest.mark.parametrize("name", REFERENCE_NAMES)
 def test_reference_name_exposed(name):
     assert hasattr(yd, name), f"api facade is missing reference name {name}"
+
+
+def test_submodule_trees_bind_real_implementations(spark, tmp_path):
+    """The round-5 namespaces are live code paths, not stubs: drive one
+    member per tree end-to-end on a tiny input."""
+    import zipfile
+
+    # yd.tpf.secundario: monthly zip → gold frame
+    hdr = (
+        "DATA MOV;SIGLA;CODIGO;CODIGO ISIN;EMISSAO;VENCIMENTO;NUM DE OPER;"
+        "QUANT NEGOCIADA;VALOR NEGOCIADO;PU MIN;PU MED;PU MAX;PU LASTRO;"
+        "VALOR PAR;TAXA MIN;TAXA MED;TAXA MAX"
+    )
+    row = (
+        "02/06/2003;LFT;211120;X;17/05/2000;11/06/2003;1;10;1,0;1,0;2,5;"
+        "1,0;1,0;1,0;0,0;0,0;0,0"
+    )
+    z = tmp_path / "neg.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("NegT.csv", (hdr + "\n" + row + "\n").encode("latin1"))
+    out = yd.tpf.secundario.mensal(yd.tpf.secundario.zip_para_silver(spark, str(z)))
+    [r] = out.collect()
+    assert r.financeiro == 25.0  # 10 * 2.5
+
+    # yd.futuro.historico == the golden-verified enrichment transform
+    from pyield_spark.analytics.futuro import enriquecer
+
+    assert yd.futuro.historico is enriquecer
+
+    # yd.di_over: fixed-width rate file
+    p = tmp_path / "rate.txt"
+    p.write_text("00001315\n")
+    assert yd.di_over(spark, str(p)).collect()[0].taxa == 0.1315
 
 
 def test_family_members():
