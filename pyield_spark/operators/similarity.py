@@ -265,6 +265,13 @@ def hard_negatives(
         (linear, equi-join on the list id) instead of Q·N. With
         ``n_probe == n_centroids`` the search is exhaustive and
         bit-identical to brute force (the parity test pins this).
+        Recall envelope (measured, tests/test_llm_ops.py): on a corpus
+        WITH cluster structure the pruned route recovers brute force
+        fully from 2 of 8 lists (hard negatives live near their
+        probes); on structure-free uniform-random vectors recall
+        degrades toward the information-free ``n_probe/C`` floor
+        (~0.33 at 4/16 on the synthetic test table) — raise
+        ``n_probe`` or go exhaustive for such inputs.
       - ``None``: the brute-force exactness baseline (unbounded
         crossJoin) — bound the probe set via ``query_pred`` for
         anything beyond re-verification.

@@ -297,6 +297,46 @@ def test_hard_negatives_ivf_parity(spark):
             assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
 
 
+def test_hard_negatives_ivf_recall_on_clustered_corpus(spark):
+    """On a corpus WITH cluster structure — the population IVF exists
+    for — the pruned route recovers the brute-force negatives fully
+    even probing a single list: hard negatives live near their probes,
+    which is exactly what the coarse quantizer preserves. (On
+    structure-free uniform-random vectors recall degrades toward the
+    information-free n_probe/C floor — measured and documented on the
+    operator; that regime needs more probes or the exhaustive
+    setting.)"""
+    import random
+
+    from pyield_spark.operators.similarity import hard_negatives
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(8):
+        center = [0.0] * 64
+        center[c * 8] = 10.0
+        for j in range(25):
+            vid = j * 8 + c  # ids 0..7 seed one codebook entry per cluster
+            v = [center[i] + rng.gauss(0, 0.05) for i in range(64)]
+            rows.append((vid, j % 2, v))  # labels alternate WITHIN cluster
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    pred = F.col("_vid") % 10 == 0
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    brute = pairs(hard_negatives(emb, query_pred=pred, k=3, prune=None))
+    pruned = pairs(
+        hard_negatives(
+            emb, query_pred=pred, k=3, prune="ivf", n_centroids=8, n_probe=2
+        )
+    )
+    assert brute and pruned == brute  # full recall from 2 of 8 lists
+
+
 def test_hard_negatives_ivf_plan_no_unbounded_crossjoin(spark):
     """The pruned route's physical plan has no unbounded crossJoin: the
     only cartesian products are against the BROADCAST codebook (bounded
