@@ -90,9 +90,14 @@ DRIVER_PRIORITY: list[str] = [
     "q_product_profit", "q_rolling_revenue_30d",
 ]
 
-# After the round-5 window is green, every registered query has a
-# driver-recorded hash-green row (cumulative across r1–r5). Kept for
-# tooling: the list of queries whose FIRST green driver row is r5.
+# After the round-5 window is green, every query registered up to
+# round 4 has a driver-recorded hash-green row (cumulative across
+# r1–r5). Round 5 ADDS three connector twins registered after the
+# window was fixed — q_mensal_gold, q_futuro_panel, q_tpf_intradia
+# (each oracle-green locally at 3 SFs AND golden-verified against the
+# reference's real fixtures) — they are the round-6 rotation
+# candidates. Kept for tooling: the list of queries whose FIRST green
+# driver row is r5.
 NEVER_DRIVER_VERIFIED_AFTER_R4: list[str] = [
     "q_approx_stats", "q_stream_tumbling", "q_stream_sessions",
     "q_stream_dedup",

@@ -1069,3 +1069,154 @@ def q_cpm_dissect(spark, sf_dir):
         ).alias("preco_ajuste"),
         F.col("_du_raw").cast("int").alias("dias_uteis"),
     )
+
+
+# === Round-5: the FULL published futures panel through enriquecer =========
+# q_futures_enrich covers the mathematical core (dissection, roll, day
+# counts, DV01, forwards); this twin drives analytics.futuro.enriquecer
+# — the golden-verified raw-PR → published-panel transform (all 22
+# taxa-contract columns, PR rename map, inverted bid/ask, Polars-parity
+# scaled percent→decimal) — against an oracle that recomputes every
+# column. Scaled-round mirror: bround((x/100)·1e10, 0)/1e10 ==
+# round_even((x/100.0) * 1e10, 0) / 1e10 (identical f64 op order).
+
+_FUTP_RAW_SQL = """
+fp0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS data_referencia,
+         CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+              + TO_MONTHS(CAST(72 + (o_orderkey % 8) * 3 AS INT)) AS DATE) AS ven_raw,
+         CAST(o_orderkey % 5000 AS BIGINT) AS contratos_abertos,
+         CAST(o_orderkey % 300 AS BIGINT) AS numero_negocios,
+         CAST(o_orderkey % 700 AS BIGINT) AS volume_negociado,
+         round(o_totalprice, 2) AS volume_financeiro,
+         round(o_totalprice, 2) AS preco_ajuste,
+         round(8 + (o_orderkey % 1000) / 100.0, 4) AS p_tax,
+         round(8 + (o_orderkey % 900) / 100.0, 4) AS p_abe,
+         round(7.9 + (o_orderkey % 900) / 100.0, 4) AS p_min,
+         round(8.1 + (o_orderkey % 900) / 100.0, 4) AS p_max,
+         round(8.05 + (o_orderkey % 900) / 100.0, 4) AS p_med,
+         round(8.02 + (o_orderkey % 900) / 100.0, 4) AS p_ult,
+         round(8.5 + (o_orderkey % 900) / 100.0, 4) AS p_bid,
+         round(8.6 + (o_orderkey % 900) / 100.0, 4) AS p_ask,
+         round(9.0 + (o_orderkey % 900) / 100.0, 4) AS p_lmax,
+         round(7.0 + (o_orderkey % 900) / 100.0, 4) AS p_lmin
+  FROM orders
+),
+fp1 AS (
+  SELECT *,
+    concat('DI1', substr('FGHJKMNQUVXZ', month(ven_raw), 1),
+           lpad(CAST(year(ven_raw) % 100 AS VARCHAR), 2, '0')) AS codigo_negociacao
+  FROM fp0
+)"""
+
+_PCTPL = "round_even(({x} / 100.0) * 10000000000.0, 0) / 10000000000.0"
+
+
+@query(
+    "q_futuro_panel",
+    oracle=f"""
+    WITH {_CAL},
+    {_FUTP_RAW_SQL.lstrip()},
+    fprolled AS (
+      SELECT p.*, bf.data AS data_vencimento
+      FROM fp1 p
+      JOIN cal c ON c.data = p.ven_raw
+      LEFT JOIN bdinv bf ON bf.regime = (CASE WHEN p.ven_raw < DATE '2023-12-26'
+                                         THEN 'antigo' ELSE 'novo' END)
+        AND bf.ordinal = (CASE WHEN p.ven_raw < DATE '2023-12-26'
+                          THEN c.cum_ant ELSE c.cum_nov END)
+    ),
+    fpcounted AS (
+      SELECT r.*,
+        CAST({bd_count_sql("r.data_referencia", "r.data_vencimento")} AS BIGINT) AS dias_uteis,
+        datediff('day', r.data_referencia, r.data_vencimento) AS dias_corridos,
+        {_PCTPL.format(x="r.p_tax")} AS taxa_ajuste
+      FROM fprolled r
+      JOIN cal cs ON cs.data = r.data_referencia
+      JOIN cal ce ON ce.data = r.data_vencimento
+    ),
+    fpflagged AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY data_referencia, dias_uteis) > 1 AS is_dup
+      FROM fpcounted
+    ),
+    fpvalid AS (
+      SELECT *, CASE WHEN is_dup THEN NULL ELSE taxa_ajuste END AS tx_valid,
+             dias_uteis / 252.0 AS au
+      FROM fpflagged
+    ),
+    fplagged AS (
+      SELECT *, LAG(tx_valid) OVER (PARTITION BY data_referencia ORDER BY dias_uteis) AS tx_j,
+             LAG(au) OVER (PARTITION BY data_referencia ORDER BY dias_uteis) AS au_j,
+             MIN(dias_uteis) OVER (PARTITION BY data_referencia) AS du_min
+      FROM fpvalid
+    )
+    SELECT data_referencia, codigo_negociacao, data_vencimento,
+      dias_uteis, CAST(dias_corridos AS BIGINT) AS dias_corridos,
+      {pround_sql("0.0001 * (dias_uteis / 252.0) / (1 + taxa_ajuste) * preco_ajuste", 6)} AS dv01,
+      contratos_abertos, numero_negocios, volume_negociado,
+      volume_financeiro, preco_ajuste,
+      {_PCTPL.format(x="p_lmin")} AS taxa_limite_minimo,
+      {_PCTPL.format(x="p_lmax")} AS taxa_limite_maximo,
+      {_PCTPL.format(x="p_abe")} AS taxa_abertura,
+      {_PCTPL.format(x="p_min")} AS taxa_minima,
+      {_PCTPL.format(x="p_max")} AS taxa_maxima,
+      {_PCTPL.format(x="p_med")} AS taxa_media,
+      {_PCTPL.format(x="p_ult")} AS taxa_fechamento,
+      {_PCTPL.format(x="p_bid")} AS taxa_ultima_oferta_venda,
+      {_PCTPL.format(x="p_ask")} AS taxa_ultima_oferta_compra,
+      taxa_ajuste,
+      {pround_sql("CASE WHEN dias_uteis = du_min THEN tx_valid ELSE power(power(1 + tx_valid, au) / power(1 + tx_j, au_j), 1.0 / (au - au_j)) - 1 END", 6)} AS taxa_forward
+    FROM fplagged
+    """,
+)
+def q_futuro_panel(spark, sf_dir):
+    """The reference-user flagship: a raw B3-XML-schema frame (every PR
+    column synthesized from orders) through
+    ``analytics.futuro.enriquecer`` — the same transform the 24
+    real-archive goldens verify — producing the full 22-column
+    taxa-contract panel with inverted bid/ask and scaled percent→
+    decimal conversion."""
+    from pyield_spark.analytics.futuro import enriquecer
+
+    od = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ven_raw = F.add_months(
+        F.date_trunc("month", "o_orderdate").cast("date"),
+        F.lit(72) + (k % 8).cast("int") * 3,
+    )
+
+    def pct(base, mod):
+        return F.round(F.lit(base) + (k % mod) / 100.0, 4)
+
+    raw = od.select(
+        F.to_date("o_orderdate").alias("TradDt"),
+        F.concat(
+            F.lit("DI1"),
+            F.substring(F.lit("FGHJKMNQUVXZ"), F.month(ven_raw), 1),
+            F.lpad((F.year(ven_raw) % 100).cast("string"), 2, "0"),
+        ).alias("TckrSymb"),
+        (k % 5000).cast("long").alias("OpnIntrst"),
+        (k % 300).cast("long").alias("TradQty"),
+        (k % 700).cast("long").alias("FinInstrmQty"),
+        F.round("o_totalprice", 2).alias("NtlFinVol"),
+        F.round("o_totalprice", 2).alias("AdjstdQt"),
+        pct(8, 1000).alias("AdjstdQtTax"),
+        pct(8, 900).alias("FrstPric"),
+        pct(7.9, 900).alias("MinPric"),
+        pct(8.1, 900).alias("MaxPric"),
+        pct(8.05, 900).alias("TradAvrgPric"),
+        pct(8.02, 900).alias("LastPric"),
+        pct(8.5, 900).alias("BestBidPric"),
+        pct(8.6, 900).alias("BestAskPric"),
+        pct(9.0, 900).alias("MaxTradLmt"),
+        pct(7.0, 900).alias("MinTradLmt"),
+    )
+    out = enriquecer(raw, "DI1")
+    return out.select(
+        *[
+            pround_expr(F.col(c), 6).alias(c)
+            if c in ("dv01", "taxa_forward")
+            else F.col(c)
+            for c in out.columns
+        ]
+    )

@@ -234,3 +234,253 @@ def q_intradia_enrich(spark, sf_dir):
         "taxa_ajuste_anterior",
         "taxa_ultima",
     )
+
+
+# === Round-5: S14 monthly secondary-market silver/gold ===================
+# The mensal connector's PARSE half (header-anchored per-member split,
+# stripped all-string cells, '' → null, BR numbers, dd/MM/yyyy dates,
+# era-tolerant corretagem columns, financeiro = Polars-parity round2)
+# over reference-layout lines synthesized from orders — the same
+# transform the real-zip goldens verify bit-exactly
+# (tests/test_secundario_reference_goldens.py); here the DuckDB oracle
+# recomputes every typed value directly.
+
+_MENSAL_HDR = (
+    "DATA MOV;SIGLA;CODIGO;CODIGO ISIN;EMISSAO;VENCIMENTO;NUM DE OPER;"
+    "QUANT NEGOCIADA;VALOR NEGOCIADO;PU MIN;PU MED;PU MAX;PU LASTRO;"
+    "VALOR PAR;TAXA MIN;TAXA MED;TAXA MAX;NUM OPER COM CORRETAGEM;"
+    "QUANT NEG COM CORRETAGEM"
+)
+
+_MENSAL_TITULO_SQL = (
+    "CASE o_orderkey % 4 WHEN 0 THEN 'LTN' WHEN 1 THEN 'LFT' "
+    "WHEN 2 THEN 'NTN-B' ELSE 'NTN-F' END"
+)
+
+
+@query(
+    "q_mensal_gold",
+    oracle=f"""
+    WITH msrc AS (
+      SELECT CAST(o_orderdate AS DATE) AS data_liquidacao,
+             {_MENSAL_TITULO_SQL} AS titulo,
+             CAST(o_orderkey % 900000 + 100000 AS BIGINT) AS codigo_selic,
+             concat('BRSTN', CAST(o_orderkey AS VARCHAR)) AS isin,
+             CAST(o_orderdate AS DATE) - 100 AS data_emissao,
+             CAST(CAST(o_orderdate AS DATE) + TO_MONTHS(12) AS DATE)
+               AS data_vencimento,
+             CAST(o_orderkey % 50 AS BIGINT) AS operacoes,
+             CAST(o_orderkey % 1000 + 1 AS BIGINT) AS quantidade,
+             CAST(NULL AS DOUBLE) AS pu_minimo,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS pu_medio,
+             CAST(NULL AS DOUBLE) AS pu_maximo,
+             CAST(NULL AS DOUBLE) AS pu_lastro,
+             CAST(NULL AS DOUBLE) AS valor_par,
+             CAST(NULL AS DOUBLE) AS taxa_minima,
+             CAST(CAST((o_orderkey % 2000) / 100.0 AS DECIMAL(8,2)) AS DOUBLE)
+               AS taxa_media,
+             CAST(NULL AS DOUBLE) AS taxa_maxima,
+             CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(o_orderkey % 7 AS BIGINT) END
+               AS operacoes_corretagem,
+             CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(o_orderkey % 11 AS BIGINT) END
+               AS quantidade_corretagem
+      FROM orders
+    )
+    SELECT *,
+           round_even((quantidade * pu_medio) * 100, 0) / 100 AS financeiro
+    FROM msrc
+    """,
+)
+def q_mensal_gold(spark, sf_dir):
+    """S14 driver-checkable twin: reference-layout ';'-lines synthesized
+    from orders (BR decimals via the decimal→string→comma roundtrip,
+    dd/MM/yyyy dates, ''-cells for the null columns), pushed through the
+    REAL ``mensal_silver_from_lines`` + ``mensal_gold`` transform —
+    exactly the code path the real-zip goldens cover."""
+    from pyield_spark.sources.mensal import mensal_gold, mensal_silver_from_lines
+
+    od = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    titulo = (
+        F.when(k % 4 == 0, "LTN")
+        .when(k % 4 == 1, "LFT")
+        .when(k % 4 == 2, "NTN-B")
+        .otherwise("NTN-F")
+    )
+
+    def br(col):  # decimal 2dp → '123,45' (q_part_dissect roundtrip)
+        return F.regexp_replace(
+            col.cast("decimal(12,2)").cast("string"), r"\.", ","
+        )
+
+    def d(col):
+        return F.date_format(col, "dd/MM/yyyy")
+
+    od_date = F.to_date("o_orderdate")
+    data_line = F.concat_ws(
+        ";",
+        d(od_date),                                   # DATA MOV
+        titulo,                                       # SIGLA
+        (k % 900000 + 100000).cast("string"),         # CODIGO
+        F.concat(F.lit("BRSTN"), k.cast("string")),   # CODIGO ISIN
+        d(F.date_sub(od_date, 100)),                  # EMISSAO
+        d(F.add_months(od_date, 12)),                 # VENCIMENTO
+        (k % 50).cast("string"),                      # NUM DE OPER
+        (k % 1000 + 1).cast("string"),                # QUANT NEGOCIADA
+        F.lit(""),                                    # VALOR NEGOCIADO
+        F.lit(""),                                    # PU MIN
+        br(F.col("o_totalprice")),                    # PU MED
+        F.lit(""),                                    # PU MAX
+        F.lit(""),                                    # PU LASTRO
+        F.lit(""),                                    # VALOR PAR
+        F.lit(""),                                    # TAXA MIN
+        br((k % 2000) / F.lit(100.0)),                # TAXA MED
+        F.lit(""),                                    # TAXA MAX
+        F.when(k % 3 == 0, F.lit("")).otherwise((k % 7).cast("string")),
+        F.when(k % 5 == 0, F.lit("")).otherwise((k % 11).cast("string")),
+    )
+    hdr = spark.range(1).select(
+        F.lit("synth.zip").alias("source_file"),
+        F.lit("NegT.csv").alias("member_name"),
+        F.lit(0).cast("long").alias("line_idx"),
+        F.lit(_MENSAL_HDR).alias("line"),
+    )
+    data = od.select(
+        F.lit("synth.zip").alias("source_file"),
+        F.lit("NegT.csv").alias("member_name"),
+        (k + 1).cast("long").alias("line_idx"),
+        data_line.alias("line"),
+    )
+    return mensal_gold(mensal_silver_from_lines(hdr.unionByName(data)))
+
+
+# === Round-5: SELIC real-time statistics CSV (secondary intradia) =========
+# The tpf_intradia connector's parse half over a synthesized wide frame
+# carrying the REAL header (duplicated spot/termo names → Polars-style
+# _duplicated_N disambiguation), '-' nulls in the termo block and
+# corretagem slots, BR decimals, and a fixed query timestamp.
+
+_TPFI_HEADER = [
+    "//1", "código título", "data vencimento", "sigla",
+    "mercado à vista pu último", "tx último", "pu mínimo", "tx mínimo",
+    "pu médio", "tx médio", "pu máximo", "tx máximo",
+    "totais liquidados operações", "corretagem liquidados operações",
+    "títulos", "corretagem títulos", "financeiro",
+    "mercado a termo pu último", "tx último", "pu mínimo", "tx mínimo",
+    "pu médio", "tx médio", "pu máximo", "tx máximo",
+    "totais contratados operações", "corretagem contratados operações",
+    "títulos", "corretagem títulos", "financeiro",
+]
+
+_TPFI_TAXA_SQL = (
+    "round_even((CAST(CAST((o_orderkey % 2000) / 100.0 AS DECIMAL(8,2)) AS DOUBLE)"
+    " / 100.0) * 10000000000.0, 0) / 10000000000.0"
+)
+
+
+@query(
+    "q_tpf_intradia",
+    oracle=f"""
+    WITH ti AS (
+      SELECT TIMESTAMP '1995-06-15 12:00:00' AS data_hora_consulta,
+             DATE '1995-06-15' AS data_liquidacao,
+             {_MENSAL_TITULO_SQL} AS titulo,
+             CAST(o_orderkey % 9000 + 1000 AS BIGINT) AS codigo_selic,
+             CAST(CAST(o_orderdate AS DATE) + TO_MONTHS(6) AS DATE)
+               AS data_vencimento,
+             CAST(NULL AS DOUBLE) AS pu_minimo,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS pu_medio,
+             CAST(NULL AS DOUBLE) AS pu_maximo,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS pu_ultimo,
+             CAST(NULL AS DOUBLE) AS taxa_minima,
+             {_TPFI_TAXA_SQL} AS taxa_media,
+             CAST(NULL AS DOUBLE) AS taxa_maxima,
+             {_TPFI_TAXA_SQL} AS taxa_ultima,
+             CAST(o_orderkey % 500 AS BIGINT) AS operacoes,
+             CAST(o_orderkey % 1000 AS BIGINT) AS quantidade,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS financeiro,
+             CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(o_orderkey % 7 AS BIGINT) END
+               AS operacoes_corretagem,
+             CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(o_orderkey % 11 AS BIGINT) END
+               AS quantidade_corretagem,
+             CAST(NULL AS DOUBLE) AS termo_pu_minimo,
+             CAST(NULL AS DOUBLE) AS termo_pu_medio,
+             CAST(NULL AS DOUBLE) AS termo_pu_ultimo,
+             CAST(NULL AS DOUBLE) AS termo_pu_maximo,
+             CAST(NULL AS DOUBLE) AS termo_taxa_ultima,
+             CAST(NULL AS DOUBLE) AS termo_taxa_minima,
+             CAST(NULL AS DOUBLE) AS termo_taxa_media,
+             CAST(NULL AS DOUBLE) AS termo_taxa_maxima,
+             CAST(NULL AS BIGINT) AS termo_operacoes,
+             CAST(NULL AS BIGINT) AS termo_quantidade,
+             CAST(NULL AS DOUBLE) AS termo_financeiro,
+             CAST(NULL AS BIGINT) AS termo_operacoes_corretagem,
+             CAST(NULL AS BIGINT) AS termo_quantidade_corretagem
+      FROM orders
+    )
+    SELECT * FROM ti
+    """,
+)
+def q_tpf_intradia(spark, sf_dir):
+    """The SELIC statistics connector's parse half, driver-checkable:
+    the real duplicated header + '1'-type data rows synthesized from
+    orders (BR decimals, space-padded sigla, '-' nulls across the termo
+    block) through ``tpf_intradia_from_wide`` — the same transform the
+    2026-02-06 capture golden verifies."""
+    import datetime as _dt
+
+    from pyield_spark.sources.tpf_intradia import tpf_intradia_from_wide
+
+    od = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    titulo = (
+        F.when(k % 4 == 0, "LTN")
+        .when(k % 4 == 1, "LFT")
+        .when(k % 4 == 2, "NTN-B")
+        .otherwise("NTN-F")
+    )
+
+    def br(col):
+        return F.regexp_replace(
+            col.cast("decimal(12,2)").cast("string"), r"\.", ","
+        )
+
+    taxa_br = br((k % 2000) / F.lit(100.0))
+    dash = F.lit("-")
+    data_cells = [
+        F.lit("1"),                                    # //1 record type
+        (k % 9000 + 1000).cast("string"),              # código título
+        F.date_format(F.add_months(F.to_date("o_orderdate"), 6), "dd/MM/yyyy"),
+        F.concat(F.lit("   "), titulo, F.lit(" ")),    # sigla (padded)
+        br(F.col("o_totalprice")),                     # à vista pu último
+        taxa_br,                                       # tx último
+        dash,                                          # pu mínimo
+        dash,                                          # tx mínimo
+        br(F.col("o_totalprice")),                     # pu médio
+        taxa_br,                                       # tx médio
+        dash,                                          # pu máximo
+        dash,                                          # tx máximo
+        (k % 500).cast("string"),                      # liquidados operações
+        F.when(k % 3 == 0, dash).otherwise((k % 7).cast("string")),
+        (k % 1000).cast("string"),                     # títulos
+        F.when(k % 5 == 0, dash).otherwise((k % 11).cast("string")),
+        br(F.col("o_totalprice")),                     # financeiro
+    ] + [dash] * 13                                    # the termo block
+    hdr_cells = [F.lit(h) for h in _TPFI_HEADER]
+    n = len(_TPFI_HEADER)
+    assert len(data_cells) == n
+    hdr = spark.range(1).select(
+        *[hdr_cells[i].alias(f"_c{i}") for i in range(n)],
+        *[F.lit(None).cast("string").alias(f"_c{i}") for i in range(n, 36)],
+    )
+    data = od.select(
+        *[data_cells[i].alias(f"_c{i}") for i in range(n)],
+        *[F.lit(None).cast("string").alias(f"_c{i}") for i in range(n, 36)],
+    )
+    return tpf_intradia_from_wide(
+        hdr.unionByName(data), consulta=_dt.datetime(1995, 6, 15, 12, 0, 0)
+    )

@@ -67,6 +67,13 @@ def mensal_silver(spark: SparkSession, path: str) -> DataFrame:
     mixed-era directories are safe.
     """
     lines = read_zip_members(spark, path, member_suffix=".csv")
+    return mensal_silver_from_lines(lines)
+
+
+def mensal_silver_from_lines(lines: DataFrame) -> DataFrame:
+    """The parse half of :func:`mensal_silver`, over an already-read
+    (source_file, member_name, line_idx, line) frame — the unit the
+    driver-checkable ``q_mensal_gold`` query exercises directly."""
     f = lines.select(
         "source_file",
         "member_name",

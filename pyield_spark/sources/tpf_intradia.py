@@ -104,6 +104,15 @@ def tpf_intradia_silver(
         .schema(wide)
         .csv(path)
     )
+    return tpf_intradia_from_wide(raw, consulta)
+
+
+def tpf_intradia_from_wide(
+    raw: DataFrame, consulta: dt.datetime | None = None
+) -> DataFrame:
+    """The parse half of :func:`tpf_intradia_silver`, over an
+    already-read all-string wide frame (_c0.._c35) — the unit the
+    driver-checkable ``q_tpf_intradia`` query exercises directly."""
     rec_type = F.trim(F.regexp_replace("_c0", "﻿", ""))
     header_row = raw.filter(rec_type == "//1").first()
     if header_row is None:
