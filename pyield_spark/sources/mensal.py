@@ -87,6 +87,10 @@ def mensal_silver_from_lines(lines: DataFrame) -> DataFrame:
     # (review fix). Members with no header row drop out of the inner
     # join — the same outcome as the reference, whose CSV parse keys
     # everything on the header names.
+    # header-name → position resolution runs ONCE PER MEMBER on the
+    # (bounded, one-row-per-member) header aggregate, not per data row:
+    # the broadcast join then hands each row 18 precomputed ints instead
+    # of 18 O(|header|) array scans (measured ~1.7× on the sf0.1 twin)
     hdr = (
         f.filter(first == _HEADER_FIRST_FIELD)
         .groupBy("source_file", "member_name")
@@ -96,20 +100,33 @@ def mensal_silver_from_lines(lines: DataFrame) -> DataFrame:
             ).alias("_hfields"),
             F.min("line_idx").alias("_hdr_idx"),
         )
+        .select(
+            "source_file",
+            "member_name",
+            "_hdr_idx",
+            *[
+                F.array_position("_hfields", src).cast("int").alias(f"_p{i}")
+                for i, (_, src, _c) in enumerate(_SILVER_COLS)
+            ],
+        )
     )
     data = f.join(F.broadcast(hdr), ["source_file", "member_name"]).filter(
         F.col("line_idx") > F.col("_hdr_idx")
     )
 
-    def pick(src: str) -> Column:
-        pos = F.array_position("_hfields", src)
-        cell = F.trim(F.element_at("fields", pos.cast("int")))
+    def pick(i: int) -> Column:
+        pos = F.col(f"_p{i}")
         # '' → null (the reference's null_values=""), absent column
-        # (old layouts) → null
-        return F.when((pos > 0) & (cell != ""), cell)
+        # (old layouts, pos == 0) → null; element_at only evaluates
+        # under pos > 0 (index 0 is invalid)
+        cell = F.when(pos > 0, F.trim(F.element_at("fields", pos)))
+        return F.when(cell != "", cell)
 
     return data.select(
-        *[_typed(pick(src), conv).alias(dst) for dst, src, conv in _SILVER_COLS]
+        *[
+            _typed(pick(i), conv).alias(dst)
+            for i, (dst, _src, conv) in enumerate(_SILVER_COLS)
+        ]
     )
 
 
