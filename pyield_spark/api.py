@@ -190,10 +190,12 @@ futuro = SimpleNamespace(
 # yd.di1 — DI1-curve helpers (reference pyield/futuro/di1.py): the
 # interpolation kernels ARE yd.interpolar / yd.Interpolador over the
 # DI1 panel; exposed under the reference's names
+import functools as _functools
+
 di1 = SimpleNamespace(
     interpolar_taxas=interpolar,
     interpolar_taxa=scalar.interpolar_taxa,
-    dados=_futuro_mod.enriquecer,
+    dados=_functools.partial(_futuro_mod.enriquecer, contrato="DI1"),
 )
 
 # yd.b3

@@ -258,6 +258,24 @@ _MENSAL_TITULO_SQL = (
 )
 
 
+def _titulo_expr(k):
+    """Spark twin of _MENSAL_TITULO_SQL (shared by both connector twins)."""
+    return (
+        F.when(k % 4 == 0, "LTN")
+        .when(k % 4 == 1, "LFT")
+        .when(k % 4 == 2, "NTN-B")
+        .otherwise("NTN-F")
+    )
+
+
+def _br_cents_expr(col):
+    """2dp BR decimal string via the decimal→string→comma roundtrip
+    (q_part_dissect pattern; shared by both connector twins — the
+    formatting MUST stay in sync with the oracle SQL's DECIMAL(12,2)
+    cast in one place)."""
+    return F.regexp_replace(col.cast("decimal(12,2)").cast("string"), r"\.", ",")
+
+
 @query(
     "q_mensal_gold",
     oracle=f"""
@@ -303,17 +321,8 @@ def q_mensal_gold(spark, sf_dir):
 
     od = tables(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    titulo = (
-        F.when(k % 4 == 0, "LTN")
-        .when(k % 4 == 1, "LFT")
-        .when(k % 4 == 2, "NTN-B")
-        .otherwise("NTN-F")
-    )
-
-    def br(col):  # decimal 2dp → '123,45' (q_part_dissect roundtrip)
-        return F.regexp_replace(
-            col.cast("decimal(12,2)").cast("string"), r"\.", ","
-        )
+    titulo = _titulo_expr(k)
+    br = _br_cents_expr
 
     def d(col):
         return F.date_format(col, "dd/MM/yyyy")
@@ -437,17 +446,8 @@ def q_tpf_intradia(spark, sf_dir):
 
     od = tables(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    titulo = (
-        F.when(k % 4 == 0, "LTN")
-        .when(k % 4 == 1, "LFT")
-        .when(k % 4 == 2, "NTN-B")
-        .otherwise("NTN-F")
-    )
-
-    def br(col):
-        return F.regexp_replace(
-            col.cast("decimal(12,2)").cast("string"), r"\.", ","
-        )
+    titulo = _titulo_expr(k)
+    br = _br_cents_expr
 
     taxa_br = br((k % 2000) / F.lit(100.0))
     dash = F.lit("-")

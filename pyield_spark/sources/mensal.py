@@ -82,11 +82,11 @@ def mensal_silver_from_lines(lines: DataFrame) -> DataFrame:
     ).filter(F.size("fields") >= 2)
     first = F.trim(F.element_at("fields", 1))
     # the member's header is its FIRST 'DATA MOV' line; data rows are
-    # strictly AFTER it, so pre-header meta/title lines and trailers
-    # that happen to contain ';' cannot leak in as phantom silver rows
-    # (review fix). Members with no header row drop out of the inner
-    # join — the same outcome as the reference, whose CSV parse keys
-    # everything on the header names.
+    # strictly AFTER it and are never themselves header lines, so
+    # pre-header meta/title lines with ';' and re-emitted headers both
+    # stay out of the silver rows (review fixes). Members with no
+    # header row drop out of the inner join — the same outcome as the
+    # reference, whose CSV parse keys everything on the header names.
     # header-name → position resolution runs ONCE PER MEMBER on the
     # (bounded, one-row-per-member) header aggregate, not per data row:
     # the broadcast join then hands each row 18 precomputed ints instead
@@ -111,7 +111,9 @@ def mensal_silver_from_lines(lines: DataFrame) -> DataFrame:
         )
     )
     data = f.join(F.broadcast(hdr), ["source_file", "member_name"]).filter(
-        F.col("line_idx") > F.col("_hdr_idx")
+        (F.col("line_idx") > F.col("_hdr_idx"))
+        & (first != _HEADER_FIRST_FIELD)  # a re-emitted header line
+        # (concatenated monthly blocks) must not parse as data
     )
 
     def pick(i: int) -> Column:

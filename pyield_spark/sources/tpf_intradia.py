@@ -116,7 +116,7 @@ def tpf_intradia_from_wide(
     rec_type = F.trim(F.regexp_replace("_c0", "﻿", ""))
     header_row = raw.filter(rec_type == "//1").first()
     if header_row is None:
-        raise ValueError(f"no '//1' header row found in {path}")
+        raise ValueError("no '//1' header row found in the input frame")
     names = _dedup_names(
         [
             (header_row[f"_c{i}"] or "").strip().lstrip("﻿")

@@ -141,6 +141,57 @@ def test_mensal_pre_header_lines_do_not_leak(spark, tmp_path):
     assert out[0].quantidade == 95626
 
 
+def test_mensal_repeated_header_does_not_leak(spark, tmp_path):
+    """Review regression #2: a re-emitted header line AFTER the first
+    (concatenated monthly blocks) must not parse as a data row."""
+    import io
+    import zipfile
+
+    from pyield_spark.sources.mensal import mensal_silver
+
+    hdr = (
+        "DATA MOV;SIGLA;CODIGO;CODIGO ISIN;EMISSAO;VENCIMENTO;NUM DE OPER;"
+        "QUANT NEGOCIADA;VALOR NEGOCIADO;PU MIN;PU MED;PU MAX;PU LASTRO;"
+        "VALOR PAR;TAXA MIN;TAXA MED;TAXA MAX"
+    )
+    row1 = (
+        "02/06/2003;LFT;211120;X;17/05/2000;11/06/2003;1;10;;1,0;2,5;"
+        "1,0;1,0;1,0;0,0;0,0;0,0"
+    )
+    row2 = (
+        "03/06/2003;LTN;100000;Y;17/05/2000;11/06/2004;2;20;;1,0;3,5;"
+        "1,0;1,0;1,0;0,0;0,0;0,0"
+    )
+    csv = hdr + "\n" + row1 + "\n" + hdr + "\n" + row2 + "\n"
+    z = tmp_path / "two_blocks.zip"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("NegT.csv", csv.encode("latin1"))
+    z.write_bytes(buf.getvalue())
+    out = mensal_silver(spark, str(z)).collect()
+    assert sorted(r.titulo for r in out) == ["LFT", "LTN"]  # no 'SIGLA' row
+
+
+def test_facade_di1_dados_pinned_to_di1(spark):
+    """Review regression #3: yd.di1.dados takes just the raw frame and
+    yields a DI1 panel (contrato pre-bound)."""
+    import pyield_spark.api as yd
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [
+            (dt.date(2026, 1, 12), "DI1F27", 10, 99000.0, 13.5),
+            (dt.date(2026, 1, 12), "DOLF27", 10, 5000.0, None),
+        ],
+        "TradDt DATE, TckrSymb STRING, OpnIntrst LONG, AdjstdQt DOUBLE,"
+        " AdjstdQtTax DOUBLE",
+    )
+    out = yd.di1.dados(raw)  # one argument — the reference shape
+    rows = out.collect()
+    assert [r.codigo_negociacao for r in rows] == ["DI1F27"]
+    assert "taxa_ajuste" in out.columns  # rate-contract branch taken
+
+
 def test_tpf_intradia_golden_parity(spark):
     import pandas as pd
 
