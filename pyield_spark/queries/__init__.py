@@ -145,6 +145,33 @@ def load_all() -> None:
     )
 
 
+# Parquet scans cannot split below a row group: a file with one row
+# group is ONE task no matter what maxPartitionBytes says, so every
+# narrow (pre-first-shuffle) stage over it — parsing, regex scoring,
+# pricing arithmetic — runs on a single core. The driver's synthetic
+# tables are exactly that degenerate shape (1 row group for 150k–600k
+# rows; verified via footer metadata). Compensate with ONE round-robin
+# repartition right after the scan, gated on the footer so it is a
+# strict no-op at scale: production-sized data has thousands of row
+# groups, the scan parallelizes natively, and no exchange is added.
+# Column pruning and filter pushdown both pass through Repartition, so
+# the scan itself is unchanged.
+_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the footer, cached per path."""
+    if path not in _LAYOUT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            f = pq.ParquetFile(path)
+            _LAYOUT_CACHE[path] = (f.metadata.num_rows, f.num_row_groups)
+        except Exception:
+            _LAYOUT_CACHE[path] = (0, 0)
+    return _LAYOUT_CACHE[path]
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str):
     from pyspark.sql import functions as F
 
@@ -156,9 +183,17 @@ def tables(spark: SparkSession, sf_dir: str, *names: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    cores = spark.sparkContext.defaultParallelism
     out = []
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        path = f"{sf_dir}/{n}.parquet"
+        df = spark.read.parquet(path)
+        rows, groups = _parquet_layout(path)
+        # >=2000 rows on fewer than cores/2 row groups: the scan is
+        # effectively serial and the table is big enough for per-row
+        # work to dominate the (tiny) round-robin exchange this adds
+        if 0 < groups < max(2, cores // 2) and rows >= 2000:
+            df = df.repartition(cores)
         # NANOS-generation events.ts reads as LONG under nanosAsLong —
         # convert to micros exactly as DuckDB truncates; the MICROS
         # generation arrives as a native timestamp and passes through.
