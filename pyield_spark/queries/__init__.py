@@ -151,9 +151,15 @@ def load_all() -> None:
 # pricing arithmetic — runs on a single core. The driver's synthetic
 # tables are exactly that degenerate shape (1 row group for 150k–600k
 # rows; verified via footer metadata). Compensate with ONE round-robin
-# repartition right after the scan, gated on the footer so it is a
-# strict no-op at scale: production-sized data has thousands of row
-# groups, the scan parallelizes natively, and no exchange is added.
+# repartition right after the scan, OPT-IN via ``widen=True`` and gated
+# on the footer so it is a strict no-op at scale: production-sized data
+# has thousands of row groups, the scan parallelizes natively, and no
+# exchange is added. Opt-in, not blanket, because the trade is
+# query-shaped: A/B at sf0.1 shows it pays only where per-row narrow
+# work dominates the scan (text synthesis/parse: q_mensal_gold 10.9→4.5s,
+# q_text_stats 4.3→2.7s, q_lang_confusion 2.6→1.5s), while queries that
+# immediately aggregate pay the shuffle for nothing (q_sql_min_price_part
+# 0.65→2.3s, q_premio_limpo 8.0→12.1s under the earlier blanket version).
 # Column pruning and filter pushdown both pass through Repartition, so
 # the scan itself is unchanged.
 _LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
@@ -172,7 +178,7 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     return _LAYOUT_CACHE[path]
 
 
-def tables(spark: SparkSession, sf_dir: str, *names: str):
+def tables(spark: SparkSession, sf_dir: str, *names: str, widen: bool = False):
     from pyspark.sql import functions as F
 
     # Defensive session confs (runtime-settable): the driver may hand us
@@ -189,10 +195,10 @@ def tables(spark: SparkSession, sf_dir: str, *names: str):
         path = f"{sf_dir}/{n}.parquet"
         df = spark.read.parquet(path)
         rows, groups = _parquet_layout(path)
-        # >=2000 rows on fewer than cores/2 row groups: the scan is
-        # effectively serial and the table is big enough for per-row
-        # work to dominate the (tiny) round-robin exchange this adds
-        if 0 < groups < max(2, cores // 2) and rows >= 2000:
+        # widen=True and >=2000 rows on fewer than cores/2 row groups:
+        # the scan is effectively serial and the caller declared its
+        # per-row work heavy enough to dominate the round-robin exchange
+        if widen and 0 < groups < max(2, cores // 2) and rows >= 2000:
             df = df.repartition(cores)
         # NANOS-generation events.ts reads as LONG under nanosAsLong —
         # convert to micros exactly as DuckDB truncates; the MICROS

@@ -195,7 +195,7 @@ def q_winnow_fingerprint(spark, sf_dir):
     is a balanced ``least`` tree over four shifted slices, and the
     output is one row per document from a map-only plan. The md5 hex
     ordering is bytewise on both engines."""
-    docs = tables(spark, sf_dir, "documents")
+    docs = tables(spark, sf_dir, "documents", widen=True)
     from pyield_spark.operators.text import tokens_expr
 
     toks = tokens_expr("text")

@@ -319,7 +319,7 @@ def q_mensal_gold(spark, sf_dir):
     exactly the code path the real-zip goldens cover."""
     from pyield_spark.sources.mensal import mensal_gold, mensal_silver_from_lines
 
-    od = tables(spark, sf_dir, "orders")
+    od = tables(spark, sf_dir, "orders", widen=True)
     k = F.col("o_orderkey")
     titulo = _titulo_expr(k)
     br = _br_cents_expr
@@ -444,7 +444,7 @@ def q_tpf_intradia(spark, sf_dir):
 
     from pyield_spark.sources.tpf_intradia import tpf_intradia_from_wide
 
-    od = tables(spark, sf_dir, "orders")
+    od = tables(spark, sf_dir, "orders", widen=True)
     k = F.col("o_orderkey")
     titulo = _titulo_expr(k)
     br = _br_cents_expr

@@ -53,7 +53,7 @@ _GRAMS3 = f"""
     """,
 )
 def q_text_stats(spark, sf_dir):
-    docs = tables(spark, sf_dir, "documents")
+    docs = tables(spark, sf_dir, "documents", widen=True)
     return docs.select(
         "doc_id",
         "lang",
@@ -661,7 +661,7 @@ def q_lang_confusion(spark, sf_dir):
     filter. Pure column expressions + one tiny (|langs|²-group)
     aggregate; the argmax tie-break (sorted language-code order) is
     stated identically in both engines."""
-    docs = tables(spark, sf_dir, "documents")
+    docs = tables(spark, sf_dir, "documents", widen=True)
     return (
         docs.groupBy(
             F.col("lang").alias("labeled"),

@@ -85,11 +85,12 @@ def test_exchange_budget(spark, sf_dir, name):
     )
     # Count DATA shuffles: hash/range/single-partition exchanges (not
     # BroadcastExchange). Round-robin exchanges are excluded on purpose:
-    # the only one in the suite is tables()'s row-group scan
-    # compensation, which exists solely because the driver's synthetic
-    # parquets are single-row-group (serial scans) and is footer-gated
-    # to vanish on production-shaped data — it is not part of the
-    # query's data-dependent shuffle structure that these budgets pin.
+    # the only ones in the suite come from tables(widen=True)'s
+    # row-group scan compensation, opted into by the per-row-heavy
+    # parse queries because the driver's synthetic parquets are
+    # single-row-group (serial scans); it is footer-gated to vanish on
+    # production-shaped data — not part of the query's data-dependent
+    # shuffle structure that these budgets pin.
     import re
 
     n = len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
