@@ -18,6 +18,34 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def rint0_expr(col: Column) -> Column:
+    """Bit-exact fast twin of ``F.bround(col, 0)`` on doubles.
+
+    Spark's ``bround`` on a DOUBLE routes every value through
+    ``BigDecimal.valueOf`` — a ``Double.toString`` parse + BigDecimal
+    allocation per row (~1µs), which dominated the scaled-round hot
+    paths (10 ``round_pl_expr`` columns cost ~2.5s of q_futuro_panel's
+    5.6s at sf0.1). ``rint`` (IEEE round-half-to-even) is one codegen'd
+    machine instruction and provably agrees at scale 0:
+
+    - non-tie: the shortest decimal repr r of a double y parses back to
+      y (y is the nearest double to r), so no representable ``m.5``
+      boundary can lie strictly between r and y — if it did, that
+      boundary (itself a double for |y| < 2^52) would be nearer to r
+      than y is; for |y| >= 2^52 every double is already an integer;
+    - tie: r == "m.5" iff y is exactly m.5 (the repr of an exactly
+      representable decimal IS that decimal), and both sides then round
+      half-to-even;
+    - NaN/±Inf pass through both; ``+ 0.0`` normalizes rint's ``-0.0``
+      (for y in (-0.5, -0.0]) to the ``+0.0`` BigDecimal produces.
+
+    Pinned bitwise over 700k adversarial doubles (grid points, exact
+    ties, shortest-repr near-halves, |y| straddling 2^52) in
+    tests/test_numeric_properties.py.
+    """
+    return F.call_function("rint", col) + F.lit(0.0)
+
+
 def truncar_expr(col: Column | str, decimals: int) -> Column:
     """Truncate toward zero at ``decimals`` places — DECIMAL-REPR-AWARE.
 
@@ -43,7 +71,7 @@ def truncar_expr(col: Column | str, decimals: int) -> Column:
     s = F.lit(float(10**decimals))
     a = F.abs(c)
     y = a * s
-    k = F.bround(y, 0)  # rint; exact-integer compare below disambiguates
+    k = rint0_expr(y)  # exact-integer compare below disambiguates
     t = F.when(k / s == a, k).otherwise(F.floor(y))
     return F.signum(c) * t / s
 
@@ -97,14 +125,15 @@ def round_pl_expr(col: Column | str, decimals: int) -> Column:
     whenever x·10^d crosses the midpoint: the NegE202501 golden has
     1233000·655.769445 = 808563725.6850001 (above the .685 grid), but
     ·100 in f64 lands at 80856372568.49998… → Polars (and the golden)
-    say …725.68 while plain bround says …725.69. ``F.bround(y, 0)``
-    rounds y's exact value half-to-even, which equals Rust's
-    round_ties_even, and the final divide is the same f64 op Polars
-    performs.
+    say …725.68 while plain bround says …725.69. ``rint0_expr``
+    rounds y's exact value half-to-even (bit-identical to
+    ``F.bround(y, 0)``, see its docstring — but codegen arithmetic,
+    not a per-row BigDecimal), which equals Rust's round_ties_even,
+    and the final divide is the same f64 op Polars performs.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.lit(float(10**decimals))
-    return F.bround(c * s, 0) / s
+    return rint0_expr(c * s) / s
 
 
 def br_num_expr(col: Column | str) -> Column:
@@ -132,7 +161,7 @@ def inteiro_br_expr(col: Column | str) -> Column:
     (pyield/_internal/br_numbers.py:42-48: float_br(...).round(0)
     .cast(Int64)) — '1.234,00' is 1234, not 123400 (which a plain
     thousands-separator strip would produce)."""
-    return F.bround(br_num_expr(col), 0).cast("long")
+    return rint0_expr(br_num_expr(col)).cast("long")
 
 
 def inteiro_m_expr(col: Column | str) -> Column:

@@ -1178,7 +1178,10 @@ def q_futuro_panel(spark, sf_dir):
     decimal conversion."""
     from pyield_spark.analytics.futuro import enriquecer
 
-    od = tables(spark, sf_dir, "orders")
+    # widen: the whole enrichment (ticker dissection, 4 calendar joins,
+    # 10 scaled-round percent conversions) is narrow work before the
+    # first exchange — serial on a single-row-group scan without it
+    od = tables(spark, sf_dir, "orders", widen=True)
     k = F.col("o_orderkey")
     ven_raw = F.add_months(
         F.date_trunc("month", "o_orderdate").cast("date"),

@@ -69,3 +69,37 @@ def test_round_pl_divergence_from_exact_decimal_bround(spark):
     ).collect()
     assert r.pl == 808563725.68
     assert r.br == 808563725.69
+
+
+def test_rint0_bitwise_twin_of_bround0(spark):
+    """rint0_expr must equal F.bround(y, 0) BITWISE (incl. the sign of
+    zero and NaN) — it replaces bround's per-row BigDecimal in every
+    scaled-round/truncation hot path. Adversarial population: exact
+    .5 ties, grid decimals scaled by 10^d, shortest-repr near-halves,
+    |y| straddling 2^52 (where doubles are already integers), ±0, NaN,
+    ±Inf, nulls."""
+    import struct
+
+    from pyield_spark.functions.numbers import rint0_expr
+
+    rng = random.Random(20260815)
+    vals: list[float | None] = [
+        0.141446e8, 80856372568.49998, 808563725.6850001 * 100,
+        0.0, -0.0, -0.49999999999999994, -0.5, 0.5,
+        float("nan"), float("inf"), float("-inf"), None,
+        2.0**52 + 0.5, 2.0**52, -(2.0**52), 2.0**53, 1e308, -1e308,
+    ]
+    vals += [float(i) + 0.5 for i in range(-25, 25)]
+    vals += [rng.uniform(-1e12, 1e12) for _ in range(3000)]
+    vals += [rng.uniform(-1, 1) * 1e10 for _ in range(3000)]
+    vals += [rng.uniform(-1e16, 1e16) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "y DOUBLE")
+    rows = df.select(
+        F.bround("y", 0).alias("a"), rint0_expr(F.col("y")).alias("b")
+    ).collect()
+    for v, r in zip(vals, rows):
+        a, b = r.a, r.b
+        if a is None or b is None:
+            assert a is None and b is None, v
+        else:
+            assert struct.pack("d", a) == struct.pack("d", b), (v, a, b)
