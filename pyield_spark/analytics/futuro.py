@@ -93,8 +93,14 @@ def enrich(
         "dias_corridos", F.datediff(F.col("data_vencimento"), F.col(data_ref))
     )
     if contrato.upper() in RATE_CONTRACTS:
+        from pyield_spark.functions.numbers import round_pl_expr
+
+        # pct_para_decimal (br_numbers.py:10-16) is truediv(100)
+        # .round(10) — Polars scaled half-to-even, same mode as
+        # enriquecer and both auction pipelines (review: one rounding
+        # mode per reference operation across every facade entry point)
         out = out.withColumn(
-            "taxa_ajuste", F.round(F.col(taxa_ajuste_pct) / 100.0, 10)
+            "taxa_ajuste", round_pl_expr(F.col(taxa_ajuste_pct) / 100.0, 10)
         )
         out = out.withColumn(
             "dv01", dv01_expr("dias_uteis", "taxa_ajuste", preco_ajuste)
@@ -230,10 +236,13 @@ def enriquecer(df: DataFrame, contrato: str) -> DataFrame:
 
 def invert_bid_ask(df: DataFrame, bid: str, ask: str) -> DataFrame:
     """Price bid/ask become rate ask/bid on rate-quoted contracts
-    (historico.py:15-28): highest price bid = lowest rate ask."""
+    (historico.py:15-28): highest price bid = lowest rate ask.
+    pct_para_decimal semantics (Polars scaled half-to-even, round 10)."""
+    from pyield_spark.functions.numbers import round_pl_expr
+
     return df.withColumns(
         {
-            "taxa_compra": F.round(F.col(ask) / 100.0, 10),
-            "taxa_venda": F.round(F.col(bid) / 100.0, 10),
+            "taxa_compra": round_pl_expr(F.col(ask) / 100.0, 10),
+            "taxa_venda": round_pl_expr(F.col(bid) / 100.0, 10),
         }
     )

@@ -247,7 +247,7 @@ def hard_negatives(
     label_col: str = "label",
     query_pred: Column | None = None,
     k: int = 3,
-    prune: str | None = "ivf",
+    prune: str | None = None,
     n_centroids: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
@@ -257,7 +257,13 @@ def hard_negatives(
     retrieval / embedding-training curation step).
 
     ``prune``:
-      - ``"ivf"`` (the DEFAULT and the 100 TB path): candidates come
+      - ``None`` (the DEFAULT — the library keeps its exactness
+        contract; callers that relied on exact recall are unaffected
+        by the pruned route's existence): brute-force baseline
+        (unbounded crossJoin) — bound the probe set via ``query_pred``
+        for anything beyond re-verification.
+      - ``"ivf"`` (the 100 TB path — opt in explicitly, as
+        ``q_hard_negatives`` does): candidates come
         from the same coarse-codebook inverted lists as ``ivf_topk`` —
         every vector lands in one list, each probe searches its
         ``n_probe`` nearest lists, and only in-list different-label
@@ -272,9 +278,6 @@ def hard_negatives(
         degrades toward the information-free ``n_probe/C`` floor
         (~0.33 at 4/16 on the synthetic test table) — raise
         ``n_probe`` or go exhaustive for such inputs.
-      - ``None``: the brute-force exactness baseline (unbounded
-        crossJoin) — bound the probe set via ``query_pred`` for
-        anything beyond re-verification.
 
     Ties break on neighbor id for determinism. Returns (query_id,
     query_label, neighbor_id, neighbor_label, cosine, rnk).

@@ -166,13 +166,38 @@ _LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
 
 
 def _parquet_layout(path: str) -> tuple[int, int]:
-    """(num_rows, num_row_groups) from the footer, cached per path."""
+    """(num_rows, num_row_groups) from the footer(s), cached per path.
+
+    Directory-style parquet (Spark-written part files) is probed too:
+    many part files already parallelize natively, so they count as one
+    group each without reading every footer; only a FEW files get their
+    footers summed (the only case where widen could still matter).
+    Unreadable paths report (0, 0) = "never widen", which is also the
+    correct call for formats the probe can't see.
+    """
     if path not in _LAYOUT_CACHE:
         try:
+            import glob as _glob
+            import os as _os
+
             import pyarrow.parquet as pq
 
-            f = pq.ParquetFile(path)
-            _LAYOUT_CACHE[path] = (f.metadata.num_rows, f.num_row_groups)
+            if _os.path.isdir(path):
+                parts = _glob.glob(_os.path.join(path, "*.parquet"))
+                if len(parts) >= 16 or not parts:
+                    # enough files to parallelize natively (or nothing
+                    # to probe) — row count is irrelevant, never widen
+                    _LAYOUT_CACHE[path] = (0, len(parts))
+                else:
+                    rows = groups = 0
+                    for p in parts:
+                        f = pq.ParquetFile(p)
+                        rows += f.metadata.num_rows
+                        groups += f.num_row_groups
+                    _LAYOUT_CACHE[path] = (rows, groups)
+            else:
+                f = pq.ParquetFile(path)
+                _LAYOUT_CACHE[path] = (f.metadata.num_rows, f.num_row_groups)
         except Exception:
             _LAYOUT_CACHE[path] = (0, 0)
     return _LAYOUT_CACHE[path]
@@ -197,8 +222,16 @@ def tables(spark: SparkSession, sf_dir: str, *names: str, widen: bool = False):
         rows, groups = _parquet_layout(path)
         # widen=True and >=2000 rows on fewer than cores/2 row groups:
         # the scan is effectively serial and the caller declared its
-        # per-row work heavy enough to dominate the round-robin exchange
-        if widen and 0 < groups < max(2, cores // 2) and rows >= 2000:
+        # per-row work heavy enough to dominate the round-robin exchange.
+        # cores > groups guards the degenerate repartition(n) that can't
+        # add parallelism (e.g. local[1]: repartition(1) of 1 group is a
+        # pure-cost shuffle to the same single partition)
+        if (
+            widen
+            and 0 < groups < max(2, cores // 2)
+            and cores > groups
+            and rows >= 2000
+        ):
             df = df.repartition(cores)
         # NANOS-generation events.ts reads as LONG under nanosAsLong —
         # convert to micros exactly as DuckDB truncates; the MICROS

@@ -63,7 +63,7 @@ panel2 AS (
       SELECT r.*,
         CAST({bd_count_sql("r.data_referencia", "r.data_vencimento")} AS BIGINT) AS dias_uteis,
         datediff('day', r.data_referencia, r.data_vencimento) AS dias_corridos,
-        round(r.taxa_ajuste_pct / 100.0, 10) AS taxa_ajuste
+        round_even((r.taxa_ajuste_pct / 100.0) * 10000000000.0, 0) / 10000000000.0 AS taxa_ajuste
       FROM rolled r
       JOIN cal cs ON cs.data = r.data_referencia
       JOIN cal ce ON ce.data = r.data_vencimento

@@ -138,8 +138,8 @@ _SNAP_SQL = f"""
     {_SNAP_SQL.lstrip()},
     fut AS (
       SELECT *, DATE '{_HOJE.isoformat()}' AS data_referencia,
-        round(preco_ultimo / 100.0, 10) AS taxa_ultima,
-        round(preco_ajuste_anterior / 100.0, 10) AS taxa_ajuste_anterior,
+        round_even((preco_ultimo / 100.0) * 10000000000.0, 0) / 10000000000.0 AS taxa_ultima,
+        round_even((preco_ajuste_anterior / 100.0) * 10000000000.0, 0) / 10000000000.0 AS taxa_ajuste_anterior,
         datediff('day', DATE '{_HOJE.isoformat()}', data_vencimento) AS dias_corridos
       FROM quotes
       WHERE codigo_mercado = 'FUT' AND data_vencimento IS NOT NULL

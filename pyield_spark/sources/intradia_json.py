@@ -194,11 +194,15 @@ def processar_intradia(
     out = du_mod.contar(out, "data_referencia", "data_vencimento", alias="dias_uteis")
     out = out.filter(F.col("dias_corridos") > 0)
     if is_rate:
-        # pct_para_decimal over every taxa_* column (round 10 like the
-        # historical pipeline's percent normalization)
+        # pct_para_decimal over every taxa_* column: truediv(100)
+        # .round(10) in the reference (br_numbers.py:10-16) — Polars
+        # scaled half-to-even, the same mode every other facade path
+        # uses (review: no per-path rounding-mode split)
+        from pyield_spark.functions.numbers import round_pl_expr
+
         out = out.withColumns(
             {
-                c: F.round(F.col(c) / 100.0, 10)
+                c: round_pl_expr(F.col(c) / 100.0, 10)
                 for c in out.columns
                 if c.startswith("taxa_")
             }

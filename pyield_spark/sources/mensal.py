@@ -104,6 +104,7 @@ def mensal_silver_from_lines(lines: DataFrame) -> DataFrame:
             "source_file",
             "member_name",
             "_hdr_idx",
+            F.size("_hfields").alias("_hn"),
             *[
                 F.array_position("_hfields", src).cast("int").alias(f"_p{i}")
                 for i, (_, src, _c) in enumerate(_SILVER_COLS)
@@ -114,6 +115,11 @@ def mensal_silver_from_lines(lines: DataFrame) -> DataFrame:
         (F.col("line_idx") > F.col("_hdr_idx"))
         & (first != _HEADER_FIRST_FIELD)  # a re-emitted header line
         # (concatenated monthly blocks) must not parse as data
+        # ragged-line guard: the reference's pl.read_csv ERRORS on any
+        # line whose field count differs from the header's (so no real
+        # file has trailers/footers); distributed, we drop such lines
+        # instead — 'TOTAL GERAL;95626' must not become a phantom row
+        & (F.size("fields") == F.col("_hn"))
     )
 
     def pick(i: int) -> Column:

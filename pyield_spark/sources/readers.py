@@ -102,14 +102,16 @@ def read_anbima_csv_bronze(
             .orderBy("_f")
             .first()
         )
-        per_file = numbered.groupBy("_f").agg(
-            F.lit(skip_lines + 1).alias("_hdr_rn")
-        )
+        # anchorless: the cutoff is one constant for every file — a
+        # plain filter, no per-file aggregate/join needed (review fix)
+        data = numbered.filter(F.col("_rn") > skip_lines + 1)
     else:
+        # per-file cutoff (one row per file, broadcast back); files
+        # where no anchor matched fall back to the skip_lines constant
         per_file = anchored.groupBy("_f").agg(F.min("_rn").alias("_hdr_rn"))
-    data = numbered.join(F.broadcast(per_file), "_f", "left").filter(
-        F.col("_rn") > F.coalesce(F.col("_hdr_rn"), F.lit(skip_lines + 1))
-    )
+        data = numbered.join(F.broadcast(per_file), "_f", "left").filter(
+            F.col("_rn") > F.coalesce(F.col("_hdr_rn"), F.lit(skip_lines + 1))
+        )
     return data.select(
         *[
             F.col(f"_c{i}").alias(str(header_row[f"_c{i}"]))

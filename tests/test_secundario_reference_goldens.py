@@ -129,7 +129,12 @@ def test_mensal_pre_header_lines_do_not_leak(spark, tmp_path):
         "161740272,25;1691,32309403;1691,38385860;1691,39002350;"
         "1691,33887148;1691,38583029;-0,01;0,00;0,01"
     )
-    csv = "MERCADO SECUNDARIO;2026-06\n" + hdr + "\n" + row + "\n"
+    csv = (
+        "MERCADO SECUNDARIO;2026-06\n" + hdr + "\n" + row + "\n"
+        # post-data trailer: ragged (2 fields vs the header's 17) —
+        # the reference's pl.read_csv errors on such lines, we drop them
+        + "TOTAL GERAL;95626\n"
+    )
     z = tmp_path / "meta.zip"
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
