@@ -246,3 +246,78 @@ def token_entropy(df: DataFrame, text: str, id_col: str) -> DataFrame:
         F.col("_n").cast("long").alias("n_tokens"),
         h.alias("token_entropy"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for a broadcast-small query
+    term set — the lexical-retrieval stage of a training-data pipeline
+    (mining in-domain documents, building retrieval eval sets, BM25
+    hard negatives for dense retrievers).
+
+    Okapi BM25 with the standard +0.5 idf smoothing:
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``w(d,t) = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Scale shape (100 TB): tokens are filtered to the query terms
+    BEFORE the tf groupBy, so the only data-sized shuffle carries
+    matching tokens only; corpus stats (N, Σdl) are one map-side
+    aggregate to a single broadcast row; per-term df aggregates the
+    already-pruned tf table and broadcasts back; top-k executes as
+    TakeOrderedAndProject, never a full sort.
+
+    Cross-engine determinism: each per-term weight is rounded to 8dp
+    (libm-vs-JVM ``ln`` last-ulp insurance) and the per-document sum
+    accumulates in DECIMAL (exact, order-independent); constants like
+    ``k1+1`` are pre-folded in Python so both engines consume the
+    same double literal. Ties break on the id.
+    """
+    from pyield_spark.functions.numbers import pround_expr
+
+    toks = df.select(F.col(id_col), tx.tokens_expr(text).alias("_toks"))
+    stats = toks.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.size("_toks")).cast("long").alias("_sumdl"),
+    )
+    matched = toks.select(
+        id_col, F.size("_toks").alias("_dl"), F.explode("_toks").alias("token")
+    ).filter(F.col("token").isin(list(terms)))
+    tf = matched.groupBy(id_col, "_dl", "token").agg(
+        F.count("*").cast("long").alias("_tf")
+    )
+    # df per term as a window over the pruned tf table — a join against
+    # a separate tf.groupBy("token") re-plans the whole explode+count
+    # lineage (the corpus would be scanned and aggregated TWICE); the
+    # window re-shuffles only the already-pruned tf rows on token
+    df_w = F.count("*").over(Window.partitionBy("token")).cast("long")
+    k1p1, b1 = k1 + 1.0, 1.0 - b
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n")
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    w = idf * (F.col("_tf") * F.lit(k1p1)) / (
+        F.col("_tf") + F.lit(k1) * (F.lit(b1) + F.lit(b) * F.col("_dl") / avgdl)
+    )
+    scored = (
+        tf.withColumn("_df", df_w)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_w8", pround_expr(w, 8))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("_w8").cast("decimal(28,14)"))
+            .cast("double")
+            .alias("bm25"),
+            F.count("*").cast("long").alias("terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

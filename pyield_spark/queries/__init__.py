@@ -96,9 +96,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_product_profit", "q_rolling_revenue_30d",
 ]
 
-# After the round-5 window is green, EVERY registered query (all 132,
-# including the three round-5 connector twins, now in the window
-# above) has a driver-recorded hash-green row cumulative across r1–r5.
+# After the round-5 window is green, EVERY query registered when the
+# window was frozen (132, including the three round-5 connector twins,
+# now in the window above) has a driver-recorded hash-green row
+# cumulative across r1–r5. q_bm25_topk landed later in round 5
+# (oracle-green at all three SFs locally) — it is the one r6 rotation
+# candidate.
 # Kept for tooling: the list of pre-round-5 queries whose FIRST green
 # driver row is r5 (the window additionally carries the three twins).
 NEVER_DRIVER_VERIFIED_AFTER_R4: list[str] = [

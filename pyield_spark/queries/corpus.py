@@ -409,3 +409,54 @@ def q_token_entropy(spark, sf_dir):
     see ``operators/vocab.py::token_entropy``."""
     docs = tables(spark, sf_dir, "documents")
     return vb.token_entropy(docs, "text", "doc_id")
+
+
+_BM25_TERMS = ["spark", "window", "merge", "vector"]
+_BM25_W = (
+    # identical double literals and op order as the Spark expression
+    # (k1=1.2, b=0.75; k1+1 and 1-b pre-folded): see bm25_topk
+    "ln(1.0 + (n - df + 0.5) / (df + 0.5))"
+    " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+)
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(toks)) AS BIGINT) AS sumdl
+      FROM toked
+    ),
+    tok AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM toked
+    ),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE token IN ('spark', 'window', 'merge', 'vector')
+      GROUP BY doc_id, dl, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    w AS (
+      SELECT tf.doc_id,
+             {pround_sql(_BM25_W.replace("avgdl", "(CAST(sumdl AS DOUBLE) / n)"), 8)} AS w8
+      FROM tf JOIN dfq USING (token) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(w8 AS DECIMAL(28,14))) AS DOUBLE) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS terms_hit
+    FROM w GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for a 4-term query over ``documents`` — the
+    lexical-retrieval stage of a training-data pipeline (in-domain
+    mining, retrieval eval sets, BM25 hard negatives for dense
+    retrievers). Tokens prune to the query terms BEFORE the tf shuffle;
+    corpus stats and per-term df are broadcast; the top-k is a
+    TakeOrderedAndProject. See ``operators/vocab.py::bm25_topk``."""
+    docs = tables(spark, sf_dir, "documents")
+    return vb.bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)

@@ -165,3 +165,47 @@ def test_token_entropy_hand_computed(spark):
     assert out[2] == (5, 0.0)
     h3 = math.log(3) - (2 * math.log(2)) / 3
     assert out[3][0] == 3 and abs(out[3][1] - h3) < 2e-6
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against a literal Python twin (same +0.5-smoothed idf, same
+    8dp per-term rounding, exact sum) on a 3-doc corpus."""
+    import math
+
+    from pyield_spark.operators.vocab import bm25_topk
+
+    corpus = {
+        1: "spark spark window",
+        2: "merge the table",
+        3: "spark fast",
+    }
+    terms = ["spark", "merge"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, "text", "doc_id", terms, k=10).collect()
+
+    n = len(corpus)
+    toks = {i: t.split() for i, t in corpus.items()}
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(t in v for v in toks.values()) for t in terms}
+
+    def w(i, t):
+        tf = toks[i].count(t)
+        idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        x = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks[i]) / avgdl))
+        return math.copysign(math.floor(abs(x) * 1e8 + 0.5) / 1e8, x)
+
+    want = {
+        i: sum(w(i, t) for t in terms if t in toks[i]) for i in corpus
+        if any(t in toks[i] for t in terms)
+    }
+    got = {r.doc_id: (r.bm25, r.terms_hit) for r in out}
+    assert set(got) == set(want)
+    for i, score in want.items():
+        assert abs(got[i][0] - score) < 1e-12, (i, got[i][0], score)
+    # d1 (tf=2 on the rarer-weighted pair) outranks d3; ordering is by
+    # score desc then id
+    ids = [r.doc_id for r in out]
+    assert ids == sorted(want, key=lambda i: (-want[i], i))
+    assert got[2][1] == 1 and got[1][1] == 1 and got[3][1] == 1

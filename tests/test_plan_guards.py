@@ -72,6 +72,11 @@ EXCHANGE_BUDGETS = {
     "q_intradia_enrich": 2,
     # round 4: one canonical-URL window shuffle
     "q_url_dedup": 1,
+    # round 5: pruned tf groupBy + token df window + final doc agg +
+    # the TakeOrdered's single-partition gather (corpus stats arrive
+    # by broadcast; ONE explode pass — the df-by-join form re-planned
+    # the whole explode lineage twice)
+    "q_bm25_topk": 4,
 }
 
 
