@@ -1112,6 +1112,44 @@ fp1 AS (
 _PCTPL = "round_even(({x} / 100.0) * 10000000000.0, 0) / 10000000000.0"
 
 
+def futuro_pr_frame(od):
+    """The synthetic raw B3-XML-schema frame (every SPRD PR column
+    derived from an orders frame) that q_futuro_panel and the 100×
+    scale smoke push through ``analytics.futuro.enriquecer``."""
+    k = F.col("o_orderkey")
+    ven_raw = F.add_months(
+        F.date_trunc("month", "o_orderdate").cast("date"),
+        F.lit(72) + (k % 8).cast("int") * 3,
+    )
+
+    def pct(base, mod):
+        return F.round(F.lit(base) + (k % mod) / 100.0, 4)
+
+    return od.select(
+        F.to_date("o_orderdate").alias("TradDt"),
+        F.concat(
+            F.lit("DI1"),
+            F.substring(F.lit("FGHJKMNQUVXZ"), F.month(ven_raw), 1),
+            F.lpad((F.year(ven_raw) % 100).cast("string"), 2, "0"),
+        ).alias("TckrSymb"),
+        (k % 5000).cast("long").alias("OpnIntrst"),
+        (k % 300).cast("long").alias("TradQty"),
+        (k % 700).cast("long").alias("FinInstrmQty"),
+        F.round("o_totalprice", 2).alias("NtlFinVol"),
+        F.round("o_totalprice", 2).alias("AdjstdQt"),
+        pct(8, 1000).alias("AdjstdQtTax"),
+        pct(8, 900).alias("FrstPric"),
+        pct(7.9, 900).alias("MinPric"),
+        pct(8.1, 900).alias("MaxPric"),
+        pct(8.05, 900).alias("TradAvrgPric"),
+        pct(8.02, 900).alias("LastPric"),
+        pct(8.5, 900).alias("BestBidPric"),
+        pct(8.6, 900).alias("BestAskPric"),
+        pct(9.0, 900).alias("MaxTradLmt"),
+        pct(7.0, 900).alias("MinTradLmt"),
+    )
+
+
 @query(
     "q_futuro_panel",
     oracle=f"""
@@ -1182,39 +1220,7 @@ def q_futuro_panel(spark, sf_dir):
     # 10 scaled-round percent conversions) is narrow work before the
     # first exchange — serial on a single-row-group scan without it
     od = tables(spark, sf_dir, "orders", widen=True)
-    k = F.col("o_orderkey")
-    ven_raw = F.add_months(
-        F.date_trunc("month", "o_orderdate").cast("date"),
-        F.lit(72) + (k % 8).cast("int") * 3,
-    )
-
-    def pct(base, mod):
-        return F.round(F.lit(base) + (k % mod) / 100.0, 4)
-
-    raw = od.select(
-        F.to_date("o_orderdate").alias("TradDt"),
-        F.concat(
-            F.lit("DI1"),
-            F.substring(F.lit("FGHJKMNQUVXZ"), F.month(ven_raw), 1),
-            F.lpad((F.year(ven_raw) % 100).cast("string"), 2, "0"),
-        ).alias("TckrSymb"),
-        (k % 5000).cast("long").alias("OpnIntrst"),
-        (k % 300).cast("long").alias("TradQty"),
-        (k % 700).cast("long").alias("FinInstrmQty"),
-        F.round("o_totalprice", 2).alias("NtlFinVol"),
-        F.round("o_totalprice", 2).alias("AdjstdQt"),
-        pct(8, 1000).alias("AdjstdQtTax"),
-        pct(8, 900).alias("FrstPric"),
-        pct(7.9, 900).alias("MinPric"),
-        pct(8.1, 900).alias("MaxPric"),
-        pct(8.05, 900).alias("TradAvrgPric"),
-        pct(8.02, 900).alias("LastPric"),
-        pct(8.5, 900).alias("BestBidPric"),
-        pct(8.6, 900).alias("BestAskPric"),
-        pct(9.0, 900).alias("MaxTradLmt"),
-        pct(7.0, 900).alias("MinTradLmt"),
-    )
-    out = enriquecer(raw, "DI1")
+    out = enriquecer(futuro_pr_frame(od), "DI1")
     return out.select(
         *[
             pround_expr(F.col(c), 6).alias(c)

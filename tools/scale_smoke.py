@@ -26,7 +26,7 @@ FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 ONLY = set(sys.argv[2:])
 KNOWN_OPS = {
     "bd", "interp", "asof", "asof_ungrouped", "asof_broadcast",
-    "minhash", "bootstrap", "lm", "composites",
+    "minhash", "bootstrap", "lm", "futuro", "composites",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -208,6 +208,36 @@ def main():
 
     if want("lm"):
         timed("lm_typicality_10x", lm_10x)
+
+    # Futures enrichment (the reference-user flagship) at FACTOR×: each
+    # copy shifts the reference date by i×12 months (month classes — and
+    # so ticker month codes — are preserved; orderkeys shift too, so
+    # contracts stay distinct). The scale axis is #reference-dates: the
+    # forward-curve window partitions by data_referencia, so copies add
+    # PARTITIONS, not window width, and the calendar joins stay
+    # broadcast. Dates span ~1992+FACTOR years — inside the 1990–2099
+    # generated calendar up to FACTOR=100.
+    def futuro_scaled():
+        from pyield_spark.analytics.futuro import enriquecer
+        from pyield_spark.queries.analytics import futuro_pr_frame
+
+        base = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+            "o_orderdate", F.to_date("o_orderdate")
+        )
+        scaled = None
+        for i in range(FACTOR):
+            c = base.withColumn(
+                "o_orderdate", F.add_months("o_orderdate", i * 12)
+            ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+            scaled = c if scaled is None else scaled.unionByName(c)
+        out = enriquecer(futuro_pr_frame(scaled), "DI1")
+        # panel size (the synthetic %8 maturity buckets make most
+        # dias_uteis collide per date, so taxa_forward is null-heavy by
+        # construction — row count is the meaningful volume metric)
+        return out.count()
+
+    if want("futuro"):
+        timed("futuro_enrich_10x", futuro_scaled)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
