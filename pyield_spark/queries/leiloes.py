@@ -46,7 +46,11 @@ _DATA_MUDANCA = dt.date(2024, 6, 11)  # leiloes.py:90 pu-restatement cutoff
 
 
 def _panel(spark, sf_dir):
-    od = tables(spark, sf_dir, "orders")
+    # widen: everything between the scan and the pricing groupBy is
+    # narrow (title dispatch, calendar joins, the ~13-flow explode with
+    # two decimal-scale brounds per flow) — serial on a single-row-group
+    # scan; in-session A/B at sf0.1 shows a consistent ~12% win
+    od = tables(spark, sf_dir, "orders", widen=True)
     k = F.col("o_orderkey")
     titulo = (
         F.when(k % 4 == 0, "LTN")
