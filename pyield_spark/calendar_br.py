@@ -95,7 +95,8 @@ def calendar_rows(start: dt.date = CAL_START, end: dt.date = CAL_END):
     Columns (python tuples; see :func:`calendar_df` for the Spark view):
       data, is_bd_ant, is_bd_nov,
       cum_ant, cum_nov    -- business days in [start, data) per regime
-      idx_fwd_ant/nov     -- bd ordinal of `data` rolled forward
+                             (also the forward-roll ordinal: own if bd,
+                             next bd's otherwise)
       idx_bwd_ant/nov     -- bd ordinal of `data` rolled backward
 
     ``cum`` gives counts: contar(a, b) = cum[b] - cum[a] (start inclusive,
@@ -119,17 +120,17 @@ def calendar_rows(start: dt.date = CAL_START, end: dt.date = CAL_END):
         if bd_n:
             cum_n += 1
         d += one
-    # second pass: forward/backward roll ordinals per regime
+    # second pass: backward roll ordinals per regime. There is NO
+    # separate forward index: the forward-roll ordinal of any date
+    # equals cum (own ordinal if a bd, next bd's ordinal otherwise — by
+    # construction of the [start, d) count), so deslocar's forward path
+    # reads cum_* directly and the broadcast dimension stays two
+    # columns slimmer (review fix)
     n = len(rows)
-    idx_fwd_a = [0] * n
-    idx_fwd_n = [0] * n
     idx_bwd_a = [0] * n
     idx_bwd_n = [0] * n
     for i in range(n):
         _, bd_a, bd_n, c_a, c_n = rows[i]
-        # forward roll: if bd, own ordinal (= cum); else ordinal of next bd (= cum)
-        idx_fwd_a[i] = c_a
-        idx_fwd_n[i] = c_n
         # backward roll: if bd, own ordinal; else previous bd ordinal (= cum - 1)
         idx_bwd_a[i] = c_a if bd_a else c_a - 1
         idx_bwd_n[i] = c_n if bd_n else c_n - 1
@@ -140,8 +141,6 @@ def calendar_rows(start: dt.date = CAL_START, end: dt.date = CAL_END):
             rows[i][2],
             rows[i][3],
             rows[i][4],
-            idx_fwd_a[i],
-            idx_fwd_n[i],
             idx_bwd_a[i],
             idx_bwd_n[i],
         )
@@ -152,7 +151,7 @@ def calendar_rows(start: dt.date = CAL_START, end: dt.date = CAL_END):
 _CAL_SCHEMA = (
     "data DATE, is_bd_ant BOOLEAN, is_bd_nov BOOLEAN, "
     "cum_ant BIGINT, cum_nov BIGINT, "
-    "idx_fwd_ant BIGINT, idx_fwd_nov BIGINT, idx_bwd_ant BIGINT, idx_bwd_nov BIGINT"
+    "idx_bwd_ant BIGINT, idx_bwd_nov BIGINT"
 )
 
 # per-session dimension cache: building ~40k rows driver-side is cheap

@@ -104,7 +104,10 @@ def deslocar(
     n = F.lit(deslocamento) if isinstance(deslocamento, int) else (
         F.col(deslocamento) if isinstance(deslocamento, str) else deslocamento
     )
-    idx = "idx_fwd_" if rolagem == "forward" else "idx_bwd_"
+    # forward-roll ordinal IS cum_* (own ordinal if a bd, next bd's
+    # otherwise — by construction of the exclusive-end count), so only
+    # the backward roll needs its own index columns
+    idx = "cum_" if rolagem == "forward" else "idx_bwd_"
     df2 = df.withColumn("_du_data", F.to_date(d)).withColumn("_du_n", n.cast("long"))
     cal_d = _cal_prefixed(spark, "_d_", "_du_data").select(
         "_du_data", f"_d_{idx}ant", f"_d_{idx}nov"
@@ -156,9 +159,19 @@ def _regime_of(d: dt.date) -> str:
     return "antigo" if d < _TRANSITION else "novo"
 
 
+def _in_calendar(*dates: dt.date) -> bool:
+    return all(cal.CAL_START <= d <= cal.CAL_END for d in dates)
+
+
 def contar_scalar(inicio: dt.date | None, fim: dt.date | None) -> int | None:
-    """Business days in [inicio, fim); None propagates (core.py:120-127)."""
-    if inicio is None or fim is None:
+    """Business days in [inicio, fim); None propagates (core.py:120-127).
+
+    Dates outside the generated 1990-2099 calendar return None — the
+    same answer the DataFrame twin gives (its calendar join misses).
+    Counting on silently would treat every weekday out there as a
+    business day (no holidays generated), a WRONG number rather than
+    an absent one (review fix)."""
+    if inicio is None or fim is None or not _in_calendar(inicio, fim):
         return None
     hol = cal.holidays(_regime_of(inicio))
     sign = 1
@@ -183,8 +196,10 @@ def contar_scalar(inicio: dt.date | None, fim: dt.date | None) -> int | None:
 def deslocar_scalar(
     data: dt.date | None, n: int | None, rolagem: str = "forward"
 ) -> dt.date | None:
-    """Roll then add n business days, driver-side."""
-    if data is None or n is None:
+    """Roll then add n business days, driver-side. Returns None outside
+    the generated 1990-2099 calendar (the DataFrame twin's null) — and
+    if the walk itself leaves the calendar, where holiday data ends."""
+    if data is None or n is None or not _in_calendar(data):
         return None
     regime = _regime_of(data)
     step = dt.timedelta(days=1)
@@ -192,10 +207,14 @@ def deslocar_scalar(
     if not cal.is_business_day(d, regime):
         while not cal.is_business_day(d, regime):
             d = d + step if rolagem == "forward" else d - step
+            if not _in_calendar(d):
+                return None  # rolled past the calendar edge
     remaining = abs(n)
     direction = step if n >= 0 else -step
     while remaining > 0:
         d += direction
+        if not _in_calendar(d):
+            return None  # walked past the holiday data — no valid answer
         if cal.is_business_day(d, regime):
             remaining -= 1
     return d

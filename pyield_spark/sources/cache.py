@@ -37,8 +37,17 @@ def get_dataset(
     ``loader(spark) -> DataFrame`` runs only when the TTL bucket rolls
     over; the previous entry is unpersisted. ``now`` is injectable for
     tests.
+
+    Keys use the applicationId:startTime session token (shared with
+    ``calendar_br.df_cache_get``) — ``id(sparkContext)`` is unsafe
+    because a stopped context's address can be re-allocated to a fresh
+    session, serving cached plans bound to the dead one. Dead-session
+    entries are purged on every miss.
     """
-    key = (id(spark.sparkContext), name)
+    from pyield_spark.calendar_br import _session_token
+
+    token = _session_token(spark)
+    key = (token, name)
     bucket = _bucket(ttl_seconds, now)
     hit = _CACHE.get(key)
     if hit is not None and hit[0] == bucket:
@@ -48,6 +57,8 @@ def get_dataset(
             hit[1].unpersist()
         except Exception:
             pass
+    for k in [k for k in _CACHE if k[0] != token]:
+        del _CACHE[k]  # plans bound to dead sessions: never reusable
     df = loader(spark).cache()
     _CACHE[key] = (bucket, df)
     return df

@@ -17,38 +17,61 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
+class _Frame:
+    """Per-open-table parse state (rows is the SAME list object stored
+    in the collector's tables, so appends land in document order)."""
+
+    __slots__ = ("rows", "row", "cell")
+
+    def __init__(self, rows: list[list[str]]) -> None:
+        self.rows = rows
+        self.row: list[str] | None = None
+        self.cell: list[str] | None = None
+
+
 class _TableCollector(HTMLParser):
+    """Stack-based: tables nest inside cells (ANBIMA layout tables), so
+    each open <table> keeps its OWN row/cell state. A flat tables[-1]
+    would misfile every outer row that follows a nested </table> (the
+    inner table stays last in the list) and an inner <tr> would clobber
+    the outer row in flight. ``tables`` indexes by <table> OPENING
+    order — the same document order the reference's XPath //table
+    enumeration yields."""
+
     def __init__(self) -> None:
         super().__init__()
         self.tables: list[list[list[str]]] = []
-        self._row: list[str] | None = None
-        self._cell: list[str] | None = None
-        self._depth = 0
+        self._stack: list[_Frame] = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "table":
-            self._depth += 1
-            self.tables.append([])
-        elif tag == "tr" and self._depth:
-            self._row = []
-        elif tag in ("td", "th") and self._row is not None:
-            self._cell = []
+            rows: list[list[str]] = []
+            self.tables.append(rows)
+            self._stack.append(_Frame(rows))
+        elif not self._stack:
+            return
+        elif tag == "tr":
+            self._stack[-1].row = []
+        elif tag in ("td", "th") and self._stack[-1].row is not None:
+            self._stack[-1].cell = []
 
     def handle_endtag(self, tag):
-        if tag == "table" and self._depth:
-            self._depth -= 1
-        elif tag == "tr" and self._row is not None:
-            if self.tables:
-                self.tables[-1].append(self._row)
-            self._row = None
-        elif tag in ("td", "th") and self._cell is not None:
-            if self._row is not None:
-                self._row.append(" ".join(self._cell).strip())
-            self._cell = None
+        if not self._stack:
+            return
+        top = self._stack[-1]
+        if tag == "table":
+            self._stack.pop()
+        elif tag == "tr" and top.row is not None:
+            top.rows.append(top.row)
+            top.row = None
+        elif tag in ("td", "th") and top.cell is not None:
+            if top.row is not None:
+                top.row.append(" ".join(top.cell).strip())
+            top.cell = None
 
     def handle_data(self, data):
-        if self._cell is not None:
-            self._cell.append(data.strip())
+        if self._stack and self._stack[-1].cell is not None:
+            self._stack[-1].cell.append(data.strip())
 
 
 def read_html_tables(
@@ -107,6 +130,8 @@ def imaq_estoque_silver(tables_df: DataFrame, data_referencia) -> DataFrame:
     )
     c = lambda i: F.trim(F.col("cells").getItem(i))  # noqa: E731
     rows = body.select(
+        F.col("source_file"),
+        F.col("table_idx"),
         F.col("row_idx"),
         c(0).alias("titulo"),
         c(1).alias("codigo_selic_raw"),
@@ -118,8 +143,13 @@ def imaq_estoque_silver(tables_df: DataFrame, data_referencia) -> DataFrame:
         c(7).alias("var_raw"),
         c(8).alias("status_titulo"),
     ).filter((F.col("titulo") != "Título") & F.col("venc_raw").isNotNull())
-    # unique(subset='ISIN'): deterministic keep-first by document order
-    first = rows.groupBy("isin").agg(
+    # unique(subset='ISIN'): deterministic keep-first by document order.
+    # Scoped per (source_file, table_idx): row_idx only orders rows
+    # WITHIN one table, so a directory of snapshot pages would otherwise
+    # tie across files and pick an arbitrary winner per run (the
+    # reference operates on a single page; multi-file input keeps one
+    # row per page here)
+    first = rows.groupBy("source_file", "table_idx", "isin").agg(
         F.min_by(
             F.struct(
                 "titulo", "codigo_selic_raw", "venc_raw", "qtd_raw",

@@ -249,21 +249,34 @@ def slice_text_table(
 ) -> DataFrame:
     """S13: plain-text report → rows after a marker line, whitespace-split
     (pyield/bc/lft.py:44-79 shape). Line order is made explicit with a
-    per-file line index (Spark text reads are unordered otherwise)."""
-    raw = spark.read.text(path).select(
-        F.col("value"), F.monotonically_increasing_id().alias("_idx")
+    TRULY per-file line index: a global monotonically_increasing_id
+    with one global min marker would mix files on a multi-file path
+    (file 2's pre-marker meta lines all sort after file 1's marker and
+    leak as data; review finding) — each file resolves its OWN marker,
+    like read_anbima_csv_bronze's per-file header cutoff. Output
+    carries (source_file, _idx, fields)."""
+    from pyspark.sql import Window
+
+    raw = (
+        spark.read.text(path)
+        .withColumn("source_file", F.input_file_name())
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    raw = raw.withColumn(
+        "_idx", F.row_number().over(Window.partitionBy("source_file").orderBy("_mid"))
     )
     marker_idx = (
         raw.filter(F.col("value").contains(start_marker))
+        .groupBy("source_file")
         .agg(F.min("_idx").alias("m"))
     )
     out = (
-        raw.crossJoin(F.broadcast(marker_idx))
+        raw.join(F.broadcast(marker_idx), "source_file")
         .filter(F.col("_idx") > F.col("m"))
         .withColumn("fields", F.split(F.trim("value"), r"\s+"))
         .filter(F.size("fields") >= n_cols)
     )
-    return out.select("_idx", "fields")
+    return out.select("source_file", "_idx", "fields")
 
 
 def read_odata_csv(spark: SparkSession, path: str) -> DataFrame:

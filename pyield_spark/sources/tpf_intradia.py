@@ -117,13 +117,15 @@ def tpf_intradia_from_wide(
     header_row = raw.filter(rec_type == "//1").first()
     if header_row is None:
         raise ValueError("no '//1' header row found in the input frame")
-    names = _dedup_names(
-        [
-            (header_row[f"_c{i}"] or "").strip().lstrip("﻿")
-            for i in range(_MAX_COLS)
-            if header_row[f"_c{i}"] is not None
-        ]
-    )
+    # Positional integrity (review fix): only TRAILING null header
+    # cells may be dropped (header narrower than the 36-wide schema).
+    # An INTERIOR empty header field (CSV nullValue='') must keep its
+    # slot as a placeholder — filtering it out would shift every
+    # subsequent column one left and silently misalign the data.
+    cells = [header_row[f"_c{i}"] for i in range(_MAX_COLS)]
+    while cells and cells[-1] is None:
+        cells.pop()
+    names = _dedup_names([(c or "").strip().lstrip("﻿") for c in cells])
     pos = {n: i + 1 for i, n in enumerate(names)}  # 1-based for element_at
 
     data = raw.filter(rec_type == "1")

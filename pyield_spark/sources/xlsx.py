@@ -41,8 +41,13 @@ from pyspark.sql import DataFrame, SparkSession
 _CELL_REF = re.compile(r"([A-Z]+)([0-9]+)")
 
 
-def _localname(tag: str) -> str:
+def localname(tag: str) -> str:
+    """Namespace-stripped XML tag/attribute name (shared with
+    xml_report.py — keep one definition)."""
     return tag.rsplit("}", 1)[-1]
+
+
+_localname = localname
 
 
 def _col_index(ref: str) -> int | None:

@@ -20,12 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyield_spark.schemas import B3_PRICE_REPORT
+from pyield_spark.sources.xlsx import localname as _localname
 
 _FIELDS = [f.name for f in B3_PRICE_REPORT.fields]
-
-
-def _localname(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
 
 
 def _walk_price_reports(xml_bytes: bytes):

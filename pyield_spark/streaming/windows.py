@@ -299,15 +299,17 @@ def foreach_batch_upsert(
     spark = events.sparkSession
     old_path = target_path + "._old"
 
-    def _current() -> str | None:
+    def _restore_then_current() -> str | None:
         # crash-safe read: if a swap died between the two renames, the
-        # previous state survives under ._old — never silently restart
-        # from only the replayed batch
-        if os.path.isdir(target_path):
-            return target_path
-        if os.path.isdir(old_path):
-            return old_path
-        return None
+        # previous state survives under ._old. PROMOTE it back to the
+        # target before doing anything else — reading from ._old in
+        # place would let the swap below rmtree the only committed copy
+        # before the new target exists (a second crash there would lose
+        # every prior key; review finding, mirrors compact_parquet's
+        # roll-back-first discipline in sources/sinks.py)
+        if not os.path.isdir(target_path) and os.path.isdir(old_path):
+            os.rename(old_path, target_path)
+        return target_path if os.path.isdir(target_path) else None
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         upd = (
@@ -321,7 +323,7 @@ def foreach_batch_upsert(
             )
             .select(key_col, "_o", "_v")
         )
-        cur_path = _current()
+        cur_path = _restore_then_current()
         if cur_path is not None:
             cur = spark.read.parquet(cur_path)
             merged = (
@@ -352,7 +354,9 @@ def foreach_batch_upsert(
         # swap with the previous state kept aside until the new one is
         # in place: a crash at ANY point leaves either target or ._old
         # readable (keep-latest merge is idempotent under the replayed
-        # batch, so at-least-once delivery still converges)
+        # batch, so at-least-once delivery still converges). The rmtree
+        # below only ever removes a STALE ._old from a completed swap —
+        # the restore above guarantees the live state is at target
         tmp = target_path + "._tmp"
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old_path, ignore_errors=True)

@@ -124,3 +124,20 @@ def test_ntnb_maturity_du_goldens_36y():
         v: du.contar_scalar(liq, dt.date.fromisoformat(v)) for v in want
     }
     assert got == want
+
+
+def test_scalar_out_of_calendar_returns_none():
+    """Review regression: outside the generated 1990-2099 calendar the
+    scalar twins must answer None (the DataFrame twins' null), never a
+    holiday-blind weekday count."""
+    import datetime as dt
+
+    from pyield_spark import du
+
+    assert du.contar_scalar(dt.date(2100, 4, 1), dt.date(2100, 5, 1)) is None
+    assert du.contar_scalar(dt.date(1989, 12, 1), dt.date(1990, 2, 1)) is None
+    assert du.deslocar_scalar(dt.date(2100, 1, 4), 1) is None
+    # walking off the calendar edge mid-count is also None, not a guess
+    assert du.deslocar_scalar(dt.date(2099, 12, 28), 10) is None
+    # in-range behavior unchanged
+    assert du.contar_scalar(dt.date(2024, 1, 1), dt.date(2024, 1, 8)) == 4

@@ -103,6 +103,25 @@ def test_slice_text_table(spark, tmp_path):
     assert rows[0].fields[1].endswith("000000")
 
 
+def test_slice_text_table_per_file_marker(spark, tmp_path):
+    """Review regression: each file resolves its OWN marker — file 2's
+    pre-marker meta lines must not leak (a global min marker would pass
+    everything in whichever file sorts after file 1's marker), and a
+    file without the marker contributes nothing."""
+    d = tmp_path / "reports"
+    d.mkdir()
+    (d / "a.txt").write_text("meta a\nEMISSAO DATA\n01/07/2000  1.0\n")
+    (d / "b.txt").write_text(
+        "meta b1\nmeta b2 extra\nEMISSAO DATA\n02/07/2000  2.0\n03/07/2000  3.0\n"
+    )
+    (d / "c.txt").write_text("no marker here\n01/01/2001  9.9\n")
+    rows = rd.slice_text_table(spark, str(d), "EMISSAO", n_cols=2).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.source_file.rsplit("/", 1)[-1], []).append(r.fields[1])
+    assert by_file == {"a.txt": ["1.0"], "b.txt": ["2.0", "3.0"]}
+
+
 def test_ttl_dataset_cache(spark, sf_dir):
     from pyield_spark.sources import cache
 
@@ -390,3 +409,56 @@ def test_rmd_21_transition_state_machine(spark, tmp_path):
         ("2024-01-01", "Banco Central", "DPMFi", None, "LFT"): 6.0e9,
         ("2024-02-01", "Banco Central", "DPMFi", None, "LFT"): 7.0e9,
     }
+
+
+def test_html_nested_tables_do_not_misfile_rows(spark, tmp_path):
+    """Review regression: rows of an OUTER table that follow a nested
+    inner </table> must stay with the outer table, and the outer row
+    that CONTAINS the nested table must survive."""
+    html = (
+        "<html><body><table>"
+        "<tr><td>A</td></tr>"
+        "<tr><td><table><tr><td>x</td></tr></table></td></tr>"
+        "<tr><td>B</td></tr>"
+        "</table></body></html>"
+    )
+    p = tmp_path / "nested.html"
+    p.write_text(html, encoding="latin1")
+
+    from pyield_spark.sources.html_table import read_html_tables
+
+    rows = read_html_tables(spark, str(p)).collect()
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r.table_idx, []).append((r.row_idx, list(r.cells)))
+    for t in by_table.values():
+        t.sort()
+    # the outer cell that CONTAINS the nested table is a structural
+    # placeholder (''): its text lives in the inner table's own rows
+    assert [c for _, c in by_table[0]] == [["A"], [""], ["B"]]
+    assert [c for _, c in by_table[1]] == [["x"]]
+
+
+def test_tpf_intradia_interior_empty_header_keeps_positions(spark):
+    """Review regression: an interior empty header cell (CSV null) must
+    hold its slot — dropping it would shift every later column one left
+    and misalign the data."""
+    from pyield_spark.sources.tpf_intradia import tpf_intradia_from_wide
+
+    import datetime as dt
+
+    wide = ", ".join(f"_c{i} STRING" for i in range(36))
+    rows = [
+        tuple(
+            ["//1", "sigla", None, "data vencimento", "código título"]
+            + [None] * 31
+        ),
+        tuple(["1", "LTN", None, "01/01/2030", "100000"] + [None] * 31),
+    ]
+    raw = spark.createDataFrame(rows, wide)
+    out = tpf_intradia_from_wide(raw, dt.datetime(2026, 2, 6, 10, 0, 0)).collect()
+    assert len(out) == 1
+    assert out[0].titulo == "LTN"
+    # with the shift bug these read their left neighbor's cell
+    assert out[0].data_vencimento == dt.date(2030, 1, 1)
+    assert out[0].codigo_selic == 100000

@@ -352,3 +352,67 @@ def test_read_events_stream_nanos_and_ntz_generations(spark, tmp_path):
     )
     pq.write_table(t2, str(d2 / "events.parquet"))
     run(str(d2))
+
+
+def test_upsert_crash_during_recovered_swap_preserves_state(
+    spark, sf_dir, monkeypatch
+):
+    """Review regression: recovering from a crashed swap (state under
+    ._old only) must PROMOTE ._old back to the target BEFORE the next
+    swap runs. The pre-fix code read from ._old in place and rmtree'd it
+    ahead of the tmp->target rename — a second crash in that window lost
+    every prior key. Fault-inject exactly there (the target->._old
+    rename) and assert the full state is still committed."""
+    import os
+    import shutil
+
+    from pyield_spark.streaming.windows import foreach_batch_upsert
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".stream_cache",
+        "upsert_crash2_test",
+    )
+    ev, _files = _stage_split(spark, sf_dir, base)
+    target = os.path.join(base, "dim")
+
+    def run(patched):
+        q = (
+            foreach_batch_upsert(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(base, "all")),
+                target,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            assert patched, "unexpected failure in the unpatched run"
+
+    run(patched=False)
+    full = {r.user_id for r in spark.read.parquet(target).collect()}
+
+    # crash window: state survives only under ._old
+    os.rename(target, target + "._old")
+
+    real_rename = os.rename
+
+    def exploding_rename(src, dst):
+        if str(dst).endswith("._old"):  # the swap's target->old step
+            raise RuntimeError("injected crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    run(patched=True)
+    monkeypatch.undo()
+
+    # the only committed copy was never deleted: target is readable and
+    # carries the FULL prior dimension (restore-first), not nothing and
+    # not a replayed-batch-only rebuild
+    assert os.path.isdir(target)
+    got = {r.user_id for r in spark.read.parquet(target).collect()}
+    assert got == full
+    shutil.rmtree(base, ignore_errors=True)
