@@ -31,6 +31,7 @@ from pyield_spark.bonds.pricing import anos_uteis_expr, ltn_pu_expr
 from pyield_spark.functions.numbers import (
     br_num_expr,
     round_pl_expr,
+    trunc_decimal_sum_expr,
     truncar_expr,
 )
 from pyield_spark.operators.asof import asof_join
@@ -150,8 +151,12 @@ def _coupon_metrics(typed: DataFrame) -> DataFrame:
                 .cast("decimal(28,12)")
             ).cast("decimal(28,12)"),
         )
-        # trunc6 in the decimal domain (totals are positive)
-        return (vp - (vp % F.lit(0.000001))).cast("double")
+        # trunc6 in the decimal domain (totals are positive). NOT
+        # `vp % F.lit(0.000001)`: the double literal coerces the decimal
+        # accumulator to DOUBLE, which loses grid exactness (review-
+        # confirmed: a sum exactly on the 1e-6 grid came back one grid
+        # step low and off-grid) — use the shared decimal-domain helper
+        return trunc_decimal_sum_expr(vp, 6)
 
     return packed.select(
         "id",
@@ -159,6 +164,55 @@ def _coupon_metrics(typed: DataFrame) -> DataFrame:
         preco(t1).alias("_preco1"),
         preco(t2).alias("_preco2"),
     )
+
+
+def dv01_unit_expr(is_ltn: F.Column, is_coupon: F.Column) -> F.Column:
+    """DV01 per unit from (taxa_media, pu_medio, dias_uteis, _preco1/2):
+    LTN closed form, coupon families from the two repriced scenarios,
+    LFT zero (pyield/bc/leiloes.py:92-118). Shared by BOTH auction
+    pipelines (review: the twin blocks were hand-synced copies — the
+    rounding-mode drift fixed in ADVICE r4 started exactly there)."""
+    t1 = truncar_expr(F.col("taxa_media"), 8)
+    t2 = F.bround(t1 + F.lit(0.0001), 8)
+    return (
+        F.when(
+            is_ltn,
+            F.col("pu_medio")
+            * (1 - ltn_pu_expr("dias_uteis", t2) / ltn_pu_expr("dias_uteis", t1)),
+        )
+        .when(
+            is_coupon,
+            F.col("pu_medio") * (1 - F.col("_preco2") / F.col("_preco1")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
+def attach_ptax_usd(
+    typed: DataFrame, ptax: DataFrame | None, date_col: str
+) -> DataFrame:
+    """Backward as-of PTAX attach on ``date_col`` + the three
+    ``dv01_*_usd`` legs (Polars-parity round 2); ``ptax=None`` yields
+    typed nulls. Shared by both auction pipelines."""
+    if ptax is not None:
+        typed = asof_join(
+            typed,
+            ptax,
+            on=date_col,
+            right_on="data_ref",
+            strategy="backward",
+            values=["data_ref", "ptax"],
+            distribution="broadcast",
+        )
+        for c in ("dv01_1v", "dv01_2v", "dv01_total"):
+            typed = typed.withColumn(
+                f"{c}_usd", round_pl_expr(F.col(c) / F.col("ptax"), 2)
+            )
+    else:
+        typed = typed.withColumn("ptax", F.lit(None).cast("double"))
+        for c in ("dv01_1v", "dv01_2v", "dv01_total"):
+            typed = typed.withColumn(f"{c}_usd", F.lit(None).cast("double"))
+    return typed
 
 
 def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFrame:
@@ -262,17 +316,8 @@ def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFram
         .otherwise(F.lit(0.0)),
     )
 
-    # DV01 per unit: LTN closed form; coupon families from the two
-    # repriced scenarios; LFT zero (leiloes.py:92-118)
-    t1 = truncar_expr(F.col("taxa_media"), 8)
-    t2 = F.bround(t1 + F.lit(0.0001), 8)
-    dv01_unit = (
-        F.when(is_ltn, F.col("pu_medio") * (1 - ltn_pu_expr("dias_uteis", t2) / ltn_pu_expr("dias_uteis", t1)))
-        .when(is_coupon, F.col("pu_medio") * (1 - F.col("_preco2") / F.col("_preco1")))
-        .otherwise(F.lit(0.0))
-    )
     typed = (
-        typed.withColumn("_dv01u", dv01_unit)
+        typed.withColumn("_dv01u", dv01_unit_expr(is_ltn, is_coupon))
         .withColumn("dv01_total", F.col("_dv01u") * F.col("quantidade_aceita_total"))
         .withColumn("dv01_1v", F.col("_dv01u") * F.col("quantidade_aceita_1v"))
         .withColumn("dv01_2v", F.col("_dv01u") * F.col("quantidade_aceita_2v"))
@@ -284,24 +329,7 @@ def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFram
         )
     )
 
-    if ptax is not None:
-        typed = asof_join(
-            typed,
-            ptax,
-            on="data_leilao",
-            right_on="data_ref",
-            strategy="backward",
-            values=["data_ref", "ptax"],
-            distribution="broadcast",
-        )
-        for c in ("dv01_1v", "dv01_2v", "dv01_total"):
-            typed = typed.withColumn(
-                f"{c}_usd", round_pl_expr(F.col(c) / F.col("ptax"), 2)
-            )
-    else:
-        typed = typed.withColumn("ptax", F.lit(None).cast("double"))
-        for c in ("dv01_1v", "dv01_2v", "dv01_total"):
-            typed = typed.withColumn(f"{c}_usd", F.lit(None).cast("double"))
+    typed = attach_ptax_usd(typed, ptax, "data_leilao")
 
     # NaN → null at the pipeline exit (leiloes.py:209 fill_nan(None))
     for c, t in typed.dtypes:

@@ -24,10 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyield_spark import du as du_mod
-from pyield_spark.analytics.leiloes_bc import _coupon_metrics
-from pyield_spark.bonds.pricing import ltn_pu_expr
-from pyield_spark.functions.numbers import round_pl_expr, truncar_expr
-from pyield_spark.operators.asof import asof_join
+from pyield_spark.analytics.leiloes_bc import (
+    _coupon_metrics,
+    attach_ptax_usd,
+    dv01_unit_expr,
+)
+from pyield_spark.functions.numbers import round_pl_expr
 
 # (api key, canonical name, spark type) — DEFINICOES_COLUNAS
 # (pyield/tpf/leiloes.py:21-45); "prazo" intentionally absent
@@ -230,34 +232,14 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
         .otherwise(F.col("duration")),
     )
 
-    t1 = truncar_expr(F.col("taxa_media"), 8)
-    t2 = F.bround(t1 + F.lit(0.0001), 8)
-    dv01_unit = (
-        F.when(is_ltn, F.col("pu_medio")
-               * (1 - ltn_pu_expr("dias_uteis", t2) / ltn_pu_expr("dias_uteis", t1)))
-        .when(is_coupon, F.col("pu_medio")
-              * (1 - F.col("_preco2") / F.col("_preco1")))
-        .otherwise(F.lit(0.0))
+    typed = typed.withColumn(
+        "_dv01u", dv01_unit_expr(is_ltn, is_coupon)
     )
-    typed = typed.withColumn("_dv01u", dv01_unit)
     for c, q in (("dv01_1v", q1), ("dv01_2v", q2),
                  ("dv01_total", F.col("quantidade_aceita_total"))):
         typed = typed.withColumn(c, round_pl_expr(F.col("_dv01u") * q, 2))
 
-    if ptax is not None:
-        typed = asof_join(
-            typed, ptax, on="data_1v", right_on="data_ref",
-            strategy="backward", values=["data_ref", "ptax"],
-            distribution="broadcast",
-        )
-        for c in ("dv01_1v", "dv01_2v", "dv01_total"):
-            typed = typed.withColumn(
-                f"{c}_usd", round_pl_expr(F.col(c) / F.col("ptax"), 2)
-            )
-    else:
-        typed = typed.withColumn("ptax", F.lit(None).cast("double"))
-        for c in ("dv01_1v", "dv01_2v", "dv01_total"):
-            typed = typed.withColumn(f"{c}_usd", F.lit(None).cast("double"))
+    typed = attach_ptax_usd(typed, ptax, "data_1v")
 
     for c, t in typed.dtypes:
         if t == "double":

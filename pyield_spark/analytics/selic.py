@@ -38,5 +38,12 @@ def probabilities(
     cum = F.sum("_w").over(wc).cast("double")
     opt = opt.withColumn("prob", pround_expr(F.col("_w").cast("double") / total, 6))
     opt = opt.withColumn("prob_acumulada", pround_expr(cum / total, 6))
-    rank = F.dense_rank().over(Window.orderBy(meeting))
-    return opt.withColumn("rank_reuniao", rank).drop("_w")
+    # meeting rank WITHOUT an ungrouped window (which would pull the
+    # whole options panel into one partition): dense-rank only the
+    # handful of DISTINCT meeting dates and broadcast the mapping back
+    # (review fix — same shape as sampling.global_sort_index's offsets)
+    meetings = (
+        opt.select(meeting).distinct()
+        .withColumn("rank_reuniao", F.dense_rank().over(Window.orderBy(meeting)))
+    )
+    return opt.join(F.broadcast(meetings), meeting).drop("_w")

@@ -115,7 +115,6 @@ def pu_from_vna_expr(vna: str | Column, cotacao: str | Column) -> Column:
 
 def _exploded_flows(
     df: DataFrame,
-    id_cols: list[str],
     settlement: str,
     maturity: str,
     taxa: str,
@@ -154,7 +153,7 @@ def price_coupon_bond(
     Macaulay ``duration`` = Σ(au·PV)/Σ(PV) from unrounded PVs.
     """
     flows = _exploded_flows(
-        df, id_cols, settlement, maturity, taxa, coupon_value, final_value
+        df, settlement, maturity, taxa, coupon_value, final_value
     )
     vp = F.bround(F.col("_cf") / F.col("_fator"), vp_round)
     flows = flows.withColumn("_vp", vp)

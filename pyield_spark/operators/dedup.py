@@ -88,15 +88,14 @@ def _shingle_intersection(
     id_col: str,
     n: int,
     block: str | None,
-    distinct: bool,
 ):
     """Shared plumbing for the pairwise shingle scores: exploded
-    shingles (bag or set semantics), per-doc sizes, and the blocked
-    self-join intersection counts. Returns (inter, sizes)."""
+    shingles, per-doc sizes, and the blocked self-join intersection
+    counts. Returns (inter, sizes). SET semantics always:
+    ``shingles_expr`` already ends in ``array_distinct`` (the former
+    ``distinct`` flag was a no-op — review fix)."""
     blk = [block] if block else []
     sh_expr = shingles_expr(text, n)
-    if distinct:
-        sh_expr = F.array_distinct(sh_expr)
     sh = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(b) for b in blk],
@@ -142,7 +141,7 @@ def jaccard_pairs(
     ``block`` optionally restricts comparisons to equal-key groups —
     at full scale, feed LSH candidates instead of blocking.
     """
-    inter, sizes = _shingle_intersection(df, text, id_col, n, block, distinct=False)
+    inter, sizes = _shingle_intersection(df, text, id_col, n, block)
     out = (
         inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
@@ -246,14 +245,14 @@ def containment_pairs(
     Jaccard misses subset duplication — a paragraph quoted inside a
     10× longer page scores J ≈ 0.1 but containment ≈ 1.0 — so curation
     pipelines run containment alongside it to catch excerpt/wrapper
-    duplicates. Set semantics (distinct shingles), unlike the bag
-    semantics of ``jaccard_pairs``, because containment is a coverage
-    question, not a frequency one.
+    duplicates. Set semantics (distinct shingles), the same as
+    ``jaccard_pairs`` — containment is a coverage question and the
+    shared splitter is set-typed end to end.
 
     Same scale stance as ``jaccard_pairs``: ``block`` bounds the
     quadratic stage; at full scale feed LSH candidates instead.
     """
-    inter, sizes = _shingle_intersection(df, text, id_col, n, block, distinct=True)
+    inter, sizes = _shingle_intersection(df, text, id_col, n, block)
     out = (
         inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")

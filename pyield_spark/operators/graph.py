@@ -59,7 +59,13 @@ def connected_components(
     prev_sum = None
     for _ in range(max_iter):
         labels = labels.localCheckpoint()
-        cur = labels.agg(F.sum("label")).collect()[0][0]
+        # convergence checksum: labels only ever DECREASE (min-label
+        # propagation), so equal consecutive checksums mean a fixpoint.
+        # xxhash64 works for ANY id type — sum('label') on STRING ids is
+        # null, which silently disabled the early exit and ran all
+        # max_iter rounds of checkpoint+join (review-confirmed); long
+        # overflow in the sum is fine, it stays a deterministic checksum
+        cur = labels.agg(F.sum(F.xxhash64("label"))).collect()[0][0]
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur

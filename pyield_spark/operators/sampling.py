@@ -210,8 +210,12 @@ def weighted_sample(
     u = (sample_bucket_expr(key, salt) + 1).cast("double") / F.lit(1e6)
     w = F.col(weight).cast("double")
     es = pround_expr(F.log(u) / w, 9)
+    # ~isnan: Spark's total order puts NaN ABOVE every double, so a NaN
+    # weight would pass `> 0` AND sort first under desc — one NaN row
+    # (quality scores from pow/log chains produce them) would silently
+    # preempt the whole top-n (review-confirmed)
     return (
-        df.filter(w > 0)
+        df.filter((w > 0) & ~F.isnan(w))
         .withColumn("es_key", es)
         .orderBy(F.col("es_key").desc(), F.col(key).asc())
         .limit(n)

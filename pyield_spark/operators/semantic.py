@@ -171,7 +171,11 @@ def semantic_dedup(
                 6,
             ),
         )
-        .filter(F.col("_cos") >= tau)
+        # ~isnan: Spark's total order puts NaN above every double, so a
+        # single NaN embedding component (NaN cosine for every pair it
+        # touches) would otherwise pass `>= tau` and mass-drop its
+        # cluster (review finding)
+        .filter((F.col("_cos") >= tau) & ~F.isnan("_cos"))
         .select(F.col("_idb").alias("_vid"))
         .distinct()
     )

@@ -1,8 +1,9 @@
 """Similarity search over embedding columns.
 
 - ``cosine_topk``: brute-force top-k neighbors for a query subset —
-  the exactness baseline. Dot products accumulate through DECIMAL so
-  results are order-independent and bit-identical across engines.
+  the exactness baseline. Dot products are sequential double folds
+  (fixed association order — bit-identical across engines; see the
+  note above ``norm_sq_dec``); the ``_dec`` suffixes are historical.
 - ``lsh_bucket_expr``: random-hyperplane (sign-LSH) bucketing with a
   deterministic portable pseudo-hyperplane family — the 100 TB path:
   bucket-join candidates first, score only candidates.
@@ -26,7 +27,6 @@ def _as_double(vec: Column) -> Column:
 # unlike groupBy sums (whose partial-aggregation order is arbitrary and
 # does need decimal). Double folds are ~5× cheaper than decimal in the
 # interpreted higher-order-function path.
-_DEC = "decimal(30,12)"
 
 
 def norm_sq_dec(vec: Column) -> Column:
@@ -86,7 +86,10 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("_vid").asc()
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.filter(~F.isnan("cosine"))  # NaN sorts ABOVE all doubles
+        # under desc — one NaN component would outrank every real
+        # neighbor (review finding)
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
             "query_id",
@@ -228,7 +231,10 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("_vid").asc()
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(wk))
+        scored.filter(~F.isnan("cosine"))  # NaN sorts ABOVE all doubles
+        # under desc — one NaN component would outrank every real
+        # neighbor (review finding)
+        .withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= k)
         .select(
             "query_id",
@@ -326,7 +332,10 @@ def hard_negatives(
         F.col("cosine").desc(), F.col("_vid").asc()
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.filter(~F.isnan("cosine"))  # NaN sorts ABOVE all doubles
+        # under desc — one NaN component would outrank every real
+        # neighbor (review finding)
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
             "query_id",

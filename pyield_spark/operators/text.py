@@ -247,10 +247,13 @@ def canonical_url_expr(url: str | Column) -> Column:
         no_frag, "([?&])utm_[a-z]+=[^&]*(&utm_[a-z]+=[^&]*)*&?", "$1"
     )
     clean = F.regexp_replace(no_utm, "[?&]+$", "")
+    # host stops at '/', '?' OR '#': '[^/]*' alone swallowed the whole
+    # query string on pathless URLs ('http://Example.com?Foo=Bar') and
+    # lower-cased case-sensitive query values (review fix)
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/]*", 0)),
+        F.lower(F.regexp_extract(clean, "^[A-Za-z]+://[^/?#]*", 0)),
         "://www\\.",
         "://",
     )
-    rest = F.regexp_replace(clean, "^[A-Za-z]+://[^/]*", "")
+    rest = F.regexp_replace(clean, "^[A-Za-z]+://[^/?#]*", "")
     return F.concat(host, rest)

@@ -45,7 +45,7 @@ def doc_term_counts(df: DataFrame, text: str, id_col: str) -> DataFrame:
     return tok.groupBy(id_col, "token").agg(F.count("*").alias("tf_doc"))
 
 
-def vocabulary(per_doc: DataFrame, id_col: str) -> DataFrame:
+def vocabulary(per_doc: DataFrame) -> DataFrame:
     """Corpus vocabulary from :func:`doc_term_counts`: total term
     frequency ``tf`` and document frequency ``df`` per token. The
     second (and last) shuffle, on ``token``, with partial aggregation —
@@ -68,7 +68,7 @@ def distinctive_terms(
     that output, the df-attach is an equi-join on ``token``, and the
     per-doc rank window partitions by document — nothing global."""
     per_doc = doc_term_counts(df, text, id_col)
-    vocab = vocabulary(per_doc, id_col).drop("tf")
+    vocab = vocabulary(per_doc).drop("tf")
     w = Window.partitionBy(id_col).orderBy(
         F.col("df").asc(), F.col("tf_doc").desc(), F.col("token").asc()
     )

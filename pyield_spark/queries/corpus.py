@@ -50,7 +50,7 @@ def q_vocab_topk(spark, sf_dir):
     docs = tables(spark, sf_dir, "documents")
     per_doc = vb.doc_term_counts(docs, "text", "doc_id")
     return (
-        vb.vocabulary(per_doc, "doc_id")
+        vb.vocabulary(per_doc)
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(50)
     )

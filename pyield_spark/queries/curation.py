@@ -495,9 +495,9 @@ _URL_SYNTH_SQL = """
     c3 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM c2),
     canon AS (
       SELECT doc_id,
-        regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://[^/]*')),
+        regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*')),
                        '://www\\.', '://')
-          || regexp_replace(u, '^[A-Za-z]+://[^/]*', '') AS canonical_url
+          || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS canonical_url
       FROM c3
     )
     SELECT doc_id, canonical_url,

@@ -24,7 +24,7 @@ def test_vocabulary_matches_local_count(spark, sf_dir):
     per_doc = vb.doc_term_counts(docs, "text", "doc_id")
     got = {
         r["token"]: (r["tf"], r["df"])
-        for r in vb.vocabulary(per_doc, "doc_id").collect()
+        for r in vb.vocabulary(per_doc).collect()
     }
     tf = Counter()
     dfc = Counter()

@@ -272,6 +272,10 @@ def test_url_canonicalization_idempotent(spark):
         # consecutive utm params collapse fully, no dangling '&'
         "http://h.org/p?utm_a=1&utm_b=2&x=1",
         "http://h.org/p?x=1&utm_a=2&utm_b=3",
+        # pathless URL: host stops at '?' — the query string keeps its
+        # case (review fix: '[^/]*' used to swallow and lower-case it)
+        "http://Example.com?ID=AbC",
+        "http://WWW.Example.com#Frag",
     ]
     df = spark.createDataFrame([(u,) for u in raw], "u STRING")
     once = df.select(canonical_url_expr("u").alias("u"))
@@ -284,6 +288,8 @@ def test_url_canonicalization_idempotent(spark):
     assert got[4] == "http://h.org/p?xutm_a=1"
     assert got[5] == "http://h.org/p?x=1"
     assert got[6] == "http://h.org/p?x=1"
+    assert got[7] == "http://example.com?ID=AbC"
+    assert got[8] == "http://example.com"
 
 
 def test_multi_snapshot_directory_per_snapshot_forwards(spark, tmp_path):
