@@ -167,5 +167,7 @@ def inteiro_br_expr(col: Column | str) -> Column:
 def inteiro_m_expr(col: Column | str) -> Column:
     """BR number expressed in thousands → integer units
     (pyield/_internal/br_numbers.py:51-53): parse '115.870,772' then
-    ×1000 and round to long."""
-    return F.round(br_num_expr(col) * 1000, 0).cast("long")
+    ×1000 and Polars ``.round(0)`` — half-to-even on the scaled double
+    (rint), the same mode as ``inteiro_br_expr``; ``F.round`` (half-up)
+    flipped exact .5 ties one unit high (review fix)."""
+    return rint0_expr(br_num_expr(col) * 1000).cast("long")

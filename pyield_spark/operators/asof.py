@@ -168,6 +168,18 @@ def asof_join(
         # re-computation, AQE coalescing, or exchange reuse cannot
         # misalign buckets. One hash shuffle for the bucketed window; the
         # stitch works on per-bucket aggregates (≤ #buckets rows). ---
+        from pyspark.sql.types import StringType
+
+        if isinstance(key_t, StringType):
+            # cast-to-double of a string key is null: every row would
+            # land in one bucket and the operator would silently
+            # serialize — the exact degradation this route exists to
+            # avoid (review fix; the broadcast route refuses these too)
+            raise ValueError(
+                "ungrouped as-of needs a numeric/date/timestamp ordering "
+                f"key for range bucketing; got {key_t.simpleString()} — "
+                "cast the key or supply a 'by' grouping"
+            )
         try:
             n_buckets = int(
                 unioned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -465,14 +477,37 @@ def _asof_nearest(
     The matched right key is attached internally to compute the
     distances, then dropped.
     """
+    from pyspark.sql.types import StringType
+
     right_on = right_on or on
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if values is None:
         values = [c for c in right.columns if c != right_on and c not in by_cols]
+    if right_on == on and right_on in values:
+        raise ValueError(
+            "strategy='nearest' cannot return the matched right key "
+            "under the same name as the left key — alias it on the "
+            "right side first"
+        )
 
-    probe = [right_on] + [v for v in values if v != right_on]
+    key_t = left.schema[on].dataType
+    if isinstance(key_t, StringType):
+        # string subtraction casts to double → null distances, which
+        # would silently hand EVERY row the forward match (review fix)
+        raise ValueError(
+            "strategy='nearest' needs a numeric/date/timestamp ordering "
+            f"key to compare distances; got {key_t.simpleString()}"
+        )
+
+    # the matched right key is probed under an INTERNAL name so a
+    # same-named right key (the right_on=None default!) cannot collide
+    # with the left key in the intermediate selects (review-confirmed
+    # AMBIGUOUS_REFERENCE crash)
+    rk = "_asof_nearest_rk"
+    right2 = right.withColumn(rk, F.col(right_on))
+    probe = [rk] + [v for v in values if v != rk]
     bwd = asof_join(
-        left, right, on, right_on, by, "backward", probe, allow_exact_matches,
+        left, right2, on, right_on, by, "backward", probe, allow_exact_matches,
         distribution,
     )
     ren_b = bwd.select(
@@ -480,18 +515,19 @@ def _asof_nearest(
         *[F.col(v).alias(f"_b_{v}") for v in probe],
     )
     both = asof_join(
-        ren_b, right, on, right_on, by, "forward", probe, allow_exact_matches,
+        ren_b, right2, on, right_on, by, "forward", probe, allow_exact_matches,
         distribution,
     ).select(
         *ren_b.columns,
         *[F.col(v).alias(f"_f_{v}") for v in probe],
     )
 
-    d_b = F.abs(F.col(on) - F.col(f"_b_{right_on}"))
-    d_f = F.abs(F.col(f"_f_{right_on}") - F.col(on))
+    kn = _numeric_key(F.col(on), key_t)
+    d_b = F.abs(kn - _numeric_key(F.col(f"_b_{rk}"), key_t))
+    d_f = F.abs(_numeric_key(F.col(f"_f_{rk}"), key_t) - kn)
     # backward wins when it exists and is at least as close
-    take_b = F.col(f"_b_{right_on}").isNotNull() & (
-        F.col(f"_f_{right_on}").isNull() | (d_b <= d_f)
+    take_b = F.col(f"_b_{rk}").isNotNull() & (
+        F.col(f"_f_{rk}").isNull() | (d_b <= d_f)
     )
     out_cols = list(left.columns) + [
         F.when(take_b, F.col(f"_b_{v}")).otherwise(F.col(f"_f_{v}")).alias(v)

@@ -26,8 +26,8 @@ NTNB_CUPOM = 0.02956301
 def truncar(x: float, decimals: int) -> float:
     """Decimal-repr-aware truncation toward zero (reference
     pyield/_internal/numbers.py semantics — see truncar_expr)."""
-    if isinstance(x, float) and math.isnan(x):
-        return x
+    if isinstance(x, float) and not math.isfinite(x):
+        return x  # NaN/±inf pass through, like the Spark twin
     s = 10**decimals
     a = abs(x)
     y = a * s
@@ -73,7 +73,8 @@ def ltn_pu(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float) -> f
 
 def ltn_taxa(data_liquidacao: dt.date, data_vencimento: dt.date, pu: float) -> float:
     du = du_mod.contar_scalar(data_liquidacao, data_vencimento)
-    if du is None or pu <= 0:
+    if du is None or du == 0 or pu <= 0:
+        # du == 0 (pricing on the maturity itself) has no implied rate
         return float("nan")
     au = truncar(du / 252.0, 14)
     return truncar((VALOR_FACE / pu) ** (1 / au) - 1, 8)
@@ -88,6 +89,8 @@ def ntnf_pu(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float) -> 
         return float("nan")
     for d in dates:
         du = du_mod.contar_scalar(data_liquidacao, d)
+        if du is None:  # flow beyond the generated calendar
+            return float("nan")
         au = truncar(du / 252.0, 14)
         cf = VALOR_FACE + NTNF_CUPOM if d == data_vencimento else NTNF_CUPOM
         # bround9 (half-to-even) on the discounted flow
@@ -105,6 +108,8 @@ def ntnb_cotacao(data_liquidacao: dt.date, data_vencimento: dt.date, taxa: float
     total = 0.0
     for d in dates:
         du = du_mod.contar_scalar(data_liquidacao, d)
+        if du is None:  # flow beyond the generated calendar
+            return float("nan")
         au = truncar(du / 252.0, 14)
         cf = 1.0 + NTNB_CUPOM if d == data_vencimento else NTNB_CUPOM
         total += _bround(cf / (1 + taxa) ** au, 12)
@@ -239,7 +244,7 @@ def _interp_flat_forward(verts: list[tuple[int, float]], du: int) -> float:
         return float("nan")
     dus = [v[0] for v in verts]
     if du <= dus[0]:
-        return verts[0][1] if du < dus[0] else verts[0][1]
+        return verts[0][1]  # at-or-below the first vertex
     for i in range(1, len(verts)):
         if du == dus[i]:
             return verts[i][1]
@@ -276,15 +281,18 @@ def ntnb_taxas_zero(
         return []
     vens = sorted(pairs)
     first_ven, last_ven = vens[0], vens[-1]
-    verts = sorted(
-        (du_mod.contar_scalar(liq, v), pairs[v]) for v in vens
-    )
+    raw_verts = [(du_mod.contar_scalar(liq, v), pairs[v]) for v in vens]
+    if any(du is None for du, _ in raw_verts):
+        return []  # a vertex beyond the generated calendar: no curve
+    verts = sorted(raw_verts)
     grid = _payment_dates(liq, last_ven, 3)
 
     out: list[tuple[dt.date, int, float]] = []
     pv = [0.0, 0.0]
     for i, d in enumerate(grid, start=1):
         du = du_mod.contar_scalar(liq, d)
+        if du is None:  # grid point beyond the generated calendar
+            return []
         anos = du / 252.0
         tir = _pround(_interp_flat_forward(verts, du), 10)
         if d <= first_ven:

@@ -121,3 +121,54 @@ def test_asof_nearest_matches_pandas(spark, seed, with_groups, exact, distributi
             assert g is None, f"lid={lid}: got {g}, want null"
         else:
             assert g == pytest.approx(e), f"lid={lid}"
+
+
+def test_asof_nearest_same_named_key(spark):
+    """Review regression: right_on=None (same key name both sides) must
+    work — the internal probe previously emitted a second column named
+    like the left key and crashed with AMBIGUOUS_REFERENCE."""
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 25), (3, 40)], "lid int, k int")
+    right = spark.createDataFrame(
+        [(9, 1.0), (22, 2.0), (41, 3.0)], "k int, payload double"
+    )
+    got = {
+        r.lid: r.payload
+        for r in asof_join(left, right, on="k", strategy="nearest").collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_asof_nearest_date_key_distances(spark):
+    """Distances on DATE keys go through the numeric key conversion —
+    raw date subtraction would misbehave; backward must win ties."""
+    import datetime as dt
+
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10))], "lid int, d date"
+    )
+    right = spark.createDataFrame(
+        [(dt.date(2024, 1, 8), "b"), (dt.date(2024, 1, 12), "f")],
+        "d date, tag string",
+    )
+    [row] = asof_join(left, right, on="d", strategy="nearest").collect()
+    assert row.tag == "b"  # tie (2 days each) → backward
+
+
+def test_asof_string_keys_rejected_where_meaningless(spark):
+    """Review regression: string ordering keys must raise clearly for
+    'nearest' (null distances silently took the forward match) and for
+    the ungrouped shuffle route (null buckets silently serialized)."""
+    import pytest
+
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-15")], "lid int, k string")
+    right = spark.createDataFrame([("2024-01-10", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(left, right, on="k", strategy="nearest").collect()
+    with pytest.raises(ValueError, match="ungrouped"):
+        asof_join(left, right, on="k", strategy="backward").collect()
