@@ -101,7 +101,7 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
         cols.append(c.alias(name))
     typed = raw.select(*cols)
     for c in ("data_1v", "data_liquidacao_1v", "data_liquidacao_2v", "data_vencimento"):
-        typed = typed.withColumn(c, F.to_date(c, "dd/MM/yyyy"))
+        typed = typed.withColumn(c, F.try_to_date(c, "dd/MM/yyyy"))
 
     def hsum(a: str, b: str) -> F.Column:
         return F.coalesce(F.col(a), F.lit(0).cast("double")).cast("double") + F.coalesce(

@@ -23,6 +23,11 @@ _FORMATS = (
 
 
 def converter_datas_expr(col: Column | str) -> Column:
-    """Multi-format date coalesce; null/unparseable → null."""
+    """Multi-format date coalesce; null/unparseable → null.
+
+    ``try_to_date`` (not ``to_date``) so each non-matching attempt in
+    the coalesce yields null under ANY session — with ANSI on (Spark 4
+    default) a plain ``to_date`` throws on the first format mismatch.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(*[F.to_date(c, fmt) for fmt in _FORMATS])
+    return F.coalesce(*[F.try_to_date(c, fmt) for fmt in _FORMATS])

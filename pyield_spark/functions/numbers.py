@@ -137,23 +137,32 @@ def round_pl_expr(col: Column | str, decimals: int) -> Column:
 
 
 def br_num_expr(col: Column | str) -> Column:
-    """Parse '1.234,56'-style Brazilian numbers to double (invalid → null)."""
+    """Parse '1.234,56'-style Brazilian numbers to double (invalid → null).
+
+    ``try_cast`` (not ``cast``) makes the null-on-malformed contract
+    hold regardless of ``spark.sql.ansi.enabled`` — Spark 4 defaults
+    ANSI ON, where a plain string→double cast of e.g. a header cell
+    ('código título') throws CAST_INVALID_INPUT instead of yielding
+    null (reference contract: strict=False casts,
+    pyield/b3/boletim.py:306).
+    """
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(F.regexp_replace(F.trim(c), r"\.", ""), ",", ".")
-    return cleaned.cast("double")
+    return cleaned.try_cast("double")
 
 
 def br_int_expr(col: Column | str) -> Column:
-    """Parse '1.234'-style Brazilian integers to long (invalid → null)."""
+    """Parse '1.234'-style Brazilian integers to long (invalid → null);
+    ANSI-independent via ``try_cast`` (see :func:`br_num_expr`)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(c), r"\.", "").cast("long")
+    return F.regexp_replace(F.trim(c), r"\.", "").try_cast("long")
 
 
 def pct_para_decimal_expr(col: Column | str, decimals: int = 10) -> Column:
     """Percent → decimal, rounded (reference rounds 10dp at ingestion:
-    pyield/_internal/br_numbers.py:10-16)."""
+    pyield/_internal/br_numbers.py:10-16); ANSI-independent."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.bround(c.cast("double") / 100.0, decimals)
+    return F.bround(c.try_cast("double") / 100.0, decimals)
 
 
 def inteiro_br_expr(col: Column | str) -> Column:
@@ -161,7 +170,7 @@ def inteiro_br_expr(col: Column | str) -> Column:
     (pyield/_internal/br_numbers.py:42-48: float_br(...).round(0)
     .cast(Int64)) — '1.234,00' is 1234, not 123400 (which a plain
     thousands-separator strip would produce)."""
-    return rint0_expr(br_num_expr(col)).cast("long")
+    return rint0_expr(br_num_expr(col)).try_cast("long")
 
 
 def inteiro_m_expr(col: Column | str) -> Column:
@@ -170,4 +179,4 @@ def inteiro_m_expr(col: Column | str) -> Column:
     ×1000 and Polars ``.round(0)`` — half-to-even on the scaled double
     (rint), the same mode as ``inteiro_br_expr``; ``F.round`` (half-up)
     flipped exact .5 ties one unit high (review fix)."""
-    return rint0_expr(br_num_expr(col) * 1000).cast("long")
+    return rint0_expr(br_num_expr(col) * 1000).try_cast("long")

@@ -63,9 +63,13 @@ def connected_components(
         # propagation), so equal consecutive checksums mean a fixpoint.
         # xxhash64 works for ANY id type — sum('label') on STRING ids is
         # null, which silently disabled the early exit and ran all
-        # max_iter rounds of checkpoint+join (review-confirmed); long
-        # overflow in the sum is fine, it stays a deterministic checksum
-        cur = labels.agg(F.sum(F.xxhash64("label"))).collect()[0][0]
+        # max_iter rounds of checkpoint+join (review-confirmed).
+        # decimal(38,0) accumulation is overflow-free (n·2^63 needs only
+        # ~19+len(n) digits) — a plain LongType sum throws
+        # ARITHMETIC_OVERFLOW under ANSI mode (Spark 4 default).
+        cur = labels.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur

@@ -253,7 +253,7 @@ def hard_negatives(
     label_col: str = "label",
     query_pred: Column | None = None,
     k: int = 3,
-    prune: str | None = None,
+    prune: str | None = "ivf",
     n_centroids: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
@@ -263,13 +263,14 @@ def hard_negatives(
     retrieval / embedding-training curation step).
 
     ``prune``:
-      - ``None`` (the DEFAULT — the library keeps its exactness
-        contract; callers that relied on exact recall are unaffected
-        by the pruned route's existence): brute-force baseline
-        (unbounded crossJoin) — bound the probe set via ``query_pred``
-        for anything beyond re-verification.
-      - ``"ivf"`` (the 100 TB path — opt in explicitly, as
-        ``q_hard_negatives`` does): candidates come
+      - ``None`` (explicit exactness opt-out): brute-force baseline
+        (unbounded crossJoin — a quadratic scale cliff on a large
+        corpus) — bound the probe set via ``query_pred`` for anything
+        beyond re-verification. With ``n_probe == n_centroids`` the
+        default route is bit-identical to this anyway (parity-pinned),
+        so reach for it only when the codebook build itself must go.
+      - ``"ivf"`` (the DEFAULT — the 100 TB path, what
+        ``q_hard_negatives`` uses): candidates come
         from the same coarse-codebook inverted lists as ``ivf_topk`` —
         every vector lands in one list, each probe searches its
         ``n_probe`` nearest lists, and only in-list different-label

@@ -143,26 +143,27 @@ def imaq_estoque_silver(tables_df: DataFrame, data_referencia) -> DataFrame:
         c(7).alias("var_raw"),
         c(8).alias("status_titulo"),
     ).filter((F.col("titulo") != "Título") & F.col("venc_raw").isNotNull())
-    # unique(subset='ISIN'): deterministic keep-first by document order.
-    # Scoped per (source_file, table_idx): row_idx only orders rows
-    # WITHIN one table, so a directory of snapshot pages would otherwise
-    # tie across files and pick an arbitrary winner per run (the
-    # reference operates on a single page; multi-file input keeps one
-    # row per page here)
-    first = rows.groupBy("source_file", "table_idx", "isin").agg(
+    # unique(subset='ISIN'): deterministic keep-first by document order,
+    # PER PAGE — the reference dedups globally across the whole page
+    # (unique(subset='ISIN')), so if one page carries two matching
+    # tables the first table's row must win. Group by (source_file,
+    # isin) and order by (table_idx, row_idx): table_idx disambiguates
+    # across tables, row_idx within one (row_idx alone would tie across
+    # tables of the same page and pick an arbitrary winner per run).
+    first = rows.groupBy("source_file", "isin").agg(
         F.min_by(
             F.struct(
                 "titulo", "codigo_selic_raw", "venc_raw", "qtd_raw",
                 "pu_raw", "vm_raw", "var_raw", "status_titulo",
             ),
-            F.col("row_idx"),
+            F.struct(F.col("table_idx"), F.col("row_idx")),
         ).alias("r")
     )
     return first.select(
         F.lit(data_referencia).cast("date").alias("data_referencia"),
         F.col("r.titulo").alias("titulo"),
-        F.to_date("r.venc_raw", "dd/MM/yyyy").alias("data_vencimento"),
-        F.col("r.codigo_selic_raw").cast("long").alias("codigo_selic"),
+        F.try_to_date("r.venc_raw", "dd/MM/yyyy").alias("data_vencimento"),
+        F.col("r.codigo_selic_raw").try_cast("long").alias("codigo_selic"),
         "isin",
         br_num_expr(F.col("r.pu_raw")).alias("pu"),
         inteiro_m_expr(F.col("r.qtd_raw")).alias("quantidade_mercado"),

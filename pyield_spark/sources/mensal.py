@@ -50,10 +50,13 @@ _SILVER_COLS: list[tuple[str, str, str]] = [
 
 
 def _typed(raw: Column, conv: str) -> Column:
+    # try_* variants: malformed cells (stray header fragments, era
+    # quirks) → null under ANY session ANSI setting (Spark 4 defaults
+    # ANSI on, where plain cast/to_date throw)
     if conv == "date":
-        return F.to_date(raw, "dd/MM/yyyy")
+        return F.try_to_date(raw, "dd/MM/yyyy")
     if conv == "long":
-        return raw.cast("long")
+        return raw.try_cast("long")
     if conv == "br_num":
         return br_num_expr(raw)
     return raw  # string

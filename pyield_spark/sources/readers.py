@@ -37,7 +37,9 @@ from pyield_spark.functions.numbers import br_num_expr, round_pl_expr
 def read_holidays_csv(spark: SparkSession, path: str) -> DataFrame:
     """S2: headerless date-per-line CSV with '#' comments, dd/MM/yyyy."""
     raw = spark.read.csv(path, comment="#", schema="data_str STRING")
-    return raw.select(F.to_date(F.trim("data_str"), "dd/MM/yyyy").alias("data"))
+    return raw.select(
+        F.try_to_date(F.trim("data_str"), "dd/MM/yyyy").alias("data")
+    )
 
 
 def read_anbima_csv_bronze(
@@ -178,7 +180,7 @@ def anbima_silver(bronze: DataFrame) -> DataFrame:
                 else br_num_expr(c)
             )
     if "codigo_selic" in out.columns:
-        casts["codigo_selic"] = F.col("codigo_selic").cast("long")
+        casts["codigo_selic"] = F.col("codigo_selic").try_cast("long")
     return out.withColumns(casts)
 
 
@@ -230,8 +232,8 @@ def read_sgs_json(spark: SparkSession, path: str) -> DataFrame:
     """S8: JSON list of {data, valor} with dd/MM/yyyy dates → typed."""
     raw = spark.read.json(path)
     return raw.select(
-        F.to_date("data", "dd/MM/yyyy").alias("data"),
-        F.col("valor").cast("double").alias("valor"),
+        F.try_to_date("data", "dd/MM/yyyy").alias("data"),
+        F.col("valor").try_cast("double").alias("valor"),
     )
 
 
@@ -240,7 +242,7 @@ def read_fixed_width_rate(spark: SparkSession, path: str) -> DataFrame:
     (pyield/b3/di_over.py:31-47)."""
     raw = spark.read.text(path)
     return raw.select(
-        F.round(F.trim("value").cast("long") / 10000.0, 4).alias("taxa")
+        F.round(F.trim("value").try_cast("long") / 10000.0, 4).alias("taxa")
     ).filter(F.col("taxa").isNotNull())
 
 
@@ -319,8 +321,8 @@ def read_ibge_json(spark: SparkSession, path: str) -> DataFrame:
             )
         )
         .select(
-            F.col("periodo").cast("long").alias("periodo"),
-            F.col("valor").cast("double").alias("valor"),
+            F.col("periodo").try_cast("long").alias("periodo"),
+            F.col("valor").try_cast("double").alias("valor"),
         )
     )
     return out

@@ -112,7 +112,7 @@ def _grid_to_long_13(fields: DataFrame) -> DataFrame:
         )
         .withColumn("_plabel", F.trim("_plabel"))
         .withColumn("_mes", mes_map[F.split("_plabel", "/")[0]])
-        .withColumn("_ano", F.split("_plabel", "/")[1].cast("int") + 2000)
+        .withColumn("_ano", F.split("_plabel", "/")[1].try_cast("int") + 2000)
         .filter(F.col("_mes").isNotNull() & F.col("_ano").isNotNull())
         .select(
             "_file",
@@ -179,7 +179,7 @@ def _grid_to_long_13(fields: DataFrame) -> DataFrame:
         "grupo",
         "subgrupo",
         "titulo",
-        F.bround(F.trim("_vraw").cast("double") * 1_000_000, 2).alias("valor"),
+        F.bround(F.trim("_vraw").try_cast("double") * 1_000_000, 2).alias("valor"),
     )
     return out.filter(F.col("valor").isNotNull() & (F.col("valor") != 0))
 
@@ -249,7 +249,7 @@ def _grid_to_long_21(fields: DataFrame) -> DataFrame:
         )
         .withColumn("_plabel", F.trim("_plabel"))
         .withColumn("_mes", mes_map[F.split("_plabel", "/")[0]])
-        .withColumn("_ano", F.split("_plabel", "/")[1].cast("int") + 2000)
+        .withColumn("_ano", F.split("_plabel", "/")[1].try_cast("int") + 2000)
         .filter(F.col("_mes").isNotNull() & F.col("_ano").isNotNull())
         .select(
             "_file",
@@ -298,6 +298,6 @@ def _grid_to_long_21(fields: DataFrame) -> DataFrame:
         "tipo",
         "categoria",
         "titulo",
-        F.bround(F.trim("_vraw").cast("double") * 1_000_000_000, 2).alias("valor"),
+        F.bround(F.trim("_vraw").try_cast("double") * 1_000_000_000, 2).alias("valor"),
     )
     return out.filter(F.col("valor").isNotNull())

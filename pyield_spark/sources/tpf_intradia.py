@@ -81,8 +81,11 @@ def _dedup_names(raw_names: list[str]) -> list[str]:
 
 
 def _typed(raw: Column, conv: str) -> Column:
+    # try_to_date + try_cast-backed br parsers: ANSI-independent
+    # null-on-malformed (the synthesized header row's cells reach these
+    # expressions before the record-type filter is guaranteed to run)
     if conv == "date":
-        return F.to_date(raw, "dd/MM/yyyy")
+        return F.try_to_date(raw, "dd/MM/yyyy")
     if conv == "float_br":
         return br_num_expr(raw)
     if conv == "taxa_br":

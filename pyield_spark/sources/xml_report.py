@@ -72,8 +72,10 @@ def read_price_report_xml(spark: SparkSession, path: str) -> DataFrame:
     casts = {}
     for f in B3_PRICE_REPORT.fields:
         t = f.dataType.simpleString()
+        # try_* variants: ANSI-independent null-on-malformed (matches
+        # the reference's lenient casts, pyield/b3/boletim.py:306)
         if t == "date":
-            casts[f.name] = F.to_date(f.name)
+            casts[f.name] = F.try_to_date(f.name)
         elif t != "string":
-            casts[f.name] = F.col(f.name).cast(t)
+            casts[f.name] = F.col(f.name).try_cast(t)
     return raw.withColumns(casts)

@@ -16,4 +16,8 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    # default sf0.001 keeps the suite fast; tools/oracle_sweep.sh's
+    # ANSI-on lap overrides to sf0.01 (the driver's gate SF)
+    import os
+
+    return os.environ.get("PYIELD_TEST_SF_DIR", "/root/testdata/sf0.001")

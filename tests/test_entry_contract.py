@@ -41,8 +41,10 @@ def test_driver_window_invariants(spark, sf_dir):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     window = list(qs)[:50]
-    assert window == DRIVER_PRIORITY
-    assert len(DRIVER_PRIORITY) == 50
+    # DRIVER_PRIORITY is the curated head; driver_ordered() fills the
+    # remaining slots in registration order (round-6 rotation design)
+    assert window[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+    assert len(DRIVER_PRIORITY) <= 50
     missing = [n for n in window if n not in oracles]
     assert not missing, f"driver-window queries without oracle: {missing}"
     bad_types = [
