@@ -31,6 +31,11 @@ ARROW_KERNELS = {
     "q_multimodal_features", # declared stub decode (mapInPandas)
     "q_frame_sample",        # fake frame decode (mapInPandas)
     "q_resize_payload",      # fake resize (mapInPandas)
+    # round 6: Lloyd assignment is an Arrow-batched numpy argmin kernel
+    # (fold-order-preserving, bit-exact vs the oracle) — the pure-column
+    # HOF form was interpreted per element and 10-20× slower
+    "q_kmeans_clusters",     # kmeans_assign (pandas_udf)
+    "q_semantic_dedup",      # composes kmeans_assign
 }
 
 # stream queries execute eagerly inside queries() (memory-sink replay) —
@@ -146,16 +151,23 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
 
 def test_no_driver_collect_in_library_code():
     """Source sweep: ``.collect()`` must not appear in any non-test
-    module. The single allowed site is the 1-row-per-round convergence
-    aggregate of the connected-components fixpoint (operators/graph.py)
-    — standard for iterative algorithms, bounded by max_iter. Everything
-    else (including the streaming foreachBatch demo, which now writes to
-    a parquet sink) must stay executor-side.
+    module. Allowed sites, each bounded by construction:
+
+    - the 1-row-per-round convergence aggregate of the
+      connected-components fixpoint (operators/graph.py) — standard
+      for iterative algorithms, bounded by max_iter;
+    - the k-row-per-round centroid hop of Lloyd's k-means
+      (operators/semantic.py, round 6) — k·dim doubles, the same
+      driver-side hop Spark MLlib's KMeans makes every iteration, so
+      assignment can be a single map-only Arrow stage.
+
+    Everything else (including the streaming foreachBatch demo, which
+    now writes to a parquet sink) must stay executor-side.
     """
     import pathlib
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / "pyield_spark"
-    allowed = {"operators/graph.py"}
+    allowed = {"operators/graph.py", "operators/semantic.py"}
     offenders = []
     for py in pkg.rglob("*.py"):
         rel = py.relative_to(pkg).as_posix()
