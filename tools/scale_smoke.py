@@ -27,6 +27,11 @@ ONLY = set(sys.argv[2:])
 KNOWN_OPS = {
     "bd", "interp", "asof", "asof_ungrouped", "asof_broadcast",
     "minhash", "bootstrap", "lm", "futuro", "composites",
+    # fine-grained composite members (so the 100× lap can run
+    # q_leiloes without the fixed-k semantic pair space, which is
+    # intentionally quadratic-in-cluster-size when k doesn't scale
+    # with N — see operators/semantic.py)
+    "leiloes", "semantic", "neardup",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -70,7 +75,7 @@ def main():
         return du.contar(df, "a", "b").agg(F.sum("dias_uteis")).collect()[0][0]
 
     if want("bd"):
-        timed("bd_count_10x", bd)
+        timed(f"bd_count_{FACTOR}x", bd)
 
     # multi-curve interpolation: 10× the curve groups and targets
     def interp():
@@ -93,7 +98,7 @@ def main():
         return out.filter(F.col("taxa_interpolada").isNotNull()).count()
 
     if want("interp"):
-        timed("interp_10x", interp)
+        timed(f"interp_{FACTOR}x", interp)
 
     # grouped as-of join at 10× groups
     def asof():
@@ -109,7 +114,7 @@ def main():
         return out.filter(F.col("p").isNotNull()).count()
 
     if want("asof"):
-        timed("asof_10x", asof)
+        timed(f"asof_{FACTOR}x", asof)
 
     # UNGROUPED as-of at 10× left rows (round-2 range-bucket design:
     # percentile buckets + enumerated ghost spine — no single-partition
@@ -128,7 +133,7 @@ def main():
         return out.filter(F.col("v").isNotNull()).count()
 
     if want("asof_ungrouped"):
-        timed("asof_ungrouped_10x", asof_ungrouped)
+        timed(f"asof_ungrouped_{FACTOR}x", asof_ungrouped)
 
     # UNGROUPED as-of, broadcast route (round 2): same join against a
     # dimension-sized series — zero fact-side shuffles
@@ -147,7 +152,7 @@ def main():
         return out.filter(F.col("v").isNotNull()).count()
 
     if want("asof_broadcast"):
-        timed("asof_broadcast_10x", asof_broadcast)
+        timed(f"asof_broadcast_{FACTOR}x", asof_broadcast)
 
     # MinHash/LSH dedup pipeline at 10x documents: signatures + banded
     # candidate pairs stay linear (equi-join on (band, bkey), never
@@ -163,7 +168,7 @@ def main():
         return pairs.count()
 
     if want("minhash"):
-        timed("minhash_lsh_10x", minhash_10x)
+        timed(f"minhash_lsh_{FACTOR}x", minhash_10x)
 
     # K5 bootstrap at 10x curve groups: the applyInPandas recursion is
     # O(grid) per group with O(1) state, parallel ACROSS groups — the
@@ -177,23 +182,20 @@ def main():
         panel = _ntnb_panel(spark, SF)
         out = None
         for i in range(FACTOR):
-            c = panel
-            for col in ("grupo", "liq", "ven"):
-                # shift each copy by i*96 months (8 years): the ship-date
-                # span is ~80 months, so copies occupy DISJOINT group
-                # ranges (a 1-month shift would collide almost entirely
-                # and merge copies into mega-curves); 96 ≡ 0 (mod 12)
-                # preserves month classes, and a uniform shift of all
-                # three dates preserves each curve's 3-month chain
-                # geometry exactly
-                c = c.withColumn(col, F.add_months(F.col(col), i * 96))
+            # scale the #curves axis by replica index in the GROUP KEY,
+            # not by date shifts: the pre-round-6 i*96-month shift runs
+            # off the 2099 calendar edge at FACTOR=100 (NaN business
+            # days -> kernel crash), while a composite (rep, grupo) key
+            # multiplies curve groups with every copy's 3-month chain
+            # geometry — and calendar interaction — bit-identical
+            c = panel.withColumn("rep", F.lit(i))
             out = c if out is None else out.unionByName(c)
-        z = ntnb_taxas_zero(out, by="grupo", settlement="liq",
+        z = ntnb_taxas_zero(out, by=["rep", "grupo"], settlement="liq",
                             maturity="ven", tir="taxa")
         return z.filter(F.col("taxa_zero").isNotNull()).count()
 
     if want("bootstrap"):
-        timed("bootstrap_10x", bootstrap_10x)
+        timed(f"bootstrap_{FACTOR}x", bootstrap_10x)
 
     # LM typicality at 10x: token explode + model groupBy + attach join
     def lm_10x():
@@ -207,7 +209,7 @@ def main():
         return out.filter(F.col("avg_logprob").isNotNull()).count()
 
     if want("lm"):
-        timed("lm_typicality_10x", lm_10x)
+        timed(f"lm_typicality_{FACTOR}x", lm_10x)
 
     # Futures enrichment (the reference-user flagship) at FACTOR×: each
     # copy shifts the reference date by i×12 months (month classes — and
@@ -237,7 +239,7 @@ def main():
         return out.count()
 
     if want("futuro"):
-        timed("futuro_enrich_10x", futuro_scaled)
+        timed(f"futuro_enrich_{FACTOR}x", futuro_scaled)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
@@ -248,33 +250,48 @@ def main():
     from pyield_spark.queries import QUERIES, load_all
 
     load_all()
-    if not want("composites"):
+    run_leiloes = want("composites") or want("leiloes")
+    run_semantic = want("composites") or want("semantic")
+    run_neardup = want("composites") or want("neardup")
+    if not (run_leiloes or run_semantic or run_neardup):
         return
     scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
-    # only the tables these three queries actually read: q_leiloes →
+    # only the tables these queries actually read: q_leiloes →
     # orders; q_semantic_dedup / q_embedding_neardup → embeddings
-    od.write.mode("overwrite").parquet(os.path.join(scaled_dir, "orders.parquet"))
-    replicate(
-        spark.read.parquet(f"{SF}/embeddings.parquet"), ["vec_id"]
-    ).write.mode("overwrite").parquet(os.path.join(scaled_dir, "embeddings.parquet"))
+    if run_leiloes:
+        od.write.mode("overwrite").parquet(
+            os.path.join(scaled_dir, "orders.parquet")
+        )
+    if run_semantic or run_neardup:
+        replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet"), ["vec_id"]
+        ).write.mode("overwrite").parquet(
+            os.path.join(scaled_dir, "embeddings.parquet")
+        )
 
     # q_leiloes: the per-title auction dispatch composite (ungrouped
     # as-of PTAX attach + single-pass DV01 scenarios) at FACTOR× orders
-    timed("q_leiloes_10x", lambda: QUERIES["q_leiloes"](spark, scaled_dir).count())
+    if run_leiloes:
+        timed(
+            f"q_leiloes_{FACTOR}x",
+            lambda: QUERIES["q_leiloes"](spark, scaled_dir).count(),
+        )
 
     # q_semantic_dedup: Lloyd assignment + cluster-blocked pair space at
     # FACTOR× vectors (clusters grow, the blocking keeps pairs bounded)
-    timed(
-        "q_semantic_dedup_10x",
-        lambda: QUERIES["q_semantic_dedup"](spark, scaled_dir).count(),
-    )
+    if run_semantic:
+        timed(
+            f"q_semantic_dedup_{FACTOR}x",
+            lambda: QUERIES["q_semantic_dedup"](spark, scaled_dir).count(),
+        )
 
     # q_embedding_neardup: LSH bucket prune + exact rescore at FACTOR×
     # vectors — the pair space must stay near-linear via the buckets
-    timed(
-        "q_embedding_neardup_10x",
-        lambda: QUERIES["q_embedding_neardup"](spark, scaled_dir).count(),
-    )
+    if run_neardup:
+        timed(
+            f"q_embedding_neardup_{FACTOR}x",
+            lambda: QUERIES["q_embedding_neardup"](spark, scaled_dir).count(),
+        )
 
 
 if __name__ == "__main__":
