@@ -58,11 +58,14 @@ def month_from_code_expr(code: str | Column) -> Column:
 
 
 def raw_maturity_expr(ticker: str | Column, contrato: str) -> Column:
-    """Unrolled maturity date from a 6-char ticker (day 1; 15 for DAP)."""
+    """Unrolled maturity date from a 6-char ticker (day 1; 15 for DAP).
+    Malformed tickers (non-digit year positions, invalid month letter)
+    yield null on ANY session — ``try_cast`` keeps the year parse
+    ANSI-independent, matching ``month_from_code_expr``'s null."""
     t = F.upper(F.col(ticker) if isinstance(ticker, str) else ticker)
     day = 15 if "DAP" in contrato.upper() else 1
     return F.make_date(
-        F.substring(t, 5, 2).cast("int") + 2000,
+        F.substring(t, 5, 2).try_cast("int") + 2000,
         month_from_code_expr(F.substring(t, 4, 1)),
         F.lit(day),
     )

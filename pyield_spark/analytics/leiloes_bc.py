@@ -227,28 +227,28 @@ def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFram
         raw.filter(F.col("ofertante") == "Tesouro Nacional")
         .select(
             F.col("id"),
-            F.to_timestamp("dataMovimento", ts).cast("date").alias("data_leilao"),
-            F.to_timestamp("dataLiquidacao", ts).cast("date").alias("data_liquidacao"),
-            F.col("edital").cast("long").alias("numero_edital"),
+            F.try_to_timestamp("dataMovimento", F.lit(ts)).cast("date").alias("data_leilao"),
+            F.try_to_timestamp("dataLiquidacao", F.lit(ts)).cast("date").alias("data_liquidacao"),
+            F.col("edital").try_cast("long").alias("numero_edital"),
             F.col("tipoPublico").alias("tipo_publico"),
-            F.col("codigoTitulo").cast("long").alias("codigo_selic"),
-            F.to_timestamp("dataVencimento", ts).cast("date").alias("data_vencimento"),
+            F.col("codigoTitulo").try_cast("long").alias("codigo_selic"),
+            F.try_to_timestamp("dataVencimento", F.lit(ts)).cast("date").alias("data_vencimento"),
             F.col("tipoOferta").alias("tipo_leilao"),
             br_num_expr("cotacaoMedia").alias("pu_medio_raw"),
             br_num_expr("cotacaoCorte").alias("pu_corte_raw"),
             _taxa_br("taxaMedia").alias("taxa_media"),
             _taxa_br("taxaCorte").alias("taxa_corte"),
             (br_num_expr("financeiro") * F.lit(1_000_000.0)).alias("financeiro_total"),
-            F.col("quantidadeOfertada").cast("long").alias("quantidade_ofertada_1v"),
-            F.col("quantidadeAceita").cast("long").alias("quantidade_aceita_1v"),
-            F.col("quantidadeLiquidada").cast("long").alias("quantidade_liquidada_1v"),
-            F.col("quantidadeOfertadaSegundaRodada").cast("long").alias(
+            F.col("quantidadeOfertada").try_cast("long").alias("quantidade_ofertada_1v"),
+            F.col("quantidadeAceita").try_cast("long").alias("quantidade_aceita_1v"),
+            F.col("quantidadeLiquidada").try_cast("long").alias("quantidade_liquidada_1v"),
+            F.col("quantidadeOfertadaSegundaRodada").try_cast("long").alias(
                 "quantidade_ofertada_2v"
             ),
-            F.col("quantidadeAceitaSegundaRodada").cast("long").alias(
+            F.col("quantidadeAceitaSegundaRodada").try_cast("long").alias(
                 "quantidade_aceita_2v"
             ),
-            F.col("quantidadeLiquidadaSegundaRodada").cast("long").alias(
+            F.col("quantidadeLiquidadaSegundaRodada").try_cast("long").alias(
                 "quantidade_liquidada_2v"
             ),
         )

@@ -110,9 +110,12 @@ def ipca_projecao_silver(grid) -> "DataFrame":  # noqa: F821
         c1.startswith("Data e Hora da Última Atualização:")
     ).select(
         "source_file",
-        F.to_timestamp(
+        # try_to_timestamp: regexp_extract yields '' when the header
+        # carries the prefix but not the full timestamp pattern — under
+        # ANSI (Spark 4 default) a plain to_timestamp('') throws
+        F.try_to_timestamp(
             F.regexp_extract(c1, r":\s*(\d{2}/\d{2}/\d{4} - \d{2}:\d{2})", 1),
-            "dd/MM/yyyy - HH:mm",
+            F.lit("dd/MM/yyyy - HH:mm"),
         ).alias("ultima_atualizacao"),
     )
     # the reference takes the FIRST matching row (item(0), a workbook

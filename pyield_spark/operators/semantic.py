@@ -8,10 +8,11 @@ association order), centroid means accumulate through DECIMAL (the
 groupBy-sum order is arbitrary, decimal makes it exact), and every
 argmin carries an id tie-break.
 
-Scale design (100 TB): centroids are a k-row broadcast — assignment is
-a map-only pass over the embeddings (no shuffle of the fact table);
-the only shuffles are the per-(cluster, dim) mean (k·dim groups,
-map-side combinable) and the final cluster-blocked self-join, whose
+Scale design (100 TB): centroids hop to the driver between iterations
+(k·dim doubles, bounded) and assignment is a map-only Arrow kernel
+pass over the embeddings (no shuffle of the fact table); the only
+shuffles are the per-(cluster, dim) mean (k·dim groups, map-side
+combinable) and the final cluster-blocked self-join, whose
 pair space is bounded by the cluster size — the SemDeDup trick: pick k
 proportional to N/target_cluster_size so intra-cluster pairs stay
 linear. (Real deployments run more Lloyd rounds and a sampled init;

@@ -316,6 +316,16 @@ def hard_negatives(
             F.col("_lbl") != F.col("query_label")
         )
     elif prune is None:
+        if query_pred is None:
+            import warnings
+
+            warnings.warn(
+                "hard_negatives(prune=None) without query_pred builds an "
+                "unbounded N x N crossJoin — exact, but quadratic in the "
+                "corpus; bound the probe set or use the default "
+                "prune='ivf' route",
+                stacklevel=2,
+            )
         pairs = probes.crossJoin(base).filter(
             F.col("_lbl") != F.col("query_label")
         )

@@ -183,9 +183,11 @@ def q_chunk_documents(spark, sf_dir):
 )
 def q_kmeans_clusters(spark, sf_dir):
     """Deterministic 2-iteration Lloyd over the embeddings (k=_KM_K,
-    seeds = lowest ids). Assignment is broadcast + map-side min(struct)
-    — the N·k candidates never shuffle; the only aggregations are k·dim
-    mean cells. See operators/semantic.py for the 100 TB notes."""
+    seeds = lowest ids). Assignment is a map-only Arrow-batched numpy
+    argmin kernel over driver-hopped centroids (round 6; fold-order-
+    preserving, bit-exact vs the oracle) — the N·k candidates never
+    shuffle; the only aggregations are k·dim mean cells. See
+    operators/semantic.py for the 100 TB notes."""
     emb = tables(spark, sf_dir, "embeddings")
     out = sm.kmeans_assign(emb, "vec_id", "embedding", k=_KM_K, iters=2)
     return out.select(

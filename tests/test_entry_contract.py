@@ -31,11 +31,15 @@ def test_registry_shapes():
 
 
 def test_driver_window_invariants(spark, sf_dir):
-    """The driver hash-checks only the FIRST 50 queries() entries: that
-    window must stay exactly 50 curated names, every one oracle-backed,
-    and none may emit column types the driver's pandas canonicalizer
-    cannot sort (array/map/struct cells are unhashable — the r2 failure
-    mode of q_multimodal_features)."""
+    """The driver hash-checks only the FIRST 50 queries() entries: the
+    window is a curated DRIVER_PRIORITY prefix (round 6: 23 names)
+    with the remaining slots filled in registration order by
+    driver_ordered() — so a newly registered module CAN shift the
+    uncurated tail; pin a query by adding it to DRIVER_PRIORITY if its
+    window slot matters. Every window entry must be oracle-backed, and
+    none may emit column types the driver's pandas canonicalizer
+    cannot sort (array/map/struct cells are unhashable — the r2
+    failure mode of q_multimodal_features)."""
     from pyield_spark.queries import DRIVER_PRIORITY
 
     qs = entrymod.queries()

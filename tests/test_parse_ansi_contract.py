@@ -63,6 +63,39 @@ def test_malformed_yields_null_under_ansi(ansi, expr_fn):
     assert out == [None] * len(MALFORMED), f"{expr_fn.__name__}: {out}"
 
 
+def test_construction_time_aggregates_survive_ansi(ansi):
+    """The registry-wide vanilla lap re-forces ANSI only AFTER query
+    construction, so work that executes EAGERLY inside the builders —
+    the connected-components convergence checksum collect and the
+    k-means seed/centroid collects — runs under the lenient conf
+    ``tables()`` just set. Drive both operators directly on an ANSI-on
+    session so the decimal(38,0) checksum and the kernel's mean
+    aggregation are themselves proven ANSI-safe (a revert of either
+    round-6 fix fails HERE even though the vanilla lap stays green)."""
+    from pyield_spark.operators.graph import connected_components
+    from pyield_spark.operators.semantic import kmeans_assign
+
+    assert ansi.conf.get("spark.sql.ansi.enabled") == "true"
+    # string ids: xxhash64 values span the full long range, so a few
+    # rows already overflow a LongType sum with high probability
+    edges = ansi.createDataFrame(
+        [(f"doc_{i}", f"doc_{i + 1}") for i in range(40)]
+        + [("zzz_1", "zzz_2")],
+        "id_a string, id_b string",
+    )
+    comp = connected_components(edges).collect()
+    assert len(comp) == 43
+    assert ansi.conf.get("spark.sql.ansi.enabled") == "true"
+
+    emb = ansi.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=3).collect()
+    assert len(out) == 30
+    assert ansi.conf.get("spark.sql.ansi.enabled") == "true"
+
+
 def test_wellformed_still_parses_under_ansi(ansi):
     cells = [c for c, _ in WELLFORMED_NUM]
     out = _eval(ansi, br_num_expr, cells)

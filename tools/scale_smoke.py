@@ -5,7 +5,8 @@ targets; same shuffle structure).
 
 Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
 (ops: bd interp asof asof_ungrouped asof_broadcast minhash bootstrap lm
-composites — default all)
+futuro composites leiloes semantic neardup — default all; leiloes/
+semantic/neardup select individual members of the composites set)
 """
 
 from __future__ import annotations
