@@ -278,13 +278,42 @@ def main():
             lambda: QUERIES["q_leiloes"](spark, scaled_dir).count(),
         )
 
-    # q_semantic_dedup: Lloyd assignment + cluster-blocked pair space at
-    # FACTOR× vectors (clusters grow, the blocking keeps pairs bounded)
+    # SemDeDup at FACTOR× vectors WITH the documented sizing rule
+    # k ∝ N (operators/semantic.py: pick k ≈ N/target_cluster_size so
+    # the intra-cluster pair space Σn_c² ≈ N²/k stays LINEAR in N).
+    # The registered query pins k=32 for its fixed-SF oracle; scaling N
+    # without scaling k would be running the operator against its own
+    # documentation, so this lap scales both. Replica vectors get a
+    # per-copy first-dimension nudge so copies are near- but not
+    # bit-identical (bit-identical copies collapse into degenerate
+    # mega-clusters — a skew test, not a scaling test; the neardup row
+    # below keeps the worst-case-skew variant).
     if run_semantic:
-        timed(
-            f"q_semantic_dedup_{FACTOR}x",
-            lambda: QUERIES["q_semantic_dedup"](spark, scaled_dir).count(),
-        )
+        from pyield_spark.operators.semantic import semantic_dedup
+
+        def semantic_kprop():
+            base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            )
+            out = None
+            for i in range(FACTOR):
+                c = base.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    F.concat(
+                        F.array(
+                            F.element_at("embedding", 1)
+                            + F.lit(i * 1e-3)
+                        ),
+                        F.slice("embedding", 2, 10_000),
+                    ).alias("embedding"),
+                )
+                out = c if out is None else out.unionByName(c)
+            d = semantic_dedup(
+                out, "vec_id", "embedding", k=32 * FACTOR, iters=2, tau=0.2
+            )
+            return d.filter(F.col("keep")).count()
+
+        timed(f"semantic_dedup_kprop_{FACTOR}x", semantic_kprop)
 
     # q_embedding_neardup: LSH bucket prune + exact rescore at FACTOR×
     # vectors — the pair space must stay near-linear via the buckets
