@@ -45,10 +45,61 @@ def sqdist_expr(a: Column, b: Column) -> Column:
     )
 
 
-def _assign_udf(out_dt: StructType, cids: np.ndarray, cmat: np.ndarray):
+def _sqdist_np(x: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances, accumulated one DIMENSION at a time,
+    left-to-right — the SQL fold's association order, so every value is
+    the bit-identical IEEE double the column form produces (numpy
+    vectorizes ACROSS rows/centroids, which commutes)."""
+    acc = np.zeros((x.shape[0], cmat.shape[0]), dtype=np.float64)
+    for i in range(cmat.shape[1]):
+        d = x[:, i, None] - cmat[None, :, i]
+        acc += d * d
+    return acc
+
+
+def _coarse_codebook(cmat: np.ndarray, n_lists: int, iters: int = 3):
+    """Deterministic driver-side Lloyd over the k FINE centroids:
+    coarse centers seeded from the first ``n_lists`` fine centroids
+    (cid order), ties to the first index. Returns (coarse (C, dim),
+    lists: list of index arrays — fine-centroid members per list)."""
+    coarse = cmat[:n_lists].copy()
+    for _ in range(iters):
+        assign = _sqdist_np(cmat, coarse).argmin(axis=1)
+        for c in range(n_lists):
+            members = cmat[assign == c]
+            if len(members):
+                coarse[c] = members.mean(axis=0)
+        # empty lists keep their previous center (deterministic)
+    assign = _sqdist_np(cmat, coarse).argmin(axis=1)
+    lists = [np.flatnonzero(assign == c) for c in range(n_lists)]
+    return coarse, lists
+
+
+def _assign_udf(
+    out_dt: StructType,
+    cids: np.ndarray,
+    cmat: np.ndarray,
+    route: str = "exact",
+    n_probe: int | None = None,
+):
     """Arrow-batched argmin-assignment kernel over a closed-over
     centroid matrix (k, dim). See :func:`kmeans_assign` for the
-    bit-exactness contract this implements."""
+    bit-exactness contract this implements.
+
+    ``route="ivf"``: the k fine centroids are coarse-clustered ONCE on
+    the driver into C ≈ √k lists; each vector scores the C coarse
+    centers, probes its ``n_probe`` nearest lists, and argmins only
+    over the fine centroids in those lists — O(N·(C + n_probe·k/C))
+    flops instead of O(N·k), the cure for the measured superlinearity
+    of k ∝ N SemDeDup (PLANS.md round-6 lap). Per-candidate distances
+    use the same fold-order accumulation, so with ``n_probe == C`` the
+    route is BIT-IDENTICAL to exact (parity-tested)."""
+    if route == "ivf" and cmat.shape[0] >= 4:
+        n_lists = max(2, int(np.sqrt(cmat.shape[0])))
+        probe = min(n_lists, n_probe if n_probe else max(1, n_lists // 4))
+        coarse, lists = _coarse_codebook(cmat, n_lists)
+    else:
+        coarse, lists, probe = None, None, None
 
     @F.pandas_udf(out_dt)
     def _assign(v: pd.Series) -> pd.DataFrame:
@@ -59,19 +110,48 @@ def _assign_udf(out_dt: StructType, cids: np.ndarray, cmat: np.ndarray):
                  "_dist": pd.Series(dtype=np.float64)}
             )
         x = np.asarray(v.tolist(), dtype=np.float64)  # (n, dim)
-        acc = np.zeros((n, cmat.shape[0]), dtype=np.float64)
-        # one dimension at a time, left-to-right: the SQL fold's
-        # association order, so distances are bit-identical
-        for i in range(cmat.shape[1]):
-            d = x[:, i, None] - cmat[None, :, i]
-            acc += d * d
-        # NaN above every number (Spark/DuckDB total order); among
-        # equal minima argmin keeps the FIRST = lowest cid
-        sel = np.where(np.isnan(acc), np.inf, acc)
-        idx = sel.argmin(axis=1)
-        return pd.DataFrame(
-            {"_cid": cids[idx], "_dist": acc[np.arange(n), idx]}
-        )
+        if coarse is None:
+            acc = _sqdist_np(x, cmat)
+            # NaN above every number (Spark/DuckDB total order); among
+            # equal minima argmin keeps the FIRST = lowest cid
+            sel = np.where(np.isnan(acc), np.inf, acc)
+            idx = sel.argmin(axis=1)
+            return pd.DataFrame(
+                {"_cid": cids[idx], "_dist": acc[np.arange(n), idx]}
+            )
+        # IVF route: nearest `probe` coarse lists per row, then the
+        # fine argmin restricted to their members. Merge order across
+        # lists cannot affect the result: (dist, cid) comparison is a
+        # total order and each candidate's dist is order-independent.
+        dc = _sqdist_np(x, coarse)
+        dc = np.where(np.isnan(dc), np.inf, dc)
+        probed = np.argpartition(dc, probe - 1, axis=1)[:, :probe]
+        best_d = np.full(n, np.inf)
+        best_raw = np.full(n, np.nan)
+        best_i = np.zeros(n, dtype=np.int64)
+        seeded = np.zeros(n, dtype=bool)
+        for c, members in enumerate(lists):
+            rows = np.flatnonzero((probed == c).any(axis=1))
+            if not len(rows) or not len(members):
+                continue
+            d = _sqdist_np(x[rows], cmat[members])
+            dsel = np.where(np.isnan(d), np.inf, d)
+            j = dsel.argmin(axis=1)
+            rd = dsel[np.arange(len(rows)), j]
+            ri = members[j]
+            better = ~seeded[rows] | (rd < best_d[rows]) | (
+                (rd == best_d[rows]) & (ri < best_i[rows])
+            )
+            upd = rows[better]
+            best_d[upd] = rd[better]
+            best_raw[upd] = d[np.arange(len(rows)), j][better]
+            best_i[upd] = ri[better]
+            seeded[upd] = True
+        # rows whose probed lists were all empty (can't happen: every
+        # fine centroid lives in exactly one list and probe >= 1 picks
+        # existing lists — but a fully-NaN row keeps dist NaN, cid of
+        # the first candidate, matching the exact route's total order)
+        return pd.DataFrame({"_cid": cids[best_i], "_dist": best_raw})
 
     return _assign
 
@@ -82,8 +162,21 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    route: str = "exact",
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd assignment.
+
+    ``route="exact"`` (default — what every registered query and the
+    oracle parity use) scores all k centroids per vector.
+    ``route="ivf"`` coarse-clusters the k fine centroids into C ≈ √k
+    lists on the driver and scores only the ``n_probe`` (default C/4)
+    nearest lists per vector — O(N·(C + n_probe·k/C)) instead of
+    O(N·k): the at-scale path when k follows the SemDeDup k ∝ N rule
+    (the round-6 100× lap measured the exact route superlinear there,
+    PLANS.md). With ``n_probe == C`` the route is bit-identical to
+    exact (parity-tested); smaller probes are approximate Lloyd —
+    standard for web-scale clustering.
 
     Returns (_vid, _v, _cid, _dist): each vector, its final cluster
     (named by the seed vector's id) and the squared L2 distance to the
@@ -146,7 +239,7 @@ def kmeans_assign(
         cmat = np.asarray([c for _, c in ordered], dtype=np.float64)
 
         assigned = base.withColumn(
-            "_a", _assign_udf(out_dt, cids, cmat)("_v")
+            "_a", _assign_udf(out_dt, cids, cmat, route, n_probe)("_v")
         ).select(
             "_vid",
             "_v",
@@ -188,6 +281,8 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 2,
     tau: float = 0.2,
+    route: str = "exact",
+    n_probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup keep/drop decision per vector.
 
@@ -207,7 +302,10 @@ def semantic_dedup(
     # small-data noise, the recompute is what hurts at scale. Same
     # pattern as graph.connected_components.
     assigned = (
-        kmeans_assign(emb, id_col, vec_col, k=k, iters=iters)
+        kmeans_assign(
+            emb, id_col, vec_col, k=k, iters=iters,
+            route=route, n_probe=n_probe,
+        )
         .withColumn("_n2", norm_sq_dec(F.col("_v")))
         .localCheckpoint(eager=True)
     )

@@ -196,3 +196,62 @@ def test_intradoc_dedup_first_occurrence_order(spark):
     assert got[1].clean_text == f"{a} {b}" and got[1].n_dropped == 1
     assert got[2].clean_text == f"{b} {a}" and got[2].n_dropped == 0
     assert got[3].clean_text == "" and got[3].n_spans == 0
+
+
+def test_kmeans_ivf_route_full_probe_bit_identical(spark, sf_dir):
+    """route='ivf' with n_probe == C probes every list, so the
+    candidate set equals the exact route's and the assignment must be
+    BIT-identical (same fold-order distances, same tie-breaks)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 16
+    n_lists = max(2, int(np.sqrt(k)))
+    exact = {
+        r["_vid"]: (r["_cid"], r["_dist"])
+        for r in sm.kmeans_assign(emb, "vec_id", "embedding", k=k, iters=2).collect()
+    }
+    ivf = {
+        r["_vid"]: (r["_cid"], r["_dist"])
+        for r in sm.kmeans_assign(
+            emb, "vec_id", "embedding", k=k, iters=2,
+            route="ivf", n_probe=n_lists,
+        ).collect()
+    }
+    assert exact == ivf  # exact dict equality: cids AND raw double dists
+
+
+def test_kmeans_ivf_route_probe_recall_envelope(spark, sf_dir):
+    """Pruned probing is approximate Lloyd. On the synthetic testdata
+    the embeddings are near-ISOTROPIC (no real cluster structure — the
+    regime where coarse routing is weakest), so pin the recall
+    ENVELOPE rather than a high fixed bar: agreement with the exact
+    assignment must be non-trivial at every probe depth, monotonically
+    non-decreasing in n_probe (±2% slack for routing flips), and reach
+    1.0 at full probe (the bit-parity test above). Real embedding
+    corpora are clustered, where the nearest-list heuristic is far
+    stronger — same reasoning as the documented hard_negatives pruned
+    recall envelope."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 16  # C = 4 lists
+    exact = {
+        r["_vid"]: r["_cid"]
+        for r in sm.kmeans_assign(emb, "vec_id", "embedding", k=k, iters=2).collect()
+    }
+    agreement = {}
+    for n_probe in (1, 2, 3, 4):
+        rows = sm.kmeans_assign(
+            emb, "vec_id", "embedding", k=k, iters=2,
+            route="ivf", n_probe=n_probe,
+        ).collect()
+        assert len(rows) == len(exact)
+        assert all(
+            r["_dist"] >= 0.0 for r in rows
+        )  # a real squared distance, never garbage
+        agreement[n_probe] = (
+            sum(1 for r in rows if exact[r["_vid"]] == r["_cid"]) / len(rows)
+        )
+    assert agreement[1] > 0.33, agreement  # ≫ the 1/16 random baseline
+    for lo, hi in ((1, 2), (2, 3), (3, 4)):
+        assert agreement[hi] >= agreement[lo] - 0.02, agreement
+    assert agreement[4] == 1.0, agreement

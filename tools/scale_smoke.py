@@ -291,7 +291,7 @@ def main():
     if run_semantic:
         from pyield_spark.operators.semantic import semantic_dedup
 
-        def semantic_kprop():
+        def _scaled_emb():
             base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
                 "vec_id", "embedding"
             )
@@ -308,12 +308,19 @@ def main():
                     ).alias("embedding"),
                 )
                 out = c if out is None else out.unionByName(c)
+            return out
+
+        def _kprop(route):
             d = semantic_dedup(
-                out, "vec_id", "embedding", k=32 * FACTOR, iters=2, tau=0.2
+                _scaled_emb(), "vec_id", "embedding", k=32 * FACTOR,
+                iters=2, tau=0.2, route=route,
             )
             return d.filter(F.col("keep")).count()
 
-        timed(f"semantic_dedup_kprop_{FACTOR}x", semantic_kprop)
+        timed(f"semantic_dedup_kprop_{FACTOR}x", lambda: _kprop("exact"))
+        # the at-scale cure for the O(N·k) assignment term the exact
+        # lap exposes (PLANS.md): IVF-routed assignment, same pair stage
+        timed(f"semantic_dedup_kprop_ivf_{FACTOR}x", lambda: _kprop("ivf"))
 
     # q_embedding_neardup: LSH bucket prune + exact rescore at FACTOR×
     # vectors — the pair space must stay near-linear via the buckets
