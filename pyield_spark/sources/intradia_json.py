@@ -133,9 +133,21 @@ def read_derivativos_json(spark: SparkSession, path: str) -> DataFrame:
         F.col("_metadata.file_path").alias("snapshot_file"),
     )
     elem = raw.schema["Scty"].dataType.elementType
+    return scty.select(*canonical_quote_columns(elem), "snapshot_file")
+
+
+def canonical_quote_columns(elem=None) -> list:
+    """The canonical column map over an exploded ``s`` struct — ONE
+    definition shared by the batch reader and the streaming twin
+    (streaming/intradia.py), so a transform fix cannot drift between
+    them and break replay-equals-batch.
+
+    ``elem``: the payload's Scty element type, used to emit typed nulls
+    for absent required paths; ``None`` means every path is present by
+    construction (the streaming source declares the full schema)."""
     cols = []
     for path_, name, typ in INTRADIA_COLUMNS:
-        if _has_path(elem, path_):
+        if elem is None or _has_path(elem, path_):
             c = F.col("s." + path_)
             if typ == "date":
                 # str.to_date("%Y-%m-%d", strict=False): invalid → null
@@ -143,7 +155,7 @@ def read_derivativos_json(spark: SparkSession, path: str) -> DataFrame:
             cols.append(c.try_cast(typ).alias(name))
         elif name in _REQUIRED:
             cols.append(F.lit(None).cast(typ).alias(name))
-    return scty.select(*cols, "snapshot_file")
+    return cols
 
 
 def processar_intradia(

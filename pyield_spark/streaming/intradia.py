@@ -22,7 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pyield_spark.sources.intradia_json import INTRADIA_COLUMNS, processar_intradia
+from pyield_spark.sources.intradia_json import (
+    canonical_quote_columns,
+    processar_intradia,
+)
 
 # Explicit payload schema for the streaming source (file-stream JSON
 # cannot infer): every column-map path is declared, so absent optional
@@ -56,15 +59,9 @@ PAYLOAD_DDL = """
 
 def _canonical_select(scty: DataFrame) -> DataFrame:
     """Dotted-path column map over the DECLARED schema (all paths
-    present by construction; same canonical names/casts as the batch
-    reader)."""
-    cols = []
-    for path_, name, typ in INTRADIA_COLUMNS:
-        c = F.col("s." + path_)
-        if typ == "date":
-            c = F.try_to_timestamp(c.cast("string"), F.lit("yyyy-MM-dd"))
-        cols.append(c.try_cast(typ).alias(name))
-    return scty.select(*cols, "snapshot_file")
+    present by construction) — the SAME shared column builder as the
+    batch reader, so the transforms cannot drift (review fix)."""
+    return scty.select(*canonical_quote_columns(), "snapshot_file")
 
 
 def read_intradia_stream(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -74,6 +71,11 @@ def read_intradia_stream(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         spark.readStream.schema(PAYLOAD_DDL)
         .option("maxFilesPerTrigger", 1)  # one snapshot per micro-batch,
         # mirroring the reference's one-payload-per-poll cadence
+        # multiLine: one (possibly pretty-printed) JSON document per
+        # snapshot file — the SAME option the batch twin requires
+        # (sources/intradia_json.py); without it a formatted payload
+        # parses to null Scty and every micro-batch silently empties
+        .option("multiLine", "true")
         .json(snapshot_dir)
     )
     # full path (not basename) — same collision-avoidance rationale as
@@ -111,17 +113,26 @@ def intradia_stream_enrich(
             "append"
         ).parquet(sink_dir)
 
-    q = quotes.writeStream.foreachBatch(handle).start()
+    # checkpoint INSIDE the sink (underscore-prefixed dirs are invisible
+    # to the parquet reader): a second call with the same
+    # snapshot_dir/sink_dir — the natural poll-loop cadence — resumes
+    # from the checkpoint and enriches only NEW snapshot files, instead
+    # of replaying everything and appending duplicate rows (review fix)
+    q = (
+        quotes.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(sink_dir, "_checkpoint"))
+        .start()
+    )
     q.processAllAvailable()
     q.stop()
     # Gate the fallback on the sink containing no parquet FILES, not on
     # the directory existing: callers handing a pre-created empty dir
     # (tempfile.mkdtemp is the common case) must get the canonical empty
     # frame, not an 'unable to infer schema' read error (ADVICE r4).
-    import glob as _glob
-
+    # os.listdir, not glob: glob metacharacters in a sink path ('[...]'
+    # date dirs) would silently report 'no parquet' (review fix).
     has_parquet = os.path.isdir(sink_dir) and any(
-        _glob.glob(os.path.join(sink_dir, "*.parquet"))
+        f.endswith(".parquet") for f in os.listdir(sink_dir)
     )
     if not has_parquet:
         # nothing enriched (empty dir / quotation-unavailable payloads):

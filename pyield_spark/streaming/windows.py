@@ -50,7 +50,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.islink(link) and os.readlink(link) != target:
         os.remove(link)
     if not os.path.lexists(link):
-        os.symlink(target, link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # concurrent caller staged the same link (TOCTOU)
     # same session conventions as queries.tables(): UTC keeps
     # timestamp values aligned with the (tz-naive) DuckDB oracles even
     # when a stream query is the first thing a fresh session runs, and
@@ -291,7 +294,10 @@ def foreach_batch_upsert(
     result is independent of micro-batch boundaries — the restart test
     and the batch twin rely on that.
 
-    Returns the started query's ``awaitTermination``-ready handle.
+    Returns the configured ``DataStreamWriter`` (NOT a started query):
+    the caller picks the trigger and calls ``.start()`` — e.g.
+    ``foreach_batch_upsert(ev, path).trigger(availableNow=True).start()
+    .awaitTermination()`` as the tests do.
     """
     import os
     import shutil

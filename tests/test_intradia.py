@@ -460,3 +460,49 @@ def test_multi_snapshot_same_basename_across_dirs(spark, tmp_path):
     assert fwd == [0.14105, 0.142]
     assert len({r["snapshot_file"] for r in out}) == 2
     assert all(os.path.basename(r["snapshot_file"]) == "snap.json" for r in out)
+
+
+def test_intradia_stream_pretty_printed_snapshot(spark, tmp_path):
+    """A pretty-printed (multi-line) payload — the format the batch
+    reader explicitly handles via multiLine — must enrich in the
+    streaming twin too, not silently parse to null Scty and vanish
+    (round-6 review fix: the stream source was missing the option)."""
+    from pyield_spark.streaming.intradia import intradia_stream_enrich
+
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    (snap_dir / "pretty.json").write_text(json.dumps(PAYLOAD, indent=2))
+    out = intradia_stream_enrich(
+        spark, str(snap_dir), str(tmp_path / "sink"), "DI1",
+        dt.date(2026, 8, 14),
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["taxa_ultima"] - 0.14105) < 1e-12
+
+
+def test_intradia_stream_incremental_recall_no_duplicates(spark, tmp_path):
+    """The poll-loop cadence: calling intradia_stream_enrich again with
+    the same snapshot/sink dirs after a new file lands must enrich ONLY
+    the new snapshot (checkpoint inside the sink) — before round 6 every
+    recall replayed all files and appended duplicates."""
+    import copy
+    import os as _os
+
+    from pyield_spark.streaming.intradia import intradia_stream_enrich
+
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    sink = str(tmp_path / "sink")
+    hoje = dt.date(2026, 8, 14)
+    (snap_dir / "t0.json").write_text(json.dumps(PAYLOAD))
+    first = intradia_stream_enrich(spark, str(snap_dir), sink, "DI1", hoje)
+    assert first.count() == 1
+
+    p2 = copy.deepcopy(PAYLOAD)
+    p2["Scty"][0]["SctyQtn"]["curPrc"] = 14.2
+    (snap_dir / "t1.json").write_text(json.dumps(p2))
+    out = intradia_stream_enrich(spark, str(snap_dir), sink, "DI1", hoje)
+    rows = {_os.path.basename(r["snapshot_file"]): r for r in out.collect()}
+    assert set(rows) == {"t0.json", "t1.json"}  # no duplicate t0 rows
+    assert out.count() == 2
