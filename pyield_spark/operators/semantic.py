@@ -60,8 +60,13 @@ def _sqdist_np(x: np.ndarray, cmat: np.ndarray) -> np.ndarray:
 def _coarse_codebook(cmat: np.ndarray, n_lists: int, iters: int = 3):
     """Deterministic driver-side Lloyd over the k FINE centroids:
     coarse centers seeded from the first ``n_lists`` fine centroids
-    (cid order), ties to the first index. Returns (coarse (C, dim),
-    lists: list of index arrays — fine-centroid members per list)."""
+    (cid order), ties to the first index. Returns (coarse (C', dim),
+    lists: list of index arrays — fine-centroid members per list).
+    EMPTY lists (a stale center no fine centroid maps to — possible
+    when seeds collide) are DROPPED together with their centers:
+    probing one would yield zero candidates and silently misassign the
+    row to cids[0] (review fix), so C' ≤ n_lists but every kept list
+    is non-empty and the lists partition all k fine centroids."""
     coarse = cmat[:n_lists].copy()
     for _ in range(iters):
         assign = _sqdist_np(cmat, coarse).argmin(axis=1)
@@ -69,10 +74,12 @@ def _coarse_codebook(cmat: np.ndarray, n_lists: int, iters: int = 3):
             members = cmat[assign == c]
             if len(members):
                 coarse[c] = members.mean(axis=0)
-        # empty lists keep their previous center (deterministic)
+        # empty lists keep their previous center during iteration
+        # (deterministic); they are pruned below
     assign = _sqdist_np(cmat, coarse).argmin(axis=1)
     lists = [np.flatnonzero(assign == c) for c in range(n_lists)]
-    return coarse, lists
+    keep = [c for c, members in enumerate(lists) if len(members)]
+    return coarse[keep], [lists[c] for c in keep]
 
 
 def _assign_udf(
@@ -94,11 +101,18 @@ def _assign_udf(
     of k ∝ N SemDeDup (PLANS.md round-6 lap). Per-candidate distances
     use the same fold-order accumulation, so with ``n_probe == C`` the
     route is BIT-IDENTICAL to exact (parity-tested)."""
+    if route not in ("exact", "ivf"):
+        raise ValueError(f"unknown route: {route!r} (use 'exact' or 'ivf')")
+    if n_probe is not None and n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if route == "ivf" and cmat.shape[0] >= 4:
         n_lists = max(2, int(np.sqrt(cmat.shape[0])))
-        probe = min(n_lists, n_probe if n_probe else max(1, n_lists // 4))
         coarse, lists = _coarse_codebook(cmat, n_lists)
-    else:
+        # empty-list pruning may shrink the codebook below n_lists
+        probe = min(
+            len(lists), n_probe if n_probe is not None else max(1, n_lists // 4)
+        )
+    else:  # route='ivf' with k < 4 falls back to exact (documented)
         coarse, lists, probe = None, None, None
 
     @F.pandas_udf(out_dt)
@@ -109,7 +123,16 @@ def _assign_udf(
                 {"_cid": pd.Series(dtype=object),
                  "_dist": pd.Series(dtype=np.float64)}
             )
-        x = np.asarray(v.tolist(), dtype=np.float64)  # (n, dim)
+        # a NULL array (whole-row null, distinct from null ELEMENTS)
+        # becomes an all-NaN row: every distance is NaN → the total
+        # order assigns the lowest cid with a null dist, matching the
+        # replaced column form's null-propagation (review fix; a bare
+        # np.asarray would raise on the ragged None)
+        vals = [
+            val if val is not None else [np.nan] * cmat.shape[1]
+            for val in v.tolist()
+        ]
+        x = np.asarray(vals, dtype=np.float64)  # (n, dim)
         if coarse is None:
             acc = _sqdist_np(x, cmat)
             # NaN above every number (Spark/DuckDB total order); among
@@ -206,8 +229,12 @@ def kmeans_assign(
     — and at 100 TB the Arrow kernel is the canonical shape anyway
     (tight numpy loops over columnar batches).
 
-    Embedding arrays must be fixed-dimension with non-null elements
-    (a null element yields a NaN — not null — distance here).
+    Embedding arrays must be fixed-dimension; a NULL array yields the
+    lowest cid with a null distance (the column form's behavior), and
+    a null ELEMENT yields a NaN-family distance. NOTE the call is
+    EAGER: the seed TakeOrdered and the iters−1 centroid-mean jobs run
+    at call time (the driver hop), not at the consumer's action —
+    construct the assignment only when you mean to run it.
 
     Input contract: ``id_col`` is a KEY (one row per id). The map-only
     shape emits one output row per input row — a frame with duplicated

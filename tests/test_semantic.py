@@ -255,3 +255,33 @@ def test_kmeans_ivf_route_probe_recall_envelope(spark, sf_dir):
     for lo, hi in ((1, 2), (2, 3), (3, 4)):
         assert agreement[hi] >= agreement[lo] - 0.02, agreement
     assert agreement[4] == 1.0, agreement
+
+
+def test_kmeans_null_embedding_row_assigns_lowest_cid(spark):
+    """A whole-row NULL embedding must not crash the Arrow kernel
+    (round-6 review fix: np.asarray raised on the ragged None); it
+    assigns the lowest cid with a null-family distance, like the
+    replaced column form's null propagation."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [5.0, 5.0]), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["_vid"]: r
+        for r in sm.kmeans_assign(emb, "vec_id", "embedding", k=2, iters=1).collect()
+    }
+    assert len(rows) == 4
+    assert rows[4]["_cid"] == 1  # lowest cid
+    d = rows[4]["_dist"]
+    assert d is None or d != d  # null or NaN — never a fabricated number
+
+
+def test_kmeans_route_validation(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="unknown route"):
+        sm.kmeans_assign(emb, "vec_id", "embedding", k=4, route="IVF")
+    with pytest.raises(ValueError, match="n_probe"):
+        sm.kmeans_assign(emb, "vec_id", "embedding", k=4, route="ivf", n_probe=0)
