@@ -40,11 +40,21 @@ def forwards_expr(
         grupo = agrupar_por
 
     # duplicate (group, du) vertices invalidate the rate; the natural
-    # null cascade handles the following row.
-    dup = F.count(F.lit(1)).over(Window.partitionBy(grupo, du_k)) > 1
-    tx_valid = F.when(dup, F.lit(None).cast("double")).otherwise(tx_k.cast("double"))
-
+    # null cascade handles the following row. The dup flag is a PEER
+    # COUNT over the same (grupo)-partitioned du-ordered window as the
+    # lag pass — RANGE [current, current] counts rows with equal du —
+    # so both windows share ONE exchange+sort; the old
+    # partitionBy(grupo, du) count window hashed on (grupo, du), which
+    # does not satisfy the (grupo) clustering and forced a second
+    # exchange into every forward-curve plan (review fix).
     w = Window.partitionBy(grupo).orderBy(du_k.asc_nulls_last())
+    dup = (
+        F.count(F.lit(1)).over(
+            w.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        > 1
+    )
+    tx_valid = F.when(dup, F.lit(None).cast("double")).otherwise(tx_k.cast("double"))
     au_k = du_k.cast("double") / DAYS_PER_YEAR
     tx_j = F.lag(tx_valid, 1).over(w)
     au_j = F.lag(au_k, 1).over(w)

@@ -84,8 +84,20 @@ def interpolar(
     # deterministic keep-max-rate stand-in — either way exactly one
     # vertex survives per (group, du).
     if order_col:
+        # max_by SKIPS rows whose ordering value is null — a vertex
+        # with a null order_col (timestamp-less backfill row) would
+        # survive the groupBy with a NULL rate even when it is the only
+        # row for its du (review fix). Wrap the order in a struct
+        # (never null as a whole): null orders lose every tie but a
+        # lone vertex keeps its rate.
         cur = cur.groupBy(*by_cols, "_du").agg(
-            F.max_by("_tx", F.col("_ord")).alias("_tx")
+            F.max_by(
+                "_tx",
+                F.struct(
+                    F.col("_ord").isNotNull().alias("_p"),
+                    F.col("_ord").alias("_o"),
+                ),
+            ).alias("_tx")
         )
     else:
         cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
@@ -136,18 +148,21 @@ def interpolar(
         # an ordered unbounded-following frame with ignorenulls degrades
         # to per-row scans, measured 4× slower). No second curve
         # aggregation, no extra join.
-        curve_du = F.when(F.col("_is_left") == 0, F.col("_k"))
-        curve_tx = F.when(F.col("_is_left") == 0, F.col("_v._tx"))
+        # _cdu/_ctx (not curve_du/curve_tx): those names would shadow
+        # the string parameters and hand a Column to any later code
+        # expecting the column NAME (review fix)
+        _cdu = F.when(F.col("_is_left") == 0, F.col("_k"))
+        _ctx = F.when(F.col("_is_left") == 0, F.col("_v._tx"))
         joined = unioned.select(
             "_l",
             "_k",
             "_is_left",
             back.alias("_j"),
             fwd.alias("_kk"),
-            F.min(curve_du).over(w).alias("_du_min"),
-            F.max(curve_du).over(w).alias("_du_max"),
-            F.min_by(curve_tx, curve_du).over(w).alias("_tx_min"),
-            F.max_by(curve_tx, curve_du).over(w).alias("_tx_max"),
+            F.min(_cdu).over(w).alias("_du_min"),
+            F.max(_cdu).over(w).alias("_du_max"),
+            F.min_by(_ctx, _cdu).over(w).alias("_tx_min"),
+            F.max_by(_ctx, _cdu).over(w).alias("_tx_max"),
         ).filter(F.col("_is_left") == 1)
     else:
         # --- single curve, distributed: value-derived range buckets +

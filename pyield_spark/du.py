@@ -112,10 +112,14 @@ def deslocar(
     cal_d = _cal_prefixed(spark, "_d_", "_du_data").select(
         "_du_data", f"_d_{idx}ant", f"_d_{idx}nov"
     )
+    # temp name + withColumn (REPLACE semantics, like contar): joining
+    # the pre-aliased result column would leave TWO identically-named
+    # columns when the input already carries `alias` — e.g. chained
+    # shifts with the default alias → AMBIGUOUS_REFERENCE (review fix)
     inv = cal.business_dates_df(spark).select(
         F.col("regime").alias("_du_regime"),
         F.col("ordinal").alias("_du_target"),
-        F.col("data").alias(alias),
+        F.col("data").alias("_du_result"),
     )
     out = (
         df2.join(F.broadcast(cal_d), "_du_data", "left")
@@ -131,9 +135,11 @@ def deslocar(
             + F.col("_du_n"),
         )
         .join(F.broadcast(inv), ["_du_regime", "_du_target"], "left")
+        .withColumn(alias, F.col("_du_result"))
     )
     return out.drop(
-        "_du_data", "_du_n", "_du_regime", "_du_target", f"_d_{idx}ant", f"_d_{idx}nov"
+        "_du_data", "_du_n", "_du_regime", "_du_target", "_du_result",
+        f"_d_{idx}ant", f"_d_{idx}nov",
     )
 
 
@@ -199,6 +205,10 @@ def deslocar_scalar(
     """Roll then add n business days, driver-side. Returns None outside
     the generated 1990-2099 calendar (the DataFrame twin's null) — and
     if the walk itself leaves the calendar, where holiday data ends."""
+    if rolagem not in ("forward", "backward"):
+        # match the DataFrame twin: a typo'd direction must not
+        # silently roll backward (review fix)
+        raise ValueError("rolagem must be 'forward' or 'backward'")
     if data is None or n is None or not _in_calendar(data):
         return None
     regime = _regime_of(data)
@@ -242,12 +252,17 @@ def ultimo_dia_util(df: DataFrame, data: str | Column, alias: str = "ultimo_dia_
 
 
 def gerar(inicio: dt.date, fim: dt.date) -> list[dt.date]:
-    """Business days in [inicio, fim], driver-side (core.py:546 analogue)."""
+    """Business days in [inicio, fim], driver-side (core.py:546
+    analogue). Truncates to the generated 1990-2099 calendar exactly
+    like ``gerar_df`` — outside it holiday data does not exist, and an
+    unguarded walk would report every weekday as a business day (the
+    wrong-number-not-absent bug the scalar shift/count twins guard
+    against; review fix)."""
     regime = _regime_of(inicio)
     out = []
     d = inicio
     while d <= fim:
-        if cal.is_business_day(d, regime):
+        if _in_calendar(d) and cal.is_business_day(d, regime):
             out.append(d)
         d += dt.timedelta(days=1)
     return out

@@ -102,6 +102,12 @@ def trunc_decimal_sum_expr(sum_col: Column, decimals: int = 6) -> Column:
     double conversion differs across engines in the last ulp exactly
     when the sum lies on (or next to) the truncation grid — which
     decimal-accumulated STN PVs frequently do. Positive totals assumed.
+
+    PRECONDITION: the incoming sum's scale must be ≤ 12. Spark rounds
+    (half-up) when DOWN-scaling a decimal, so a scale-13+ sum just
+    below the grid could be rounded ONTO it before the floor — the
+    opposite of truncation. Every call site accumulates in
+    decimal(·,12) or narrower; keep it that way.
     """
     s = 10**decimals
     narrowed = sum_col.cast("decimal(24,12)")
@@ -160,9 +166,17 @@ def br_int_expr(col: Column | str) -> Column:
 
 def pct_para_decimal_expr(col: Column | str, decimals: int = 10) -> Column:
     """Percent → decimal, rounded (reference rounds 10dp at ingestion:
-    pyield/_internal/br_numbers.py:10-16); ANSI-independent."""
+    pyield/_internal/br_numbers.py:10-16); ANSI-independent.
+
+    ``round_pl_expr`` (scaled-double half-to-even — bit-exact Polars
+    parity), NOT ``bround``: the two modes diverge on grid-adjacent
+    values (see round_pl_expr), and the real connector paths
+    (analytics/leiloes_bc.py::_taxa_br, sources/intradia_json.py) made
+    the switch in round 5 — this exported helper was the last bround
+    holdout (round-6 review fix). SQL twin: the ``_PCTPL`` pattern,
+    ``round_even((x/100)*1e10, 0)/1e10``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.bround(c.try_cast("double") / 100.0, decimals)
+    return round_pl_expr(c.try_cast("double") / 100.0, decimals)
 
 
 def inteiro_br_expr(col: Column | str) -> Column:

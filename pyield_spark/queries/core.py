@@ -363,7 +363,8 @@ def q_order_buckets(spark, sf_dir):
            CAST(LENGTH(p_name) AS INT) AS name_len,
            CASE WHEN REGEXP_MATCHES(p_type, '^(STANDARD|SMALL)') THEN TRUE ELSE FALSE END AS is_std,
            price_br,
-           round_even(CAST(REPLACE(REPLACE(price_br, '.', ''), ',', '.') AS DOUBLE) / 100, 10)
+           round_even((CAST(REPLACE(REPLACE(price_br, '.', ''), ',', '.') AS DOUBLE) / 100)
+                      * 10000000000.0, 0) / 10000000000.0
              AS price_pct_decimal
     FROM b
     """,

@@ -141,3 +141,35 @@ def test_scalar_out_of_calendar_returns_none():
     assert du.deslocar_scalar(dt.date(2099, 12, 28), 10) is None
     # in-range behavior unchanged
     assert du.contar_scalar(dt.date(2024, 1, 1), dt.date(2024, 1, 8)) == 4
+
+
+def test_gerar_truncates_to_calendar_like_gerar_df(spark):
+    """gerar must not report weekdays outside the generated 1990-2099
+    calendar as business days (holiday data does not exist there):
+    2100-01-01 is a Friday AND a national holiday — an unguarded walk
+    called it a business day while gerar_df returned no 2100 rows
+    (round-6 review fix: the twins now agree by truncation)."""
+    lo, hi = dt.date(2099, 12, 28), dt.date(2100, 1, 10)
+    scalar = du.gerar(lo, hi)
+    frame = [r["data"] for r in du.gerar_df(spark, lo, hi).collect()]
+    assert scalar == sorted(frame)
+    assert all(d.year == 2099 for d in scalar)
+
+
+def test_deslocar_chained_default_alias_no_ambiguity(spark):
+    """Chained shifts with the default alias must REPLACE the column
+    (withColumn semantics, like contar), not emit two identically-named
+    columns that make the next select ambiguous (round-6 review fix)."""
+    df = spark.createDataFrame([(dt.date(2026, 8, 14),)], "d date")
+    out = du.deslocar(du.deslocar(df, "d", 1), "data_deslocada", 1,
+                      alias="data_deslocada")
+    assert out.columns.count("data_deslocada") == 1
+    # 2026-08-14 is a Friday: +1 bd -> Mon 17th, +1 bd -> Tue 18th
+    assert out.collect()[0]["data_deslocada"] == dt.date(2026, 8, 18)
+
+
+def test_deslocar_scalar_validates_rolagem():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rolagem"):
+        du.deslocar_scalar(dt.date(2026, 8, 16), 0, "Forward")

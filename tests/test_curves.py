@@ -173,3 +173,30 @@ def test_interpolar_broadcast_route_parity(spark, seed, grouped, method, extrapo
         assert (a[t] is None) == (b[t] is None), (t, a[t], b[t])
         if a[t] is not None:
             assert a[t] == b[t], (t, a[t], b[t])  # bit-exact, same exprs
+
+
+def test_interpolar_null_order_col_vertex_keeps_rate(spark):
+    """A UNIQUE vertex whose order_col is null (timestamp-less backfill
+    row) must keep its rate — max_by skips null ordering values, which
+    silently nulled the whole vertex before round 6. Null orders still
+    lose ties to timestamped revisions."""
+    import datetime as dt
+
+    from pyield_spark.curves.interpolate import interpolar
+
+    curve = spark.createDataFrame(
+        [
+            (10, 0.10, dt.datetime(2026, 1, 1)),
+            (20, 0.20, None),              # unique vertex, null order
+            (30, 0.30, dt.datetime(2026, 1, 1)),
+            (30, 0.35, None),              # null order LOSES the tie
+        ],
+        "du long, taxa double, ord timestamp",
+    )
+    targets = spark.createDataFrame([(20,), (30,)], "dias_uteis long")
+    got = {
+        r["dias_uteis"]: r["taxa_interpolada"]
+        for r in interpolar(targets, curve, curve_du="du", order_col="ord").collect()
+    }
+    assert got[20] == 0.20  # exact hit on the null-order vertex
+    assert got[30] == 0.30  # timestamped revision wins the tie
