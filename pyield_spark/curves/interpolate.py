@@ -102,6 +102,15 @@ def interpolar(
     else:
         cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
 
+    if not by_cols and distribution != "broadcast":
+        # the ungrouped shuffle route consumes the deduped curve from
+        # FOUR subplans (union branch, percentile bounds, per-bucket
+        # ghost aggregates, global extremes) and Spark does not reuse
+        # the subplan across them — measured 7 scans of a fact-derived
+        # curve lineage per action (review fix). One lazy checkpoint
+        # materializes it once; the broadcast route already does this.
+        cur = cur.localCheckpoint(eager=False)
+
     if distribution == "broadcast":
         joined = _broadcast_brackets(targets, cur, by_cols, du_col)
         return _ladder(joined, targets.columns, method, extrapolar, alias)
