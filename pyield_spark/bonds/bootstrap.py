@@ -68,10 +68,18 @@ def implied_rates(
     flows = flows.withColumn(
         "_cf", coupon_flow_expr("data_pagamento", maturity, coupon_value, final_value)
     ).withColumn("_au", F.col("_du").cast("double") / 252.0)
+    # ONE sorted struct list (premio_limpo's shape; review fix): two
+    # parallel collect_lists summed the PV in partition-merge order
+    # (run-to-run float jitter vs the reference's date-ordered sum) and
+    # silently MISALIGNED cf/au pairs when one side carried a null
+    # (collect_list skips nulls per column).
     packed = flows.groupBy(*id_cols).agg(
         F.first(price).alias("_price"),
-        F.collect_list("_cf").alias("_cfs"),
-        F.collect_list("_au").alias("_aus"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("_au").alias("au"), F.col("_cf").alias("cf"))
+            )
+        ).alias("_flows"),
     )
 
     # schema in id_cols order — the kernel emits columns in id_cols
@@ -82,11 +90,31 @@ def implied_rates(
     )
     out_schema = f"{id_schema}, {alias} double"
 
+    def _rate(p, fl):
+        # input guards (review fix — lft_taxas' existing contract): a
+        # null/NaN/non-positive price has no implied rate (the old
+        # unguarded bisection returned a plausible-looking ~-0.99 for
+        # NaN and ~1e6 for p<=0); a flow with a null year fraction
+        # (payment date outside the calendar) likewise yields null.
+        import math
+
+        if p is None:
+            return None
+        pf = float(p)  # Decimal prices float-ize here, not mid-bisect
+        if math.isnan(pf) or pf <= 0:
+            return None
+        cfs, aus = [], []
+        for r in fl:
+            if r["au"] is None or r["cf"] is None:
+                return None
+            aus.append(float(r["au"]))
+            cfs.append(float(r["cf"]))
+        return _bisect_rate(pf, cfs, aus)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rates = [
-                _bisect_rate(p, list(cfs), list(aus))
-                for p, cfs, aus in zip(pdf["_price"], pdf["_cfs"], pdf["_aus"])
+                _rate(p, fl) for p, fl in zip(pdf["_price"], pdf["_flows"])
             ]
             yield pd.DataFrame({**{c: pdf[c] for c in id_cols}, alias: rates})
 
@@ -249,6 +277,18 @@ def premio_limpo(
         for pdf in batches:
             prems = []
             for fl, preco in zip(pdf["_flows"], pdf["_preco"]):
+                # null guard (review fix): a flow du beyond the DI
+                # curve's last vertex interpolates to NULL di
+                # (extrapolar=False — the oracle's 'du > du_max THEN
+                # NULL' branch), and a payment date outside the
+                # calendar has NULL du; the premium is NULL, not a
+                # TypeError that kills the stage
+                if preco is None or any(
+                    r["cf"] is None or r["du"] is None or r["di"] is None
+                    for r in fl
+                ):
+                    prems.append(None)
+                    continue
                 # ascending payment order (reference sums in date order)
                 terms = [(r["cf"], r["du"] / 252.0, r["di"]) for r in fl]
 
@@ -261,22 +301,19 @@ def premio_limpo(
                 prems.append(_encontrar_raiz(diff))
             out = {**{c: pdf[c] for c in id_cols}, alias: prems}
             if price_alias:
-                out[price_alias] = [float(p) for p in pdf["_preco"]]
+                out[price_alias] = [
+                    float(p) if p is not None else None for p in pdf["_preco"]
+                ]
             yield pd.DataFrame(out)
 
     return packed.mapInPandas(kernel, out_schema)
 
 
-NTNB_CUPOM = 0.02956301  # base-1 semiannual 6% a.a. — ntnb.py:20-21
-NTNB_FINAL = 1.02956301
-
-
-def _pround(x: float, decimals: int) -> float:
-    """Portable half-away round — same IEEE ops as pround_expr/pround_sql."""
-    import math
-
-    s = float(10**decimals)
-    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+# ONE definition each (round-6 review fix — three copies invited
+# silent divergence): the constants live in bonds.pricing, the portable
+# round (NaN-passthrough) in scalar.
+from pyield_spark.bonds.pricing import NTNB_CUPOM, NTNB_FINAL  # noqa: E402
+from pyield_spark.scalar import _pround  # noqa: E402
 
 
 def ntnb_taxas_zero(
@@ -336,10 +373,17 @@ def ntnb_taxas_zero(
     # lineage aggregates the INPUT panel — localCheckpoint materializes
     # it once instead of re-running that aggregation per consumer
     # (same pattern as semantic_dedup's assignment reuse).
+    # NaN rates drop BEFORE the keep-max dedupe (interpolate.py's own
+    # cleaning order): Spark's max ranks NaN above every double, so one
+    # NaN duplicate would otherwise evict a vertex with valid data from
+    # the TIR curve (review fix). Nulls need no filter — max ignores
+    # them.
+    _tir_d = F.col(tir).cast("double")
     clean = (
         bonds.filter(F.to_date(maturity) > liq)
+        .filter(_tir_d.isNull() | ~F.isnan(_tir_d))
         .groupBy(*by_cols, F.to_date(maturity).alias("_ven"))
-        .agg(F.max(F.col(tir).cast("double")).alias("_tir"), F.min(liq).alias("_liq"))
+        .agg(F.max(_tir_d).alias("_tir"), F.min(liq).alias("_liq"))
         .localCheckpoint(eager=False)
     )
     grp = clean.groupBy(*by_cols).agg(
@@ -426,8 +470,16 @@ def ntnb_taxas_zero(
             if le_first:
                 z = float(tir_i)
             else:
-                fator = NTNB_FINAL / (float(cot_i) - pv[i % 2])
-                z = _pround(fator ** (1.0 / anos) - 1.0, 10)
+                denom = float(cot_i) - pv[i % 2]
+                # degenerate group guard (review fix): NaN cotação
+                # (all-null TIR inputs) or a non-positive denominator
+                # (garbage prices → complex root) degrade the vertex to
+                # NaN — poisoning only its parity chain — instead of
+                # crashing the whole applyInPandas stage
+                if denom > 0:
+                    z = _pround((NTNB_FINAL / denom) ** (1.0 / anos) - 1.0, 10)
+                else:  # includes NaN (NaN > 0 is False)
+                    z = float("nan")
             zeros.append(z)
             pv[i % 2] += NTNB_CUPOM / (1.0 + z) ** anos
         out = pdf[[*[c for c in pdf.columns if c in by_cols], "data_vencimento",

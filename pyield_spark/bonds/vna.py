@@ -86,10 +86,16 @@ def vna_sheet_silver(grid) -> "DataFrame":  # noqa: F821
         c1.cast("double").alias("vna"),
         F.col("row_idx"),
     ).filter(F.col("data").isNotNull() & F.col("vna").isNotNull())
-    # sheet_name in the dedupe scope: row_idx restarts per sheet, so
-    # keep-last comparisons are only meaningful within one tab
-    return typed.groupBy("source_file", "sheet_name", "data").agg(
-        F.max_by("vna", "row_idx").alias("vna")
+    # ONE row per (workbook, data), as the docstring promises (review
+    # fix — the old (source_file, sheet_name, data) scope let the same
+    # date on two tabs emit duplicate rows): keep-last by row WITHIN a
+    # tab, and across tabs the lexicographically-last sheet_name wins —
+    # a deterministic stand-in (the reference reads a single sheet;
+    # row_idx restarts per sheet, so it alone cannot order across tabs)
+    return typed.groupBy("source_file", "data").agg(
+        F.max_by(
+            "vna", F.struct(F.col("sheet_name"), F.col("row_idx"))
+        ).alias("vna")
     )
 
 
@@ -106,20 +112,34 @@ def ipca_projecao_silver(grid) -> "DataFrame":  # noqa: F821
     c1 = F.try_element_at("cells", F.lit(1))
     c2 = F.try_element_at("cells", F.lit(2))
     c3 = F.try_element_at("cells", F.lit(3))
-    hdr = grid.filter(
-        c1.startswith("Data e Hora da Última Atualização:")
-    ).select(
-        "source_file",
-        # try_to_timestamp: regexp_extract yields '' when the header
-        # carries the prefix but not the full timestamp pattern — under
-        # ANSI (Spark 4 default) a plain to_timestamp('') throws
-        F.try_to_timestamp(
-            F.regexp_extract(c1, r":\s*(\d{2}/\d{2}/\d{4} - \d{2}:\d{2})", 1),
-            F.lit("dd/MM/yyyy - HH:mm"),
-        ).alias("ultima_atualizacao"),
+    # ONE header row per workbook (review fix — a per-sheet filter +
+    # join would fan the output out when a multi-tab workbook repeats
+    # the header): first match by (sheet_name, row_idx), the same
+    # deterministic cross-tab order as the projection pick below.
+    hdr = (
+        grid.filter(c1.startswith("Data e Hora da Última Atualização:"))
+        .groupBy("source_file")
+        .agg(
+            F.min_by(
+                # try_to_timestamp: regexp_extract yields '' when the
+                # header carries the prefix but not the full timestamp
+                # pattern — under ANSI (Spark 4 default) a plain
+                # to_timestamp('') throws
+                F.try_to_timestamp(
+                    F.regexp_extract(
+                        c1, r":\s*(\d{2}/\d{2}/\d{4} - \d{2}:\d{2})", 1
+                    ),
+                    F.lit("dd/MM/yyyy - HH:mm"),
+                ),
+                F.struct(F.col("sheet_name"), F.col("row_idx")),
+            ).alias("ultima_atualizacao")
+        )
     )
     # the reference takes the FIRST matching row (item(0), a workbook
-    # can carry more IPCA-prefixed rows, e.g. IPCA-15) → min_by(row_idx)
+    # can carry more IPCA-prefixed rows, e.g. IPCA-15) → min_by over
+    # (sheet_name, row_idx): row_idx restarts per sheet, so bare
+    # row_idx would mix tabs (review fix; lexicographic sheet order is
+    # the deterministic stand-in — the reference reads one sheet)
     proj = (
         grid.filter(c1.startswith("IPCA") & c2.startswith("Projeção"))
         .groupBy("source_file")
@@ -129,7 +149,7 @@ def ipca_projecao_silver(grid) -> "DataFrame":  # noqa: F821
                     F.regexp_extract(c2, r"\(([^)]*)\)", 1).alias("per"),
                     F.round(c3.cast("double") / 100.0, 4).alias("val"),
                 ),
-                F.col("row_idx"),
+                F.struct(F.col("sheet_name"), F.col("row_idx")),
             ).alias("_p")
         )
         .select(

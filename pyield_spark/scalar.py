@@ -175,7 +175,11 @@ def vna_projetado(data: dt.date, vna_base: float, inflacao_pct: float,
 
 
 def _pround(x: float, decimals: int) -> float:
-    """Portable half-away round — twin of pround_expr/pround_sql."""
+    """Portable half-away round — twin of pround_expr/pround_sql.
+    NaN/±inf pass through like the Spark twin (math.floor would raise
+    ValueError/OverflowError on them — round-6 review fix)."""
+    if isinstance(x, float) and not math.isfinite(x):
+        return x
     s = float(10**decimals)
     return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
 

@@ -321,3 +321,91 @@ def test_multifamily_mask(spark):
     assert len(out) == 10
     for r in out:
         assert r.valor == r.want, (r.id, r.titulo, r.valor, r.want)
+
+
+def test_implied_rates_degenerate_prices_yield_null(spark):
+    """Null/NaN/non-positive prices have no implied rate (round-6
+    review fix: the unguarded bisection returned ~-0.99 for NaN and
+    ~1e6 for p<=0 — plausible-looking garbage)."""
+    import datetime as dt
+
+    from pyield_spark.bonds.bootstrap import implied_rates
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2026, 1, 2), dt.date(2027, 1, 1), 950.0),
+            (2, dt.date(2026, 1, 2), dt.date(2027, 1, 1), None),
+            (3, dt.date(2026, 1, 2), dt.date(2027, 1, 1), -10.0),
+        ],
+        "id long, data_liquidacao date, data_vencimento date, pu double",
+    )
+    got = {
+        r["id"]: r["taxa_implicita"]
+        for r in implied_rates(df, ["id"]).collect()
+    }
+    assert got[1] is not None and 0 < got[1] < 1
+    assert got[2] is None
+    assert got[3] is None
+
+
+def test_ntnb_taxas_zero_nan_duplicate_does_not_evict_vertex(spark):
+    """A NaN-rate duplicate row must not evict a valid vertex from the
+    TIR curve (Spark's max ranks NaN above every double; round-6 review
+    fix filters NaN BEFORE the keep-max dedupe)."""
+    import datetime as dt
+
+    from pyield_spark.bonds.bootstrap import ntnb_taxas_zero
+
+    liq = dt.date(2026, 1, 2)
+    rows = [
+        ("g", liq, dt.date(2026, 8, 15), 0.060),
+        ("g", liq, dt.date(2027, 8, 15), 0.061),
+        ("g", liq, dt.date(2027, 8, 15), float("nan")),  # duplicate, NaN
+    ]
+    df = spark.createDataFrame(
+        rows, "grupo string, data_liquidacao date, data_vencimento date, taxa double"
+    )
+    out = {
+        r["data_vencimento"]: r["taxa_zero"]
+        for r in ntnb_taxas_zero(df, by="grupo").collect()
+    }
+    assert out[dt.date(2027, 8, 15)] is not None
+    assert abs(out[dt.date(2026, 8, 15)] - 0.060) < 1e-9
+
+
+def test_vna_sheet_silver_one_row_per_workbook_date(spark):
+    """The same date on two tabs yields ONE row per workbook (round-6
+    review fix — the docstring's per-workbook promise)."""
+    from pyield_spark.bonds.vna import vna_sheet_silver
+
+    grid = spark.createDataFrame(
+        [
+            ("wb.xlsx", "Plan1", 0, ["02/01/2026", "4500.10"]),
+            ("wb.xlsx", "Plan2", 0, ["02/01/2026", "4500.99"]),
+        ],
+        "source_file string, sheet_name string, row_idx long, cells array<string>",
+    )
+    rows = vna_sheet_silver(grid).collect()
+    assert len(rows) == 1
+    assert rows[0]["vna"] == 4500.99  # lexicographically-last sheet wins
+
+
+def test_ipca_projecao_multi_sheet_no_fanout(spark):
+    """A workbook repeating the header/IPCA rows on two tabs emits ONE
+    record, picked from the first (sheet_name, row_idx) — not a join
+    fanout or a cross-tab row mix (round-6 review fix)."""
+    from pyield_spark.bonds.vna import ipca_projecao_silver
+
+    hdr = "Data e Hora da Última Atualização: 14/08/2026 - 17:05 h"
+    grid = spark.createDataFrame(
+        [
+            ("wb.xlsx", "A", 0, [hdr, None, None]),
+            ("wb.xlsx", "A", 3, ["IPCA", "Projeção (ago/26)", "0,26"]),
+            ("wb.xlsx", "B", 0, [hdr, None, None]),
+            ("wb.xlsx", "B", 2, ["IPCA-15", "Projeção (jul/26)", "0,31"]),
+        ],
+        "source_file string, sheet_name string, row_idx long, cells array<string>",
+    )
+    rows = ipca_projecao_silver(grid).collect()
+    assert len(rows) == 1
+    assert rows[0]["periodo_referencia"] == "ago/26"
