@@ -206,7 +206,16 @@ def interpolar(
             unioned.crossJoin(F.broadcast(bnds))
             .withColumn(
                 "_bkt",
-                F.when(kd.isNull(), F.lit(-1)).otherwise(n_le),
+                # NULL percentile bounds (empty curve) → hash-spread:
+                # every target interpolates to null anyway, and a NULL
+                # bucket would collapse the fact side into ONE window
+                # partition (review fix, same as operators/asof.py)
+                F.when(kd.isNull(), F.lit(-1)).otherwise(
+                    F.coalesce(
+                        n_le,
+                        F.pmod(F.xxhash64(kd), F.lit(n_buckets)).cast("int"),
+                    )
+                ),
             )
             .drop("_b")
             .withColumn("_seq", F.lit(1))

@@ -95,10 +95,7 @@ def asof_join(
         )
     right_on = right_on or on
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    if values is None:
-        values = [c for c in right.columns if c != right_on and c not in by_cols]
-    if not values:
-        raise ValueError("right side has no payload columns to attach")
+    values = _payload_values(left, right, right_on, by_cols, values)
 
     # Null-payload struct types are derived from the INPUT schemas (one
     # cached analysis pass per input), not from the tagged projections —
@@ -210,7 +207,18 @@ def asof_join(
             .withColumn("_kn", _numeric(F.col("_k")))
             .withColumn(
                 "_bkt",
-                F.when(kn.isNull(), F.lit(-1)).otherwise(n_le),
+                # n_le is NULL when the percentile boundaries are NULL
+                # (empty right side / all-null right keys): every match
+                # is null anyway, so ANY spread is valid — hash-spread
+                # instead of collapsing the whole fact side into one
+                # NULL-bucket window partition (review fix; the same
+                # silent serialization the string-key guard refuses)
+                F.when(kn.isNull(), F.lit(-1)).otherwise(
+                    F.coalesce(
+                        n_le,
+                        F.pmod(F.xxhash64(kn), F.lit(n_buckets)).cast("int"),
+                    )
+                ),
             )
             .select("_l", "_k", "_kn", "_is_left", "_v", "_bkt")
             .withColumn("_seq", F.lit(1))
@@ -295,6 +303,33 @@ def _numeric_key(c, key_t):
     return c.cast("double")
 
 
+def _payload_values(
+    left: DataFrame,
+    right: DataFrame,
+    right_on: str,
+    by_cols: list[str],
+    values: list[str] | None,
+) -> list[str]:
+    """Shared payload contract for all three as-of routes (review fix —
+    the defaulting block was copy-pasted three times): default to every
+    right column except the keys, require a non-empty payload, and
+    REJECT aliases that collide with a left column — the final select
+    emits both and the first downstream reference dies with
+    AMBIGUOUS_REFERENCE far from the cause (pandas merge_asof suffixes
+    _x/_y; this operator requires distinct names up front)."""
+    if values is None:
+        values = [c for c in right.columns if c != right_on and c not in by_cols]
+    if not values:
+        raise ValueError("right side has no payload columns to attach")
+    clash = [v for v in values if v in left.columns]
+    if clash:
+        raise ValueError(
+            f"as-of payload column(s) {clash} collide with left columns "
+            "— alias them on the right side first"
+        )
+    return values
+
+
 def _asof_broadcast(
     left: DataFrame,
     right: DataFrame,
@@ -324,10 +359,7 @@ def _asof_broadcast(
     bucketed path); duplicate keys are deduped arbitrarily.
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    if values is None:
-        values = [c for c in right.columns if c != right_on and c not in by_cols]
-    if not values:
-        raise ValueError("right side has no payload columns to attach")
+    values = _payload_values(left, right, right_on, by_cols, values)
 
     from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
 
@@ -481,14 +513,7 @@ def _asof_nearest(
 
     right_on = right_on or on
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    if values is None:
-        values = [c for c in right.columns if c != right_on and c not in by_cols]
-    if right_on == on and right_on in values:
-        raise ValueError(
-            "strategy='nearest' cannot return the matched right key "
-            "under the same name as the left key — alias it on the "
-            "right side first"
-        )
+    values = _payload_values(left, right, right_on, by_cols, values)
 
     key_t = left.schema[on].dataType
     if isinstance(key_t, StringType):

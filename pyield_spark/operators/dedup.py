@@ -65,9 +65,13 @@ def shingles_expr(text: str | Column, n: int = 3) -> Column:
 
 def exact_dup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:
     """Group identical (normalized) texts: content hash → keep-min id,
-    duplicate count."""
+    duplicate count. NULL-text documents are excluded — they are not
+    duplicates of anything, and groupBy collects all NULL hashes into
+    one giant pseudo-group whose keep-min would delete every null-text
+    document but one (review fix)."""
     return (
         df.select(F.col(id_col), content_hash_expr(text).alias("content_hash"))
+        .filter(F.col("content_hash").isNotNull())
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -93,7 +97,15 @@ def _shingle_intersection(
     shingles, per-doc sizes, and the blocked self-join intersection
     counts. Returns (inter, sizes). SET semantics always:
     ``shingles_expr`` already ends in ``array_distinct`` (the former
-    ``distinct`` flag was a no-op — review fix)."""
+    ``distinct`` flag was a no-op — review fix).
+
+    The shingle lineage deliberately RECOMPUTES for its three consumers
+    (both join sides + the sizes aggregate) instead of checkpointing:
+    the explode is a ~150× row blowup of the corpus, so materializing
+    it trades map-side CPU (cheap, parallel) for executor storage of a
+    corpus multiple (a scale bomb at 100 TB). This is the opposite
+    call from interpolar/asof's curve checkpoint, where the reused
+    lineage is dimension-sized."""
     blk = [block] if block else []
     sh_expr = shingles_expr(text, n)
     sh = df.select(

@@ -21,6 +21,16 @@ IDX = "_row_idx"
 
 
 def with_row_index(df: DataFrame, sequential: bool = False, col: str = IDX) -> DataFrame:
+    """Attach a row index for order restoration / index alignment.
+
+    HAZARD (same class sampling.py bans rand() for): the id is only
+    stable for a SINGLE execution of a SINGLE lineage. If the indexed
+    frame forks into branches that are joined back on the index, or a
+    task retry / AQE re-plan re-executes the assignment, the same row
+    can receive a different id. For fork-and-rejoin alignment, pin the
+    assignment first: ``with_row_index(df).localCheckpoint()`` (or
+    derive the index from data via a row_number over a deterministic
+    key ordering)."""
     out = df.withColumn(col, F.monotonically_increasing_id())
     if sequential:
         out = out.withColumn(

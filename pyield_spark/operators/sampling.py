@@ -39,7 +39,13 @@ def sample_bucket_expr(key: str | Column, salt: str = "") -> Column:
     train/validation splits that must not correlate).
     """
     c = F.col(key) if isinstance(key, str) else key
-    return F.pmod(h32_expr(F.concat(F.lit(salt), c.cast("string"))), F.lit(_BUCKETS))
+    # null keys coalesce to a sentinel: concat() null-propagates, and a
+    # NULL bucket silently DROPPED every null-key row from all the
+    # hash-sampling operators (even at fraction=1.0) and from
+    # global_sort_index (review fix). All null-key rows share one
+    # deterministic bucket — kept or dropped together per the rate.
+    key_s = F.coalesce(c.cast("string"), F.lit("\u0000<null-key>"))
+    return F.pmod(h32_expr(F.concat(F.lit(salt), key_s)), F.lit(_BUCKETS))
 
 
 def hash_sample(

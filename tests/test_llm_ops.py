@@ -365,3 +365,86 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0].containment == 1.0
     jac = jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
     assert jac == []  # symmetric Jaccard misses the excerpt
+
+
+def test_hash_sampling_null_keys_not_silently_dropped(spark):
+    """Null-key rows coalesce to one deterministic bucket instead of
+    vanishing (round-6 review fix: concat null-propagated to a NULL
+    bucket that every filter dropped, even at fraction=1.0)."""
+    from pyield_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "id string"
+    )
+    assert hash_sample(df, "id", 1.0).count() == 4
+    kept = hash_sample(df, "id", 0.5).collect()
+    n_null = sum(1 for r in kept if r["id"] is None)
+    assert n_null in (0, 2)  # all-or-nothing, deterministically
+
+
+def test_global_sort_index_dense_with_null_key(spark):
+    """global_sort_index must be row-preserving and dense 0..n-1 even
+    with null keys (round-6 review fix: null keys were dropped AND
+    shifted every surviving position)."""
+    from pyield_spark.operators.sampling import global_sort_index
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("c",)], "doc_id string"
+    )
+    rows = global_sort_index(df, "doc_id").collect()
+    assert len(rows) == 4
+    assert sorted(r["pos"] for r in rows) == [0, 1, 2, 3]
+
+
+def test_exact_dup_groups_null_text_not_a_group(spark):
+    """Null-text docs must not collapse into one giant pseudo-group
+    (round-6 review fix)."""
+    from pyield_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    groups = exact_dup_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1  # only the real duplicate pair
+    assert groups[0]["n_docs"] == 2
+
+
+def test_asof_payload_collision_raises(spark):
+    """A right payload column sharing a name with a left column raises
+    up front instead of emitting duplicate output columns that die with
+    AMBIGUOUS_REFERENCE downstream (round-6 review fix)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(dt.date(2026, 1, 5), 1.0)], "d date, price double"
+    )
+    right = spark.createDataFrame(
+        [(dt.date(2026, 1, 2), 2.0)], "dr date, price double"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="d", right_on="dr")
+
+
+def test_asof_ungrouped_empty_right_side(spark):
+    """An empty right series yields all-null matches WITHOUT collapsing
+    the fact side into one NULL-bucket partition (round-6 review fix:
+    percentile bounds are NULL, the bucket now hash-spreads)."""
+    import datetime as dt
+
+    from pyield_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(dt.date(2026, 1, d),) for d in range(1, 20)], "d date"
+    )
+    right = spark.createDataFrame(
+        [], "dr date, v double"
+    )
+    out = asof_join(left, right, on="d", right_on="dr", values=["dr", "v"])
+    rows = out.collect()
+    assert len(rows) == 19
+    assert all(r["v"] is None and r["dr"] is None for r in rows)
