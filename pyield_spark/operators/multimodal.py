@@ -64,9 +64,15 @@ def media_metadata_exprs(payload: str | Column) -> dict[str, Column]:
     return {
         "n_bytes": F.octet_length(c).cast("bigint"),
         "sha256": F.sha2(c, 256),
-        "format": F.when(F.ascii(F.substring(c.cast("string"), 1, 1)) % 3 == 0, "png")
-        .when(F.ascii(F.substring(c.cast("string"), 1, 1)) % 3 == 1, "jpeg")
-        .otherwise("webp"),
+        # null payload -> null format (review fix: the bare otherwise()
+        # branch labeled rows with no media at all as valid 'webp',
+        # inconsistent with the null-propagating n_bytes/sha256)
+        "format": F.when(
+            c.isNotNull(),
+            F.when(F.ascii(F.substring(c.cast("string"), 1, 1)) % 3 == 0, "png")
+            .when(F.ascii(F.substring(c.cast("string"), 1, 1)) % 3 == 1, "jpeg")
+            .otherwise("webp"),
+        ),
     }
 
 
@@ -141,8 +147,11 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
+                    # null payload -> null features (review fix:
+                    # bytes(None) raised and killed the stage)
                     "features": [
-                        row_features(bytes(b)) for b in pdf[payload_col]
+                        row_features(bytes(b)) if b is not None else None
+                        for b in pdf[payload_col]
                     ],
                 }
             )
@@ -177,6 +186,9 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # no media, no frames (review fix:
+                    # bytes(None) raised and killed the stage)
                 b = bytes(payload)
                 for i in range(0, (len(b) + frame_bytes - 1) // frame_bytes, stride):
                     ids.append(rid)
@@ -209,6 +221,9 @@ def resize_payload(
         for pdf in batches:
             outs = []
             for payload in pdf[payload_col]:
+                if payload is None:
+                    outs.append(None)  # review fix: bytes(None) raised
+                    continue
                 b = bytes(payload)
                 stride = max(1, -(-len(b) // target_bytes))
                 outs.append(b[::stride])

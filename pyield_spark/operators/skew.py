@@ -39,6 +39,12 @@ def salted_join(
             "the small side is replicated per salt, so right/full outer "
             "would duplicate unmatched small-side rows"
         )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        # withColumn would silently OVERWRITE it, key the join on the
+        # synthetic values, and drop the user's column at the end — a
+        # silent data-loss divergence from the documented passthrough
+        # contract (review fix)
+        raise ValueError("inputs already carry a '_salt' column — rename it")
     big_s = big.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(num_salts))
     )

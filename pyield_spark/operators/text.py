@@ -26,7 +26,14 @@ ROLLING_MOD = 1048573  # < 2^20: acc*131 + 255 < 2^28, never overflows
 
 
 def tokens_expr(text: str | Column) -> Column:
-    """Whitespace tokenization of lower-cased trimmed text."""
+    """Whitespace tokenization of lower-cased trimmed text.
+
+    KNOWN QUIRK, shared with every DuckDB oracle twin (so the two
+    engines agree): split('') yields [''] — an empty/whitespace-only
+    document counts ONE empty-string token (n_tokens=1, and '' can
+    enter a vocabulary when a corpus carries many empty docs). Changing
+    this means changing every token-counting SQL twin in lockstep;
+    filter empty docs upstream when the distinction matters."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.lower(F.trim(c)), r"\s+")
 
@@ -133,8 +140,17 @@ def own_lang_stopword_hits_expr(text: str | Column, lang: str | Column) -> Colum
 
 
 # PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
-# treat identically: literal classes, bounded repeats, no lookaround.
-PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+# treat identically: literal classes, bounded repeats, no lookaround —
+# explicit [a-zA-Z] classes instead of (?i) for the same reason. The
+# oracle twins interpolate these SAME constants, so the two engines
+# cannot drift. Round-6 review fixes: the email rule is case-blind
+# (JOHN@EXAMPLE.COM leaked straight through the old lowercase-only
+# pattern) and matches IP-host addresses (user@10.0.0.1 — otherwise
+# the IP rule fired first and left the identifying local part behind).
+PII_EMAIL_RE = (
+    "[a-zA-Z0-9._%+-]+@([a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+    "|[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
+)
 PII_PHONE_RE = "[0-9]{2}-[0-9]{2}-[0-9]{4}-[0-9]{4}"
 PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
@@ -144,9 +160,9 @@ def redact_pii_expr(text: str | Column) -> Column:
 
     Pure ``regexp_replace`` chain (JVM-side, codegen, replaces ALL
     occurrences) — the standard pre-training scrub stage. Order matters:
-    IPs before phones would not — the patterns are disjoint — but email
-    first keeps a ``user@10.0.0.1`` address from being half-eaten by
-    the IP rule.
+    email first, so a ``user@10.0.0.1`` address is consumed whole by
+    the email rule (which matches IP hosts too) instead of being
+    half-eaten by the IP rule.
     """
     c = F.col(text) if isinstance(text, str) else text
     out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")

@@ -123,6 +123,14 @@ def repetition_stats(df: DataFrame, text: str, id_col: str) -> DataFrame:
             "dup_word_ratio"
         ),
         (F.col("top_tf").cast("double") / n).alias("top_token_share"),
+        # share over the TRUE bigram count (n_tokens - 1), not
+        # n_tokens — the denominator the Gopher 2-gram threshold needs
+        # (review fix: the docstring promised this column all along)
+        F.when(
+            F.col("n_tokens") > 1,
+            F.col("top_bigram_tf").cast("double")
+            / (F.col("n_tokens") - 1).cast("double"),
+        ).alias("top_bigram_share"),
     )
 
 
@@ -152,9 +160,11 @@ def lm_typicality(
     can exceed broadcast size, so the occurrence→model attach is an
     equi-shuffle join on the bigram key, co-partitioned with the model's
     own groupBy (one logical shuffle of the exploded pairs, reused by
-    AQE). The unigram vocabulary and the 1-row V are broadcast. With a
-    pruned/external model, swap the shuffle join for a broadcast —
-    semantics unchanged.
+    AQE). The unigram attach carries no broadcast HINT — the vocabulary
+    is corpus-derived and unbounded like the bigram model, so Catalyst
+    broadcasts it only while it fits the threshold (round-6 review
+    fix); the 1-row V is broadcast. With a pruned/external model, swap
+    the shuffle joins for broadcasts — semantics unchanged.
 
     Output: (id_col, n_bigrams long, avg_logprob double 6dp — null when
     the document has no bigram).
@@ -188,7 +198,13 @@ def lm_typicality(
     )
     scored = (
         pairs.join(bgm, ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("token", "w1")), "w1")
+        # no broadcast HINT on the unigram table (review fix): the
+        # corpus vocabulary is unbounded — web-scale corpora carry 1e8+
+        # distinct tokens, past any broadcast limit. Locally Catalyst
+        # still broadcasts it under the size threshold; at scale it
+        # correctly falls back to a shuffle join, like the bigram model
+        # above (whose docstring already concedes this).
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
         .crossJoin(F.broadcast(vocab_n))
     )
     per_doc = scored.groupBy(id_col).agg(
@@ -281,6 +297,10 @@ def bm25_topk(
     """
     from pyield_spark.functions.numbers import pround_expr
 
+    # tokens_expr lowercases every corpus token — normalize the query
+    # terms the same way, or a term with an uppercase letter silently
+    # matches NOTHING (review fix)
+    terms = [t.lower() for t in terms]
     toks = df.select(F.col(id_col), tx.tokens_expr(text).alias("_toks"))
     stats = toks.agg(
         F.count("*").cast("long").alias("_n"),

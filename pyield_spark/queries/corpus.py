@@ -99,7 +99,11 @@ def q_distinctive_terms(spark, sf_dir):
            COALESCE(top_bigram_tf, 0) AS top_bigram_tf,
            CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
              AS dup_word_ratio,
-           CAST(top_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share
+           CAST(top_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share,
+           CASE WHEN n_tokens > 1
+                THEN CAST(COALESCE(top_bigram_tf, 0) AS DOUBLE)
+                     / CAST(n_tokens - 1 AS DOUBLE)
+           END AS top_bigram_share
     FROM base
     JOIN tt USING (doc_id)
     LEFT JOIN tb USING (doc_id)

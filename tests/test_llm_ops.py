@@ -448,3 +448,77 @@ def test_asof_ungrouped_empty_right_side(spark):
     rows = out.collect()
     assert len(rows) == 19
     assert all(r["v"] is None and r["dr"] is None for r in rows)
+
+
+def test_pii_redaction_uppercase_and_ip_host_emails(spark):
+    """Round-6 review fixes: the email rule is case-blind and consumes
+    IP-host addresses whole (the old pattern let JOHN@EXAMPLE.COM pass
+    untouched and left 'john.smith@' behind for user@IP)."""
+    from pyield_spark.operators.text import redact_pii_expr
+
+    df = spark.createDataFrame(
+        [
+            ("JOHN@EXAMPLE.COM",),
+            ("John.Smith@Example.com",),
+            ("john.smith@10.0.0.1",),
+            ("plain 10.0.0.1 address",),
+        ],
+        "t string",
+    )
+    got = [r["r"] for r in df.select(redact_pii_expr("t").alias("r")).collect()]
+    assert got[0] == "<EMAIL>"
+    assert got[1] == "<EMAIL>"
+    assert got[2] == "<EMAIL>"          # whole address, no leaked local part
+    assert got[3] == "plain <IP> address"  # bare IPs still tag as IP
+
+
+def test_multimodal_kernels_tolerate_null_payloads(spark):
+    """Round-6 review fix: bytes(None) crashed all three Arrow kernels;
+    null payloads now yield null features / no frames / null resize."""
+    from pyield_spark.operators.multimodal import (
+        extract_features,
+        media_metadata_exprs,
+        resize_payload,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, b"somebytes-0123456789"), (2, None)],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r["features"] for r in extract_features(df).collect()}
+    assert feats[1] is not None and feats[2] is None
+    frames = sample_frames(df, frame_bytes=4).collect()
+    assert all(r["doc_id"] == 1 for r in frames) and len(frames) > 0
+    rez = {r["doc_id"]: r["resized"] for r in resize_payload(df).collect()}
+    assert rez[1] is not None and rez[2] is None
+    meta = df.select(
+        *[c.alias(n) for n, c in media_metadata_exprs("payload").items()]
+    ).collect()
+    fmt = {i: r["format"] for i, r in enumerate(meta)}
+    assert fmt[0] in ("png", "jpeg", "webp") and fmt[1] is None
+
+
+def test_bm25_query_terms_case_normalized(spark):
+    """Round-6 review fix: corpus tokens are lowercased, so an
+    uppercase query term silently matched nothing."""
+    from pyield_spark.operators.vocab import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "Spark makes big data simple"), (2, "pandas is for small data")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "text", "doc_id", ["Spark"], k=5).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_salted_join_rejects_existing_salt_column(spark):
+    from pyield_spark.operators.skew import salted_join
+
+    import pytest as _pytest
+
+    big = spark.createDataFrame([(1, "x")], "k long, _salt string")
+    small = spark.createDataFrame([(1, "d")], "k long, v string")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(big, small, "k")
