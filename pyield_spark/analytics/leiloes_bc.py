@@ -71,7 +71,23 @@ def _taxa_br(col: str) -> F.Column:
 
 
 def _titulo_expr() -> F.Column:
-    out = F.lit(None).cast("string")
+    """codigo_selic → titulo, STRICT like the reference's
+    replace_strict (pyield/bc/leiloes.py:143-145): an unmapped NON-NULL
+    code raises instead of silently publishing a row with titulo null,
+    duration 0 and a restated pu it was never supposed to get (round-6
+    review fix — e.g. a new Treasury instrument code appearing in the
+    Olinda feed must fail loudly). Documented deviation: a NULL code
+    (malformed cell nulled by the lenient parse layer) stays null —
+    strictness is for unknown INSTRUMENTS, not transport noise."""
+    out = F.raise_error(
+        F.concat(
+            F.lit("unmapped codigo_selic: "),
+            F.col("codigo_selic").cast("string"),
+        )
+    ).cast("string")
+    out = F.when(F.col("codigo_selic").isNull(), F.lit(None).cast("string")).otherwise(
+        out
+    )
     for code, name in MAPA_TITULOS.items():
         out = F.when(F.col("codigo_selic") == code, F.lit(name)).otherwise(out)
     return out
@@ -280,12 +296,20 @@ def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFram
     q1 = F.col("quantidade_aceita_1v")
     typed = typed.withColumn(
         "financeiro_1v",
-        F.when(
+        # NULL-predicate parity (review fix): Polars pl.when(null)
+        # yields null, Spark's F.when falls through to otherwise — a
+        # null quantidade_aceita_1v must give a NULL financeiro_1v
+        # (and, via the subtraction, NULL financeiro_2v), not 0.0 with
+        # the whole auction value attributed to the second round
+        # (pyield/bc/leiloes.py:158-166)
+        F.when(q1.isNull(), F.lit(None).cast("double"))
+        .when(
             q1 != 0,
             q1.cast("double")
             / F.col("quantidade_aceita_total").cast("double")
             * F.col("financeiro_total"),
-        ).otherwise(F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.0)),
     ).withColumn(
         "financeiro_2v", F.col("financeiro_total") - F.col("financeiro_1v")
     )
@@ -294,8 +318,12 @@ def processar_leiloes(raw: DataFrame, ptax: DataFrame | None = None) -> DataFram
     keep_pu = (F.col("data_leilao") >= F.lit(_DATA_MUDANCA).cast("date")) | F.col(
         "titulo"
     ).isin("LTN", "NTN-F")
+    # round_pl_expr, not bround (review fix): the reference restates
+    # with Polars .round(6) — scaled-double half-even — and the two
+    # modes flip on grid-adjacent quotients (round_pl_expr docstring);
+    # leiloes_tpf.py already uses round_pl_expr for this operation
     pu_med = F.when(keep_pu, F.col("pu_medio_raw")).otherwise(
-        F.bround(F.col("financeiro_1v") / q1, 6)
+        round_pl_expr(F.col("financeiro_1v") / q1, 6)
     )
     nz = q1 != 0
     typed = (

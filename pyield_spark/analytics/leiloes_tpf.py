@@ -118,17 +118,32 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
             "quantidade_aceita_1v", "quantidade_aceita_2v").cast("bigint"))
         .withColumn("financeiro_aceito_total", hsum(
             "financeiro_aceito_1v", "financeiro_aceito_2v"))
+        # NULL-predicate parity (review fix): Polars pl.when(a == b)
+        # with a null operand yields NULL, Spark's F.when falls to the
+        # otherwise branch and would FABRICATE ofertada x pu_medio for
+        # old-API payloads that legitimately omit the aceita field
+        # (pyield/tpf/leiloes.py:187-196)
         .withColumn(
             "financeiro_ofertado_1v",
             F.when(
+                F.col("quantidade_ofertada_1v").isNull() | q1.isNull(),
+                F.lit(None).cast("double"),
+            )
+            .when(
                 F.col("quantidade_ofertada_1v") == q1, F.col("financeiro_aceito_1v")
-            ).otherwise(F.col("quantidade_ofertada_1v") * F.col("pu_medio")),
+            )
+            .otherwise(F.col("quantidade_ofertada_1v") * F.col("pu_medio")),
         )
         .withColumn(
             "financeiro_ofertado_2v",
             F.when(
+                F.col("quantidade_ofertada_2v").isNull() | q2.isNull(),
+                F.lit(None).cast("double"),
+            )
+            .when(
                 F.col("quantidade_ofertada_2v") == q2, F.col("financeiro_aceito_2v")
-            ).otherwise(F.col("quantidade_ofertada_2v") * F.col("pu_medio")),
+            )
+            .otherwise(F.col("quantidade_ofertada_2v") * F.col("pu_medio")),
         )
         .withColumn(
             "colocacao_1v", q1.cast("double") / F.col("quantidade_ofertada_1v")
@@ -138,7 +153,11 @@ def processar_leiloes_tpf(raw: DataFrame, ptax: DataFrame | None = None) -> Data
         )
         .withColumn(
             "tipo_pu_medio",
-            F.when(F.col("pu_medio") == 0, "calculado").otherwise("original"),
+            # null pu_medio -> null type, the Polars null-predicate
+            # semantics (review fix; pyield/tpf/leiloes.py:203-205)
+            F.when(F.col("pu_medio").isNull(), F.lit(None).cast("string"))
+            .when(F.col("pu_medio") == 0, "calculado")
+            .otherwise("original"),
         )
     )
     typed = (

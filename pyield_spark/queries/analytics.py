@@ -156,9 +156,11 @@ def q_futures_enrich(spark, sf_dir):
       FROM opts
     ),
     weighted AS (
-      SELECT *,
-        CAST(preco_ajuste - LEAD(preco_ajuste, 1, 0.0)
-          OVER (PARTITION BY data_expiracao ORDER BY variacao_strike_bps) AS DECIMAL(18,6)) AS _w
+      -- B3 Manual 3.5 (round-6 review fix): weights are the DISCOUNTED
+      -- SETTLEMENT PRICES themselves (factor 1 here - no DI curve in
+      -- the synthetic panel, the reference's documented taxa=0
+      -- fallback), NOT adjacent-strike differences
+      SELECT *, CAST(preco_ajuste AS DECIMAL(28,12)) AS _w
       FROM priced
     ),
     totaled AS (

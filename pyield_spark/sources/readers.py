@@ -247,7 +247,11 @@ def read_fixed_width_rate(spark: SparkSession, path: str) -> DataFrame:
 
 
 def slice_text_table(
-    spark: SparkSession, path: str, start_marker: str, n_cols: int = 2
+    spark: SparkSession,
+    path: str,
+    start_marker: str,
+    n_cols: int = 2,
+    end_marker: str | None = "99999999*",
 ) -> DataFrame:
     """S13: plain-text report → rows after a marker line, whitespace-split
     (pyield/bc/lft.py:44-79 shape). Line order is made explicit with a
@@ -255,8 +259,19 @@ def slice_text_table(
     with one global min marker would mix files on a multi-file path
     (file 2's pre-marker meta lines all sort after file 1's marker and
     leak as data; review finding) — each file resolves its OWN marker,
-    like read_anbima_csv_bronze's per-file header cutoff. Output
-    carries (source_file, _idx, fields)."""
+    like read_anbima_csv_bronze's per-file header cutoff.
+
+    ``end_marker`` (round-6 review fix): the reference slices
+    ``texto[find('EMISSAO'):find('99999999*')]`` — the real BCB report
+    continues PAST the terminator, and without the cut every
+    post-terminator line with ≥ n_cols fields leaked in as data. A
+    file without the end marker keeps every post-start line (find()
+    = -1 would slice to the last char; the tail-keep is the faithful
+    lenient reading). A file missing the START marker contributes no
+    rows — the reference's texto[-1:fim] degenerate slice; on a
+    multi-file path this silently shrinks the panel, so validate file
+    counts upstream when that matters. Output carries
+    (source_file, _idx, fields)."""
     from pyspark.sql import Window
 
     raw = (
@@ -267,16 +282,25 @@ def slice_text_table(
     raw = raw.withColumn(
         "_idx", F.row_number().over(Window.partitionBy("source_file").orderBy("_mid"))
     )
-    marker_idx = (
-        raw.filter(F.col("value").contains(start_marker))
-        .groupBy("source_file")
-        .agg(F.min("_idx").alias("m"))
+    marker_agg = [
+        F.min(
+            F.when(F.col("value").contains(start_marker), F.col("_idx"))
+        ).alias("m")
+    ]
+    if end_marker is not None:
+        marker_agg.append(
+            F.min(
+                F.when(F.col("value").contains(end_marker), F.col("_idx"))
+            ).alias("e")
+        )
+    marker_idx = raw.groupBy("source_file").agg(*marker_agg)
+    out = raw.join(F.broadcast(marker_idx), "source_file").filter(
+        F.col("m").isNotNull() & (F.col("_idx") > F.col("m"))
     )
-    out = (
-        raw.join(F.broadcast(marker_idx), "source_file")
-        .filter(F.col("_idx") > F.col("m"))
-        .withColumn("fields", F.split(F.trim("value"), r"\s+"))
-        .filter(F.size("fields") >= n_cols)
+    if end_marker is not None:
+        out = out.filter(F.col("e").isNull() | (F.col("_idx") < F.col("e")))
+    out = out.withColumn("fields", F.split(F.trim("value"), r"\s+")).filter(
+        F.size("fields") >= n_cols
     )
     return out.select("source_file", "_idx", "fields")
 

@@ -154,7 +154,16 @@ def parse_xlsx_bytes(
     """
     with zipfile.ZipFile(io.BytesIO(content)) as zf:
         shared = _shared_strings(zf)
-        for name, member in _sheet_parts(zf):
+        parts = list(_sheet_parts(zf))
+        if sheet is not None and sheet not in {n for n, _ in parts}:
+            # loud, like the reference's pl.read_excel(sheet_name=aba)
+            # (round-6 review fix: a typo'd/renamed tab silently
+            # produced an empty DataFrame and an empty silver panel)
+            raise ValueError(
+                f"sheet {sheet!r} not found; workbook has "
+                f"{sorted(n for n, _ in parts)}"
+            )
+        for name, member in parts:
             if sheet is not None and name != sheet:
                 continue
             root = ElementTree.fromstring(zf.read(member))

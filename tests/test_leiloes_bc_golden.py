@@ -109,3 +109,78 @@ def test_tpf_leiloes_golden_parity(spark):
             assert (g.fillna("@") == m.fillna("@")).all(), c
         else:
             assert list(g) == list(m), c
+
+
+def test_null_quantidade_aceita_propagates(spark):
+    """Polars null-predicate parity (round-6 review fix): a null
+    quantidade_aceita_1v yields NULL financeiro_1v/2v, not 0.0 with the
+    whole value attributed to the second round."""
+    from pyield_spark.analytics.leiloes_bc import processar_leiloes
+
+    raw = spark.createDataFrame(
+        [
+            {
+                "id": "x1", "ofertante": "Tesouro Nacional",
+                "dataMovimento": "2026-08-14 00:00:00",
+                "dataLiquidacao": "2026-08-15 00:00:00",
+                "edital": "77", "tipoPublico": "TODOS",
+                "codigoTitulo": "100000",
+                "dataVencimento": "2030-01-01 00:00:00",
+                "tipoOferta": "Venda", "cotacaoMedia": "98,50",
+                "cotacaoCorte": "98,40", "taxaMedia": "10,5",
+                "taxaCorte": "10,6", "financeiro": "1,5",
+                "quantidadeOfertada": "1000", "quantidadeAceita": None,
+                "quantidadeLiquidada": "0",
+                "quantidadeOfertadaSegundaRodada": "0",
+                "quantidadeAceitaSegundaRodada": "0",
+                "quantidadeLiquidadaSegundaRodada": "0",
+            }
+        ],
+        schema=", ".join(
+            f"{c} string" for c in (
+                "id", "ofertante", "dataMovimento", "dataLiquidacao",
+                "edital", "tipoPublico", "codigoTitulo", "dataVencimento",
+                "tipoOferta", "cotacaoMedia", "cotacaoCorte", "taxaMedia",
+                "taxaCorte", "financeiro", "quantidadeOfertada",
+                "quantidadeAceita", "quantidadeLiquidada",
+                "quantidadeOfertadaSegundaRodada",
+                "quantidadeAceitaSegundaRodada",
+                "quantidadeLiquidadaSegundaRodada",
+            )
+        ),
+    )
+    row = processar_leiloes(raw).collect()[0]
+    assert row["financeiro_1v"] is None
+    assert row["financeiro_2v"] is None
+
+
+def test_unmapped_codigo_selic_raises(spark):
+    """replace_strict parity (round-6 review fix): an unknown non-null
+    instrument code fails loudly instead of publishing titulo-null rows
+    with fabricated zero metrics."""
+    import pytest as _pytest
+
+    from pyield_spark.analytics.leiloes_bc import processar_leiloes
+
+    raw = spark.createDataFrame(
+        [
+            {
+                "id": "x2", "ofertante": "Tesouro Nacional",
+                "dataMovimento": "2026-08-14 00:00:00",
+                "dataLiquidacao": "2026-08-15 00:00:00",
+                "edital": "78", "tipoPublico": "TODOS",
+                "codigoTitulo": "999999",  # not in MAPA_TITULOS
+                "dataVencimento": "2030-01-01 00:00:00",
+                "tipoOferta": "Venda", "cotacaoMedia": "98,50",
+                "cotacaoCorte": "98,40", "taxaMedia": "10,5",
+                "taxaCorte": "10,6", "financeiro": "1,5",
+                "quantidadeOfertada": "1000", "quantidadeAceita": "900",
+                "quantidadeLiquidada": "900",
+                "quantidadeOfertadaSegundaRodada": "0",
+                "quantidadeAceitaSegundaRodada": "0",
+                "quantidadeLiquidadaSegundaRodada": "0",
+            }
+        ]
+    )
+    with _pytest.raises(Exception, match="unmapped codigo_selic"):
+        processar_leiloes(raw).collect()

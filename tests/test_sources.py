@@ -462,3 +462,38 @@ def test_tpf_intradia_interior_empty_header_keeps_positions(spark):
     # with the shift bug these read their left neighbor's cell
     assert out[0].data_vencimento == dt.date(2030, 1, 1)
     assert out[0].codigo_selic == 100000
+
+
+def test_slice_text_table_end_marker_cut(spark, tmp_path):
+    """Round-6 review fix: the reference slices to find('99999999*') —
+    post-terminator lines must not leak in as data; a file without the
+    terminator keeps its tail (lenient)."""
+    from pyield_spark.sources import readers as rd
+
+    p = tmp_path / "lft.txt"
+    p.write_text(
+        "header junk\nEMISSAO VENC\n"
+        "210100 123 456\n210100 789 012\n"
+        "99999999* TOTAL\n"
+        "trailing summary 1 2 3\n"
+    )
+    rows = rd.slice_text_table(spark, str(p), "EMISSAO", n_cols=2).collect()
+    firsts = sorted(r["fields"][1] for r in rows)
+    assert firsts == ["123", "789"]  # terminator and trailing line cut
+
+    p2 = tmp_path / "nomarker.txt"
+    p2.write_text("meta only\nno start here\n")
+    assert rd.slice_text_table(spark, str(p2), "EMISSAO").count() == 0
+
+
+def test_read_xlsx_unknown_sheet_raises(spark, tmp_path):
+    """Round-6 review fix: a typo'd tab name fails loudly like the
+    reference's pl.read_excel(sheet_name=aba), not an empty frame."""
+    import pytest as _pytest
+
+    from pyield_spark.sources.xlsx import read_xlsx, write_minimal_xlsx
+
+    path = str(tmp_path / "wb.xlsx")
+    write_minimal_xlsx(path, {"Aba 1": [["a", "b"]]})
+    with _pytest.raises(Exception, match="not found"):
+        read_xlsx(spark, path, sheet="Aba Errada").collect()
