@@ -170,10 +170,17 @@ def _assign_udf(
             best_raw[upd] = d[np.arange(len(rows)), j][better]
             best_i[upd] = ri[better]
             seeded[upd] = True
-        # rows whose probed lists were all empty (can't happen: every
-        # fine centroid lives in exactly one list and probe >= 1 picks
-        # existing lists — but a fully-NaN row keeps dist NaN, cid of
-        # the first candidate, matching the exact route's total order)
+        # A row with ANY NaN element has NaN distance to EVERY fine
+        # centroid, so the exact route's argmin over the inf-replaced
+        # matrix picks index 0 = the lowest cid. The probed-lists path
+        # can't reproduce that on its own: with n_probe < C the
+        # argpartition over all-inf coarse distances picks arbitrary
+        # lists that need not contain cids[0] (ADVICE r6) — so NaN rows
+        # short-circuit to the exact route's answer before returning.
+        nan_rows = np.isnan(x).any(axis=1)
+        if nan_rows.any():
+            best_i[nan_rows] = 0
+            best_raw[nan_rows] = np.nan
         return pd.DataFrame({"_cid": cids[best_i], "_dist": best_raw})
 
     return _assign
@@ -316,6 +323,10 @@ def semantic_dedup(
     Clusters bound the pair space (blocking key); within a cluster any
     pair with cosine ≥ ``tau`` drops the higher id. Returns
     (vec_id, cluster, keep).
+
+    NOTE: construction is EAGER — the underlying ``kmeans_assign`` runs
+    its seed/centroid driver hops (Spark jobs) at CALL time, not at the
+    consumer's first action (see the kmeans_assign docstring for why).
     """
     from pyield_spark.functions.numbers import pround_expr
 

@@ -262,6 +262,13 @@ def hard_negatives(
     near-misses the loss learns the most from (the standard dense-
     retrieval / embedding-training curation step).
 
+    .. warning:: **Default changed (round 6):** ``prune`` now defaults
+       to ``"ivf"`` (approximate, the at-scale path) where it used to
+       be ``None`` (exact brute force). Callers that relied on the old
+       default's exactness must now pass ``prune=None`` explicitly —
+       or raise ``n_probe`` to ``n_centroids``, which makes the pruned
+       route bit-identical to brute force (parity-pinned).
+
     ``prune``:
       - ``None`` (explicit exactness opt-out): brute-force baseline
         (unbounded crossJoin — a quadratic scale cliff on a large

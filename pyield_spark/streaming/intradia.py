@@ -117,10 +117,21 @@ def intradia_stream_enrich(
     # to the parquet reader): a second call with the same
     # snapshot_dir/sink_dir — the natural poll-loop cadence — resumes
     # from the checkpoint and enriches only NEW snapshot files, instead
-    # of replaying everything and appending duplicate rows (review fix)
+    # of replaying everything and appending duplicate rows (review fix).
+    # Scoped per (contrato, data_negociacao): source-file progress is
+    # filter-independent, so an unscoped checkpoint would silently skip
+    # every already-seen snapshot when the same sink_dir is reused with
+    # a DIFFERENT contract or date (ADVICE r6) — each filter combination
+    # gets its own progress log instead.
+    scope = "".join(
+        ch if ch.isalnum() else "_" for ch in f"{contrato}_{data_negociacao}"
+    )
     q = (
         quotes.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", os.path.join(sink_dir, "_checkpoint"))
+        .option(
+            "checkpointLocation",
+            os.path.join(sink_dir, f"_checkpoint_{scope}"),
+        )
         .start()
     )
     q.processAllAvailable()

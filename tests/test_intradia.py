@@ -223,6 +223,33 @@ def test_intradia_stream_replay_equals_batch(spark, tmp_path):
         assert b[c] == s[c], c
 
 
+def test_intradia_stream_checkpoint_scoped_per_filter(spark, tmp_path):
+    """Reusing one sink_dir with a DIFFERENT (contrato, data) must still
+    enrich already-seen snapshots: source-file checkpoints are
+    filter-independent, so before the round-7 scoping a second call
+    with a new filter silently skipped every checkpointed file and
+    returned only the old filter's rows (ADVICE r6)."""
+    from pyield_spark.streaming.intradia import intradia_stream_enrich
+
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    sink = str(tmp_path / "sink")
+    (snap_dir / "t0.json").write_text(json.dumps(PAYLOAD))
+
+    first = intradia_stream_enrich(
+        spark, str(snap_dir), sink, "DI1", dt.date(2026, 8, 14)
+    )
+    assert first.count() == 1
+
+    # same sink, new reference date: t0.json must be re-enriched under
+    # the new filter (its own checkpoint scope), not skipped
+    out = intradia_stream_enrich(
+        spark, str(snap_dir), sink, "DI1", dt.date(2026, 8, 13)
+    )
+    assert out.count() == 2
+    assert sorted(r["dias_uteis"] for r in out.collect()) != [0, 0]
+
+
 def test_processar_intradia_price_quoted_contract(spark, tmp_path):
     """Price-quoted contracts (DOL/WIN family): NO preco->taxa rename,
     no percent conversion, no DV01/forward — preco_* columns pass

@@ -276,6 +276,34 @@ def test_kmeans_null_embedding_row_assigns_lowest_cid(spark):
     assert d is None or d != d  # null or NaN — never a fabricated number
 
 
+def test_kmeans_ivf_nan_rows_match_exact_route(spark):
+    """NaN-bearing rows (whole-row NULL and NaN elements) must get the
+    SAME (cid, dist) from route='ivf' at ANY n_probe as from the exact
+    route: all fine distances are NaN, so exact argmins to the lowest
+    cid — the ivf kernel short-circuits such rows there instead of
+    trusting whichever lists an all-inf argpartition probed (ADVICE
+    r6)."""
+    data = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(1, 30)]
+    data += [(100, None), (101, [float("nan"), 1.0, 1.0]), (102, [1.0, float("nan"), 2.0])]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    exact = {
+        r["_vid"]: (r["_cid"], r["_dist"])
+        for r in sm.kmeans_assign(emb, "vec_id", "embedding", k=9, iters=1).collect()
+    }
+    for n_probe in (1, 2):
+        ivf = {
+            r["_vid"]: (r["_cid"], r["_dist"])
+            for r in sm.kmeans_assign(
+                emb, "vec_id", "embedding", k=9, iters=1,
+                route="ivf", n_probe=n_probe,
+            ).collect()
+        }
+        for vid in (100, 101, 102):
+            assert ivf[vid][0] == exact[vid][0] == 1  # lowest cid
+            d = ivf[vid][1]
+            assert d is None or d != d
+
+
 def test_kmeans_route_validation(spark):
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(8)],
