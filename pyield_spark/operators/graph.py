@@ -21,13 +21,20 @@ Algorithm: iterative min-label propagation.
   round k re-executes rounds 1..k-1 (the classic iterative-plan
   recompute trap) and the driver's plan grows unboundedly.
 
-Rounds needed = graph diameter. Near-dup clusters are LSH-bucket
-near-cliques (diameter ~2-3), so this converges in a handful of rounds
-on real dedup workloads; for adversarial long-path graphs the
-alternating large-star/small-star scheme (Kiveris et al., "Connected
-Components in MapReduce and Beyond") bounds rounds at O(log n) — same
-join/groupBy building blocks, documented here as the swap-in if a
-workload ever shows deep components.
+Rounds: plain propagation needs graph-diameter rounds (the min label
+travels one hop per round). Near-dup clusters are LSH-bucket
+near-cliques (diameter ~2-3), so that converges in a handful of rounds
+on real dedup workloads — but an adversarial long-path component would
+need diameter rounds, which at 100 TB is unbounded. The default
+therefore adds a POINTER-DOUBLING step after each propagation
+(``label ← label(label)``, the classic shortcutting used by the
+MapReduce CC literature — Kiveris et al., "Connected Components in
+MapReduce and Beyond", and GraphFrames' alternating algorithm):
+the pointer forest halves in depth every round, bounding rounds at
+O(log diameter) for ONE extra label-sized join per round. The fixpoint
+is unchanged (labels are still component-min ids), so results are
+bit-identical to plain propagation — the measured lap is in PLANS.md
+(chain diameter 100k: 21 rounds accelerated vs >max_iter plain).
 """
 
 from __future__ import annotations
@@ -39,13 +46,26 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 40,
+    accelerate: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node with at least one edge.
 
     ``cluster_id`` is the minimum node id reachable from the node —
     deterministic and engine-portable (an oracle can restate it as a
     recursive transitive closure + MIN).
+
+    ``accelerate=True`` (default) interleaves pointer doubling with the
+    min-label propagation — O(log diameter) rounds instead of
+    O(diameter), same fixpoint. ``stats`` (optional dict) receives
+    ``{"rounds": n}`` for instrumentation.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds: a silent early stop would return labels that
+    LOOK valid but split real components — the one failure mode a
+    dedup pipeline must never hit quietly. With acceleration on,
+    max_iter=40 covers any graph up to ~2^38 nodes of pure path.
     """
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -57,10 +77,13 @@ def connected_components(
         "label", F.col("node")
     )
     prev_sum = None
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
         labels = labels.localCheckpoint()
         # convergence checksum: labels only ever DECREASE (min-label
-        # propagation), so equal consecutive checksums mean a fixpoint.
+        # propagation; doubling takes label-of-label ≤ label), so equal
+        # consecutive checksums mean a fixpoint.
         # xxhash64 works for ANY id type — sum('label') on STRING ids is
         # null, which silently disabled the early exit and ran all
         # max_iter rounds of checkpoint+join (review-confirmed).
@@ -71,14 +94,41 @@ def connected_components(
             F.sum(F.xxhash64("label").cast("decimal(38,0)"))
         ).collect()[0][0]
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+        rounds += 1
         msgs = und.join(labels, und.u == labels.node).select(
             F.col("v").alias("node"), "label"
         )
         labels = labels.unionByName(msgs).groupBy("node").agg(
             F.min("label").alias("label")
         )
+        if accelerate:
+            # pointer doubling: label ← label(label). Every label value
+            # is itself a node id present in `labels` (labels start as
+            # node ids and only ever take mins of node ids), so the
+            # lookup is total; the left join + coalesce is belt-and-
+            # braces against that invariant ever breaking, not a
+            # semantic branch. One label-sized shuffle join — cheap
+            # next to the edge join, and it turns diameter-bound
+            # convergence into log-bound.
+            ptr = labels.select(
+                F.col("node").alias("_pn"), F.col("label").alias("_pl")
+            )
+            labels = (
+                labels.join(ptr, labels.label == ptr._pn, "left")
+                .select("node", F.coalesce("_pl", "label").alias("label"))
+            )
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            " — component diameter exceeds the iteration budget; raise"
+            " max_iter (accelerate=True needs only log2(diameter)+2"
+            " rounds)"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

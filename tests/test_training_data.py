@@ -21,6 +21,50 @@ def test_connected_components_path_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_deep_chain_log_rounds(spark):
+    """A 400-node path (diameter 399) — plain propagation would need
+    ~400 rounds; pointer doubling must converge in O(log d) and still
+    label every node with the component min."""
+    import pytest
+
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in gr.connected_components(edges, stats=stats).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert stats["rounds"] <= 14  # log2(399) ≈ 8.6 plus slack
+
+    # the plain (diameter-bound) route must now REFUSE to return the
+    # silently-wrong labels it used to produce past max_iter
+    with pytest.raises(RuntimeError, match="did not converge"):
+        gr.connected_components(edges, accelerate=False, max_iter=10)
+
+
+def test_connected_components_accelerate_parity(spark):
+    """Doubling changes rounds, never results: same labels as the plain
+    propagation route on a mixed graph (string ids exercise the
+    xxhash64 checksum path too)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("c", "d"), ("m", "m")],
+        "id_a string, id_b string",
+    )
+    fast = {
+        (r["node"], r["cluster_id"])
+        for r in gr.connected_components(edges).collect()
+    }
+    plain = {
+        (r["node"], r["cluster_id"])
+        for r in gr.connected_components(edges, accelerate=False).collect()
+    }
+    assert fast == plain
+    assert ("d", "a") in fast and ("y", "x") in fast
+
+
 def test_dedup_decisions_keeps_one_per_cluster(spark):
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], "id_a long, id_b long")

@@ -33,6 +33,9 @@ KNOWN_OPS = {
     # intentionally quadratic-in-cluster-size when k doesn't scale
     # with N — see operators/semantic.py)
     "leiloes", "semantic", "neardup",
+    # round-7: connected-components lap (worst-case chain diameter vs
+    # LSH-like near-clique components — VERDICT r6 ask #1)
+    "cc_chain", "cc_clique",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -64,9 +67,14 @@ def timed(name, fn):
 
 def main():
     spark = get_session("scale_smoke")
-    li = replicate(spark.read.parquet(f"{SF}/lineitem.parquet"), ["l_orderkey"])
-    od = replicate(spark.read.parquet(f"{SF}/orders.parquet"), ["o_orderkey", "o_custkey"])
-    print(f"scaled lineitem={li.count():,} orders={od.count():,}")
+    needs_tables = not ONLY or bool(
+        ONLY - {"cc_chain", "cc_clique"}
+    )  # cc ops generate their own edges via spark.range
+    li = od = None
+    if needs_tables:
+        li = replicate(spark.read.parquet(f"{SF}/lineitem.parquet"), ["l_orderkey"])
+        od = replicate(spark.read.parquet(f"{SF}/orders.parquet"), ["o_orderkey", "o_custkey"])
+        print(f"scaled lineitem={li.count():,} orders={od.count():,}")
 
     # business-day counting over the scaled fact table (broadcast joins)
     def bd():
@@ -241,6 +249,57 @@ def main():
 
     if want("futuro"):
         timed(f"futuro_enrich_{FACTOR}x", futuro_scaled)
+
+    # Connected components at FACTOR× (round-7, VERDICT r6 ask #1).
+    # Two shapes: the adversarial WORST case (long paths with ids
+    # ascending along the chain — diameter grows linearly with the
+    # factor, the input that breaks diameter-bound propagation) and the
+    # AVERAGE case (LSH-near-clique components, diameter ~3 — what real
+    # near-dup graphs look like; component COUNT grows with the factor).
+    # Edges are generated distributively via spark.range — no driver
+    # lists. Reports wall, rounds-to-fixpoint and labeled-node count.
+    def cc_chain():
+        from pyield_spark.operators.graph import connected_components
+
+        chain_len = 1000 * FACTOR          # diameter scales with FACTOR
+        n_chains = 20
+        ids = spark.range(n_chains * chain_len)
+        edges = ids.filter((F.col("id") + 1) % chain_len != 0).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        stats = {}
+        n = connected_components(edges, stats=stats).count()
+        print(f"  cc_chain rounds={stats['rounds']} (diameter {chain_len - 1})")
+        return n
+
+    if want("cc_chain"):
+        timed(f"cc_chain_{FACTOR}x", cc_chain)
+
+    def cc_clique():
+        from pyield_spark.operators.graph import connected_components
+
+        n_comp = 4000 * FACTOR             # component count scales
+        size = 6
+        ids = spark.range(n_comp * size)
+        base = ids.select(
+            (F.col("id") / size).cast("long").alias("c"),
+            (F.col("id") % size).alias("m"),
+        )
+        # ring + distance-2 chords per component: diameter ~2, the
+        # LSH-bucket near-clique shape
+        edges = base.select(
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("d"), "c", "m"
+        ).select(
+            (F.col("c") * size + F.col("m")).alias("id_a"),
+            (F.col("c") * size + (F.col("m") + F.col("d")) % size).alias("id_b"),
+        )
+        stats = {}
+        n = connected_components(edges, stats=stats).count()
+        print(f"  cc_clique rounds={stats['rounds']} ({n_comp:,} components)")
+        return n
+
+    if want("cc_clique"):
+        timed(f"cc_clique_{FACTOR}x", cc_clique)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
