@@ -95,14 +95,16 @@ def _family_pricing(panel):
     # Both rate scenarios are computed BEFORE the flow explode: the
     # Generate is a projection barrier, so the nested truncation chains
     # evaluate once per bond, not once per cash flow.
-    fam = fam.withColumn(
-        "_t1", truncar_expr(truncar_expr(F.col("taxa_media"), 8), 8)
-    ).withColumn(
-        "_t2",
-        truncar_expr(
-            pround_expr(truncar_expr(F.col("taxa_media"), 8) + F.lit(0.0001), 8),
-            8,
-        ),
+    fam = fam.withColumns(
+        {
+            "_t1": truncar_expr(truncar_expr(F.col("taxa_media"), 8), 8),
+            "_t2": truncar_expr(
+                pround_expr(
+                    truncar_expr(F.col("taxa_media"), 8) + F.lit(0.0001), 8
+                ),
+                8,
+            ),
+        }
     )
     flows = explode_payment_dates(fam, "liq", "data_vencimento", 6, "pay")
     flows = du_mod.contar(flows, "liq", "pay", alias="_du_f")
@@ -125,10 +127,9 @@ def _family_pricing(panel):
         vp1.cast("decimal(20,12)").cast("decimal(23,12)")
     )
     return (
-        flows.withColumn("_vp1", vp1)
-        .withColumn("_vp2", vp2)
-        .withColumn("_aud", au_dec)
-        .withColumn("_vpd", vp1_dec)
+        flows.withColumns(
+            {"_vp1": vp1, "_vp2": vp2, "_aud": au_dec, "_vpd": vp1_dec}
+        )
         .groupBy("o_orderkey")
         .agg(
             trunc_decimal_sum_expr(
@@ -294,37 +295,42 @@ def _leiloes_oracle() -> str:
 
 @query("q_leiloes", oracle=_leiloes_oracle())
 def q_leiloes(spark, sf_dir):
-    p = _panel(spark, sf_dir)
-    p = du_mod.contar(p, "liq", "data_vencimento", alias="dias_uteis")
-    p = p.join(_family_pricing(_panel(spark, sf_dir)), "o_orderkey", "left")
+    # ONE panel construction feeding both the enriched side and the
+    # family-pricing aggregate (round 7: the plan is identical — the
+    # JVM tree is shared — but the Python-side expression building ran
+    # twice, ~0.6 s of pure py4j chatter in the driver's cold run)
+    pnl = _panel(spark, sf_dir)
+    p = du_mod.contar(pnl, "liq", "data_vencimento", alias="dias_uteis")
+    p = p.join(_family_pricing(pnl), "o_orderkey", "left")
 
     q1 = F.col("quantidade_aceita_1v")
     q2 = F.col("quantidade_aceita_2v")
     qtot = q1 + F.coalesce(q2, F.lit(0))  # sum_horizontal: null counts as 0
-    p = p.withColumn("quantidade_aceita_total", qtot)
     fin1 = F.when(
         q1 != 0,
-        q1.cast("double")
-        / F.col("quantidade_aceita_total").cast("double")
-        * F.col("financeiro_total"),
+        q1.cast("double") / qtot.cast("double") * F.col("financeiro_total"),
     ).otherwise(F.lit(0.0))
-    p = p.withColumn("financeiro_1v", fin1).withColumn(
-        "financeiro_2v", F.col("financeiro_total") - F.col("financeiro_1v")
-    )
 
     # pre-2024-06-11 NTN-B/LFT pu restatement, then zero-acceptance null-out
     keep_pu = (F.col("data_leilao") >= F.lit(_DATA_MUDANCA)) | F.col(
         "titulo"
     ).isin("LTN", "NTN-F")
     pu_med = F.when(keep_pu, F.col("pu_medio_raw")).otherwise(
-        F.when(q1 != 0, F.bround(F.col("financeiro_1v") / q1, 6))
+        F.when(q1 != 0, F.bround(fin1 / q1, 6))
     )
     nz = q1 != 0
-    p = (
-        p.withColumn("pu_medio", F.when(nz, pu_med))
-        .withColumn("pu_corte", F.when(nz, F.col("pu_corte_raw")))
-        .withColumn("taxa_media_o", F.when(nz, F.col("taxa_media")))
-        .withColumn("taxa_corte_o", F.when(nz, F.col("taxa_corte")))
+    # batched withColumns: each single-column withColumn is a full py4j
+    # plan-transform round trip; one call adds them all
+    p = p.withColumns(
+        {
+            "quantidade_aceita_total": qtot,
+            "financeiro_1v": fin1,
+            "financeiro_2v": F.col("financeiro_total") - fin1,
+            "pu_medio": F.when(nz, pu_med),
+            "pu_corte": F.when(nz, F.col("pu_corte_raw")),
+            "taxa_media_o": F.when(nz, F.col("taxa_media")),
+            "taxa_corte_o": F.when(nz, F.col("taxa_corte")),
+        }
     )
 
     # per-title dispatch (leiloes.py:92-118,181-199)
@@ -344,7 +350,7 @@ def q_leiloes(spark, sf_dir):
         .when(is_ltn, F.col("pu_medio") * (1 - ltn_p2 / ltn_p1))
         .otherwise(F.col("pu_medio") * (1 - F.col("_preco2") / F.col("_preco1")))
     )
-    p = p.withColumn("duration", duration).withColumn("dv01_unitario", dv01_unit)
+    p = p.withColumns({"duration": duration, "dv01_unitario": dv01_unit})
 
     # PTAX series + ungrouped backward as-of + USD conversion. The
     # series derives from the session-cached calendar dimension, NOT a
