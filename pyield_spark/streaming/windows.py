@@ -482,11 +482,15 @@ def running_totals_tws(
     operators (applyInPandasWithState is the 3.x-era API kept above for
     parity).
 
-    ENV-BLOCKED in this image: the operator's state-server protocol
-    needs ``google.protobuf``, which is not installed (same class of
-    gap as the Excel reader, documented in COVERAGE.md). The topology
-    is complete and runs wherever protobuf is present; the test skips
-    when the import is missing.
+    Environment requirements: the operator's state-server protocol
+    needs ``google.protobuf``, and its multiple state column families
+    need the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``; the rocksdbjni jar ships with
+    PySpark). This image has no protobuf wheel, but the test harness
+    locates a vendorable pure-Python copy (tests/conftest.py) — the
+    round-6 env-skip is a RUN test since round 7. The test skips only
+    when no protobuf can be found at all.
     """
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

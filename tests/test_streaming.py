@@ -105,12 +105,18 @@ def _has_protobuf() -> bool:
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithStateInPandas needs google.protobuf (not in image)",
+    reason="transformWithStateInPandas needs google.protobuf (not in image"
+    " and no vendorable pure-Python copy found — see conftest)",
 )
 def test_tws_running_totals_matches_batch(spark, sf_dir):
     """transformWithStateInPandas carries typed ValueState across
     micro-batches; the final emitted row per group equals the batch
-    aggregate (same contract as the applyInPandasWithState twin)."""
+    aggregate (same contract as the applyInPandasWithState twin).
+
+    Runs under the RocksDB state store provider — TWS uses multiple
+    column families, which HDFSBackedStateStoreProvider rejects (the
+    rocksdbjni jar ships with PySpark). Scoped to this stream and
+    restored after."""
     batch = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .groupBy("event_type")
@@ -127,7 +133,22 @@ def test_tws_running_totals_matches_batch(spark, sf_dir):
 
     ev = sw.read_events_stream(spark, sf_dir)
     out = sw.running_totals_tws(ev)
-    got = sw.run_to_memory(out, "tws_test_out", mode="update", shuffle_partitions=8)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = sw.run_to_memory(
+            out, "tws_test_out", mode="update", shuffle_partitions=8
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
     final = (
         got.withColumn("_rn", F.row_number().over(w))
