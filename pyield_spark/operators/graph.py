@@ -93,6 +93,15 @@ def connected_components(
         cur = labels.agg(
             F.sum(F.xxhash64("label").cast("decimal(38,0)"))
         ).collect()[0][0]
+        if cur is None:
+            # empty label set (no edges): the fixpoint is trivially the
+            # empty frame. Without this branch the None checksum never
+            # equals itself under the `is not None` guard and an empty
+            # pair list — a perfectly normal "no near-dups found" input
+            # — would burn max_iter rounds and then RAISE (round-7
+            # self-review; the pre-r7 code silently spun all rounds too)
+            converged = True
+            break
         if prev_sum is not None and cur == prev_sum:
             converged = True
             break

@@ -45,6 +45,22 @@ def test_connected_components_deep_chain_log_rounds(spark):
         gr.connected_components(edges, accelerate=False, max_iter=10)
 
 
+def test_connected_components_empty_edges(spark):
+    """An empty pair list — the normal 'no near-dups found' outcome —
+    must yield an empty labeling immediately (and every document a
+    kept singleton through dedup_decisions), not burn max_iter rounds
+    or raise the round-7 non-convergence error."""
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    stats: dict = {}
+    assert gr.connected_components(edges, stats=stats).count() == 0
+    assert stats["rounds"] == 0
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    rows = gr.dedup_decisions(docs, edges).collect()
+    assert {r["doc_id"] for r in rows if r["keep"]} == {0, 1, 2, 3}
+    assert all(r["cluster_id"] == r["doc_id"] for r in rows)
+
+
 def test_connected_components_accelerate_parity(spark):
     """Doubling changes rounds, never results: same labels as the plain
     propagation route on a mixed graph (string ids exercise the
