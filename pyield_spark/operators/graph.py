@@ -26,15 +26,18 @@ travels one hop per round). Near-dup clusters are LSH-bucket
 near-cliques (diameter ~2-3), so that converges in a handful of rounds
 on real dedup workloads — but an adversarial long-path component would
 need diameter rounds, which at 100 TB is unbounded. The default
-therefore adds a POINTER-DOUBLING step after each propagation
+therefore ADAPTIVELY adds a POINTER-DOUBLING step after each
+propagation once a few plain rounds haven't converged
 (``label ← label(label)``, the classic shortcutting used by the
 MapReduce CC literature — Kiveris et al., "Connected Components in
 MapReduce and Beyond", and GraphFrames' alternating algorithm):
 the pointer forest halves in depth every round, bounding rounds at
-O(log diameter) for ONE extra label-sized join per round. The fixpoint
-is unchanged (labels are still component-min ids), so results are
-bit-identical to plain propagation — the measured lap is in PLANS.md
-(chain diameter 100k: 21 rounds accelerated vs >max_iter plain).
+O(log diameter) for ONE extra label-sized join per round — while
+shallow near-clique graphs converge before the doubling ever engages
+and pay nothing. The fixpoint is unchanged (labels are still
+component-min ids), so results are bit-identical to plain propagation
+— the measured lap is in PLANS.md (chain diameter 100k: ~20 rounds
+accelerated vs >max_iter plain).
 """
 
 from __future__ import annotations
@@ -48,6 +51,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 40,
     accelerate: bool = True,
+    accelerate_after: int = 3,
     stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node with at least one edge.
@@ -57,15 +61,21 @@ def connected_components(
     recursive transitive closure + MIN).
 
     ``accelerate=True`` (default) interleaves pointer doubling with the
-    min-label propagation — O(log diameter) rounds instead of
-    O(diameter), same fixpoint. ``stats`` (optional dict) receives
+    min-label propagation once more than ``accelerate_after`` rounds
+    have run — O(log diameter) rounds instead of O(diameter), same
+    fixpoint. The delay is the adaptive part: real near-dup graphs are
+    LSH-bucket near-cliques that converge in 2–3 plain rounds, and the
+    doubling join (one labels-sized shuffle per round) would be pure
+    overhead there (~+20% measured on q_dedup_clusters at sf0.1);
+    deep components get the log-bound behavior from round
+    ``accelerate_after``+1 on. ``stats`` (optional dict) receives
     ``{"rounds": n}`` for instrumentation.
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iter`` rounds: a silent early stop would return labels that
     LOOK valid but split real components — the one failure mode a
     dedup pipeline must never hit quietly. With acceleration on,
-    max_iter=40 covers any graph up to ~2^38 nodes of pure path.
+    max_iter=40 covers any graph up to ~2^34 nodes of pure path.
     """
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -113,7 +123,7 @@ def connected_components(
         labels = labels.unionByName(msgs).groupBy("node").agg(
             F.min("label").alias("label")
         )
-        if accelerate:
+        if accelerate and rounds > accelerate_after:
             # pointer doubling: label ← label(label). Every label value
             # is itself a node id present in `labels` (labels start as
             # node ids and only ever take mins of node ids), so the

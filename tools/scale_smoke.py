@@ -36,6 +36,9 @@ KNOWN_OPS = {
     # round-7: connected-components lap (worst-case chain diameter vs
     # LSH-like near-clique components — VERDICT r6 ask #1)
     "cc_chain", "cc_clique",
+    # round-7: the NTN-B total-return composite (ladder window + 4
+    # deslocar joins + 3 broadcast as-ofs + role-tagged cotacao pass)
+    "totalret",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -300,6 +303,29 @@ def main():
 
     if want("cc_clique"):
         timed(f"cc_clique_{FACTOR}x", cc_clique)
+
+    # NTN-B total-return decomposition at FACTOR× positions: replicate
+    # orders with shifted keys (each copy contributes its own ~1/97
+    # bond slice; dates unchanged, so the VNA/rate series and calendar
+    # joins stay dimension-sized while the position axis scales — the
+    # realistic 100 TB axis for this analytic is #positions×#periods)
+    def totalret():
+        from pyield_spark.queries.total_return import q_ntnb_total_return
+
+        import tempfile
+
+        base = spark.read.parquet(f"{SF}/orders.parquet")
+        scaled = None
+        for i in range(FACTOR):
+            c = base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+            scaled = c if scaled is None else scaled.unionByName(c)
+        d = tempfile.mkdtemp(prefix="scale_tr_")
+        scaled.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        out = q_ntnb_total_return(spark, d)
+        return out.filter(F.col("retorno_total").isNotNull()).count()
+
+    if want("totalret"):
+        timed(f"totalret_{FACTOR}x", totalret)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
