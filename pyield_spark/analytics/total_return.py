@@ -158,30 +158,38 @@ def decompor_retorno_ntnb(
     )
 
     # VNA lookups: backward as-of against the (dimension-sized) series —
-    # broadcast route, zero fact-side shuffles. Three lookups: the two
-    # adjusted boundaries plus the RAW payment date for coupon cash
-    # (the reference's _obter_vna_pagamento fallback semantics).
+    # broadcast route, zero fact-side shuffles. Three lookups per
+    # period (the two adjusted boundaries plus the RAW payment date for
+    # coupon cash — the reference's _obter_vna_pagamento fallback
+    # semantics), MELTED into one long frame so the as-of machinery is
+    # constructed ONCE: three separate asof_join calls each rebuild the
+    # broadcast interval plan (~1 s of py4j round trips apiece — the
+    # query was build-dominated, 3× exec), while the melt costs one
+    # cheap explode + a (ids, periodo)-keyed pivot on a frame of
+    # 3×#periods rows.
     serie = vna.select(
         F.to_date(vna_data).alias("_vd"), F.col(vna_col).alias("_vv")
     )
-    periods = asof_join(
-        periods,
-        serie.select(F.col("_vd").alias("_vdi"), F.col("_vv").alias("_vna_ini")),
-        on="_inicio_util", right_on="_vdi", strategy="backward",
-        values=["_vna_ini"], distribution="broadcast",
+    lookups = periods.select(
+        *id_cols, "periodo",
+        F.explode(
+            F.array(
+                F.struct(F.lit("i").alias("w"), F.col("_inicio_util").alias("d")),
+                F.struct(F.lit("f").alias("w"), F.col("_fim_util").alias("d")),
+                F.struct(F.lit("p").alias("w"), F.col("_fim").alias("d")),
+            )
+        ).alias("_l"),
+    ).select(*id_cols, "periodo", F.col("_l.w").alias("_w"), F.col("_l.d").alias("_d"))
+    matched = asof_join(
+        lookups, serie, on="_d", right_on="_vd", strategy="backward",
+        values=["_vv"], distribution="broadcast",
     )
-    periods = asof_join(
-        periods,
-        serie.select(F.col("_vd").alias("_vdf"), F.col("_vv").alias("_vna_fim")),
-        on="_fim_util", right_on="_vdf", strategy="backward",
-        values=["_vna_fim"], distribution="broadcast",
+    vnas = matched.groupBy(*id_cols, "periodo").agg(
+        F.max(F.when(F.col("_w") == "i", F.col("_vv"))).alias("_vna_ini"),
+        F.max(F.when(F.col("_w") == "f", F.col("_vv"))).alias("_vna_fim"),
+        F.max(F.when(F.col("_w") == "p", F.col("_vv"))).alias("_vna_pag"),
     )
-    periods = asof_join(
-        periods,
-        serie.select(F.col("_vd").alias("_vdp"), F.col("_vv").alias("_vna_pag")),
-        on="_fim", right_on="_vdp", strategy="backward",
-        values=["_vna_pag"], distribution="broadcast",
-    )
+    periods = periods.join(vnas, [*id_cols, "periodo"])
 
     # The enriched periods frame feeds TWO consumers (the role explode
     # for quotes and the final join back) — without a checkpoint the

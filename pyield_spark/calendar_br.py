@@ -190,13 +190,23 @@ def df_cache_get(spark, subkey: tuple, builder):
 
 
 def calendar_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END):
-    """The business-day dimension as a (broadcastable) Spark DataFrame."""
+    """The business-day dimension as a (broadcastable) Spark DataFrame.
+
+    Materialized via ``localCheckpoint`` rather than ``cache``: a
+    cached ``createDataFrame`` still embeds the ~40k-row LocalRelation
+    in the LOGICAL plan of every consumer, so each analysis /
+    checkpoint / plan-stringification in a calendar-joining query walks
+    (and ships) the whole table; the checkpoint truncates it to a
+    LogicalRDD scan — a constant-size plan node — for the same one-off
+    materialization cost (round-7 build-time profile: q_leiloes plan
+    construction −0.5 s, and every du-joining query sheds a slice).
+    """
     return df_cache_get(
         spark,
         ("cal", start, end),
         lambda: spark.createDataFrame(
             calendar_rows(start, end), _CAL_SCHEMA
-        ).cache(),
+        ).localCheckpoint(),
     )
 
 
@@ -211,8 +221,10 @@ def business_dates_df(spark, start: dt.date = CAL_START, end: dt.date = CAL_END)
                 rows.append(("antigo", c_a, d))
             if bd_n:
                 rows.append(("novo", c_n, d))
+        # localCheckpoint, not cache — same plan-size rationale as
+        # calendar_df above
         return spark.createDataFrame(
             rows, "regime STRING, ordinal BIGINT, data DATE"
-        ).cache()
+        ).localCheckpoint()
 
     return df_cache_get(spark, ("bdinv", start, end), build)
