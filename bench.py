@@ -73,12 +73,17 @@ def main():
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     names = HEADLINE + sorted(n for n in QUERIES if n not in HEADLINE)
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(reps):
+        for i in range(reps):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt_q = time.perf_counter() - t0
+            if i == 0:
+                # the single-cold-run wall (plan build paid in full) —
+                # what the driver's n=1 bench actually experiences
+                first_run[name] = round(dt_q, 3)
             best = dt_q if best is None else min(best, dt_q)
         timings[name] = round(best, 3)
 
@@ -101,6 +106,9 @@ def main():
                     "unit": "sec",
                     "n_queries": len(timings),
                     "queries": timings,
+                    # first iteration per query (cold plan build) —
+                    # identical to "queries" when reps == 1
+                    "first_run": first_run,
                     "sf": sf_val,
                 },
                 fh,
