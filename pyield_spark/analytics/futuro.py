@@ -237,6 +237,57 @@ def enriquecer(df: DataFrame, contrato: str) -> DataFrame:
     )
 
 
+def di1_interpolar_taxas(
+    historico: DataFrame,
+    targets: DataFrame,
+    tipo_taxa: str = "ajuste",
+    data_ref: str = "data_referencia",
+    du: str = "dias_uteis",
+    target_du: str = "dias_uteis_alvo",
+    extrapolar: bool = True,
+    alias: str = "taxa_interpolada",
+) -> DataFrame:
+    """DI1 curve interpolation with the reference's rate-source knob
+    (pyield/futuro/di1.py:118-236 ``interpolar_taxas``/``interpolar_taxa``,
+    tests/test_di1.py).
+
+    ``tipo_taxa="ajuste"`` (default) builds the per-reference-date
+    flat-forward curve from ``taxa_ajuste``; ``"fechamento"`` uses the
+    last traded rate instead — which may carry NULL vertices on
+    untraded maturities: those vertices are DROPPED before
+    interpolation (the reference's Polars curve cleaning), so a date
+    whose chosen column has no usable vertex interpolates to null
+    (reference: NaN). Any other value raises ``ValueError``, matching
+    ``di1.interpolar_taxas``' validation.
+
+    ``historico`` is the enriched DI1 panel (``data_referencia``,
+    ``dias_uteis``, ``taxa_ajuste``, ``taxa_fechamento``);
+    ``targets`` carries ``data_referencia`` + ``target_du``. One
+    grouped-interpolar window shuffle, same engine core as
+    q_interp_flat_forward.
+    """
+    if tipo_taxa not in ("ajuste", "fechamento"):
+        raise ValueError(
+            f"tipo_taxa must be 'ajuste' or 'fechamento', got {tipo_taxa!r}"
+        )
+    rate_col = "taxa_ajuste" if tipo_taxa == "ajuste" else "taxa_fechamento"
+    curve = historico.select(
+        data_ref, F.col(du).alias("_du_v"), F.col(rate_col).alias("_tx_v")
+    ).filter(F.col("_tx_v").isNotNull() & ~F.isnan("_tx_v"))
+    from pyield_spark.curves.interpolate import interpolar
+
+    return interpolar(
+        targets,
+        curve,
+        du_col=target_du,
+        curve_du="_du_v",
+        curve_rate="_tx_v",
+        by=data_ref,
+        extrapolar=extrapolar,
+        alias=alias,
+    )
+
+
 def invert_bid_ask(df: DataFrame, bid: str, ask: str) -> DataFrame:
     """Price bid/ask become rate ask/bid on rate-quoted contracts
     (historico.py:15-28): highest price bid = lowest rate ask.

@@ -195,6 +195,10 @@ import functools as _functools
 di1 = SimpleNamespace(
     interpolar_taxas=interpolar,
     interpolar_taxa=scalar.interpolar_taxa,
+    # the reference signature's tipo_taxa knob (ajuste/fechamento
+    # source selection + null-vertex drop + validation) over the
+    # enriched DI1 panel — di1.py:118-236 / tests/test_di1.py
+    interpolar_historico=_futuro_mod.di1_interpolar_taxas,
     dados=_functools.partial(_futuro_mod.enriquecer, contrato="DI1"),
 )
 

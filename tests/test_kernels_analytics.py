@@ -287,3 +287,56 @@ def test_cpm_ticker_parse_docstring_goldens(spark):
     assert got["CPMZ25C099500"] == (12, 2025, "call", 99.5, -50)
     assert got["CPMF25C100750"] == (1, 2025, "call", 100.75, 75)
     assert got["CPMH25P100000"] == (3, 2025, "put", 100.0, 0)
+
+
+def test_di1_interpolar_taxas_tipo_taxa(spark):
+    """Replay of the reference's tests/test_di1.py over the engine's
+    DataFrame twin: 'ajuste' (default) reads the adjustment curve,
+    'fechamento' the last-traded curve, a NULL fechamento vertex is
+    dropped (sole-vertex date -> null result), and an invalid tipo_taxa
+    raises ValueError naming the argument."""
+    import datetime as dt
+
+    import pytest
+
+    from pyield_spark.analytics.futuro import di1_interpolar_taxas
+
+    d = dt.date(2025, 1, 2)
+    hist = spark.createDataFrame(
+        [(d, 1, 0.10, 0.11), (d, 2, 0.20, 0.21)],
+        "data_referencia date, dias_uteis long,"
+        " taxa_ajuste double, taxa_fechamento double",
+    )
+    targets = spark.createDataFrame(
+        [(d, 1), (d, 2)], "data_referencia date, dias_uteis_alvo long"
+    )
+
+    def got(df):
+        return {
+            r["dias_uteis_alvo"]: r["taxa_interpolada"] for r in df.collect()
+        }
+
+    # default = ajuste (exact vertex hits)
+    assert got(di1_interpolar_taxas(hist, targets)) == {1: 0.10, 2: 0.20}
+    # fechamento curve
+    assert got(
+        di1_interpolar_taxas(hist, targets, tipo_taxa="fechamento")
+    ) == {1: 0.11, 2: 0.21}
+
+    # a null fechamento on the only vertex -> no curve for the date ->
+    # null (the reference's None/NaN)
+    hist_null = spark.createDataFrame(
+        [(d, 1, 0.10, None)],
+        "data_referencia date, dias_uteis long,"
+        " taxa_ajuste double, taxa_fechamento double",
+    )
+    one = spark.createDataFrame(
+        [(d, 1)], "data_referencia date, dias_uteis_alvo long"
+    )
+    out = di1_interpolar_taxas(hist_null, one, tipo_taxa="fechamento").collect()
+    assert len(out) == 1 and out[0]["taxa_interpolada"] is None
+    # ...while ajuste still resolves on the same panel
+    assert got(di1_interpolar_taxas(hist_null, one)) == {1: 0.10}
+
+    with pytest.raises(ValueError, match="tipo_taxa"):
+        di1_interpolar_taxas(hist, targets, tipo_taxa="media")
