@@ -225,11 +225,16 @@ ipca = SimpleNamespace(
 
 # yd.tpf — bond families (same objects as the top level), auctions,
 # benchmarks, ANBIMA taxas/IMA-Q, RMD, secondary market
+from pyield_spark.functions.dates import filtrar_periodo as _filtrar_periodo
+
 tpf = SimpleNamespace(
     lft=lft, ltn=ltn, ntnb=ntnb, ntnb1=ntnb1, ntnbp=ntnbp, ntnc=ntnc,
     ntnf=ntnf,
     leiloes=_tpf_leiloes,
     leiloes_bc=_bc_leiloes,
+    # the fetch API's data/inicio/fim temporal-mode contract over a
+    # local frame (reference leiloes()/taxas_historicas() validation)
+    filtrar_periodo=_filtrar_periodo,
     ler_leiloes_json=_read_leiloes_json,
     benchmarks=SimpleNamespace(
         ler=_benchmark_mod.read_benchmarks_json,

@@ -159,7 +159,22 @@ def vna_projetado(data: dt.date, vna_base: float, inflacao_pct: float,
                   day_start: int = 15) -> float:
     """Projected VNA (pyield/tpf/vna/ntnb.py:91-139, ntnc.py:110-158,
     _utils.py:38-65): vigência window per family, STN precision chain
-    trunc6/bround2/trunc14/trunc6."""
+    trunc6/bround2/trunc14/trunc6.
+
+    Domain rules (reference `_aplicar_variacao_pro_rata`,
+    tests/tpf/vna/test_vna.py): empty inputs → NaN; the VNA-base must
+    be positive and the inflação variation > -100% (ValueError
+    otherwise — a non-positive base or a ≤-100% projection is data
+    corruption, not a price)."""
+    if data is None or vna_base is None or inflacao_pct is None:
+        return float("nan")
+    # validate AFTER the reference's own precision steps (trunc6 base,
+    # bround2 projection): a 1e-9 base truncates to 0 and a -99.996%
+    # projection rounds to -100 — both must raise exactly as there
+    if truncar(vna_base, 6) <= 0:
+        raise ValueError("VNA-base deve ser positivo")
+    if _bround(inflacao_pct, 2) <= -100:
+        raise ValueError("projeção de inflação deve ser maior que -100%")
     if day_start == 1:
         inicio = data.replace(day=1)
         fim = _add_months(inicio, 1)

@@ -84,3 +84,63 @@ def test_relogio_tz(spark):
     assert skew <= dt.timedelta(minutes=2)
     assert row.hoje in (now.date(), now.date() - dt.timedelta(days=1),
                         now.date() + dt.timedelta(days=1))
+
+
+def test_filtrar_periodo_temporal_modes(spark):
+    """Replay of the reference fetch-APIs' temporal-mode contract
+    (tests/tpf/test_leilao.py::test_leiloes_rejeita_modos_temporais_
+    ambiguos + test_taxas.py inverted-interval): data xor inicio/fim,
+    fim needs inicio, inicio <= fim; the surviving modes filter the
+    frame."""
+    import datetime as dt
+
+    import pytest
+
+    from pyield_spark.functions.dates import filtrar_periodo
+
+    df = spark.createDataFrame(
+        [(dt.date(2025, 10, d),) for d in (1, 15, 23, 28)], "d date"
+    )
+    with pytest.raises(ValueError, match="data não pode ser combinado"):
+        filtrar_periodo(df, "d", data="23-10-2025", inicio="01-10-2025")
+    with pytest.raises(ValueError, match="fim só pode ser usado"):
+        filtrar_periodo(df, "d", fim="23-10-2025")
+    with pytest.raises(ValueError, match="inicio deve ser menor"):
+        filtrar_periodo(df, "d", inicio="24-10-2025", fim="23-10-2025")
+    with pytest.raises(ValueError, match="inválido"):
+        filtrar_periodo(df, "d", data="not-a-date")
+
+    assert filtrar_periodo(df, "d").count() == 4
+    assert filtrar_periodo(df, "d", data="23-10-2025").count() == 1
+    assert filtrar_periodo(df, "d", inicio="15-10-2025").count() == 3
+    assert (
+        filtrar_periodo(df, "d", inicio="02-10-2025", fim="23-10-2025").count() == 2
+    )
+
+
+def test_vna_projetado_scalar_domain():
+    """Reference tests/tpf/vna/test_vna.py: empty inputs → NaN;
+    non-positive (post-trunc6) base and ≤-100% (post-bround2)
+    projection raise — including the precision-boundary cases the raw
+    values would miss."""
+    import datetime as dt
+    import math
+
+    import pytest
+
+    from pyield_spark.scalar import vna_projetado
+
+    d = dt.date(2025, 3, 20)
+    assert math.isnan(vna_projetado(None, 4000.0, 0.5))
+    assert math.isnan(vna_projetado(d, None, 0.5))
+    assert math.isnan(vna_projetado(d, 4000.0, None))
+    with pytest.raises(ValueError, match="VNA-base"):
+        vna_projetado(d, 0.0, 0.5)
+    with pytest.raises(ValueError, match="VNA-base"):
+        vna_projetado(d, 1e-9, 0.5)  # trunc6 -> 0, the reference's order
+    with pytest.raises(ValueError, match="inflação"):
+        vna_projetado(d, 4000.0, -100.0)
+    with pytest.raises(ValueError, match="inflação"):
+        vna_projetado(d, 4000.0, -99.996)  # bround2 -> -100.0
+    # the valid path is untouched
+    assert vna_projetado(d, 4000.0, 0.5) > 4000.0
