@@ -85,3 +85,38 @@ def probabilities(
         .withColumn("rank_reuniao", F.dense_rank().over(Window.orderBy(meeting)))
     )
     return opt.join(F.broadcast(meetings), meeting).drop("_w")
+
+
+def copom_calendar(
+    meetings: DataFrame,
+    start=None,
+    end=None,
+    end_date_col: str = "data_fim_reuniao",
+) -> DataFrame:
+    """The reference's ``copom.calendar(start, end)`` window over a
+    meeting dimension (pyield/selic/copom.py:118-171,
+    tests/copom/test_copom.py::test_calendar_date_range_filter /
+    _far_future_returns_empty): meetings whose END date falls inside
+    [start, end], either bound optional — a far-future start yields the
+    empty frame, not an error."""
+    c = F.to_date(F.col(end_date_col))
+    out = meetings
+    if start is not None:
+        out = out.filter(c >= F.lit(start))
+    if end is not None:
+        out = out.filter(c <= F.lit(end))
+    return out
+
+
+def next_meeting(
+    meetings: DataFrame,
+    reference,
+    end_date_col: str = "data_fim_reuniao",
+) -> DataFrame:
+    """The first meeting ending at-or-after ``reference``
+    (copom.py next_meeting; tests/copom/test_copom.py::
+    test_next_meeting_*): one row, or the empty frame when the
+    reference date is past the calendar. A bounded sort-limit — the
+    meeting dimension is ~8 rows/year."""
+    c = F.to_date(F.col(end_date_col))
+    return meetings.filter(c >= F.lit(reference)).orderBy(c).limit(1)

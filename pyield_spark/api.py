@@ -214,6 +214,10 @@ ptax = ptax_serie  # scalar fetch → series reader + as-of (MIGRATION.md)
 # composite lives in queries/analytics.py::q_copom_probs/q_cpm_dissect)
 selic = SimpleNamespace(
     probabilities=_selic_mod.probabilities,
+    copom=SimpleNamespace(
+        calendar=_selic_mod.copom_calendar,
+        next_meeting=_selic_mod.next_meeting,
+    ),
 )
 
 # yd.ipca — IBGE aggregate-API parse + VNA projection silver

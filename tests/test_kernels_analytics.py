@@ -340,3 +340,37 @@ def test_di1_interpolar_taxas_tipo_taxa(spark):
 
     with pytest.raises(ValueError, match="tipo_taxa"):
         di1_interpolar_taxas(hist, targets, tipo_taxa="media")
+
+
+def test_copom_calendar_and_next_meeting(spark):
+    """Replay of tests/copom/test_copom.py over the engine twins:
+    calendar(start, end) bounds the END date (far-future start ->
+    empty, not an error); next_meeting returns the single first
+    meeting ending at-or-after the reference, empty past the
+    calendar."""
+    import datetime as dt
+
+    from pyield_spark.analytics.selic import copom_calendar, next_meeting
+
+    meetings = spark.createDataFrame(
+        [(dt.date(2025, m, 15),) for m in (1, 3, 5, 6, 7, 9, 11, 12)]
+        + [(dt.date(2026, 1, 28),)],
+        "data_fim_reuniao date",
+    )
+    inside = copom_calendar(
+        meetings, start=dt.date(2025, 1, 1), end=dt.date(2025, 12, 31)
+    ).collect()
+    assert len(inside) == 8
+    assert all(
+        dt.date(2025, 1, 1) <= r["data_fim_reuniao"] <= dt.date(2025, 12, 31)
+        for r in inside
+    )
+    assert copom_calendar(meetings, start=dt.date(2099, 1, 1)).count() == 0
+    # one-sided end works (unlike the auction fetch contract)
+    assert copom_calendar(meetings, end=dt.date(2025, 3, 31)).count() == 2
+
+    nxt = next_meeting(meetings, dt.date(2025, 1, 29)).collect()
+    assert len(nxt) == 1 and nxt[0]["data_fim_reuniao"] == dt.date(2025, 3, 15)
+    exact = next_meeting(meetings, dt.date(2025, 6, 15)).collect()
+    assert exact[0]["data_fim_reuniao"] == dt.date(2025, 6, 15)  # at-or-after
+    assert next_meeting(meetings, dt.date(2099, 1, 1)).count() == 0
