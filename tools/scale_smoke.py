@@ -39,6 +39,9 @@ KNOWN_OPS = {
     # round-7: the NTN-B total-return composite (ladder window + 4
     # deslocar joins + 3 broadcast as-ofs + role-tagged cotacao pass)
     "totalret",
+    # round-7: the text-parse connector twin (synthesize ';'-lines ->
+    # real silver parse -> gold) at FACTOR x rows
+    "mensal",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -326,6 +329,30 @@ def main():
 
     if want("totalret"):
         timed(f"totalret_{FACTOR}x", totalret)
+
+    # The monthly-zip connector twin at FACTOR× rows: the whole
+    # bronze→silver→gold chain is NARROW (line synthesis, split/parse,
+    # typed casts, financeiro arithmetic — no joins, one groupBy-free
+    # map pipeline), so wall should scale ~linearly with rows and the
+    # plan shape not change at all — the property a 100 TB text-lake
+    # ingest needs.
+    def mensal():
+        from pyield_spark.queries import QUERIES, load_all
+
+        import tempfile
+
+        load_all()
+        base = spark.read.parquet(f"{SF}/orders.parquet")
+        scaled = None
+        for i in range(FACTOR):
+            c = base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+            scaled = c if scaled is None else scaled.unionByName(c)
+        d = tempfile.mkdtemp(prefix="scale_mg_")
+        scaled.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        return QUERIES["q_mensal_gold"](spark, d).count()
+
+    if want("mensal"):
+        timed(f"mensal_gold_{FACTOR}x", mensal)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
