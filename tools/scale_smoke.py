@@ -42,6 +42,8 @@ KNOWN_OPS = {
     # round-7: the text-parse connector twin (synthesize ';'-lines ->
     # real silver parse -> gold) at FACTOR x rows
     "mensal",
+    # round-7: BM25 lexical retrieval at FACTOR x documents
+    "bm25",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -353,6 +355,24 @@ def main():
 
     if want("mensal"):
         timed(f"mensal_gold_{FACTOR}x", mensal)
+
+    # BM25 at FACTOR× documents: the design promise is that the only
+    # data-sized shuffle carries query-term-matching tokens (pruned
+    # BEFORE the tf groupBy), corpus stats are one map-side aggregate,
+    # and the top-k is a TakeOrdered — wall should track the token scan.
+    def bm25():
+        from pyield_spark.operators.vocab import bm25_topk
+        from pyield_spark.queries.corpus import _BM25_TERMS
+
+        docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text"),
+            ["doc_id"],
+        )
+        out = bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
+        return out.count()
+
+    if want("bm25"):
+        timed(f"bm25_topk_{FACTOR}x", bm25)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
