@@ -44,6 +44,8 @@ KNOWN_OPS = {
     "mensal",
     # round-7: BM25 lexical retrieval at FACTOR x documents
     "bm25",
+    # round-7: corpus shuffle + sequence packing at FACTOR x documents
+    "pack",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -373,6 +375,31 @@ def main():
 
     if want("bm25"):
         timed(f"bm25_topk_{FACTOR}x", bm25)
+
+    # Corpus shuffle (dense global position, bucketed — no
+    # single-partition rank) + sequence packing (hash-sharded cumsum
+    # bins) at FACTOR× documents — the assembly stages that run LAST in
+    # a training-data pipeline, over the whole kept corpus.
+    def pack():
+        from pyield_spark.operators.sampling import (
+            global_sort_index,
+            pack_sequences,
+        )
+        from pyield_spark.operators.text import token_count_expr
+
+        docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text"),
+            ["doc_id"],
+        )
+        toks = docs.select(
+            "doc_id", token_count_expr("text").alias("n_tokens")
+        )
+        shuffled = global_sort_index(toks, "doc_id")
+        packed = pack_sequences(shuffled, "n_tokens", "doc_id", budget=2048)
+        return packed.select("doc_id").count()
+
+    if want("pack"):
+        timed(f"pack_{FACTOR}x", pack)
 
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
