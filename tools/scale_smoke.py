@@ -5,8 +5,9 @@ targets; same shuffle structure).
 
 Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
 (ops: bd interp asof asof_ungrouped asof_broadcast minhash bootstrap lm
-futuro composites leiloes semantic neardup — default all; leiloes/
-semantic/neardup select individual members of the composites set)
+futuro composites leiloes semantic neardup cc_chain cc_clique totalret
+mensal bm25 pack — default all; leiloes/semantic/neardup select
+individual members of the composites set)
 """
 
 from __future__ import annotations
