@@ -38,11 +38,21 @@ joins against the series, and the three quotes per period are ONE
 ``ntnb_cotacao`` explode-and-aggregate pass over a role-tagged frame
 (no per-row Python anywhere).
 
-Deviation from the reference, documented: when a coupon date coincides
-with ``data_final`` the reference's ladder holds a duplicate date and
-emits one extra zero-length all-ones period; the columnar ladder
-dedupes calc dates (keeping the coupon flag), so that identity row is
-omitted — every real period is identical.
+Deviations from the reference, documented:
+
+- when a coupon date coincides with ``data_final`` the reference's
+  ladder holds a duplicate date and emits one extra zero-length
+  all-ones period; the columnar ladder dedupes calc dates (keeping the
+  coupon flag), so that identity row is omitted — every real period is
+  identical.
+- scaling: the article divides ``ntnb.cotacao(...)`` and the coupon
+  flow by 100 (utils.py:62,128), which was written against the
+  pre-0.40 base-100 API — the CURRENT reference ``cotacao`` already
+  returns base 1 (ntnb.py cotacao docstring: "Fator de cotação em base
+  1") and ``fluxos_caixa`` base-1 flows, so running the article
+  verbatim today double-divides. This twin uses the coherent base-1
+  reading throughout: quotes enter the ratios as-is and
+  ``valor_pagamento = vna·0.02956301`` (the base-1 coupon).
 """
 
 from __future__ import annotations

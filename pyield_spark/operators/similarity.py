@@ -246,6 +246,212 @@ def ivf_topk(
     )
 
 
+def _pq_codebooks(base: DataFrame, m: int, ks: int, dim: int):
+    """Deterministic product-quantization sub-codebooks: the ``ks``
+    lowest-id vectors, each sliced into ``m`` contiguous subvectors
+    (offline k-means per subspace would slot in unchanged — the
+    plumbing below is identical). One bounded driver hop of ks rows,
+    the same collect class as the k-means centroid hop
+    (``semantic.py``).
+
+    Returns ``(cb, cbn)``: ``cb[s][j]`` = subvector (python floats,
+    exact doubles), ``cbn[s][j]`` = its squared norm accumulated
+    LEFT-TO-RIGHT — the same association order as the engine-side
+    ``list_reduce``/``aggregate`` folds, so the value is bit-identical
+    to what a SQL oracle computes from the same parquet cells.
+    """
+    sub = dim // m
+    rows = base.orderBy("_vid").limit(ks).select("_vec").collect()
+    cb: list[list[list[float]]] = [[] for _ in range(m)]
+    cbn: list[list[float]] = [[] for _ in range(m)]
+    for r in rows:
+        vec = list(r["_vec"])
+        for s in range(m):
+            sv = vec[s * sub : (s + 1) * sub]
+            acc = 0.0
+            for x in sv:
+                acc += x * x
+            cb[s].append(sv)
+            cbn[s].append(acc)
+    return cb, cbn
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    refine: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse inverted lists + product-quantized candidate
+    scoring (ADC) + exact refine — the memory-bounded 100 TB scale path.
+
+    Where ``ivf_topk`` rescans FULL vectors inside the probed lists,
+    this variant scores candidates from ``m``-byte PQ codes via
+    asymmetric distance computation (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011; the
+    FAISS ``IVFPQ`` index family): each vector stores only its list id
+    and ``m`` codeword indexes (here 4 codes ≈ 4 bytes vs 64 float64s —
+    a 128× candidate-payload compression at scoring time), each query
+    precomputes an ``m × ks`` dot-product lookup table against the
+    broadcast sub-codebooks, and the candidate score is ``m`` table
+    lookups — no dim-sized arithmetic per candidate. The ADC top-
+    ``refine`` (default ``4·k``) then rescores EXACTLY and the final
+    top-k ranks on the exact cosine, the standard refine step.
+
+    Codes quantize the RAW vectors (FAISS ``by_residual=False`` — the
+    no-residual IVFPQ variant), which keeps the codebooks
+    list-independent and every stage oracle-expressible.
+
+    Determinism: code assignment ranks the 6dp-rounded subspace L2
+    distance with codeword-id tie-breaks; ADC and refine ranks round to
+    6dp with neighbor-id tie-breaks; every reduction is a left-to-right
+    fold. Bit-stable across engines (same contract as ``ivf_topk``).
+
+    Returns (query_id, neighbor_id, list_id, adc_cosine, cosine, rnk)
+    — ``adc_cosine`` the quantized score that selected the candidate,
+    ``cosine``/``rnk`` the exact refine result.
+    """
+    from pyspark.sql import Window
+
+    from pyield_spark.functions.numbers import pround_expr
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if refine is None:
+        refine = 4 * k
+    sub = dim // m
+
+    base = emb.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+
+    cents = _ivf_codebook(base, n_centroids)
+    cb, cbn = _pq_codebooks(base, m, ks, dim)
+
+    # --- encode: m codeword indexes per vector, all map-side ----------
+    # code_s = argmin_j round(‖v_s − cw[s][j]‖², 6) with j tie-break,
+    # via array_min over (dist, j) structs (struct ordering is
+    # lexicographic; Spark's total order pins NaN ties the same way the
+    # oracle's ORDER BY does)
+    def _code(s: int) -> Column:
+        cands = F.array(*[
+            F.struct(
+                pround_expr(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("_vec", s * sub + 1, sub),
+                            F.array(*[F.lit(c) for c in cb[s][j]]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(ks)
+        ])
+        return F.array_min(cands).getField("j")
+
+    # ‖v‖² of the RECONSTRUCTION: Σ_s ‖cw[s][code_s]‖², the PQ-side norm
+    # of the ADC cosine. Left-to-right sum over s — fold-order-stable.
+    def _pqn2() -> Column:
+        acc = F.lit(0.0)
+        for s in range(m):
+            acc = acc + F.get(
+                F.array(*[F.lit(x) for x in cbn[s]]), F.get("_codes", s)
+            )
+        return acc
+
+    assigned = (
+        _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1)
+        .withColumn("_codes", F.array(*[_code(s) for s in range(m)]))
+        .withColumn("_pqn2", _pqn2())
+    )
+
+    # --- queries: probe lists + the m×ks ADC lookup table -------------
+    queries = base.filter(
+        query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
+    ).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm2").alias("_qnorm2"),
+    )
+    lut = F.array(*[
+        F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.slice("_qvec", s * sub + 1, sub),
+                    F.array(*[F.lit(c) for c in cb[s][j]]),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(ks)
+        ])
+        for s in range(m)
+    ])
+    probes = _ivf_nearest_lists(
+        queries.withColumn("_lut", lut), cents, "query_id", "_qvec",
+        "_qnorm2", n_probe,
+    )
+
+    # --- ADC scoring: m table lookups per candidate, no dim-sized work
+    cand = probes.join(assigned, "_cid").filter(F.col("_vid") != F.col("query_id"))
+    adc_dot = F.lit(0.0)
+    for s in range(m):
+        adc_dot = adc_dot + F.get(F.get("_lut", s), F.get("_codes", s))
+    scored = cand.withColumn(
+        "adc_cosine",
+        pround_expr(
+            adc_dot / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_pqn2"))), 6
+        ),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("_vid").asc()
+    )
+    shortlist = (
+        scored.filter(~F.isnan("adc_cosine"))  # NaN outranks under desc
+        .withColumn("_arn", F.row_number().over(w_adc))
+        .filter(F.col("_arn") <= refine)
+    )
+
+    # --- exact refine over the bounded shortlist -----------------------
+    refined = shortlist.withColumn(
+        "cosine",
+        pround_expr(
+            dot_dec(F.col("_qvec"), F.col("_vec"))
+            / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
+            6,
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_vid").asc()
+    )
+    return (
+        refined.filter(~F.isnan("cosine"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("_vid").alias("neighbor_id"),
+            F.col("_cid").alias("list_id"),
+            "adc_cosine",
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def hard_negatives(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -494,6 +494,145 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+# === IVF-PQ: product-quantized candidate scoring + exact refine ===========
+
+_PQ_L2_SJ = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17),"
+    " i -> (n.v[c.s * 16 + i] - c.sv[i]) * (n.v[c.s * 16 + i] - c.sv[i])))"
+    ", (a, b) -> a + b)"
+)
+_PQ_QDOT_SJ = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17),"
+    " i -> q.v[c.s * 16 + i] * c.sv[i])), (a, b) -> a + b)"
+)
+_PQ_ADC_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 4),"
+    " s -> l.lut[s + 1][pm.codes[s + 1] + 1])), (a, b) -> a + b)"
+)
+_PQ_EXACT_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+    " i -> qv[i] * bv[i])), (a, b) -> a + b)"
+)
+
+
+@query(
+    "q_ivfpq_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (a, b) -> a + b) AS norm2
+      FROM base
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v, norm2 FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM norms
+      ) WHERE crn <= 16
+    ),
+    assign AS (
+      SELECT vec_id, v, norm2, cid FROM (
+        SELECT n.vec_id, n.v, n.norm2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM norms n CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    cwsrc AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS r FROM norms
+      ) WHERE r <= 16
+    ),
+    cwn AS (
+      SELECT ss.s, w.j,
+        list_slice(w.v, ss.s * 16 + 1, ss.s * 16 + 16) AS sv,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_slice(w.v, ss.s * 16 + 1, ss.s * 16 + 16),
+                         x -> x * x)), (a, b) -> a + b) AS svn2
+      FROM cwsrc w CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss
+    ),
+    codes AS (
+      SELECT vec_id, s, j AS code, svn2 FROM (
+        SELECT n.vec_id, c.s, c.j, c.svn2,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.s ORDER BY
+            {pround_sql(_PQ_L2_SJ, 6)} ASC, c.j) AS rn
+        FROM norms n CROSS JOIN cwn c
+      ) WHERE rn = 1
+    ),
+    pqmeta AS (
+      SELECT vec_id,
+        list(code ORDER BY s) AS codes,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(svn2 ORDER BY s)),
+                    (a, b) -> a + b) AS pqn2
+      FROM codes GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v, norm2, cid FROM (
+        SELECT n.vec_id, n.v, n.norm2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM norms n CROSS JOIN cents c
+        WHERE n.vec_id % 100 = 0
+      ) WHERE arn <= 4
+    ),
+    qlut AS (
+      SELECT query_id, list(lrow ORDER BY s) AS lut FROM (
+        SELECT q.vec_id AS query_id, c.s,
+          list({_PQ_QDOT_SJ} ORDER BY c.j) AS lrow
+        FROM (SELECT * FROM norms WHERE vec_id % 100 = 0) q CROSS JOIN cwn c
+        GROUP BY q.vec_id, c.s
+      ) GROUP BY query_id
+    ),
+    cand AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id, p.cid AS list_id,
+        p.v AS qv, p.norm2 AS qnorm2, b.v AS bv, b.norm2 AS bnorm2,
+        {pround_sql(
+            _PQ_ADC_DOT + " / (sqrt(p.norm2) * sqrt(pm.pqn2))", 6)} AS adc_cosine
+      FROM probes p
+      JOIN assign b ON b.cid = p.cid AND b.vec_id <> p.query_id
+      JOIN pqmeta pm ON pm.vec_id = b.vec_id
+      JOIN qlut l ON l.query_id = p.query_id
+    ),
+    shortlist AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_cosine DESC, neighbor_id) AS arn
+        FROM cand WHERE NOT isnan(adc_cosine)
+      ) WHERE arn <= 20
+    ),
+    refined AS (
+      SELECT query_id, neighbor_id, list_id, adc_cosine,
+        {pround_sql(
+            _PQ_EXACT_DOT + " / (sqrt(qnorm2) * sqrt(bnorm2))", 6)} AS cosine
+      FROM shortlist
+    )
+    SELECT query_id, neighbor_id, list_id, adc_cosine, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM refined WHERE NOT isnan(cosine)
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN over the embeddings table: 16 coarse lists / 4
+    probes, 4×16 product-quantization sub-codebooks, ADC shortlist of
+    20 candidates, exact cosine refine to top-5 (see
+    operators/similarity.py::ivfpq_topk for the 100 TB design — PQ
+    codes shrink the candidate-scoring payload ~128× vs full float64
+    vectors)."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4,
+        m=4, ks=16, refine=20,
+    )
+
+
 # === Gopher-style quality filter composition ==============================
 
 _SW_LISTS_SQL = {

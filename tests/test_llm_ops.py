@@ -522,3 +522,69 @@ def test_salted_join_rejects_existing_salt_column(spark):
     small = spark.createDataFrame([(1, "d")], "k long, v string")
     with _pytest.raises(ValueError, match="_salt"):
         salted_join(big, small, "k")
+
+
+def test_ivfpq_exhaustive_config_is_exact(spark, sf_dir):
+    """With n_probe == n_centroids and a refine window covering the
+    whole corpus, IVF-PQ degenerates to brute force: probing is
+    exhaustive, the ADC shortlist passes every candidate through, and
+    the final rank is the exact cosine — so (pairs, cosine, rnk) must
+    equal cosine_topk bit-for-bit. Pins the refine stage's exactness
+    independent of quantization quality."""
+    from pyield_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    exact = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rnk)
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    full = ivfpq_topk(
+        emb, "vec_id", "embedding", k=5,
+        n_centroids=16, n_probe=16, m=4, ks=16, refine=n,
+    ).collect()
+    got = {(r.query_id, r.neighbor_id): (r.cosine, r.rnk) for r in full}
+    assert got == exact
+
+
+def test_ivfpq_default_route_shape_and_exact_rescore(spark, sf_dir):
+    """Default (pruned) route: every query returns a dense 1..k rank,
+    the reported ``cosine`` is the EXACT pair score (the refine never
+    publishes a quantized value in that column), and adc_cosine is a
+    valid quantized cosine."""
+    from pyield_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ivfpq_topk(
+        emb, "vec_id", "embedding", k=5,
+        n_centroids=16, n_probe=4, m=4, ks=16, refine=20,
+    ).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+        assert -1.000001 <= r.adc_cosine <= 1.000001
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+    # exact-rescore contract: where a returned pair is in the brute
+    # top-5, the cosine matches the brute score exactly
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert r.cosine == exact[key]
+
+
+def test_ivfpq_rejects_indivisible_subspaces(spark):
+    from pyield_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        ivfpq_topk(emb, m=5)
