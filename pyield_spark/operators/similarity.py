@@ -7,6 +7,13 @@
 - ``lsh_bucket_expr``: random-hyperplane (sign-LSH) bucketing with a
   deterministic portable pseudo-hyperplane family — the 100 TB path:
   bucket-join candidates first, score only candidates.
+- ``ivf_topk``: coarse inverted lists + exact in-list rescore — the
+  indexed scale path when full vectors fit the scoring stage.
+- ``pq_encode`` / ``ivfpq_topk``: the memory-bounded scale path —
+  product-quantized codes at ingest, m-lookup ADC candidate scoring,
+  exact refine of the ADC shortlist.
+- ``hard_negatives``: different-label top-k mining over the same IVF
+  machinery.
 
 At scale the brute-force variant is O(Q·N); keep Q bounded (it's meant
 for re-ranking LSH/IVF candidates, not full scans).
@@ -214,9 +221,13 @@ def ivf_topk(
         F.col("_vec").alias("_qvec"),
         F.col("_norm2").alias("_qnorm2"),
     )
+    # Q·n_probe rows — materialized so the candidate join sees an
+    # exactly-sized tiny build side (AQE broadcast; the corpus side
+    # never shuffles) instead of planning against an unmaterialized
+    # window subtree (same fix as ivfpq_topk, measured there)
     probes = _ivf_nearest_lists(
         queries, cents, "query_id", "_qvec", "_qnorm2", n_probe
-    )
+    ).localCheckpoint(eager=False)
 
     cand = probes.join(assigned, "_cid").filter(F.col("_vid") != F.col("query_id"))
     scored = cand.withColumn(
@@ -276,6 +287,75 @@ def _pq_codebooks(base: DataFrame, m: int, ks: int, dim: int):
     return cb, cbn
 
 
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """The INGEST-TIME half of IVF-PQ: assign every vector to its
+    coarse list and product-quantize it to ``m`` codeword indexes.
+
+    Returns the index frame ``(_vid, _vec, _norm2, _cid, _codes,
+    _pqn2)`` that ``ivfpq_topk(index=...)`` serves from. In a real
+    deployment this runs ONCE per corpus (or incrementally per
+    partition at ingest) and is persisted — the per-query cost then
+    excludes the encode entirely, exactly FAISS's train/add vs search
+    split. The measured laps (PLANS.md) show why the split matters:
+    encoding is the dominant one-off cost, while the serve path is
+    m-lookup ADC over the probed lists.
+
+    All stages are map-side except the one coarse-assignment window;
+    codes quantize the RAW vectors (no-residual IVFPQ), so the index
+    frame is reproducible from the corpus alone — see ``ivfpq_topk``
+    for the determinism contract.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    base = emb.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    cents = _ivf_codebook(base, n_centroids)
+    cb, cbn = _pq_codebooks(base, m, ks, dim)
+
+    from pyield_spark.functions.numbers import pround_expr
+
+    def _code(s: int) -> Column:
+        cands = F.array(*[
+            F.struct(
+                pround_expr(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("_vec", s * sub + 1, sub),
+                            F.array(*[F.lit(c) for c in cb[s][j]]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(ks)
+        ])
+        return F.array_min(cands).getField("j")
+
+    out = _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1).withColumn(
+        "_codes", F.array(*[_code(s) for s in range(m)])
+    )
+    pqn2 = F.lit(0.0)
+    for s in range(m):
+        pqn2 = pqn2 + F.get(
+            F.array(*[F.lit(x) for x in cbn[s]]), F.get("_codes", s)
+        )
+    return out.withColumn("_pqn2", pqn2)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -288,6 +368,7 @@ def ivfpq_topk(
     ks: int = 16,
     refine: int | None = None,
     dim: int = 64,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN: coarse inverted lists + product-quantized candidate
     scoring (ADC) + exact refine — the memory-bounded 100 TB scale path.
@@ -314,6 +395,11 @@ def ivfpq_topk(
     6dp with neighbor-id tie-breaks; every reduction is a left-to-right
     fold. Bit-stable across engines (same contract as ``ivf_topk``).
 
+    Pass ``index=`` a frame previously built by ``pq_encode`` (same
+    corpus and parameters) to skip the ingest-time encode entirely —
+    the serve-path contract; persisting that frame is how a real
+    deployment amortizes the encode across query batches.
+
     Returns (query_id, neighbor_id, list_id, adc_cosine, cosine, rnk)
     — ``adc_cosine`` the quantized score that selected the candidate,
     ``cosine``/``rnk`` the exact refine result.
@@ -332,50 +418,30 @@ def ivfpq_topk(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
     ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
 
-    cents = _ivf_codebook(base, n_centroids)
-    cb, cbn = _pq_codebooks(base, m, ks, dim)
-
-    # --- encode: m codeword indexes per vector, all map-side ----------
-    # code_s = argmin_j round(‖v_s − cw[s][j]‖², 6) with j tie-break,
-    # via array_min over (dist, j) structs (struct ordering is
-    # lexicographic; Spark's total order pins NaN ties the same way the
-    # oracle's ORDER BY does)
-    def _code(s: int) -> Column:
-        cands = F.array(*[
-            F.struct(
-                pround_expr(
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice("_vec", s * sub + 1, sub),
-                            F.array(*[F.lit(c) for c in cb[s][j]]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("d"),
-                F.lit(j).alias("j"),
-            )
-            for j in range(ks)
-        ])
-        return F.array_min(cands).getField("j")
-
-    # ‖v‖² of the RECONSTRUCTION: Σ_s ‖cw[s][code_s]‖², the PQ-side norm
-    # of the ADC cosine. Left-to-right sum over s — fold-order-stable.
-    def _pqn2() -> Column:
-        acc = F.lit(0.0)
-        for s in range(m):
-            acc = acc + F.get(
-                F.array(*[F.lit(x) for x in cbn[s]]), F.get("_codes", s)
-            )
-        return acc
-
-    assigned = (
-        _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1)
-        .withColumn("_codes", F.array(*[_code(s) for s in range(m)]))
-        .withColumn("_pqn2", _pqn2())
-    )
+    # ingest-time half: coarse assignment + m codeword indexes per
+    # vector (see pq_encode — all map-side, codes quantize raw vectors).
+    # With a prebuilt index the codebooks derive from the INDEX frame
+    # (same _vid/_vec/_norm2 columns, already materialized) — rebuilding
+    # them from the raw corpus would re-run the norm folds over every
+    # vector, the exact scan the index exists to amortize (measured:
+    # ~2× the whole serve wall at the 100× lap).
+    if index is not None:
+        assigned = index
+        cents = _ivf_codebook(index, n_centroids)
+        cb, _cbn = _pq_codebooks(index, m, ks, dim)
+    else:
+        # two consumers downstream (candidate scoring + the refine's
+        # by-key vector fetch) — deliberately NOT checkpointed: the
+        # refine consumer reads only (_vid, _vec, _norm2), so Catalyst
+        # column-prunes the expensive code-assignment expressions out
+        # of that branch entirely (its "re-execution" is a plain
+        # vector scan); materializing the full wide index costs more
+        # than the pruned rescan saves (measured at the 100× lap —
+        # checkpointing regressed end-to-end ~1.6×). Callers who DO
+        # want the index reused across calls pass ``index=`` instead.
+        assigned = pq_encode(emb, id_col, vec_col, n_centroids, m, ks, dim)
+        cents = _ivf_codebook(base, n_centroids)
+        cb, _cbn = _pq_codebooks(base, m, ks, dim)
 
     # --- queries: probe lists + the m×ks ADC lookup table -------------
     queries = base.filter(
@@ -400,13 +466,27 @@ def ivfpq_topk(
         ])
         for s in range(m)
     ])
+    # probes is Q·n_probe rows (bounded by the query batch) —
+    # materialize it so (a) the candidate join sees an exactly-sized
+    # tiny build side (AQE broadcast, the corpus never shuffles) and
+    # (b) the per-query LUT folds compute once, not once per consumer.
+    # Measured at the 100× lap: the serve wall drops ~4× (the
+    # unmaterialized window subtree was dominating the whole path).
     probes = _ivf_nearest_lists(
         queries.withColumn("_lut", lut), cents, "query_id", "_qvec",
         "_qnorm2", n_probe,
-    )
+    ).localCheckpoint(eager=False)
 
-    # --- ADC scoring: m table lookups per candidate, no dim-sized work
-    cand = probes.join(assigned, "_cid").filter(F.col("_vid") != F.col("query_id"))
+    # --- ADC scoring: m table lookups per candidate, no dim-sized work.
+    # The candidate stream is CODES-ONLY: neither side's full vector
+    # enters the join or the ranking exchange (the whole point of PQ —
+    # candidate rows are (query_id, _vid, _cid, adc) ≈ 28 bytes, not
+    # 64 doubles); the shortlist fetches vectors BY KEY afterwards.
+    cand = (
+        probes.select("query_id", "_qnorm2", "_lut", "_cid")
+        .join(assigned.select("_vid", "_cid", "_codes", "_pqn2"), "_cid")
+        .filter(F.col("_vid") != F.col("query_id"))
+    )
     adc_dot = F.lit(0.0)
     for s in range(m):
         adc_dot = adc_dot + F.get(F.get("_lut", s), F.get("_codes", s))
@@ -415,7 +495,7 @@ def ivfpq_topk(
         pround_expr(
             adc_dot / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_pqn2"))), 6
         ),
-    )
+    ).select("query_id", "_vid", "_cid", "adc_cosine")
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_cosine").desc(), F.col("_vid").asc()
     )
@@ -425,14 +505,28 @@ def ivfpq_topk(
         .filter(F.col("_arn") <= refine)
     )
 
-    # --- exact refine over the bounded shortlist -----------------------
-    refined = shortlist.withColumn(
-        "cosine",
-        pround_expr(
-            dot_dec(F.col("_qvec"), F.col("_vec"))
-            / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
-            6,
-        ),
+    # --- exact refine over the bounded shortlist: fetch the refine·Q
+    # full vectors by key (AQE broadcasts the tiny shortlist, so the
+    # corpus side never shuffles), then score exactly. Vector source:
+    # the prebuilt index when given (already materialized — no raw
+    # rescan), else BASE — not `assigned`, whose coarse-assignment
+    # window would re-execute for this branch (column pruning drops
+    # expressions, not exchanges; measured ~2× the e2e wall) ----------
+    vec_src = assigned if index is not None else base
+    refined = (
+        shortlist
+        .join(vec_src.select("_vid", "_vec", "_norm2"), "_vid")
+        .join(
+            queries.select("query_id", "_qvec", "_qnorm2"), "query_id"
+        )
+        .withColumn(
+            "cosine",
+            pround_expr(
+                dot_dec(F.col("_qvec"), F.col("_vec"))
+                / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
+                6,
+            ),
+        )
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("_vid").asc()
@@ -523,6 +617,13 @@ def hard_negatives(
         probed = _ivf_nearest_lists(
             probes, cents, "query_id", "_qvec", "_qnorm2", n_probe
         )
+        if query_pred is not None:
+            # Q·n_probe rows — broadcast-sized build side for the
+            # candidate join (same fix as ivf_topk). Only when the
+            # probe set is bounded: with query_pred=None probes are
+            # CORPUS-sized and materializing n_probe copies of every
+            # vector would trade a shuffle for an O(N·n_probe) pin.
+            probed = probed.localCheckpoint(eager=False)
         # equi-join on the list id — the pruning step; the self pair is
         # removed by the label filter (a vector shares its own label)
         pairs = probed.join(assigned, "_cid").filter(

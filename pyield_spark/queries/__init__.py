@@ -76,6 +76,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_clusters", "q_dedup_keep_best",  # pointer-doubling CC
     "q_kmeans_clusters", "q_semantic_dedup",  # ivf NaN short-circuit
     "q_hard_negatives",
+    # probes-materialization change in the IVF candidate joins
+    # (operators/similarity.py, round-7 continuation)
+    "q_ivf_topk",
     # remaining slots fill via driver_ordered()'s registration-order
     # ``rest`` — the round-1 relational/pricing core gets fresh rows
 ]

@@ -588,3 +588,27 @@ def test_ivfpq_rejects_indivisible_subspaces(spark):
 
     with _pytest.raises(ValueError, match="divisible"):
         ivfpq_topk(emb, m=5)
+
+
+def test_ivfpq_prebuilt_index_matches_end_to_end(spark, sf_dir):
+    """Serving from a pq_encode() index (the ingest/serve split) must
+    return exactly what the end-to-end call returns — same codebooks,
+    same codes, same ranks."""
+    from pyield_spark.operators.similarity import ivfpq_topk, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(k=5, n_centroids=16, n_probe=4, m=4, ks=16, refine=20)
+    e2e = {
+        (r.query_id, r.neighbor_id): (r.list_id, r.adc_cosine, r.cosine, r.rnk)
+        for r in ivfpq_topk(emb, "vec_id", "embedding", **kw).collect()
+    }
+    idx = pq_encode(
+        emb, "vec_id", "embedding", n_centroids=16, m=4, ks=16
+    ).localCheckpoint()
+    served = {
+        (r.query_id, r.neighbor_id): (r.list_id, r.adc_cosine, r.cosine, r.rnk)
+        for r in ivfpq_topk(
+            emb, "vec_id", "embedding", index=idx, **kw
+        ).collect()
+    }
+    assert served == e2e

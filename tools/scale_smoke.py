@@ -47,6 +47,14 @@ KNOWN_OPS = {
     "bm25",
     # round-7: corpus shuffle + sequence packing at FACTOR x documents
     "pack",
+    # round-7 (continued): IVF vs IVF-PQ candidate scoring at FACTOR x
+    # vectors with a FIXED query workload (corpus grows, queries don't)
+    "ivfpq",
+    # round-7 (continued): the warehouse family (SCD2 build / MERGE
+    # dispatch / trailing-30d RANGE frame) at FACTOR x orders
+    "warehouse",
+    # round-7 (continued): gap-based sessionization at FACTOR x events
+    "sessionize",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -402,6 +410,71 @@ def main():
     if want("pack"):
         timed(f"pack_{FACTOR}x", pack)
 
+    # IVF vs IVF-PQ at FACTOR× vectors, FIXED 20-query workload (the
+    # corpus grows, the query set does not — the serving-side scaling
+    # axis). Candidate space per query = N·n_probe/C grows linearly;
+    # the lap contrasts full-vector in-list rescoring (ivf_topk,
+    # dim-sized arithmetic per candidate) against m-lookup ADC scoring
+    # + bounded exact refine (ivfpq_topk).
+    def _ann(variant):
+        from pyield_spark.operators.similarity import ivf_topk, ivfpq_topk
+
+        emb = replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        )
+        pred = (F.col("_vid") < 2000) & (F.col("_vid") % 100 == 0)
+        if variant == "ivf":
+            out = ivf_topk(
+                emb, "vec_id", "embedding", query_pred=pred,
+                k=5, n_centroids=16, n_probe=4,
+            )
+        else:
+            out = ivfpq_topk(
+                emb, "vec_id", "embedding", query_pred=pred,
+                k=5, n_centroids=16, n_probe=4, m=4, ks=16, refine=20,
+            )
+        return out.count()
+
+    if want("ivfpq"):
+        timed(f"ivf_topk_fixedq_{FACTOR}x", lambda: _ann("ivf"))
+        timed(f"ivfpq_topk_fixedq_{FACTOR}x", lambda: _ann("ivfpq"))
+
+        # serve-only: the PQ index built and materialized OUTSIDE the
+        # timer (pq_encode is the ingest-time half — run once per
+        # corpus, persisted, amortized over every query batch; the
+        # end-to-end row above re-encodes per run and is therefore
+        # encode-dominated)
+        from pyield_spark.operators.similarity import ivfpq_topk, pq_encode
+
+        emb_s = replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        )
+        idx_holder = {}
+
+        def _encode():
+            idx_holder["idx"] = pq_encode(
+                emb_s, "vec_id", "embedding", n_centroids=16, m=4, ks=16
+            ).localCheckpoint()
+            return idx_holder["idx"].count()
+
+        timed(f"ivfpq_encode_{FACTOR}x", _encode)
+        idx = idx_holder["idx"]
+        pred_s = (F.col("_vid") < 2000) & (F.col("_vid") % 100 == 0)
+        timed(
+            f"ivfpq_serve_{FACTOR}x",
+            lambda: ivfpq_topk(
+                emb_s, "vec_id", "embedding", query_pred=pred_s,
+                k=5, n_centroids=16, n_probe=4, m=4, ks=16, refine=20,
+                index=idx,
+            ).count(),
+        )
+
     # --- round-4 additions: run the REGISTERED composite queries on a
     # materialized FACTOR× sf_dir (replicated tables written to parquet,
     # then the exact queries() plans — not hand-rolled equivalents) ---
@@ -414,14 +487,35 @@ def main():
     run_leiloes = want("composites") or want("leiloes")
     run_semantic = want("composites") or want("semantic")
     run_neardup = want("composites") or want("neardup")
-    if not (run_leiloes or run_semantic or run_neardup):
+    run_warehouse = want("warehouse")
+    run_sessionize = want("sessionize")
+    if not (
+        run_leiloes or run_semantic or run_neardup
+        or run_warehouse or run_sessionize
+    ):
         return
     scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
-    # only the tables these queries actually read: q_leiloes →
-    # orders; q_semantic_dedup / q_embedding_neardup → embeddings
-    if run_leiloes:
+    # only the tables these queries actually read: q_leiloes /
+    # warehouse → orders (+customer for the MERGE); q_semantic_dedup /
+    # q_embedding_neardup → embeddings; sessionize → events
+    if run_leiloes or run_warehouse:
         od.write.mode("overwrite").parquet(
             os.path.join(scaled_dir, "orders.parquet")
+        )
+    if run_warehouse:
+        replicate(
+            spark.read.parquet(f"{SF}/customer.parquet"), ["c_custkey"]
+        ).write.mode("overwrite").parquet(
+            os.path.join(scaled_dir, "customer.parquet")
+        )
+    if run_sessionize:
+        # shift user_id too: the session-count axis (window PARTITIONS)
+        # must scale with the factor, not just rows per user
+        replicate(
+            spark.read.parquet(f"{SF}/events.parquet"),
+            ["event_id", "user_id"],
+        ).write.mode("overwrite").parquet(
+            os.path.join(scaled_dir, "events.parquet")
         )
     if run_semantic or run_neardup:
         replicate(
@@ -488,6 +582,27 @@ def main():
         timed(
             f"q_embedding_neardup_{FACTOR}x",
             lambda: QUERIES["q_embedding_neardup"](spark, scaled_dir).count(),
+        )
+
+    # The warehouse family at FACTOR× orders: the SCD2 build's three
+    # same-key windows (one exchange), the MERGE full-outer dispatch,
+    # and the trailing-30d RANGE frame — window-heavy shapes whose
+    # partition COUNT scales with the factor (entities replicate)
+    # while per-partition width stays fixed.
+    if run_warehouse:
+        for qn in ("q_scd2_dim", "q_merge_upsert", "q_rolling_revenue_30d"):
+            timed(
+                f"{qn}_{FACTOR}x",
+                lambda qn=qn: QUERIES[qn](spark, scaled_dir).count(),
+            )
+
+    # Gap-based sessionization at FACTOR× events / FACTOR× users: one
+    # user-key window (lag + cumulative session counter) + the
+    # session-level aggregate.
+    if run_sessionize:
+        timed(
+            f"q_events_sessionize_{FACTOR}x",
+            lambda: QUERIES["q_events_sessionize"](spark, scaled_dir).count(),
         )
 
 
