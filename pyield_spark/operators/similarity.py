@@ -400,6 +400,16 @@ def ivfpq_topk(
     the serve-path contract; persisting that frame is how a real
     deployment amortizes the encode across query batches.
 
+    Recall contract (measured — PLANS.md "ANN recall envelope"): ADC
+    resolves candidates to QUANTIZATION-CELL granularity, so size
+    ``refine`` at least at the expected cell occupancy — the refine
+    stage does the fine ranking the codes cannot. On a corpus with
+    cluster structure the ladder recovers the exact top-k
+    (test-pinned); on structure-free random vectors recall sits near
+    the n_probe/C information floor whatever the refine — train real
+    per-subspace codebooks offline for production corpora (they slot
+    into ``_pq_codebooks`` unchanged).
+
     Returns (query_id, neighbor_id, list_id, adc_cosine, cosine, rnk)
     — ``adc_cosine`` the quantized score that selected the candidate,
     ``cosine``/``rnk`` the exact refine result.

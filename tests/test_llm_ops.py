@@ -612,3 +612,56 @@ def test_ivfpq_prebuilt_index_matches_end_to_end(spark, sf_dir):
         ).collect()
     }
     assert served == e2e
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    """On a corpus WITH cluster structure (codewords = the cluster
+    centers, the regime the codebook stand-in models), IVF-PQ recovers
+    the exact top-k through the ADC→refine ladder: ADC resolves to the
+    quantization cell (every member reconstructs to its center, so
+    same-cluster candidates tie), and the refine window — sized at
+    least one cluster — does the fine ranking exactly. This pins the
+    operator's real contract; on structure-free random vectors recall
+    sits near the information floor instead (the PLANS.md ann_recall
+    table records both regimes)."""
+    from pyspark.sql import functions as F
+
+    from pyield_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    dim, n_clusters, per = 64, 8, 25
+    centers = []
+    for c in range(n_clusters):
+        v = [0.0] * dim
+        for s in range(4):
+            v[s * 16 + (c * 2) % 16] = 1.0
+            v[s * 16 + (c * 2 + 7) % 16] = 0.5 + 0.05 * c
+        centers.append(v)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):  # ids 0..7: the centers themselves =
+        rows.append((vid, centers[c]))  # coarse centroids AND codewords
+        vid += 1
+    for c in range(n_clusters):
+        for i in range(per):
+            v = list(centers[c])
+            v[(i * 3) % dim] += 0.01 * (i + 1)
+            v[(i * 5 + 1) % dim] += 0.008 * i
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pred = F.col("_vid") % 25 == 0
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(
+            emb, "vec_id", "embedding", query_pred=pred, k=3
+        ).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            emb, "vec_id", "embedding", query_pred=pred, k=3,
+            n_centroids=8, n_probe=2, m=4, ks=8, refine=30,
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"clustered-corpus recall {recall}"

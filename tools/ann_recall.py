@@ -1,0 +1,71 @@
+"""ANN recall report: recall@k of the indexed routes vs the exact
+brute-force top-k, on the real embeddings table.
+
+Usage: PYTHONPATH=/root/repo python tools/ann_recall.py [sf_dir]
+
+Reports, for the default 1%-of-corpus query set:
+
+- ``ivf_topk`` at n_probe ∈ {2, 4, 8, 16} (16 = exhaustive ⇒ 1.0 by
+  construction — the parity row);
+- ``ivfpq_topk`` at the same probes with refine=20, plus refine=k
+  (pure ADC ordering, no refine headroom) — the delta isolates how
+  much the exact-refine stage recovers from quantization error.
+
+The synthetic embeddings are near-orthogonal random vectors — the
+WORST case for any bucketed ANN (no cluster structure to exploit), so
+these are recall FLOORS: the information-free baseline for n_probe/C
+coverage is n_probe/16, and anything above it is signal from the
+coarse quantizer. Results for the committed table live in PLANS.md.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyield_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+    ivfpq_topk,
+)
+from pyield_spark.session import get_session  # noqa: E402
+
+K = 5
+
+
+def pairs(df) -> set:
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session("ann_recall")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = pairs(cosine_topk(emb, "vec_id", "embedding", k=K))
+    print(f"corpus={emb.count()} queries={len(exact) // K} k={K}")
+
+    def recall(approx: set) -> float:
+        return len(approx & exact) / len(exact)
+
+    for n_probe in (2, 4, 8, 16):
+        r_ivf = recall(pairs(ivf_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_centroids=16, n_probe=n_probe,
+        )))
+        r_pq20 = recall(pairs(ivfpq_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_centroids=16, n_probe=n_probe, m=4, ks=16, refine=20,
+        )))
+        r_pqk = recall(pairs(ivfpq_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_centroids=16, n_probe=n_probe, m=4, ks=16, refine=K,
+        )))
+        print(
+            f"n_probe={n_probe:>2}  ivf={r_ivf:.3f}  "
+            f"ivfpq(refine=20)={r_pq20:.3f}  ivfpq(refine=k)={r_pqk:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,9 @@ KNOWN_OPS = {
     "warehouse",
     # round-7 (continued): gap-based sessionization at FACTOR x events
     "sessionize",
+    # round-7 (continued): worst-case group skew on the grouped
+    # interpolation window, shuffle vs broadcast routes
+    "interp_skew",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -127,6 +130,44 @@ def main():
 
     if want("interp"):
         timed(f"interp_{FACTOR}x", interp)
+
+    # WORST-CASE GROUP SKEW: same curves, but 90% of all targets forced
+    # into ONE group — the shuffle route's window then sorts ~90% of
+    # the fact in a single partition (the known degradation mode of any
+    # partition-by-group window), while the broadcast-interval route
+    # never shuffles the target side at all and is skew-immune. The
+    # pair of rows quantifies when to switch routes.
+    def interp_skew(route):
+        curve = li.groupBy(
+            ((F.col("l_orderkey") / 10_000_000).cast("int")).alias("rep"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("m"),
+            (F.dayofmonth(F.to_date("l_shipdate")) * 10).cast("long").alias("du"),
+        ).agg(F.avg("l_discount").alias("taxa")).withColumn(
+            "grupo", F.concat_ws("_", "rep", "m")
+        )
+        targets = od.select(
+            ((F.col("o_orderkey") / 10_000_000) % FACTOR).cast("int").alias("rep"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+            (F.dayofmonth(F.to_date("o_orderdate")) * 10 + 3).cast("long").alias("du_alvo"),
+            "o_orderkey",
+        ).withColumn(
+            "grupo",
+            F.when(
+                F.col("o_orderkey") % 10 != 0, F.lit("0_1995-06-01")
+            ).otherwise(F.concat_ws("_", "rep", "m")),
+        )
+        out = interpolar(
+            targets, curve, du_col="du_alvo", curve_du="du",
+            curve_rate="taxa", by="grupo", distribution=route,
+        )
+        return out.filter(F.col("taxa_interpolada").isNotNull()).count()
+
+    if want("interp_skew"):
+        timed(f"interp_skew_shuffle_{FACTOR}x", lambda: interp_skew("shuffle"))
+        timed(
+            f"interp_skew_broadcast_{FACTOR}x",
+            lambda: interp_skew("broadcast"),
+        )
 
     # grouped as-of join at 10× groups
     def asof():
