@@ -287,6 +287,16 @@ def _pq_codebooks(base: DataFrame, m: int, ks: int, dim: int):
     return cb, cbn
 
 
+def _pround_np(x, decimals: int = 6):
+    """NumPy twin of ``pround_expr``: sign(x)·floor(|x|·10^d + 0.5)/10^d
+    — the identical IEEE ops elementwise, so values are bit-equal to
+    the column form (and to the SQL oracle's pround_sql)."""
+    import numpy as np
+
+    s = float(10**decimals)
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -308,52 +318,113 @@ def pq_encode(
     encoding is the dominant one-off cost, while the serve path is
     m-lookup ADC over the probed lists.
 
-    All stages are map-side except the one coarse-assignment window;
-    codes quantize the RAW vectors (no-residual IVFPQ), so the index
+    Execution: ONE bounded driver hop (the max(ks, n_centroids)
+    lowest-id vectors — codebooks, same collect class as the k-means
+    centroid hop) and then ONE map-only Arrow kernel pass over the
+    corpus — ZERO exchanges; norms, coarse assignment and codes all
+    accumulate one DIMENSION at a time, left-to-right, so every value
+    is the bit-identical IEEE double the column-expression form (and
+    the DuckDB oracle's ``list_reduce`` folds) produce — numpy
+    vectorizes ACROSS rows/codewords, which commutes (same
+    fold-order-preservation argument as the round-6 k-means kernel,
+    ``semantic.py::_sqdist_np``). Ranking parity: coarse argmax /
+    code argmin operate on 6dp-pround'd scores with first-index
+    tie-breaks — identical to the expression path's (score, id)
+    struct ordering; NaN scores are mapped to the ordering extremes
+    the Spark sort would give them (NaN-element vectors get list
+    cids[0] / code 0, matching the total-order fixpoint).
+
+    Codes quantize the RAW vectors (no-residual IVFPQ), so the index
     frame is reproducible from the corpus alone — see ``ivfpq_topk``
-    for the determinism contract.
+    for the determinism contract. The interpreted HOF expression form
+    this kernel replaced cost ~10× more per vector (same bottleneck
+    class as the round-6 Lloyd argmin finding, PLANS.md).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     base = emb.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
-    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
-    cents = _ivf_codebook(base, n_centroids)
-    cb, cbn = _pq_codebooks(base, m, ks, dim)
-
-    from pyield_spark.functions.numbers import pround_expr
-
-    def _code(s: int) -> Column:
-        cands = F.array(*[
-            F.struct(
-                pround_expr(
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice("_vec", s * sub + 1, sub),
-                            F.array(*[F.lit(c) for c in cb[s][j]]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("d"),
-                F.lit(j).alias("j"),
-            )
-            for j in range(ks)
-        ])
-        return F.array_min(cands).getField("j")
-
-    out = _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1).withColumn(
-        "_codes", F.array(*[_code(s) for s in range(m)])
     )
-    pqn2 = F.lit(0.0)
+
+    # one bounded driver hop: coarse centroids + PQ codebooks
+    head = base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
+    ids = [r["_vid"] for r in head]
+    vecs = [list(r["_vec"]) for r in head]
+    cmat = np.asarray(vecs[:n_centroids], dtype=np.float64)
+    cid_arr = np.asarray(ids[:n_centroids])
+    cn2 = np.zeros(n_centroids)
+    for i in range(dim):  # left-to-right fold, matches norm_sq_dec
+        cn2 += cmat[:, i] * cmat[:, i]
+    cw = [
+        np.asarray([vecs[j][s * sub : (s + 1) * sub] for j in range(ks)],
+                   dtype=np.float64)
+        for s in range(m)
+    ]
+    cwn = []
     for s in range(m):
-        pqn2 = pqn2 + F.get(
-            F.array(*[F.lit(x) for x in cbn[s]]), F.get("_codes", s)
-        )
-    return out.withColumn("_pqn2", pqn2)
+        acc = np.zeros(ks)
+        for i in range(sub):
+            acc += cw[s][:, i] * cw[s][:, i]
+        cwn.append(acc)
+
+    id_type = base.schema["_vid"].dataType
+    out_schema = StructType([
+        StructField("_vid", id_type),
+        StructField("_vec", ArrayType(DoubleType())),
+        StructField("_norm2", DoubleType()),
+        StructField("_cid", id_type),
+        StructField("_codes", ArrayType(IntegerType())),
+        StructField("_pqn2", DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["_vec"].to_numpy()).astype(np.float64, copy=False)
+            n = X.shape[0]
+            n2 = np.zeros(n)
+            for i in range(dim):
+                n2 += X[:, i] * X[:, i]
+            dots = np.zeros((n, n_centroids))
+            for i in range(dim):
+                dots += X[:, i, None] * cmat[None, :, i]
+            score = _pround_np(dots / (np.sqrt(n2)[:, None] * np.sqrt(cn2)[None, :]))
+            # NaN → -inf so argmax picks the first (lowest-cid) column,
+            # matching the expression path's NaN total order
+            cass = np.where(np.isnan(score), -np.inf, score).argmax(axis=1)
+            codes = np.empty((n, m), dtype=np.int32)
+            pqn2 = np.zeros(n)
+            for s in range(m):
+                acc = np.zeros((n, ks))
+                for i in range(sub):
+                    d = X[:, s * sub + i, None] - cw[s][None, :, i]
+                    acc += d * d
+                dist = np.where(np.isnan(acc), np.inf, _pround_np(acc))
+                cs = dist.argmin(axis=1)
+                codes[:, s] = cs
+                pqn2 += cwn[s][cs]  # Σ_s left-to-right over s
+            yield pd.DataFrame({
+                "_vid": pdf["_vid"],
+                "_vec": list(X),
+                "_norm2": n2,
+                "_cid": cid_arr[cass],
+                "_codes": list(codes),
+                "_pqn2": pqn2,
+            })
+
+    return base.mapInPandas(kernel, out_schema)
 
 
 def ivfpq_topk(

@@ -36,6 +36,10 @@ ARROW_KERNELS = {
     # HOF form was interpreted per element and 10-20× slower
     "q_kmeans_clusters",     # kmeans_assign (pandas_udf)
     "q_semantic_dedup",      # composes kmeans_assign
+    # round 7: PQ encode is an Arrow-batched fold-order-preserving
+    # kernel (mapInPandas) — same rationale/precedent as the Lloyd
+    # argmin kernel above (interpreted HOF form ~10× slower)
+    "q_ivfpq_topk",          # pq_encode (mapInPandas)
 }
 
 # stream queries execute eagerly inside queries() (memory-sink replay) —
