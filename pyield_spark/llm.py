@@ -1,0 +1,121 @@
+"""Single import surface for the LLM-training-data extension set.
+
+``import pyield_spark.llm as llm`` groups the engine's beyond-reference
+operators — the large-scale training-data pipeline stages (dedup,
+similarity search, text analysis, sampling/assembly, multimodal
+plumbing) — into task-named namespaces, mirroring how
+``pyield_spark.api`` groups the reference-twin surface. Everything here
+re-exports the operator modules unchanged; the registry queries
+(``q_minhash_lsh`` … ``q_ivfpq_topk``) remain the executable examples
+and the oracle-verified contracts for each.
+
+Namespaces:
+
+- ``dedup``     exact / MinHash-LSH / SimHash / Jaccard / containment
+                candidates, winnowing spans, URL canonicalization
+- ``cluster``   connected components over candidate pairs + keep-one /
+                keep-best verdicts; SemDeDup k-means clustering
+- ``similarity`` brute cosine top-k, sign-LSH buckets, IVF, IVF-PQ
+                (``pq_encode`` ingest / ``ivfpq_topk`` serve),
+                hard-negative mining
+- ``text``      tokenization, quality scores, language id, Gopher
+                rules, PII redaction, fingerprints, chunking
+- ``vocab``     vocabulary/TF-IDF, distinctive terms, repetition
+                stats, bigram-LM typicality, token entropy, BM25
+- ``sample``    deterministic hash/stratified/weighted sampling,
+                mixture resampling, corpus shuffle (global sort
+                index), sequence packing
+- ``media``     binary-column multimodal plumbing (metadata, feature
+                extraction, frame sampling, resize — decode stubs
+                declared, seam-tested)
+- ``skew``      salted joins for hot keys
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyield_spark.operators import (
+    dedup as _dedup,
+    graph as _graph,
+    multimodal as _mm,
+    sampling as _sampling,
+    semantic as _semantic,
+    similarity as _sim,
+    skew as _skew,
+    text as _text,
+    vocab as _vocab,
+)
+
+dedup = SimpleNamespace(
+    normalize_text=_dedup.normalize_text_expr,
+    content_hash=_dedup.content_hash_expr,
+    shingles=_dedup.shingles_expr,
+    exact_dup_groups=_dedup.exact_dup_groups,
+    jaccard_pairs=_dedup.jaccard_pairs,
+    minhash_signatures=_dedup.minhash_signatures,
+    lsh_candidate_pairs=_dedup.lsh_candidate_pairs,
+    simhash=_dedup.simhash_expr_input,
+    containment_pairs=_dedup.containment_pairs,
+    winnow_spans=_text.spans_expr,
+    canonical_url=_text.canonical_url_expr,
+    intradoc_span_dedup=_semantic.intradoc_span_dedup,
+)
+
+cluster = SimpleNamespace(
+    connected_components=_graph.connected_components,
+    dedup_decisions=_graph.dedup_decisions,
+    dedup_keep_best=_graph.dedup_keep_best,
+    kmeans_assign=_semantic.kmeans_assign,
+    semantic_dedup=_semantic.semantic_dedup,
+)
+
+similarity = SimpleNamespace(
+    cosine_topk=_sim.cosine_topk,
+    lsh_bucket=_sim.lsh_bucket_expr,
+    ivf_topk=_sim.ivf_topk,
+    pq_encode=_sim.pq_encode,
+    ivfpq_topk=_sim.ivfpq_topk,
+    hard_negatives=_sim.hard_negatives,
+)
+
+text = SimpleNamespace(
+    tokens=_text.tokens_expr,
+    token_count=_text.token_count_expr,
+    quality_score=_text.quality_score_expr,
+    lang_id=_text.lang_id_expr,
+    mean_word_len=_text.mean_word_len_expr,
+    gopher_rules=_text.gopher_rules,
+    redact_pii=_text.redact_pii_expr,
+    pii_count=_text.pii_count_expr,
+    fingerprint=_text.fingerprint_expr,
+    chunk_count=_text.chunk_count_expr,
+)
+
+vocab = SimpleNamespace(
+    doc_term_counts=_vocab.doc_term_counts,
+    vocabulary=_vocab.vocabulary,
+    distinctive_terms=_vocab.distinctive_terms,
+    repetition_stats=_vocab.repetition_stats,
+    lm_typicality=_vocab.lm_typicality,
+    token_entropy=_vocab.token_entropy,
+    bm25_topk=_vocab.bm25_topk,
+)
+
+sample = SimpleNamespace(
+    hash_sample=_sampling.hash_sample,
+    stratified_sample=_sampling.stratified_sample,
+    mixture_resample=_sampling.mixture_resample,
+    global_sort_index=_sampling.global_sort_index,
+    pack_sequences=_sampling.pack_sequences,
+    weighted_sample=_sampling.weighted_sample,
+)
+
+media = SimpleNamespace(
+    metadata=_mm.media_metadata_exprs,
+    extract_features=_mm.extract_features,
+    sample_frames=_mm.sample_frames,
+    resize_payload=_mm.resize_payload,
+)
+
+skew = SimpleNamespace(salted_join=_skew.salted_join)

@@ -180,3 +180,20 @@ def test_facade_df_op_matches_scalar_twin(spark):
         bonds, ["id"], settlement="liq", maturity="ven", taxa="taxa"
     ).collect()
     assert row.pu == yd.ntnf.pu(liq, ven, taxa)
+
+
+def test_llm_facade_names_resolve():
+    """Every name in the pyield_spark.llm namespaces is a real callable
+    (or Column builder) from the operator modules — the facade can't
+    silently drift from the implementations."""
+    import pyield_spark.llm as llm
+
+    for ns_name in (
+        "dedup", "cluster", "similarity", "text", "vocab", "sample",
+        "media", "skew",
+    ):
+        ns = getattr(llm, ns_name)
+        names = [n for n in vars(ns) if not n.startswith("_")]
+        assert names, ns_name
+        for n in names:
+            assert callable(getattr(ns, n)), f"{ns_name}.{n}"

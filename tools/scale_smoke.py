@@ -58,6 +58,9 @@ KNOWN_OPS = {
     # round-7 (continued): worst-case group skew on the grouped
     # interpolation window, shuffle vs broadcast routes
     "interp_skew",
+    # round-7 (continued): the curation family (decontamination,
+    # incremental-delta dedup, domain caps) at FACTOR x documents
+    "curation",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -530,9 +533,10 @@ def main():
     run_neardup = want("composites") or want("neardup")
     run_warehouse = want("warehouse")
     run_sessionize = want("sessionize")
+    run_curation = want("curation")
     if not (
         run_leiloes or run_semantic or run_neardup
-        or run_warehouse or run_sessionize
+        or run_warehouse or run_sessionize or run_curation
     ):
         return
     scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
@@ -557,6 +561,15 @@ def main():
             ["event_id", "user_id"],
         ).write.mode("overwrite").parquet(
             os.path.join(scaled_dir, "events.parquet")
+        )
+    if run_curation:
+        # doc_id shifts keep the eval (%97) and delta-source fractions
+        # proportional, so the broadcast side grows WITH the corpus —
+        # the honest test of the broadcast-eval-shingles design
+        replicate(
+            spark.read.parquet(f"{SF}/documents.parquet"), ["doc_id"]
+        ).write.mode("overwrite").parquet(
+            os.path.join(scaled_dir, "documents.parquet")
         )
     if run_semantic or run_neardup:
         replicate(
@@ -632,6 +645,18 @@ def main():
     # while per-partition width stays fixed.
     if run_warehouse:
         for qn in ("q_scd2_dim", "q_merge_upsert", "q_rolling_revenue_30d"):
+            timed(
+                f"{qn}_{FACTOR}x",
+                lambda qn=qn: QUERIES[qn](spark, scaled_dir).count(),
+            )
+
+    # Curation family at FACTOR× documents: decontamination (broadcast
+    # eval shingles — the eval side grows with the corpus here, the
+    # worst case for the broadcast design), incremental-delta dedup
+    # (broadcast new-batch hashes + shingles) and per-domain caps
+    # (one hash window).
+    if run_curation:
+        for qn in ("q_decontaminate", "q_incremental_dedup", "q_domain_cap"):
             timed(
                 f"{qn}_{FACTOR}x",
                 lambda qn=qn: QUERIES[qn](spark, scaled_dir).count(),
