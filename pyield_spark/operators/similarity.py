@@ -511,14 +511,11 @@ def ivfpq_topk(
         cents = _ivf_codebook(index, n_centroids)
         cb, _cbn = _pq_codebooks(index, m, ks, dim)
     else:
-        # two consumers downstream (candidate scoring + the refine's
-        # by-key vector fetch) — deliberately NOT checkpointed: the
-        # refine consumer reads only (_vid, _vec, _norm2), so Catalyst
-        # column-prunes the expensive code-assignment expressions out
-        # of that branch entirely (its "re-execution" is a plain
-        # vector scan); materializing the full wide index costs more
-        # than the pruned rescan saves (measured at the 100× lap —
-        # checkpointing regressed end-to-end ~1.6×). Callers who DO
+        # single consumer downstream (the candidate join — the refine's
+        # vector fetch reads `base`, not the encode output), so no
+        # checkpoint: materializing the full wide index costs more than
+        # it saves here (measured at the 100× lap — checkpointing
+        # regressed end-to-end ~1.6× even pre-kernel). Callers who DO
         # want the index reused across calls pass ``index=`` instead.
         assigned = pq_encode(emb, id_col, vec_col, n_centroids, m, ks, dim)
         cents = _ivf_codebook(base, n_centroids)
