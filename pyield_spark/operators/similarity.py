@@ -361,19 +361,25 @@ def pq_encode(
     head = base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
     ids = [r["_vid"] for r in head]
     vecs = [list(r["_vec"]) for r in head]
-    cmat = np.asarray(vecs[:n_centroids], dtype=np.float64)
+    # reshape keeps the (0, dim) shape on an EMPTY corpus (np.asarray of
+    # an empty list is 1-D and would break the per-dimension folds);
+    # a corpus smaller than ks/n_centroids just yields smaller codebooks
+    cmat = np.asarray(vecs[:n_centroids], dtype=np.float64).reshape(-1, dim)
     cid_arr = np.asarray(ids[:n_centroids])
-    cn2 = np.zeros(n_centroids)
+    cn2 = np.zeros(cmat.shape[0])
     for i in range(dim):  # left-to-right fold, matches norm_sq_dec
         cn2 += cmat[:, i] * cmat[:, i]
+    n_cw = min(ks, len(vecs))
     cw = [
-        np.asarray([vecs[j][s * sub : (s + 1) * sub] for j in range(ks)],
-                   dtype=np.float64)
+        np.asarray(
+            [vecs[j][s * sub : (s + 1) * sub] for j in range(n_cw)],
+            dtype=np.float64,
+        ).reshape(-1, sub)
         for s in range(m)
     ]
     cwn = []
     for s in range(m):
-        acc = np.zeros(ks)
+        acc = np.zeros(n_cw)
         for i in range(sub):
             acc += cw[s][:, i] * cw[s][:, i]
         cwn.append(acc)
@@ -397,7 +403,7 @@ def pq_encode(
             n2 = np.zeros(n)
             for i in range(dim):
                 n2 += X[:, i] * X[:, i]
-            dots = np.zeros((n, n_centroids))
+            dots = np.zeros((n, cmat.shape[0]))
             for i in range(dim):
                 dots += X[:, i, None] * cmat[None, :, i]
             score = _pround_np(dots / (np.sqrt(n2)[:, None] * np.sqrt(cn2)[None, :]))
@@ -407,7 +413,7 @@ def pq_encode(
             codes = np.empty((n, m), dtype=np.int32)
             pqn2 = np.zeros(n)
             for s in range(m):
-                acc = np.zeros((n, ks))
+                acc = np.zeros((n, n_cw))
                 for i in range(sub):
                     d = X[:, s * sub + i, None] - cw[s][None, :, i]
                     acc += d * d

@@ -665,3 +665,51 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"clustered-corpus recall {recall}"
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("m,ks", [(2, 4), (8, 8)])
+def test_ivfpq_exhaustive_parity_other_configs(spark, sf_dir, m, ks):
+    """The exhaustive-config == brute-force identity must hold for any
+    (m, ks) — quantization geometry cannot leak into the refine output
+    when the shortlist covers the corpus."""
+    from pyield_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    exact = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rnk)
+        for r in cosine_topk(emb, "vec_id", "embedding", k=4).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rnk)
+        for r in ivfpq_topk(
+            emb, "vec_id", "embedding", k=4,
+            n_centroids=16, n_probe=16, m=m, ks=ks, refine=n,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_pq_encode_tiny_and_empty_corpus(spark):
+    """Corpora smaller than ks/n_centroids yield smaller codebooks (no
+    crash, codes within range); the empty corpus yields the empty index
+    frame with the full schema."""
+    from pyield_spark.operators.similarity import pq_encode
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pq_encode(tiny, n_centroids=16, m=4, ks=16).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert all(0 <= c < 3 for c in r["_codes"])
+        assert r["_cid"] in (0, 1, 2)
+
+    empty = tiny.filter("vec_id < 0")
+    out = pq_encode(empty, n_centroids=16, m=4, ks=16)
+    assert out.count() == 0
+    assert set(out.columns) == {"_vid", "_vec", "_norm2", "_cid", "_codes", "_pqn2"}
