@@ -355,7 +355,12 @@ def pq_encode(
     sub = dim // m
     base = emb.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
-    )
+    ).filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
+    # ^ null / wrong-length embeddings are DROPPED from the index (they
+    # cannot be quantized or served; np.stack on a ragged batch would
+    # otherwise die with an obscure shape error). ivfpq_topk applies
+    # the same predicate to its codebook base so the two construction
+    # paths see identical codebooks.
 
     # one bounded driver hop: coarse centroids + PQ codebooks
     head = base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
@@ -501,9 +506,16 @@ def ivfpq_topk(
         refine = 4 * k
     sub = dim // m
 
-    base = emb.select(
-        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
-    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    base = (
+        emb.select(
+            F.col(id_col).alias("_vid"),
+            _as_double(F.col(vec_col)).alias("_vec"),
+        )
+        # same invalid-vector predicate as pq_encode — codebooks built
+        # here (e2e mode) must match the ones a prebuilt index embeds
+        .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
+        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    )
 
     # ingest-time half: coarse assignment + m codeword indexes per
     # vector (see pq_encode — all map-side, codes quantize raw vectors).

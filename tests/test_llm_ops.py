@@ -713,3 +713,23 @@ def test_pq_encode_tiny_and_empty_corpus(spark):
     out = pq_encode(empty, n_centroids=16, m=4, ks=16)
     assert out.count() == 0
     assert set(out.columns) == {"_vid", "_vec", "_norm2", "_cid", "_codes", "_pqn2"}
+
+
+def test_ivfpq_tolerates_invalid_embeddings(spark):
+    """Null and wrong-length embeddings are dropped from the PQ index
+    (documented) instead of crashing the Arrow kernel, and the e2e
+    search runs to completion over the valid remainder."""
+    from pyield_spark.operators.similarity import ivfpq_topk, pq_encode
+
+    rows = [(i, [float(i + j) for j in range(64)]) for i in range(30)]
+    rows.append((100, None))
+    rows.append((101, [1.0, 2.0]))  # wrong dim
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = pq_encode(emb, n_centroids=8, m=4, ks=8)
+    got = {r["_vid"] for r in idx.collect()}
+    assert got == set(range(30))
+    out = ivfpq_topk(
+        emb, query_pred=(F.col("_vid") % 10 == 0), k=3,
+        n_centroids=8, n_probe=8, m=4, ks=8, refine=30,
+    ).collect()
+    assert out and all(r.neighbor_id < 100 for r in out)
