@@ -71,12 +71,29 @@ def raw_maturity_expr(ticker: str | Column, contrato: str) -> Column:
     )
 
 
+def raw_maturity_sql(ticker_sql: str, contrato: str) -> str:
+    """Spark-SQL-string twin of :func:`raw_maturity_expr` — ONE py4j
+    round trip instead of ~40 (the month-letter when-chain alone is 36
+    JVM calls; plan-build cost was half of q_futuro_panel's cold run,
+    PLANS.md cProfile). Same null contract: a malformed ticker nulls
+    the month (locate → 0 → nullif) or the year (try_cast), and
+    ``make_date`` propagates either null. Equivalence is pinned by
+    tests/test_functions.py::test_raw_maturity_sql_twin on valid,
+    lowercase, malformed and short tickers."""
+    day = 15 if "DAP" in contrato.upper() else 1
+    t = f"upper({ticker_sql})"
+    return (
+        f"make_date(try_cast(substring({t}, 5, 2) AS INT) + 2000, "
+        f"nullif(locate(substring({t}, 4, 1), '{MONTH_CODES}'), 0), {day})"
+    )
+
+
 def with_vencimento(
     df: DataFrame, ticker: str, contrato: str, alias: str = "data_vencimento"
 ) -> DataFrame:
     """Maturity from ticker, rolled forward to a business day
     (deslocar(…, 0, 'forward') — contratos.py:153)."""
-    df2 = df.withColumn("_raw_ven", raw_maturity_expr(ticker, contrato))
+    df2 = df.withColumn("_raw_ven", F.expr(raw_maturity_sql(ticker, contrato)))
     return du_mod.deslocar(df2, "_raw_ven", 0, "forward", alias=alias).drop("_raw_ven")
 
 
@@ -187,25 +204,29 @@ def enriquecer(df: DataFrame, contrato: str) -> DataFrame:
     reference's 24 futuro_YYYYMMDD_* golden parquets from its SPRD
     archives on every SPRD-carried and derived column.
     """
-    from pyield_spark.functions.numbers import round_pl_expr
+    from pyield_spark.functions.numbers import round_pl_sql
 
     contrato = contrato.upper()
-    out = df.select(
+    # SQL-string column builders throughout the wide stages: each F.*
+    # call is 1–3 py4j round trips and this pipeline touches ~22
+    # columns several times — selectExpr/expr strings parse JVM-side
+    # in ONE trip per column (the q_leiloes plan-build lever, PLANS.md)
+    out = df.selectExpr(
         *[
-            F.col(src).alias(dst)
+            f"{src} AS {dst}"
             for src, dst in RENOMEAR_COLUNAS_PR.items()
             if src in df.columns
         ]
-    ).filter(
-        F.col("codigo_negociacao").startswith(contrato)
-        & (F.length("codigo_negociacao") == 6)
+    ).where(
+        f"codigo_negociacao LIKE '{contrato}%'"
+        " AND length(codigo_negociacao) = 6"
     )
     out = with_vencimento(out, "codigo_negociacao", contrato)
     out = du_mod.contar(out, "data_referencia", "data_vencimento", alias="dias_uteis")
     out = out.withColumn(
         "dias_corridos",
-        F.datediff("data_vencimento", "data_referencia").cast("bigint"),
-    ).filter(F.col("dias_corridos") > 0)
+        F.expr("CAST(datediff(data_vencimento, data_referencia) AS BIGINT)"),
+    ).where("dias_corridos > 0")
 
     if contrato in RATE_CONTRACTS:
         out = out.withColumnsRenamed(
@@ -213,7 +234,7 @@ def enriquecer(df: DataFrame, contrato: str) -> DataFrame:
         )
         out = out.withColumns(
             {
-                c: round_pl_expr(F.col(c) / 100.0, 10)
+                c: F.expr(round_pl_sql(f"{c} / 100.0D", 10))
                 for c in out.columns
                 if c.startswith("taxa_")
             }

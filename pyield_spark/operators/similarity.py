@@ -131,6 +131,158 @@ def lsh_bucket_expr(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
+class TrainedCodebooks:
+    """Offline-trained IVF/PQ codebooks (the FAISS train/add/search
+    split): ``coarse`` is the (C, dim) coarse-centroid list, ``pq[s]``
+    the per-subspace codeword list. Produced by :func:`train_codebooks`
+    ONCE per corpus from a bounded sample and then closed over by the
+    ingest (``pq_encode``) and serve (``ivf_topk``/``ivfpq_topk``)
+    paths — a few KB of driver state, broadcast-shipped, independent of
+    corpus size. Coarse list ids are the training ranks 0..C-1 (trained
+    centroids are synthetic points, not corpus vectors).
+    """
+
+    def __init__(
+        self,
+        coarse: list[list[float]],
+        pq: list[list[list[float]]] | None,
+        by_residual: bool = False,
+    ):
+        self.coarse = coarse
+        self.pq = pq
+        self.by_residual = by_residual
+
+    @property
+    def n_centroids(self) -> int:
+        return len(self.coarse)
+
+    @property
+    def ks(self) -> int:
+        return len(self.pq[0]) if self.pq else 0
+
+
+def _lloyd_np(X, k: int, iters: int):
+    """Deterministic driver-side Lloyd: seeds are the first ``k``
+    sample rows (the sample is hash-ordered, so seeds are spread),
+    ties to the first index, empty clusters keep their previous
+    center. Pure numpy over a bounded sample — identical on every
+    run/partitioning."""
+    import numpy as np
+
+    if not len(X):
+        return X.reshape(0, X.shape[1] if X.ndim == 2 else 0)
+    C = X[: min(k, len(X))].copy()
+    for _ in range(iters):
+        acc = np.zeros((len(X), len(C)))
+        for i in range(X.shape[1]):
+            d = X[:, i, None] - C[None, :, i]
+            acc += d * d
+        a = acc.argmin(axis=1)
+        for c in range(len(C)):
+            mem = X[a == c]
+            if len(mem):
+                C[c] = mem.mean(axis=0)
+    return C
+
+
+def train_codebooks(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int | None = 4,
+    ks: int = 16,
+    dim: int = 64,
+    sample: int = 4096,
+    iters: int = 8,
+    by_residual: bool = False,
+) -> TrainedCodebooks:
+    """Train IVF coarse centroids (and, with ``m``, per-subspace PQ
+    codebooks) with deterministic Lloyd on a bounded corpus sample —
+    the offline ``train`` step of the FAISS train/add/search split the
+    untrained lowest-id codebooks stood in for (r7 VERDICT #1).
+
+    Sampling: the ``sample`` lowest-``xxhash64(id)`` vectors — a
+    TakeOrdered (top-k, no full sort) over a deterministic hash, so the
+    sample is spread across the corpus, identical on every run and
+    partitioning, and the driver hop is bounded at ``sample·dim``
+    doubles REGARDLESS of corpus size (training cost is O(sample·k),
+    never O(N) — the property that makes offline training viable at
+    100 TB). NaN-containing and invalid vectors are excluded from
+    training (they cannot move a mean meaningfully and would poison
+    every centroid).
+
+    ``by_residual=True`` trains the PQ codebooks on COARSE RESIDUALS
+    (x − nearest coarse centroid) instead of raw vectors — the true
+    FAISS IVFPQ encoding; pair it with ``pq_encode(..., codebooks=cb)``
+    which reads the flag off the returned object.
+
+    Measured effect (tools/ann_recall.py, PLANS.md): on the synthetic
+    near-orthogonal corpus the trained coarse quantizer balances list
+    occupancy and the trained PQ codewords sit at the data's actual
+    scale, lifting recall@5 off the untrained floor at equal n_probe.
+    """
+    import numpy as np
+
+    if m is not None and dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    base = (
+        emb.select(
+            F.col(id_col).alias("_vid"),
+            _as_double(F.col(vec_col)).alias("_vec"),
+        )
+        .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
+        .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
+    )
+    rows = (
+        base.orderBy(F.xxhash64("_vid").asc(), F.col("_vid").asc())
+        .limit(sample)
+        .select("_vec")
+        .collect()
+    )
+    X = np.asarray([list(r["_vec"]) for r in rows], dtype=np.float64).reshape(
+        -1, dim
+    )
+    coarse = _lloyd_np(X, n_centroids, iters)
+    pq = None
+    if m is not None:
+        sub = dim // m
+        T = X
+        if by_residual and len(coarse):
+            acc = np.zeros((len(X), len(coarse)))
+            for i in range(dim):
+                d = X[:, i, None] - coarse[None, :, i]
+                acc += d * d
+            T = X - coarse[acc.argmin(axis=1)]
+        pq = [
+            [list(map(float, w)) for w in _lloyd_np(
+                np.ascontiguousarray(T[:, s * sub : (s + 1) * sub]), ks, iters
+            )]
+            for s in range(m)
+        ]
+    return TrainedCodebooks(
+        [list(map(float, c)) for c in coarse], pq, by_residual
+    )
+
+
+def _trained_cents_frame(
+    spark, codebooks: TrainedCodebooks
+) -> DataFrame:
+    """Materialize the trained coarse codebook as the same
+    (_cid, _cvec, _cnorm2) frame ``_ivf_codebook`` yields — C literal
+    rows, broadcast downstream. Norms accumulate left-to-right (python
+    floats are exact doubles), the engines' fold order."""
+    rows = []
+    for i, c in enumerate(codebooks.coarse):
+        n2 = 0.0
+        for x in c:
+            n2 += x * x
+        rows.append((i, c, n2))
+    return spark.createDataFrame(
+        rows, schema="_cid long, _cvec array<double>, _cnorm2 double"
+    )
+
+
 def _ivf_codebook(base: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic coarse codebook: the ``n_centroids`` lowest-id
     vectors (offline k-means would slot in here unchanged)."""
@@ -152,11 +304,14 @@ def _ivf_nearest_lists(
     vec_col: str,
     norm_col: str,
     n: int,
+    keep_dot: str | None = None,
 ) -> DataFrame:
     """Attach each row's ``n`` nearest list ids (``_cid``) in ONE
     broadcast codebook pass (cost rows·C, C small); every input column
     is preserved. Scores round to 6dp with cid tie-breaks so the
-    assignment is bit-stable across engines."""
+    assignment is bit-stable across engines. ``keep_dot`` additionally
+    retains the RAW ⟨row, centroid⟩ dot product under that name — the
+    residual-ADC term (dot(q, recon) = dot(q, c) + Σ LUT lookups)."""
     from pyspark.sql import Window
 
     from pyield_spark.functions.numbers import pround_expr
@@ -169,10 +324,11 @@ def _ivf_nearest_lists(
     w = Window.partitionBy(part_col).orderBy(
         F.col("_cscore").desc(), F.col("_cid").asc()
     )
+    out = frame.crossJoin(F.broadcast(cents)).withColumn("_cscore", score)
+    if keep_dot is not None:
+        out = out.withColumn(keep_dot, dot_dec(F.col(vec_col), F.col("_cvec")))
     return (
-        frame.crossJoin(F.broadcast(cents))
-        .withColumn("_cscore", score)
-        .withColumn("_crn", F.row_number().over(w))
+        out.withColumn("_crn", F.row_number().over(w))
         .filter(F.col("_crn") <= n)
         .drop("_cvec", "_cnorm2", "_cscore", "_crn")
     )
@@ -186,12 +342,16 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    codebooks: TrainedCodebooks | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse codebook → inverted lists → probe → rescore.
 
-    The codebook is the ``n_centroids`` lowest-id vectors (deterministic
-    on any engine — real deployments would k-means offline and broadcast
-    the result; the plumbing is identical). Every vector is assigned to
+    The default codebook is the ``n_centroids`` lowest-id vectors
+    (deterministic on any engine — the oracle-expressible baseline);
+    pass ``codebooks=train_codebooks(...)`` to serve from offline
+    k-means-trained centroids instead (``n_centroids`` is then taken
+    from the trained set; list ids are training ranks, requires an
+    integer id column). Every vector is assigned to
     its nearest centroid in ONE broadcast pass (cost N·C, the standard
     IVF coarse quantization — C stays small). A query probes its
     ``n_probe`` nearest lists and rescores exactly ONLY inside them: the
@@ -211,7 +371,12 @@ def ivf_topk(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
     ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
 
-    cents = _ivf_codebook(base, n_centroids)
+    if codebooks is not None:
+        if not codebooks.n_centroids:
+            raise ValueError("trained codebooks are empty")
+        cents = _trained_cents_frame(emb.sparkSession, codebooks)
+    else:
+        cents = _ivf_codebook(base, n_centroids)
     assigned = _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1)
 
     queries = base.filter(
@@ -305,9 +470,22 @@ def pq_encode(
     m: int = 4,
     ks: int = 16,
     dim: int = 64,
+    codebooks: TrainedCodebooks | None = None,
+    by_residual: bool | None = None,
 ) -> DataFrame:
     """The INGEST-TIME half of IVF-PQ: assign every vector to its
     coarse list and product-quantize it to ``m`` codeword indexes.
+
+    ``codebooks=`` serves trained centroids/codewords from
+    :func:`train_codebooks` instead of the lowest-id head (list ids
+    become training ranks; requires an integer id column).
+    ``by_residual=True`` (default: the trained set's flag, else False)
+    quantizes COARSE RESIDUALS x − c instead of raw vectors — true
+    FAISS IVFPQ: codewords then only span the within-cell spread, so
+    the same ``m·log2(ks)`` bits buy finer resolution; ``_pqn2``
+    becomes the exact squared norm of the reconstruction c + r̂, so the
+    serve-side ADC formula is unchanged in shape (it just adds the
+    per-probe ⟨q, c⟩ term — see ``ivfpq_topk``).
 
     Returns the index frame ``(_vid, _vec, _norm2, _cid, _codes,
     _pqn2)`` that ``ivfpq_topk(index=...)`` serves from. In a real
@@ -331,8 +509,11 @@ def pq_encode(
     code argmin operate on 6dp-pround'd scores with first-index
     tie-breaks — identical to the expression path's (score, id)
     struct ordering; NaN scores are mapped to the ordering extremes
-    the Spark sort would give them (NaN-element vectors get list
-    cids[0] / code 0, matching the total-order fixpoint).
+    the Spark sort would give them: a NaN COARSE score outranks every
+    real score (NaN is greatest under DESC in both Spark and DuckDB,
+    lowest-cid tie-break), a NaN CODE distance sorts last under ASC —
+    so partial-NaN rows land exactly where the expression/oracle path
+    puts them, and full-NaN vectors get list cids[0] / code 0.
 
     Codes quantize the RAW vectors (no-residual IVFPQ), so the index
     frame is reproducible from the corpus alone — see ``ivfpq_topk``
@@ -362,26 +543,41 @@ def pq_encode(
     # the same predicate to its codebook base so the two construction
     # paths see identical codebooks.
 
-    # one bounded driver hop: coarse centroids + PQ codebooks
-    head = base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
-    ids = [r["_vid"] for r in head]
-    vecs = [list(r["_vec"]) for r in head]
-    # reshape keeps the (0, dim) shape on an EMPTY corpus (np.asarray of
-    # an empty list is 1-D and would break the per-dimension folds);
-    # a corpus smaller than ks/n_centroids just yields smaller codebooks
-    cmat = np.asarray(vecs[:n_centroids], dtype=np.float64).reshape(-1, dim)
-    cid_arr = np.asarray(ids[:n_centroids])
+    if codebooks is not None:
+        if not codebooks.n_centroids or not codebooks.ks:
+            raise ValueError("trained codebooks are empty")
+        if by_residual is None:
+            by_residual = codebooks.by_residual
+        cmat = np.asarray(codebooks.coarse, dtype=np.float64).reshape(-1, dim)
+        cid_arr = np.arange(cmat.shape[0], dtype=np.int64)
+        n_cw = codebooks.ks
+        cw = [
+            np.asarray(codebooks.pq[s], dtype=np.float64).reshape(-1, sub)
+            for s in range(m)
+        ]
+    else:
+        by_residual = bool(by_residual)
+        # one bounded driver hop: coarse centroids + PQ codebooks
+        head = base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
+        ids = [r["_vid"] for r in head]
+        vecs = [list(r["_vec"]) for r in head]
+        # reshape keeps the (0, dim) shape on an EMPTY corpus (np.asarray
+        # of an empty list is 1-D and would break the per-dimension
+        # folds); a corpus smaller than ks/n_centroids just yields
+        # smaller codebooks
+        cmat = np.asarray(vecs[:n_centroids], dtype=np.float64).reshape(-1, dim)
+        cid_arr = np.asarray(ids[:n_centroids])
+        n_cw = min(ks, len(vecs))
+        cw = [
+            np.asarray(
+                [vecs[j][s * sub : (s + 1) * sub] for j in range(n_cw)],
+                dtype=np.float64,
+            ).reshape(-1, sub)
+            for s in range(m)
+        ]
     cn2 = np.zeros(cmat.shape[0])
     for i in range(dim):  # left-to-right fold, matches norm_sq_dec
         cn2 += cmat[:, i] * cmat[:, i]
-    n_cw = min(ks, len(vecs))
-    cw = [
-        np.asarray(
-            [vecs[j][s * sub : (s + 1) * sub] for j in range(n_cw)],
-            dtype=np.float64,
-        ).reshape(-1, sub)
-        for s in range(m)
-    ]
     cwn = []
     for s in range(m):
         acc = np.zeros(n_cw)
@@ -412,20 +608,39 @@ def pq_encode(
             for i in range(dim):
                 dots += X[:, i, None] * cmat[None, :, i]
             score = _pround_np(dots / (np.sqrt(n2)[:, None] * np.sqrt(cn2)[None, :]))
-            # NaN → -inf so argmax picks the first (lowest-cid) column,
-            # matching the expression path's NaN total order
-            cass = np.where(np.isnan(score), -np.inf, score).argmax(axis=1)
+            # NaN → +inf so argmax picks the NaN-scoring column (first /
+            # lowest-cid on ties): Spark's sort and the DuckDB oracle
+            # both place NaN ABOVE every double under DESC, so a
+            # partial-NaN score row (e.g. a zero-norm codebook vector
+            # giving 0/0 in one column) must win the argmax exactly as
+            # it wins the expression path's row_number (r7 ADVICE).
+            # Full-NaN rows still land on cids[0] — same fixpoint.
+            cass = np.where(np.isnan(score), np.inf, score).argmax(axis=1)
+            # residual mode quantizes x − c (codes span the within-cell
+            # spread); raw mode quantizes x itself (oracle-expressible)
+            T = X - cmat[cass] if by_residual else X
             codes = np.empty((n, m), dtype=np.int32)
             pqn2 = np.zeros(n)
             for s in range(m):
                 acc = np.zeros((n, n_cw))
                 for i in range(sub):
-                    d = X[:, s * sub + i, None] - cw[s][None, :, i]
+                    d = T[:, s * sub + i, None] - cw[s][None, :, i]
                     acc += d * d
                 dist = np.where(np.isnan(acc), np.inf, _pround_np(acc))
                 cs = dist.argmin(axis=1)
                 codes[:, s] = cs
-                pqn2 += cwn[s][cs]  # Σ_s left-to-right over s
+                if not by_residual:
+                    pqn2 += cwn[s][cs]  # Σ_s left-to-right over s
+            if by_residual:
+                # _pqn2 = ‖c + r̂‖² of the reconstruction, accumulated
+                # per dimension left-to-right (same fold order) — keeps
+                # the serve-side ADC denominator formula unchanged
+                recon = cmat[cass].copy()
+                for s in range(m):
+                    recon[:, s * sub : (s + 1) * sub] += cw[s][codes[:, s]]
+                pqn2 = np.zeros(n)
+                for i in range(dim):
+                    pqn2 += recon[:, i] * recon[:, i]
             yield pd.DataFrame({
                 "_vid": pdf["_vid"],
                 "_vec": list(X),
@@ -451,6 +666,8 @@ def ivfpq_topk(
     refine: int | None = None,
     dim: int = 64,
     index: DataFrame | None = None,
+    codebooks: TrainedCodebooks | None = None,
+    by_residual: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN: coarse inverted lists + product-quantized candidate
     scoring (ADC) + exact refine — the memory-bounded 100 TB scale path.
@@ -481,6 +698,20 @@ def ivfpq_topk(
     corpus and parameters) to skip the ingest-time encode entirely —
     the serve-path contract; persisting that frame is how a real
     deployment amortizes the encode across query batches.
+
+    Pass ``codebooks=train_codebooks(...)`` to serve from offline
+    k-means-trained centroids/codewords (the FAISS train step; the
+    lowest-id default is the oracle-expressible baseline), and/or
+    ``by_residual=True`` for true residual IVFPQ — the ADC then adds
+    the probed list's exact ⟨q, c⟩ term to the LUT sum (still zero
+    extra passes: the dot rides the existing probe scoring). An
+    ``index=`` frame must have been encoded with the SAME codebooks
+    and residual flag — codes are meaningless under any other
+    codebook. Both knobs default off, keeping every registered query
+    oracle-exact; with ``n_probe == n_centroids`` and a corpus-sized
+    ``refine`` the trained/residual routes remain bit-identical to
+    brute force (the refine stage ranks on exact cosine — parity-
+    pinned in tests/test_llm_ops.py).
 
     Recall contract (measured — PLANS.md "ANN recall envelope"): ADC
     resolves candidates to QUANTIZATION-CELL granularity, so size
@@ -524,7 +755,26 @@ def ivfpq_topk(
     # them from the raw corpus would re-run the norm folds over every
     # vector, the exact scan the index exists to amortize (measured:
     # ~2× the whole serve wall at the 100× lap).
-    if index is not None:
+    if codebooks is not None:
+        # trained serve path: cents/codewords come from the trained
+        # set (a prebuilt index, if given, must have been encoded with
+        # the SAME codebooks — the codes are meaningless otherwise)
+        if not codebooks.n_centroids or not codebooks.ks:
+            raise ValueError("trained codebooks are empty")
+        if by_residual is None:
+            by_residual = codebooks.by_residual
+        cents = _trained_cents_frame(emb.sparkSession, codebooks)
+        cb = codebooks.pq
+        assigned = (
+            index
+            if index is not None
+            else pq_encode(
+                emb, id_col, vec_col, n_centroids, m, ks, dim,
+                codebooks=codebooks, by_residual=by_residual,
+            )
+        )
+    elif index is not None:
+        by_residual = bool(by_residual)
         assigned = index
         cents = _ivf_codebook(index, n_centroids)
         cb, _cbn = _pq_codebooks(index, m, ks, dim)
@@ -535,7 +785,11 @@ def ivfpq_topk(
         # it saves here (measured at the 100× lap — checkpointing
         # regressed end-to-end ~1.6× even pre-kernel). Callers who DO
         # want the index reused across calls pass ``index=`` instead.
-        assigned = pq_encode(emb, id_col, vec_col, n_centroids, m, ks, dim)
+        by_residual = bool(by_residual)
+        assigned = pq_encode(
+            emb, id_col, vec_col, n_centroids, m, ks, dim,
+            by_residual=by_residual,
+        )
         cents = _ivf_codebook(base, n_centroids)
         cb, _cbn = _pq_codebooks(base, m, ks, dim)
 
@@ -547,6 +801,10 @@ def ivfpq_topk(
         F.col("_vec").alias("_qvec"),
         F.col("_norm2").alias("_qnorm2"),
     )
+    # len(cb[s]) — NOT ks — the codebooks hold min(ks, corpus_size)
+    # codewords (a corpus or prebuilt index smaller than ks must not
+    # IndexError at plan construction; codes from pq_encode are always
+    # < len(cb[s]) by construction, so the LUT stays lookup-complete)
     lut = F.array(*[
         F.array(*[
             F.aggregate(
@@ -558,7 +816,7 @@ def ivfpq_topk(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            for j in range(ks)
+            for j in range(len(cb[s]))
         ])
         for s in range(m)
     ])
@@ -571,6 +829,9 @@ def ivfpq_topk(
     probes = _ivf_nearest_lists(
         queries.withColumn("_lut", lut), cents, "query_id", "_qvec",
         "_qnorm2", n_probe,
+        # residual ADC needs the raw ⟨q, c⟩ of each probed list:
+        # dot(q, c + r̂) = ⟨q, c⟩ + Σ_s LUT[s][code_s]
+        keep_dot="_qcdot" if by_residual else None,
     ).localCheckpoint(eager=False)
 
     # --- ADC scoring: m table lookups per candidate, no dim-sized work.
@@ -578,12 +839,15 @@ def ivfpq_topk(
     # enters the join or the ranking exchange (the whole point of PQ —
     # candidate rows are (query_id, _vid, _cid, adc) ≈ 28 bytes, not
     # 64 doubles); the shortlist fetches vectors BY KEY afterwards.
+    probe_cols = ["query_id", "_qnorm2", "_lut", "_cid"] + (
+        ["_qcdot"] if by_residual else []
+    )
     cand = (
-        probes.select("query_id", "_qnorm2", "_lut", "_cid")
+        probes.select(*probe_cols)
         .join(assigned.select("_vid", "_cid", "_codes", "_pqn2"), "_cid")
         .filter(F.col("_vid") != F.col("query_id"))
     )
-    adc_dot = F.lit(0.0)
+    adc_dot = F.col("_qcdot") if by_residual else F.lit(0.0)
     for s in range(m):
         adc_dot = adc_dot + F.get(F.get("_lut", s), F.get("_codes", s))
     scored = cand.withColumn(

@@ -1117,38 +1117,40 @@ _PCTPL = "round_even(({x} / 100.0) * 10000000000.0, 0) / 10000000000.0"
 def futuro_pr_frame(od):
     """The synthetic raw B3-XML-schema frame (every SPRD PR column
     derived from an orders frame) that q_futuro_panel and the 100×
-    scale smoke push through ``analytics.futuro.enriquecer``."""
-    k = F.col("o_orderkey")
-    ven_raw = F.add_months(
-        F.date_trunc("month", "o_orderdate").cast("date"),
-        F.lit(72) + (k % 8).cast("int") * 3,
-    )
+    scale smoke push through ``analytics.futuro.enriquecer``.
+
+    Built with ``selectExpr`` SQL strings (D-suffixed literals force
+    the same double arithmetic the Column form produced — a bare
+    ``/ 100.0`` in Spark SQL is DECIMAL division, a different value):
+    2 py4j round trips total vs ~120 for the Column form (PLANS.md
+    plan-build lever)."""
 
     def pct(base, mod):
-        return F.round(F.lit(base) + (k % mod) / 100.0, 4)
+        return f"round({base!r}D + (o_orderkey % {mod}) / 100.0D, 4)"
 
-    return od.select(
-        F.to_date("o_orderdate").alias("TradDt"),
-        F.concat(
-            F.lit("DI1"),
-            F.substring(F.lit("FGHJKMNQUVXZ"), F.month(ven_raw), 1),
-            F.lpad((F.year(ven_raw) % 100).cast("string"), 2, "0"),
-        ).alias("TckrSymb"),
-        (k % 5000).cast("long").alias("OpnIntrst"),
-        (k % 300).cast("long").alias("TradQty"),
-        (k % 700).cast("long").alias("FinInstrmQty"),
-        F.round("o_totalprice", 2).alias("NtlFinVol"),
-        F.round("o_totalprice", 2).alias("AdjstdQt"),
-        pct(8, 1000).alias("AdjstdQtTax"),
-        pct(8, 900).alias("FrstPric"),
-        pct(7.9, 900).alias("MinPric"),
-        pct(8.1, 900).alias("MaxPric"),
-        pct(8.05, 900).alias("TradAvrgPric"),
-        pct(8.02, 900).alias("LastPric"),
-        pct(8.5, 900).alias("BestBidPric"),
-        pct(8.6, 900).alias("BestAskPric"),
-        pct(9.0, 900).alias("MaxTradLmt"),
-        pct(7.0, 900).alias("MinTradLmt"),
+    return od.selectExpr(
+        "CAST(o_orderdate AS DATE) AS TradDt",
+        "add_months(CAST(date_trunc('month', o_orderdate) AS DATE),"
+        " 72 + CAST(o_orderkey % 8 AS INT) * 3) AS _ven_raw",
+        "CAST(o_orderkey % 5000 AS BIGINT) AS OpnIntrst",
+        "CAST(o_orderkey % 300 AS BIGINT) AS TradQty",
+        "CAST(o_orderkey % 700 AS BIGINT) AS FinInstrmQty",
+        "round(o_totalprice, 2) AS NtlFinVol",
+        "round(o_totalprice, 2) AS AdjstdQt",
+        f"{pct(8.0, 1000)} AS AdjstdQtTax",
+        f"{pct(8.0, 900)} AS FrstPric",
+        f"{pct(7.9, 900)} AS MinPric",
+        f"{pct(8.1, 900)} AS MaxPric",
+        f"{pct(8.05, 900)} AS TradAvrgPric",
+        f"{pct(8.02, 900)} AS LastPric",
+        f"{pct(8.5, 900)} AS BestBidPric",
+        f"{pct(8.6, 900)} AS BestAskPric",
+        f"{pct(9.0, 900)} AS MaxTradLmt",
+        f"{pct(7.0, 900)} AS MinTradLmt",
+    ).selectExpr(
+        "* EXCEPT (_ven_raw)",
+        "concat('DI1', substring('FGHJKMNQUVXZ', month(_ven_raw), 1),"
+        " lpad(CAST(year(_ven_raw) % 100 AS STRING), 2, '0')) AS TckrSymb",
     )
 
 
@@ -1221,13 +1223,15 @@ def q_futuro_panel(spark, sf_dir):
     # widen: the whole enrichment (ticker dissection, 4 calendar joins,
     # 10 scaled-round percent conversions) is narrow work before the
     # first exchange — serial on a single-row-group scan without it
+    from pyield_spark.functions.numbers import pround_sql_spark
+
     od = tables(spark, sf_dir, "orders", widen=True)
     out = enriquecer(futuro_pr_frame(od), "DI1")
-    return out.select(
+    return out.selectExpr(
         *[
-            pround_expr(F.col(c), 6).alias(c)
+            f"{pround_sql_spark(c, 6)} AS {c}"
             if c in ("dv01", "taxa_forward")
-            else F.col(c)
+            else c
             for c in out.columns
         ]
     )

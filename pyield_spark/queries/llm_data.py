@@ -519,7 +519,11 @@ _PQ_EXACT_DOT = (
     "q_ivfpq_topk",
     oracle=f"""
     WITH base AS (
+      -- pins the engine's drop-invalid contract (pq_encode/ivfpq_topk
+      -- filter null / wrong-length embeddings out of the index) rather
+      -- than relying on the generator never emitting one (r7 ADVICE)
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     norms AS (
       SELECT vec_id, v,

@@ -1,6 +1,7 @@
 """Scalar-function semantics: truncation, BR numbers, date coalesce."""
 
 import datetime as dt
+import math
 
 from pyspark.sql import functions as F
 
@@ -144,3 +145,53 @@ def test_vna_projetado_scalar_domain():
         vna_projetado(d, 4000.0, -99.996)  # bround2 -> -100.0
     # the valid path is untouched
     assert vna_projetado(d, 4000.0, 0.5) > 4000.0
+
+
+def test_raw_maturity_sql_twin(spark):
+    """The one-round-trip SQL string builds the SAME maturity as the
+    Column form on valid, lowercase, malformed and short tickers
+    (plan-build lever, futuro.py::raw_maturity_sql)."""
+    from pyspark.sql import functions as F
+
+    from pyield_spark.analytics.futuro import raw_maturity_expr, raw_maturity_sql
+
+    df = spark.createDataFrame(
+        [("DI1F26",), ("di1x31",), ("DAPK27",), ("DI1A25",), ("DI1F2X",),
+         ("DI1",), ("",), (None,), ("DI1Q00",)],
+        "t string",
+    )
+    for contrato in ("DI1", "DAP"):
+        both = df.select(
+            raw_maturity_expr("t", contrato).alias("col_form"),
+            F.expr(raw_maturity_sql("t", contrato)).alias("sql_form"),
+        ).collect()
+        for r in both:
+            assert r["col_form"] == r["sql_form"], (contrato, r)
+
+
+def test_round_pl_sql_and_pround_sql_spark_twins(spark):
+    """SQL-string twins are value-identical to the Column forms on a
+    grid-adversarial sample (the exact doubles differ from naive
+    decimal division — D-suffixed literals are load-bearing)."""
+    from pyspark.sql import functions as F
+
+    from pyield_spark.functions.numbers import (
+        pround_expr, pround_sql_spark, round_pl_expr, round_pl_sql,
+    )
+
+    vals = [0.141446, -0.141446, 808563725.6850001, 80856372568.49998,
+            2.5, -2.5, 0.105, -0.105, 1e-12, 0.0, -0.0,
+            float("nan"), float("inf"), 123.456789]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = df.select(
+        round_pl_expr(F.col("x") / 100.0, 10).alias("pl_col"),
+        F.expr(round_pl_sql("x / 100.0D", 10)).alias("pl_sql"),
+        pround_expr(F.col("x"), 6).alias("pa_col"),
+        F.expr(pround_sql_spark("x", 6)).alias("pa_sql"),
+    ).collect()
+    for r in out:
+        for a, b in ((r["pl_col"], r["pl_sql"]), (r["pa_col"], r["pa_sql"])):
+            if a is None or (isinstance(a, float) and math.isnan(a)):
+                assert b is None or math.isnan(b)
+            else:
+                assert a == b, r

@@ -715,6 +715,146 @@ def test_pq_encode_tiny_and_empty_corpus(spark):
     assert set(out.columns) == {"_vid", "_vec", "_norm2", "_cid", "_codes", "_pqn2"}
 
 
+def _clustered_emb(spark, n=120, k=6, dim=64):
+    """Synthetic corpus WITH cluster structure: k well-separated
+    centers + small deterministic jitter — the regime where a trained
+    coarse quantizer beats the lowest-id head."""
+    rows = []
+    for i in range(n):
+        c = i % k
+        vec = [
+            float(100 * ((c * 13 + j) % 7)) + float((i * 31 + j * 17) % 11) / 10.0
+            for j in range(dim)
+        ]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_train_codebooks_deterministic_and_bounded(spark):
+    """Two train calls over differently-partitioned inputs yield the
+    SAME codebooks (hash-ordered sample + fixed-iteration Lloyd), and
+    invalid/NaN vectors are excluded from training."""
+    from pyield_spark.operators.similarity import train_codebooks
+
+    emb = _clustered_emb(spark)
+    dirty = emb.union(
+        spark.createDataFrame(
+            [(900, None), (901, [float("nan")] * 64), (902, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    cb1 = train_codebooks(emb, n_centroids=6, m=4, ks=8, sample=64, iters=4)
+    cb2 = train_codebooks(
+        emb.repartition(7), n_centroids=6, m=4, ks=8, sample=64, iters=4
+    )
+    cb3 = train_codebooks(dirty, n_centroids=6, m=4, ks=8, sample=64, iters=4)
+    assert cb1.coarse == cb2.coarse == cb3.coarse
+    assert cb1.pq == cb2.pq == cb3.pq
+    assert cb1.n_centroids == 6 and cb1.ks == 8
+
+
+def test_trained_exhaustive_matches_brute_force(spark):
+    """Trained codebooks (raw and residual PQ) with n_probe == C and a
+    corpus-sized refine are bit-identical to the exact brute force —
+    the exhaustive-config parity contract survives training."""
+    from pyield_spark.operators.similarity import (
+        cosine_topk, ivf_topk, ivfpq_topk, train_codebooks,
+    )
+
+    emb = _clustered_emb(spark, n=60)
+    pred = F.col("_vid") % 10 == 0
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in cosine_topk(emb, query_pred=pred, k=4).collect()
+    )
+    cb = train_codebooks(emb, n_centroids=6, m=4, ks=8, sample=64, iters=4)
+    got_ivf = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in ivf_topk(
+            emb, query_pred=pred, k=4, n_probe=6, codebooks=cb
+        ).select("query_id", "neighbor_id", "cosine", "rnk").collect()
+    )
+    assert got_ivf == exact
+    for resid in (False, True):
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+            for r in ivfpq_topk(
+                emb, query_pred=pred, k=4, n_probe=6, refine=60,
+                codebooks=cb, by_residual=resid,
+            ).select("query_id", "neighbor_id", "cosine", "rnk").collect()
+        )
+        assert got == exact, f"by_residual={resid}"
+
+
+def test_trained_prebuilt_index_matches_e2e(spark):
+    """pq_encode(codebooks=cb) → ivfpq_topk(index=..., codebooks=cb)
+    equals the e2e trained route, for raw and residual encoding."""
+    from pyield_spark.operators.similarity import (
+        ivfpq_topk, pq_encode, train_codebooks,
+    )
+
+    emb = _clustered_emb(spark, n=60)
+    pred = F.col("_vid") % 10 == 0
+    for resid in (False, True):
+        cb = train_codebooks(
+            emb, n_centroids=6, m=4, ks=8, sample=64, iters=4,
+            by_residual=resid,
+        )
+        e2e = sorted(
+            map(tuple, ivfpq_topk(
+                emb, query_pred=pred, k=3, n_probe=2, refine=12, codebooks=cb
+            ).collect())
+        )
+        idx = pq_encode(emb, m=4, codebooks=cb)
+        via = sorted(
+            map(tuple, ivfpq_topk(
+                emb, query_pred=pred, k=3, n_probe=2, refine=12,
+                codebooks=cb, index=idx,
+            ).collect())
+        )
+        assert e2e == via, f"by_residual={resid}"
+        codes = idx.select("_codes").collect()
+        assert all(0 <= c < 8 for r in codes for c in r["_codes"])
+
+
+def test_ivfpq_topk_tiny_corpus(spark):
+    """A corpus smaller than ks must not IndexError at plan
+    construction (r7 ADVICE: the ADC LUT used to iterate range(ks)
+    over codebooks that hold only min(ks, corpus_size) codewords) —
+    both the e2e route and the prebuilt-index route serve the tiny
+    corpus, and the exhaustive config matches brute force."""
+    from pyield_spark.operators.similarity import (
+        cosine_topk, ivfpq_topk, pq_encode,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, [float((7 * i + j) % 13) + 0.5 for j in range(64)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    pred = F.col("_vid") % 2 == 0
+    got = ivfpq_topk(
+        tiny, query_pred=pred, k=3, n_centroids=16, n_probe=16,
+        m=4, ks=16, refine=10,
+    )
+    exact = cosine_topk(tiny, query_pred=pred, k=3)
+    key = lambda r: (r["query_id"], r["rnk"])
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+         for r in got.select("query_id", "neighbor_id", "cosine", "rnk").collect()],
+    ) == sorted(
+        [(r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+         for r in exact.collect()],
+    )
+    idx = pq_encode(tiny, n_centroids=16, m=4, ks=16)
+    via_index = ivfpq_topk(
+        tiny, query_pred=pred, k=3, n_centroids=16, n_probe=16,
+        m=4, ks=16, refine=10, index=idx,
+    ).collect()
+    assert sorted(map(key, via_index)) == sorted(
+        map(key, got.collect())
+    )
+
+
 def test_ivfpq_tolerates_invalid_embeddings(spark):
     """Null and wrong-length embeddings are dropped from the PQ index
     (documented) instead of crashing the Arrow kernel, and the e2e

@@ -110,17 +110,19 @@ def test_dedup_keep_best_no_forced_broadcast(spark):
 
 
 def test_extract_features_real_codec_seam(spark, monkeypatch):
-    """Flipping HAVE_IMAGE_CODECS with an injected codec must route
-    extract_features through decode+featurize (captured into the kernel
-    closure at plan-build time) — a codec-capable deployment is a config
-    change, not a code change."""
+    """Injecting a codec at the module seam (decode/featurize/sniff)
+    must route extract_features through it (captured into the kernel
+    closure at plan-build time) — a codec-richer deployment is a config
+    change, not a code change. Payloads that the sniff does NOT claim
+    stay on the deterministic fake path."""
     from pyield_spark.operators import multimodal as mm
 
     df = spark.createDataFrame(
         [(1, b"abcd"), (2, b"xy")], "doc_id BIGINT, payload BINARY"
     )
 
-    # fake path first (control): byte-histogram moments
+    # fake path first (control): byte-histogram moments — these
+    # payloads don't sniff as PNG/BMP, so the stdlib codec ignores them
     fake = {r["doc_id"]: r["features"] for r in
             mm.extract_features(df, "payload", "doc_id").collect()}
 
@@ -130,9 +132,9 @@ def test_extract_features_real_codec_seam(spark, monkeypatch):
     def fake_featurize(img):
         return [float(img[0])] * mm.FEATURE_DIM  # first byte of decoded img
 
-    monkeypatch.setattr(mm, "HAVE_IMAGE_CODECS", True)
     monkeypatch.setattr(mm, "decode_image", fake_decode)
     monkeypatch.setattr(mm, "featurize_image", fake_featurize)
+    monkeypatch.setattr(mm, "sniff_format", lambda b: "fakefmt")
     real = {r["doc_id"]: r["features"] for r in
             mm.extract_features(df, "payload", "doc_id").collect()}
 

@@ -28,6 +28,7 @@ from pyield_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     ivf_topk,
     ivfpq_topk,
+    train_codebooks,
 )
 from pyield_spark.session import get_session  # noqa: E402
 
@@ -48,22 +49,50 @@ def main():
     def recall(approx: set) -> float:
         return len(approx & exact) / len(exact)
 
+    # trained codebooks: the FAISS train step (r8) — one bounded-sample
+    # Lloyd per variant, then the same serve paths
+    cb = train_codebooks(
+        emb, "vec_id", "embedding", n_centroids=16, m=4, ks=16,
+        sample=4096, iters=8,
+    )
+    cb_res = train_codebooks(
+        emb, "vec_id", "embedding", n_centroids=16, m=4, ks=16,
+        sample=4096, iters=8, by_residual=True,
+    )
+
     for n_probe in (2, 4, 8, 16):
         r_ivf = recall(pairs(ivf_topk(
             emb, "vec_id", "embedding", k=K,
             n_centroids=16, n_probe=n_probe,
         )))
+        r_ivf_t = recall(pairs(ivf_topk(
+            emb, "vec_id", "embedding", k=K, n_probe=n_probe, codebooks=cb,
+        )))
         r_pq20 = recall(pairs(ivfpq_topk(
             emb, "vec_id", "embedding", k=K,
             n_centroids=16, n_probe=n_probe, m=4, ks=16, refine=20,
+        )))
+        r_pq20_t = recall(pairs(ivfpq_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_probe=n_probe, m=4, refine=20, codebooks=cb,
+        )))
+        r_pq20_r = recall(pairs(ivfpq_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_probe=n_probe, m=4, refine=20, codebooks=cb_res,
         )))
         r_pqk = recall(pairs(ivfpq_topk(
             emb, "vec_id", "embedding", k=K,
             n_centroids=16, n_probe=n_probe, m=4, ks=16, refine=K,
         )))
+        r_pqk_r = recall(pairs(ivfpq_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_probe=n_probe, m=4, refine=K, codebooks=cb_res,
+        )))
         print(
-            f"n_probe={n_probe:>2}  ivf={r_ivf:.3f}  "
-            f"ivfpq(refine=20)={r_pq20:.3f}  ivfpq(refine=k)={r_pqk:.3f}"
+            f"n_probe={n_probe:>2}  ivf={r_ivf:.3f}  ivf_trained={r_ivf_t:.3f}  "
+            f"ivfpq20={r_pq20:.3f}  ivfpq20_trained={r_pq20_t:.3f}  "
+            f"ivfpq20_resid={r_pq20_r:.3f}  "
+            f"ivfpqK={r_pqk:.3f}  ivfpqK_resid={r_pqk_r:.3f}"
         )
 
 
