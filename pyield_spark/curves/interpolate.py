@@ -39,7 +39,7 @@ def interpolar(
     extrapolar: bool = False,
     alias: str = "taxa_interpolada",
     order_col: str | None = None,
-    distribution: str = "shuffle",
+    distribution: str = "auto",
 ) -> DataFrame:
     """Attach an interpolated-rate column to ``targets``.
 
@@ -56,19 +56,30 @@ def interpolar(
             reference's keep='last' on revised-vertex feeds. When None,
             the deterministic keep-max-rate stand-in applies (arrival
             order is undefined on a distributed table).
-        distribution: "shuffle" (default — union + dual window, one
-            shuffle on the group key) or "broadcast" — when the WHOLE
-            curve panel (all groups) is dimension-sized, consecutive
-            vertex pairs become broadcast bracketing intervals exploded
-            onto a per-group bucket grid and the match is ONE broadcast
-            hash equi-join: the target side is never shuffled. Both
-            bracketing neighbors AND the group extremes arrive in the
-            same joined row, so the ladder below is shared verbatim.
+        distribution: "auto" (default — resolve to 'broadcast' when the
+            CURVE's Catalyst size estimate fits
+            autoBroadcastJoinThreshold, else 'shuffle'; see
+            ``operators.asof.auto_distribution`` — curve panels are
+            dimension-sized in every reference workload, so auto
+            normally broadcasts and the target side never shuffles),
+            "shuffle" (union + dual window, one shuffle on the group
+            key) or "broadcast" — when the WHOLE curve panel (all
+            groups) is dimension-sized, consecutive vertex pairs become
+            broadcast bracketing intervals exploded onto a per-group
+            bucket grid and the match is ONE broadcast hash equi-join:
+            the target side is never shuffled. Both bracketing
+            neighbors AND the group extremes arrive in the same joined
+            row, so the ladder below is shared verbatim. Routes are
+            parity-pinned so the pick never changes values.
     """
     if method not in ("flat_forward", "linear"):
         raise ValueError("method must be 'flat_forward' or 'linear'")
-    if distribution not in ("shuffle", "broadcast"):
-        raise ValueError("distribution must be 'shuffle' or 'broadcast'")
+    if distribution not in ("auto", "shuffle", "broadcast"):
+        raise ValueError("distribution must be 'auto', 'shuffle' or 'broadcast'")
+    if distribution == "auto":
+        from pyield_spark.operators.asof import auto_distribution
+
+        distribution = auto_distribution(curve)
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
     cur = curve.select(

@@ -26,8 +26,9 @@ Namespaces:
                 mixture resampling, corpus shuffle (global sort
                 index), sequence packing
 - ``media``     binary-column multimodal plumbing (metadata, feature
-                extraction, frame sampling, resize — decode stubs
-                declared, seam-tested)
+                extraction, frame sampling, resize) with REAL
+                stdlib PNG/BMP decode (round 8) and sniff-routed
+                fallbacks
 - ``skew``      salted joins for hot keys
 """
 
@@ -36,6 +37,7 @@ from __future__ import annotations
 from types import SimpleNamespace
 
 from pyield_spark.operators import (
+    bloom as _bloom,
     dedup as _dedup,
     graph as _graph,
     multimodal as _mm,
@@ -56,6 +58,9 @@ dedup = SimpleNamespace(
     minhash_signatures=_dedup.minhash_signatures,
     lsh_candidate_pairs=_dedup.lsh_candidate_pairs,
     simhash=_dedup.simhash_expr_input,
+    simhash_hamming_pairs=_dedup.simhash_hamming_pairs,
+    bloom_build=_bloom.bloom_build,
+    bloom_decontaminate=_bloom.bloom_decontaminate,
     containment_pairs=_dedup.containment_pairs,
     winnow_spans=_text.spans_expr,
     canonical_url=_text.canonical_url_expr,
@@ -72,6 +77,7 @@ cluster = SimpleNamespace(
 
 similarity = SimpleNamespace(
     cosine_topk=_sim.cosine_topk,
+    train_codebooks=_sim.train_codebooks,
     lsh_bucket=_sim.lsh_bucket_expr,
     ivf_topk=_sim.ivf_topk,
     pq_encode=_sim.pq_encode,
@@ -113,6 +119,8 @@ sample = SimpleNamespace(
 
 media = SimpleNamespace(
     metadata=_mm.media_metadata_exprs,
+    decode_image=_mm.decode_image,
+    sniff_format=_mm.sniff_format,
     extract_features=_mm.extract_features,
     sample_frames=_mm.sample_frames,
     resize_payload=_mm.resize_payload,

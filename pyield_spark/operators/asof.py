@@ -44,6 +44,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def auto_distribution(right: DataFrame) -> str:
+    """Pick 'broadcast' when the right side's CATALYST size estimate
+    fits under ``spark.sql.autoBroadcastJoinThreshold`` (the signal
+    Spark itself broadcasts joins on), else 'shuffle' — the r7 skew lap
+    measured the broadcast route 3.9× faster at 100× on a 90%-hot key
+    whenever the series fits (PLANS.md), but the user had to know to
+    ask for it. Plan-time only (optimizedPlan().stats — parquet-footer
+    / propagated estimates, no job); an UNKNOWN size estimates as
+    Long.Max and safely falls back to the shuffle route. Explicit
+    ``distribution=`` always wins over the estimate."""
+    try:
+        spark = right.sparkSession
+        raw = right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala BigInt to a Python int on recent versions;
+        # older bridges hand back the object
+        size = int(raw if isinstance(raw, int) else raw.toString())
+        thr = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(
+                str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+            )
+        )
+    except Exception:  # Connect / stat-less plans: the safe route
+        return "shuffle"
+    return "broadcast" if 0 < thr and 0 <= size <= thr else "shuffle"
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -53,7 +80,7 @@ def asof_join(
     strategy: str = "backward",
     values: list[str] | None = None,
     allow_exact_matches: bool = True,
-    distribution: str = "shuffle",
+    distribution: str = "auto",
 ) -> DataFrame:
     """Match each left row to the nearest right row at-or-before
     (backward) / at-or-after (forward) on the ordering key.
@@ -69,18 +96,24 @@ def asof_join(
         values: right payload columns to attach (default: all right
             columns except keys). Unmatched rows get nulls.
         allow_exact_matches: whether an equal key counts as a match.
-        distribution: "shuffle" (default — the window plan; grouped =
-            one shuffle, ungrouped = range buckets + ghost stitch) or
+        distribution: "auto" (default — resolve to 'broadcast' when
+            the right side's Catalyst size estimate fits
+            autoBroadcastJoinThreshold, else 'shuffle'; see
+            ``auto_distribution``), "shuffle" (the window plan; grouped
+            = one shuffle, ungrouped = range buckets + ghost stitch) or
             "broadcast" — for an as-of (grouped or not) whose WHOLE
             right panel is dimension-sized (a rate/PTAX/VNA series):
             the right side becomes broadcast bracketing intervals and
             the match is a broadcast hash equi-join on a coarse bucket
             key — the fact side is NEVER shuffled. This is the second
             scale-out route for J3/J5 (the one a 100 TB plan wants when
-            the series fits in a broadcast).
+            the series fits in a broadcast). Routes are parity-pinned
+            (tests/test_bucketing.py) so the pick never changes values.
     """
-    if distribution not in ("shuffle", "broadcast"):
-        raise ValueError("distribution must be 'shuffle' or 'broadcast'")
+    if distribution not in ("auto", "shuffle", "broadcast"):
+        raise ValueError("distribution must be 'auto', 'shuffle' or 'broadcast'")
+    if distribution == "auto":
+        distribution = auto_distribution(right)
     if strategy == "nearest":
         return _asof_nearest(
             left, right, on, right_on, by, values, allow_exact_matches,

@@ -243,6 +243,71 @@ def simhash_expr_input(df: DataFrame, text: str, id_col: str, bits: int = 32) ->
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    bits: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """SimHash NEAR-duplicate pairs within Hamming radius ``k`` —
+    fingerprint EQUALITY (``q_simhash``-style groupBy) misses docs
+    whose fingerprints differ in a few bits, which is exactly how
+    SimHash encodes near-duplication (Manku/Jain/Sarma, WWW'07
+    "Detecting Near-Duplicates for Web Crawling").
+
+    Scale design — the pigeonhole banded join, NOT all-pairs: the
+    ``bits``-bit fingerprint splits into ``k+1`` contiguous bands; two
+    fingerprints within Hamming distance ``k`` have fewer than ``k+1``
+    differing bits, so AT LEAST ONE band matches exactly. Candidates
+    therefore come from an EQUI-join on (band_idx, band_value) — the
+    same linear band-bucket shape as MinHash-LSH (shuffle keyed on the
+    band value, no nested-loop anywhere; plan-guarded) — and only
+    candidates pay the exact ``bit_count(xor) <= k`` verify. Recall is
+    EXACT (pigeonhole, not probabilistic); precision filtering is the
+    cheap popcount.
+
+    Band extraction uses floor/pow double arithmetic (h < 2^32 ≪ 2^53
+    exact) so the fingerprint → band math replays bit-identically in
+    any SQL engine. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 1 <= k < bits:
+        raise ValueError(f"k must be in [1, bits): got k={k}, bits={bits}")
+    sig = simhash_expr_input(df, text, id_col)
+    nb = k + 1
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    band_keys = []
+    off = 0
+    for w in widths:
+        band_keys.append(
+            (F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(off)))
+             % F.lit(float(2 ** w))).cast("long")
+        )
+        off += w
+    allb = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sh"),
+        F.posexplode(F.array(*band_keys)).alias("band", "bkey"),
+    )
+    a = allb.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), "band", "bkey"
+    )
+    b = allb.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), "band", "bkey"
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()  # a pair can match in several bands
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text: str,

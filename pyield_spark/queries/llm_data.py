@@ -187,6 +187,52 @@ def q_simhash(spark, sf_dir):
     return dd.simhash_expr_input(docs, "text", "doc_id")
 
 
+_SIMHASH_FP = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN CAST(floor(h / power(2.0, bit)) AS BIGINT) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM h, generate_series(0, 31) t(bit)
+      GROUP BY doc_id, bit
+    ),
+    fp AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+          AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_simhash_hamming",
+    # the oracle verifies SEMANTICS all-pairs (exact recall is the
+    # banding theorem's claim — pigeonhole guarantees the equi-join
+    # candidate set contains every pair within radius k, so the two
+    # must agree row-for-row); the ENGINE never builds all pairs
+    oracle=_SIMHASH_FP + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming radius 2 over the
+    documents table — the banded (k+1 pigeonhole bands) equi-join
+    route of operators/dedup.py::simhash_hamming_pairs; fingerprint
+    equality (q_simhash) is the radius-0 special case."""
+    docs = tables(spark, sf_dir, "documents")
+    return dd.simhash_hamming_pairs(docs, "text", "doc_id", bits=32, k=2)
+
+
 # === brute-force cosine top-k over embeddings =============================
 
 

@@ -274,6 +274,78 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+# === Bloom-filter decontamination (round 8) ===============================
+
+# the k=4 bit positions of one shingle hash, as SQL fragments — the
+# identical (h·A + B) mod 4096 arithmetic bloom.py builds Column-side
+_BLOOM_H = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
+_BLOOM_AB = [(1299721, 104729), (15485863, 32452843),
+             (49979687, 67867967), (86028121, 93827561)]
+_BLOOM_POS = ", ".join(
+    f"(({_BLOOM_H} * {a} + {b}) % 4096)" for a, b in _BLOOM_AB
+)
+
+
+@query(
+    "q_bloom_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_GRAMS3}) AS shingle FROM documents
+    ),
+    eval_probe AS (
+      SELECT DISTINCT unnest([{_BLOOM_POS}]) AS pos
+      FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    ),
+    bloom AS (
+      SELECT CAST(floor(pos / 32) AS BIGINT) AS word,
+             bit_or(CAST(power(2.0, pos % 32) AS BIGINT)) AS bits
+      FROM eval_probe GROUP BY 1
+    ),
+    corpus_probe AS (
+      SELECT doc_id, shingle, p.i, p.pos FROM (
+        SELECT doc_id, shingle,
+               unnest([{_BLOOM_POS}]) AS pos,
+               unnest([0, 1, 2, 3]) AS i
+        FROM sh WHERE doc_id % 97 <> 0
+      ) p
+    ),
+    shingle_hit AS (
+      SELECT doc_id, shingle,
+             bool_and(COALESCE(
+               (b.bits & CAST(power(2.0, pos % 32) AS BIGINT))
+                 = CAST(power(2.0, pos % 32) AS BIGINT), FALSE)) AS hit
+      FROM corpus_probe c
+      LEFT JOIN bloom b ON b.word = CAST(floor(c.pos / 32) AS BIGINT)
+      GROUP BY doc_id, shingle
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) FILTER (hit) AS n_hits
+      FROM shingle_hit GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    """q_decontaminate's membership check through a 4096-bit Bloom
+    filter (operators/bloom.py): the blocklist compresses to a 1 KB
+    word table inlined as a literal, so the corpus probe is MAP-ONLY
+    (zero shuffles, no broadcast exchange) — the shape that holds when
+    the blocklist is a whole prior corpus, not a benchmark suite. The
+    oracle replays the identical md5/position/bit arithmetic, so even
+    Bloom FALSE POSITIVES match bit-for-bit (one-sided: n_hits here
+    >= the exact operator's n_hits, never under)."""
+    from pyield_spark.operators import bloom as bl
+
+    docs = tables(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return bl.bloom_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), "text", "doc_id"
+    )
+
+
 # === PII redaction ========================================================
 
 # both engines build the SAME synthetic contact string from customer

@@ -76,7 +76,10 @@ def test_ungrouped_asof_is_distributed(spark):
         (F.col("id") * 1.5).alias("v"),
     )
     for strategy in ("backward", "forward"):
-        out = asof_join(left, right, on="k", strategy=strategy)
+        out = asof_join(
+            left, right, on="k", strategy=strategy,
+            distribution="shuffle",  # pin the route this test asserts
+        )
         plan = out._jdf.queryExecution().executedPlan().toString()
         # the big window is partitioned by the range bucket
         assert re.search(r"Window \[last\(_v.*windowspecdefinition\(_bkt", plan), plan
@@ -111,7 +114,10 @@ def test_ungrouped_interpolar_is_distributed(spark):
     targets = spark.range(3000).select(
         F.col("id").alias("tid"), (F.col("id") % 1600).cast("long").alias("du")
     )
-    out = interpolar(targets, curve, du_col="du", curve_du="du", curve_rate="taxa")
+    out = interpolar(
+        targets, curve, du_col="du", curve_du="du", curve_rate="taxa",
+        distribution="shuffle",  # pin the route this test asserts
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"windowspecdefinition\(_bkt", plan), plan
 
@@ -219,3 +225,69 @@ def test_broadcast_asof_rejects_unsupported_key(spark):
     right = spark.createDataFrame([("2024-01-01", 1.0)], "d string, v double")
     with pytest.raises(ValueError, match="broadcast"):
         asof_join(left, right, on="d", distribution="broadcast")
+
+
+def test_auto_distribution_picks_routes(spark, sf_dir):
+    """distribution='auto' (the new default): a dimension-sized right
+    side resolves to the broadcast route BY DEFAULT (zero fact-side
+    data shuffles), an over-threshold / unknown-size right side falls
+    back to shuffle, and both routes return identical rows."""
+    from pyield_spark.operators.asof import asof_join, auto_distribution
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", F.col("l_shipdate").alias("k")
+    )
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderdate").alias("k"), "o_totalprice"
+    ).groupBy("k").agg(F.max("o_totalprice").alias("px")).limit(200)
+
+    # the tiny aggregated series estimates under the threshold
+    # (limit caps the estimate) -> broadcast
+    assert auto_distribution(dim) == "broadcast"
+    auto = asof_join(li, dim, on="k", strategy="backward", values=["px"])
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    # fact side never shuffles on the broadcast route: no hash/range
+    # exchange feeds the parquet scan side
+    assert "BroadcastExchange" in plan
+
+    explicit = asof_join(
+        li, dim, on="k", strategy="backward", values=["px"],
+        distribution="shuffle",
+    )
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b and a  # parity, non-empty
+
+    # threshold off -> auto falls back to shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert auto_distribution(dim) == "shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_auto_distribution_interpolar_default(spark):
+    """interpolar's default now broadcasts a dimension-sized curve —
+    and stays value-identical to the explicit shuffle route."""
+    from pyield_spark.curves.interpolate import interpolar
+
+    # range-derived frames carry KNOWN Catalyst size estimates (a
+    # createDataFrame/ExistingRDD scan estimates Long.Max and auto
+    # would conservatively pick shuffle — also pinned below)
+    curve = spark.range(4).select(
+        F.lit("2024-01-02").alias("ref"),
+        ((F.col("id") + 1) * 63).alias("dias_uteis"),
+        (F.lit(0.10) + (F.col("id") + 1) * 63 / 10000.0).alias("taxa"),
+    )
+    targets = spark.range(5).select(
+        F.lit("2024-01-02").alias("ref"),
+        (F.col("id") * 60 + 21).alias("dias_uteis"),
+    )
+    auto = interpolar(targets, curve, by="ref")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    shuffle = interpolar(targets, curve, by="ref", distribution="shuffle")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, shuffle.collect())
+    )

@@ -873,3 +873,99 @@ def test_ivfpq_tolerates_invalid_embeddings(spark):
         n_centroids=8, n_probe=8, m=4, ks=8, refine=30,
     ).collect()
     assert out and all(r.neighbor_id < 100 for r in out)
+
+
+def test_simhash_hamming_banded_join(spark):
+    """The Hamming-radius route (a) matches all-pairs popcount exactly
+    — the pigeonhole banding theorem gives EXACT recall, not
+    probabilistic — and (b) plans as an equi-join on the band buckets:
+    no nested-loop/cartesian anywhere."""
+    from pyield_spark.operators.dedup import (
+        simhash_expr_input, simhash_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zetas"),  # near-dup of 1
+            (3, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (4, "totally different words entirely here now"),
+            (5, "alpha beta gamma delta epsilon eta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = simhash_hamming_pairs(docs, "text", "doc_id", bits=32, k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # brute-force twin: all pairs, popcount the fingerprint xor
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash_expr_input(docs, "text", "doc_id").collect()}
+    ids = sorted(fps)
+    expect = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in got.collect()} == expect
+    assert any(p[:2] == (1, 3) and p[2] == 0 for p in expect)  # exact dup
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        simhash_hamming_pairs(docs, "text", "doc_id", bits=32, k=0)
+
+
+def test_bloom_decontaminate_one_sided_and_map_only(spark):
+    """Bloom membership never misses a true member (one-sided error:
+    bloom n_hits >= exact shared-shingle count per doc), the flag
+    matches the exact operator whenever the bloom count does, and the
+    probe plan is MAP-ONLY — no exchange of any kind over the corpus."""
+    from pyield_spark.operators import bloom as bl
+    from pyield_spark.operators.dedup import exploded_shingles
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # dup of eval
+        (2, "an entirely different document about financial markets here"),
+        (3, "the quick brown fox walks under the lazy dog today"),  # partial
+        (4, "short text"),  # no shingles
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    blocklist = docs.filter("doc_id = 0")
+    corpus = docs.filter("doc_id > 0")
+    out = bl.bloom_decontaminate(corpus, blocklist, "text", "doc_id", min_hits=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # map-only probe
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in out.collect()}
+
+    # exact shared-shingle counts (set semantics)
+    sh = exploded_shingles(docs, "text", "doc_id", n=3)
+    block_sh = {r["shingle"] for r in sh.filter("doc_id = 0").collect()}
+    exact = {}
+    for did in (1, 2, 3, 4):
+        own = {r["shingle"] for r in sh.filter(f"doc_id = {did}").collect()}
+        exact[did] = len(own & block_sh)
+    for did, (n_hits, flag) in got.items():
+        assert n_hits >= exact[did], (did, n_hits, exact[did])  # one-sided
+    assert got[1][1] is True and exact[1] >= 2  # exact dup flagged
+    assert got[4] == (0, False)  # shingle-less doc untouched
+
+
+def test_bloom_build_bounded_and_deterministic(spark):
+    """The word table never exceeds m_bits/32 rows regardless of input
+    size, and two builds over different partitionings agree."""
+    from pyield_spark.operators import bloom as bl
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} token{i+1} token{i+2} token{i+3} alpha beta gamma")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    w1 = bl.bloom_words(bl.bloom_build(docs, "text"))
+    w2 = bl.bloom_words(bl.bloom_build(docs.repartition(13), "text"))
+    assert w1 == w2
+    assert len(w1) == bl.M_BITS // bl.WORD_BITS
+    assert any(w1)  # bits actually set
+    assert all(0 <= w < 2**32 for w in w1)  # 32-bit words, sign-safe

@@ -168,7 +168,14 @@ def test_no_driver_collect_in_library_code():
       (operators/similarity.py::_pq_codebooks, round 7) — ks·dim
       doubles collected ONCE so encoding and ADC lookup tables are
       literal-array map-only stages (exactly how FAISS ships trained
-      codebooks to workers).
+      codebooks to workers); round 8 adds the ``train_codebooks``
+      sample hop to the same file — ``sample``·dim doubles, bounded by
+      parameter regardless of corpus size (the FAISS offline train
+      step);
+    - the ≤ m_bits/32-row Bloom word-table hop
+      (operators/bloom.py::bloom_words, round 8) — ~1 KB at the
+      default geometry, inlined as a literal so the corpus probe is a
+      map-only scan stage.
 
     Everything else (including the streaming foreachBatch demo, which
     now writes to a parquet sink) must stay executor-side.
@@ -180,6 +187,7 @@ def test_no_driver_collect_in_library_code():
         "operators/graph.py",
         "operators/semantic.py",
         "operators/similarity.py",
+        "operators/bloom.py",
     }
     offenders = []
     for py in pkg.rglob("*.py"):

@@ -47,6 +47,7 @@ KNOWN_OPS = {
     "bm25",
     # round-7: corpus shuffle + sequence packing at FACTOR x documents
     "pack",
+    "ivfpq_trained",
     # round-7 (continued): IVF vs IVF-PQ candidate scoring at FACTOR x
     # vectors with a FIXED query workload (corpus grows, queries don't)
     "ivfpq",
@@ -171,6 +172,10 @@ def main():
             f"interp_skew_broadcast_{FACTOR}x",
             lambda: interp_skew("broadcast"),
         )
+        # round-8: the default route picker — should land on the
+        # broadcast time when the curve panel's estimate fits the
+        # broadcast threshold (the whole point of the auto default)
+        timed(f"interp_skew_auto_{FACTOR}x", lambda: interp_skew("auto"))
 
     # grouped as-of join at 10× groups
     def asof():
@@ -516,6 +521,49 @@ def main():
                 emb_s, "vec_id", "embedding", query_pred=pred_s,
                 k=5, n_centroids=16, n_probe=4, m=4, ks=16, refine=20,
                 index=idx,
+            ).count(),
+        )
+
+    # round-8: the TRAINED (residual-PQ) ladder — train cost is
+    # corpus-size-INDEPENDENT (bounded hash sample), encode/serve use
+    # the same kernels, so the lap shows training adds a fixed prefix,
+    # not a scaling term
+    if want("ivfpq_trained"):
+        from pyield_spark.operators.similarity import (
+            ivfpq_topk, pq_encode, train_codebooks,
+        )
+
+        emb_t = replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        )
+        cb_h, idx_h = {}, {}
+
+        def _train():
+            cb_h["cb"] = train_codebooks(
+                emb_t, "vec_id", "embedding", n_centroids=16, m=4,
+                ks=16, sample=4096, iters=8, by_residual=True,
+            )
+            return 1
+
+        timed(f"ivfpq_train_{FACTOR}x", _train)
+
+        def _enc_t():
+            idx_h["idx"] = pq_encode(
+                emb_t, "vec_id", "embedding", m=4, codebooks=cb_h["cb"]
+            ).localCheckpoint()
+            return idx_h["idx"].count()
+
+        timed(f"ivfpq_encode_trained_{FACTOR}x", _enc_t)
+        pred_t = (F.col("_vid") < 2000) & (F.col("_vid") % 100 == 0)
+        timed(
+            f"ivfpq_serve_trained_{FACTOR}x",
+            lambda: ivfpq_topk(
+                emb_t, "vec_id", "embedding", query_pred=pred_t,
+                k=5, n_probe=4, m=4, refine=20,
+                codebooks=cb_h["cb"], index=idx_h["idx"],
             ).count(),
         )
 

@@ -130,9 +130,20 @@ def wm_lag_seconds(wm_iso):
     return (dt.datetime.now(dt.timezone.utc) - wm).total_seconds()
 
 
-def rates_mode(secs: int):
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rates_mode(secs: int, provider: str | None = None):
     spark = get_session("stream_load")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if provider:
+        # session SQL conf — each NEW streaming query picks it up at
+        # start; this is the provider a 100 TB deployment runs (state
+        # off-heap + spillable, changelog checkpointing available)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        print(f"state-store provider: {provider}", flush=True)
     for name in ("sessions", "dedup", "join"):
         for rate in (1_000, 10_000, 100_000):
             q = start_query(spark, name, rate, watermark="2 minutes")
@@ -201,4 +212,9 @@ def plateau_mode(secs: int):
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "rates"
     secs = int(sys.argv[2]) if len(sys.argv) > 2 else (60 if mode == "rates" else 600)
-    (rates_mode if mode == "rates" else plateau_mode)(secs)
+    if mode == "rates":
+        rates_mode(secs)
+    elif mode == "rocksdb":
+        rates_mode(secs, provider=ROCKSDB_PROVIDER)
+    else:
+        plateau_mode(secs)
