@@ -402,10 +402,10 @@ def ntnb_taxas_zero(
     from pyield_spark.curves.interpolate import interpolar
     from pyield_spark.functions.numbers import pround_expr
 
-    # window route on purpose: the grid (targets) is grid-sized — the
-    # same order as the vertex panel — so the broadcast interval route
-    # buys nothing on the target side while paying to materialize the
-    # fact-derived vertex lineage (measured 2.7s → 3.9s at sf0.1);
+    # window route PINNED (not auto): the grid (targets) is grid-sized —
+    # the same order as the vertex panel — so the broadcast interval
+    # route buys nothing on the target side while paying to materialize
+    # the fact-derived vertex lineage (measured 2.7s → 3.9s at sf0.1);
     # broadcast wins when targets outnumber vertices (premio_limpo flows)
     grid = interpolar(
         grid,
@@ -416,6 +416,7 @@ def ntnb_taxas_zero(
         by=by_cols,
         method="flat_forward",
         alias="_tir_raw",
+        distribution="shuffle",
     ).withColumn("taxa_tir", pround_expr("_tir_raw", 10))
 
     # STN cotação at each grid date's interpolated TIR (columnar

@@ -44,16 +44,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+# The broadcast-interval route is NOT a plain broadcast hash join: it
+# explodes each interval onto the ghost bucket grid (~8 rows shipped
+# per series row), runs two window passes over the series, and builds a
+# materially larger expression tree. Its effective cost relative to a
+# plain broadcast is therefore ~an order of magnitude higher per byte —
+# auto only takes it for a right side WELL under the broadcast
+# threshold. 1/32 of the threshold (312 KB at the 10 MB default) is the
+# measured crossover envelope: a 13 KB series (sf0.001 orders-day dim)
+# is strictly faster broadcast; a 953 KB series with a small fact side
+# (sf0.1 q_asof_last_order) measured broadcast 2.6 s vs shuffle 1.4 s;
+# a huge fact side (100× skew lap) flips it back 3× in broadcast's
+# favor — but left-side estimates are unusable for that signal (join
+# stats are size PRODUCTS, inflated by orders of magnitude), so auto
+# keys on the series alone and stays conservative in the middle.
+AUTO_BROADCAST_COST_FACTOR = 32
+
+
 def auto_distribution(right: DataFrame) -> str:
-    """Pick 'broadcast' when the right side's CATALYST size estimate
-    fits under ``spark.sql.autoBroadcastJoinThreshold`` (the signal
-    Spark itself broadcasts joins on), else 'shuffle' — the r7 skew lap
-    measured the broadcast route 3.9× faster at 100× on a 90%-hot key
-    whenever the series fits (PLANS.md), but the user had to know to
-    ask for it. Plan-time only (optimizedPlan().stats — parquet-footer
-    / propagated estimates, no job); an UNKNOWN size estimates as
-    Long.Max and safely falls back to the shuffle route. Explicit
-    ``distribution=`` always wins over the estimate."""
+    """Pick 'broadcast' when the right side's CATALYST size estimate is
+    truly dimension-sized — under ``autoBroadcastJoinThreshold /
+    AUTO_BROADCAST_COST_FACTOR`` (see the factor's comment for the
+    measured crossover) — else 'shuffle'. Plan-time only
+    (optimizedPlan().stats — parquet-footer / propagated estimates, no
+    job); an UNKNOWN size estimates as Long.Max and safely falls back
+    to the shuffle route. Explicit ``distribution=`` always wins.
+
+    Known conservatism (measured, PLANS.md r8 skew lap): an AGGREGATE
+    derived from a large fact table inherits the child's size estimate,
+    so a genuinely-small curve panel computed from a big scan resolves
+    to shuffle — auto never broadcasts what it cannot bound; pass
+    ``distribution="broadcast"`` explicitly when you KNOW the series is
+    small and the fact side is large (the 90%-hot skew lap measured it
+    3× faster there)."""
     try:
         spark = right.sparkSession
         raw = right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -68,7 +91,8 @@ def auto_distribution(right: DataFrame) -> str:
         )
     except Exception:  # Connect / stat-less plans: the safe route
         return "shuffle"
-    return "broadcast" if 0 < thr and 0 <= size <= thr else "shuffle"
+    cap = thr // AUTO_BROADCAST_COST_FACTOR
+    return "broadcast" if 0 < cap and 0 <= size <= cap else "shuffle"
 
 
 def asof_join(

@@ -103,11 +103,17 @@ def bloom_hits_expr(
     """Count of the document's DISTINCT shingles the Bloom filter
     claims (an upper bound on true overlap — FPs are one-sided and
     deterministic). Pure map-side expression over the inlined word
-    literal: the corpus scan stays exchange-free."""
+    literal: the corpus scan stays exchange-free.
+
+    The shingle array is hashed FIRST (one md5 per shingle) and the
+    membership filter runs over the hash array — higher-order-function
+    lambdas re-evaluate captured subtrees per reference, so testing
+    membership directly on the string shingle would recompute the md5
+    once per position term (~8× — the same blowup class the
+    shingles_expr docstring documents)."""
     lit = F.array(*[F.lit(int(w)).cast("long") for w in words])
 
-    def _in_bloom(s: Column) -> Column:
-        h = h32_expr(s)
+    def _in_bloom(h: Column) -> Column:
         cond = F.lit(True)
         for pos in _positions(h, m_bits, k):
             cond = cond & (
@@ -117,7 +123,8 @@ def bloom_hits_expr(
         return cond
 
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.filter(shingles_expr(c, n), _in_bloom)).cast("long")
+    hashes = F.transform(shingles_expr(c, n), lambda s: h32_expr(s))
+    return F.size(F.filter(hashes, _in_bloom)).cast("long")
 
 
 def bloom_decontaminate(

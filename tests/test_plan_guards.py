@@ -69,8 +69,14 @@ EXCHANGE_BUDGETS = {
     # broadcast-calendar business days: fact side never shuffles (the
     # only exchange is the tiny output sort)
     "q_bd_count": 1,
-    # grouped as-of: one window partitioning + broadcastable right agg
-    "q_asof_last_order": 2,
+    # grouped as-of — r8: distribution='auto' resolves to the
+    # broadcast-interval route here (the right agg fits the broadcast
+    # threshold), so the FACT side now has ZERO data shuffles; the 3
+    # permitted exchanges are all DIMENSION-side (the right-agg groupBy
+    # and the interval-window partitionings over the orders-derived
+    # series) — strictly cheaper at scale than the old 2-exchange
+    # shuffle route whose window moved the fact table
+    "q_asof_last_order": 3,
     # explode-and-aggregate pricing: one groupBy on the bond id
     "q_ntnf_pricing": 3,
     # one hash-groupBy
