@@ -56,12 +56,13 @@ def interpolar(
             reference's keep='last' on revised-vertex feeds. When None,
             the deterministic keep-max-rate stand-in applies (arrival
             order is undefined on a distributed table).
-        distribution: "auto" (default — resolve to 'broadcast' when the
-            CURVE's Catalyst size estimate fits
-            autoBroadcastJoinThreshold, else 'shuffle'; see
-            ``operators.asof.auto_distribution`` — curve panels are
-            dimension-sized in every reference workload, so auto
-            normally broadcasts and the target side never shuffles),
+        distribution: "auto" (default — resolve to 'broadcast' when
+            the CURVE's Catalyst size estimate is truly dimension-sized
+            (under autoBroadcastJoinThreshold/32 — see
+            ``operators.asof.auto_distribution`` for the measured
+            crossover), else 'shuffle'; reference curve panels are
+            tens of KB, so auto normally broadcasts them and the
+            target side never shuffles),
             "shuffle" (union + dual window, one shuffle on the group
             key) or "broadcast" — when the WHOLE curve panel (all
             groups) is dimension-sized, consecutive vertex pairs become

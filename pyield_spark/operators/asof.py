@@ -121,9 +121,10 @@ def asof_join(
             columns except keys). Unmatched rows get nulls.
         allow_exact_matches: whether an equal key counts as a match.
         distribution: "auto" (default — resolve to 'broadcast' when
-            the right side's Catalyst size estimate fits
-            autoBroadcastJoinThreshold, else 'shuffle'; see
-            ``auto_distribution``), "shuffle" (the window plan; grouped
+            the right side's Catalyst size estimate is truly
+            dimension-sized: under autoBroadcastJoinThreshold/32, the
+            interval route's measured cost crossover — see
+            ``auto_distribution``; else 'shuffle'), "shuffle" (the window plan; grouped
             = one shuffle, ungrouped = range buckets + ghost stitch) or
             "broadcast" — for an as-of (grouped or not) whose WHOLE
             right panel is dimension-sized (a rate/PTAX/VNA series):
