@@ -155,6 +155,32 @@ def round_pl_sql(col_sql: str, decimals: int) -> str:
     return f"(rint(({col_sql}) * {s}) + 0.0D) / {s}"
 
 
+def truncar_sql_spark(col_sql: str, decimals: int) -> str:
+    """Spark-SQL-string twin of :func:`truncar_expr` — the identical
+    decimal-repr-aware truncation tree (rint grid check, floor
+    fallback, signum pass-through) built in ONE py4j round trip instead
+    of ~15. The CASE branches coerce bigint→double exactly as the
+    Column form's when/otherwise does. Use it ONLY for FLAT
+    applications over a NAMED COLUMN: the string interpolates its input
+    ~5×, so NESTING string twins expands the text combinatorially and
+    builds a LARGER JVM tree than the Column form (whose py4j objects
+    share children as a DAG) — measured on q_leiloes's double-trunc
+    chains, where the string form was ~35% SLOWER to plan than the
+    Column form it replaced (and was reverted). The Column macros stay
+    the right tool for nested chains; this twin is for wide flat
+    selects (the futuro_pr_frame case). Equivalence pinned in
+    tests/test_functions.py."""
+    if decimals < 0:
+        raise ValueError("decimals must be non-negative")
+    s = f"{float(10 ** decimals)!r}D"
+    y = f"(abs({col_sql}) * {s})"
+    k = f"(rint({y}) + 0.0D)"
+    return (
+        f"signum({col_sql}) * (CASE WHEN {k} / {s} = abs({col_sql})"
+        f" THEN {k} ELSE CAST(floor({y}) AS DOUBLE) END) / {s}"
+    )
+
+
 def pround_sql_spark(col_sql: str, decimals: int) -> str:
     """Spark-SQL-string twin of :func:`pround_expr` (portable
     half-away): sign(x)·floor(|x|·10^d + 0.5)/10^d with double

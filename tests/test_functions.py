@@ -177,6 +177,7 @@ def test_round_pl_sql_and_pround_sql_spark_twins(spark):
 
     from pyield_spark.functions.numbers import (
         pround_expr, pround_sql_spark, round_pl_expr, round_pl_sql,
+        truncar_sql_spark,
     )
 
     vals = [0.141446, -0.141446, 808563725.6850001, 80856372568.49998,
@@ -188,9 +189,14 @@ def test_round_pl_sql_and_pround_sql_spark_twins(spark):
         F.expr(round_pl_sql("x / 100.0D", 10)).alias("pl_sql"),
         pround_expr(F.col("x"), 6).alias("pa_col"),
         F.expr(pround_sql_spark("x", 6)).alias("pa_sql"),
+        truncar_expr(F.col("x"), 8).alias("tr_col"),
+        F.expr(truncar_sql_spark("x", 8)).alias("tr_sql"),
+        truncar_expr(truncar_expr(F.col("x"), 8), 8).alias("tr2_col"),
+        F.expr(truncar_sql_spark(truncar_sql_spark("x", 8), 8)).alias("tr2_sql"),
     ).collect()
     for r in out:
-        for a, b in ((r["pl_col"], r["pl_sql"]), (r["pa_col"], r["pa_sql"])):
+        for a, b in ((r["pl_col"], r["pl_sql"]), (r["pa_col"], r["pa_sql"]),
+                     (r["tr_col"], r["tr_sql"]), (r["tr2_col"], r["tr2_sql"])):
             if a is None or (isinstance(a, float) and math.isnan(a)):
                 assert b is None or math.isnan(b)
             else:

@@ -39,10 +39,33 @@ def pairs(df) -> set:
     return {(r.query_id, r.neighbor_id) for r in df.collect()}
 
 
+def clustered_corpus(spark, n=2000, k=16, dim=64):
+    """Deterministic synthetic corpus WITH cluster structure (k
+    well-separated centers + small per-vector jitter) — the regime
+    real embedding corpora live in, where codebook TRAINING has signal
+    to find. Built from spark.range so it is identical on every run."""
+    from pyspark.sql import functions as F
+
+    c = F.col("id") % k
+    vec = F.array(*[
+        (
+            (100.0 * ((c * 13 + j) % 7)).cast("double")
+            + ((F.col("id") * 31 + j * 17) % 23).cast("double") / 4.0
+        )
+        for j in range(dim)
+    ])
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_session("ann_recall")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir == "--clustered":
+        emb = clustered_corpus(spark).localCheckpoint()
+    else:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = pairs(cosine_topk(emb, "vec_id", "embedding", k=K))
     print(f"corpus={emb.count()} queries={len(exact) // K} k={K}")
 
