@@ -14,6 +14,8 @@ Reference semantics:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pyield_spark import du as du_mod
@@ -207,6 +209,13 @@ def enriquecer(df: DataFrame, contrato: str) -> DataFrame:
     from pyield_spark.functions.numbers import round_pl_sql
 
     contrato = contrato.upper()
+    # the prefix is interpolated into a SQL string below — B3 contract
+    # codes are strictly [A-Z0-9], so reject anything else before it
+    # can act as a LIKE metacharacter ('_', '%') or break the quoting
+    if not re.fullmatch(r"[A-Z0-9]+", contrato):
+        raise ValueError(
+            f"contrato must be alphanumeric (B3 ticker prefix): {contrato!r}"
+        )
     # SQL-string column builders throughout the wide stages: each F.*
     # call is 1–3 py4j round trips and this pipeline touches ~22
     # columns several times — selectExpr/expr strings parse JVM-side
@@ -218,7 +227,7 @@ def enriquecer(df: DataFrame, contrato: str) -> DataFrame:
             if src in df.columns
         ]
     ).where(
-        f"codigo_negociacao LIKE '{contrato}%'"
+        f"startswith(codigo_negociacao, '{contrato}')"
         " AND length(codigo_negociacao) = 6"
     )
     out = with_vencimento(out, "codigo_negociacao", contrato)

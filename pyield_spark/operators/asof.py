@@ -41,7 +41,19 @@ test_broadcast_asof_no_fact_shuffle``).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window, functions as F
+
+try:  # the JVM bridge's error family (absent under Spark Connect)
+    from py4j.protocol import Py4JError as _Py4JError
+
+    _PY4J_ERRORS: tuple[type[BaseException], ...] = (_Py4JError,)
+except ImportError:  # pragma: no cover - Connect-only installs
+    _PY4J_ERRORS = ()
+
+_AUTO_STATS_ERRORS = (AttributeError, TypeError, ValueError) + _PY4J_ERRORS
+_AUTO_STATS_WARNED = False
 
 
 # The broadcast-interval route is NOT a plain broadcast hash join: it
@@ -89,7 +101,21 @@ def auto_distribution(right: DataFrame) -> str:
                 str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
             )
         )
-    except Exception:  # Connect / stat-less plans: the safe route
+    except _AUTO_STATS_ERRORS as exc:
+        # Connect sessions (no _jdf) / a renamed JVM API / stat-less
+        # plans: shuffle is the safe route — but say so ONCE so a
+        # silently-vanished broadcast fast path leaves a trace.
+        global _AUTO_STATS_WARNED
+        if not _AUTO_STATS_WARNED:
+            _AUTO_STATS_WARNED = True
+            warnings.warn(
+                "asof auto_distribution: Catalyst stats probe failed "
+                f"({type(exc).__name__}: {exc}); every distribution='auto' "
+                "call in this session falls back to the shuffle route. "
+                "Pass distribution= explicitly to silence.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return "shuffle"
     cap = thr // AUTO_BROADCAST_COST_FACTOR
     return "broadcast" if 0 < cap and 0 <= size <= cap else "shuffle"

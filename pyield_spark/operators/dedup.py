@@ -273,7 +273,13 @@ def simhash_hamming_pairs(
     """
     if not 1 <= k < bits:
         raise ValueError(f"k must be in [1, bits): got k={k}, bits={bits}")
-    sig = simhash_expr_input(df, text, id_col)
+    if bits > 32:
+        # the token hash is 32-bit (h32_expr): fingerprint bits ≥ 32
+        # would be constant 0, so their bands match EVERY pair and the
+        # equi-join degenerates to the all-pairs cross product the
+        # banded design exists to prevent — reject loudly instead.
+        raise ValueError(f"bits must be <= 32 (h32 token hash): got {bits}")
+    sig = simhash_expr_input(df, text, id_col, bits)
     nb = k + 1
     widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
     band_keys = []

@@ -1,13 +1,16 @@
-"""Stdlib-only image codecs for the multimodal operators.
+"""Dependency-light image codecs for the multimodal operators.
 
-Real decoders — no codec libraries, just ``zlib`` + ``struct``
-(both guaranteed in any Python):
+Real decoders — no codec libraries: ``zlib`` + ``struct`` for format
+parsing, numpy (already a hard dependency of the ANN operators) for
+the pixel kernels:
 
 - :func:`decode_png` — PNG (RFC 2083): 8-bit depth, color types 0
-  (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five
-  scanline filters (None/Sub/Up/Average/Paeth). Interlaced (Adam7)
-  and 16-bit images are rejected with a clear error — a documented
-  subset, not a silent wrong answer.
+  (gray), 2 (RGB), 3 (palette → RGB, or RGBA when a tRNS alpha table
+  is present), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth); sequential AND Adam7-interlaced scan
+  order. 16-bit depth and color-key tRNS (on gray/RGB) are rejected
+  with a clear error — a documented subset, not a silent wrong
+  answer.
 - :func:`decode_bmp` — BMP (BITMAPINFOHEADER), 24/32-bit uncompressed,
   top-down or bottom-up.
 - :func:`encode_png` — filter-0 PNG writer (deterministic bytes:
@@ -29,6 +32,8 @@ from __future__ import annotations
 import struct
 import zlib
 from dataclasses import dataclass
+
+import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -59,57 +64,131 @@ def sniff_format(data: bytes) -> str | None:
     return None
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
-    """Reverse PNG scanline filtering. ``bpp`` = bytes per pixel."""
+    """Reverse PNG scanline filtering. ``bpp`` = bytes per pixel.
+
+    Vectorization (measured, PLANS.md r9): None/Sub/Up rows are whole-
+    scanline numpy ops — Sub is a mod-256 ``cumsum`` over the
+    (width, bpp) pixel matrix, Up a wrapping uint8 add against the
+    previous reconstructed row. Average/Paeth are true sequential
+    recurrences (out[x] depends on out[x-1] through a floor, so no
+    cumsum closed form exists); a channel-vectorized numpy loop was
+    benchmarked 13× SLOWER than the byte loop at bpp=3 (per-pixel
+    numpy call overhead ≫ the 3-4 lanes it vectorizes), so those two
+    keep the pure-Python loop on purpose.
+    """
     stride = width * bpp
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"PNG data length {len(raw)} != expected {(stride + 1) * height}"
         )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     out = bytearray(stride * height)
-    prev_off = -stride
+    view = np.frombuffer(memoryview(out), dtype=np.uint8).reshape(height, stride)
+    view.flags.writeable = True
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        ftype = int(rows[y, 0])
+        nline = rows[y, 1:]
         off = y * stride
         if ftype == 0:  # None
-            out[off : off + stride] = line
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                left = out[off + i - bpp] if i >= bpp else 0
-                out[off + i] = (line[i] + left) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                up = out[prev_off + off + i] if y else 0
-                out[off + i] = (line[i] + up) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = out[off + i - bpp] if i >= bpp else 0
-                up = out[prev_off + off + i] if y else 0
-                out[off + i] = (line[i] + (left + up) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = out[off + i - bpp] if i >= bpp else 0
-                up = out[prev_off + off + i] if y else 0
-                ul = out[prev_off + off + i - bpp] if (y and i >= bpp) else 0
-                out[off + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+            view[y] = nline
+        elif ftype == 1:  # Sub: out[x] = line[x] + out[x-1] per channel
+            view[y] = np.cumsum(
+                nline.reshape(width, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 2:  # Up: wrapping add against the previous row
+            view[y] = nline + view[y - 1] if y else nline
+        elif ftype == 3:  # Average (sequential recurrence — see docstring)
+            line = nline.tobytes()
+            prev = bytes(out[off - stride : off]) if y else b"\x00" * stride
+            for c in range(bpp):  # per-channel: branch-free inner loop
+                ls, ps = line[c::bpp], prev[c::bpp]
+                res = bytearray(width)
+                left = 0
+                for x in range(width):
+                    left = (ls[x] + ((left + ps[x]) >> 1)) & 0xFF
+                    res[x] = left
+                out[off + c : off + stride : bpp] = res
+        elif ftype == 4:  # Paeth (sequential recurrence — see docstring)
+            line = nline.tobytes()
+            prev = bytes(out[off - stride : off]) if y else b"\x00" * stride
+            for c in range(bpp):  # predictor inlined — a call per byte
+                # measured ~45% of the row cost
+                ls, ps = line[c::bpp], prev[c::bpp]
+                res = bytearray(width)
+                left = ul = 0
+                for x in range(width):
+                    up = ps[x]
+                    p = left + up - ul
+                    pa = p - left
+                    pb = p - up
+                    pc = p - ul
+                    if pa < 0:
+                        pa = -pa
+                    if pb < 0:
+                        pb = -pb
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    left = (ls[x] + pred) & 0xFF
+                    res[x] = left
+                    ul = up
+                out[off + c : off + stride : bpp] = res
         else:
             raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+# (PNG spec 8.2) — each pass is an independently-filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Adam7: the decompressed stream is the 7 passes' filtered
+    scanlines back to back; each pass unfilters as its own sub-image
+    (the SAME `_unfilter` core), then scatters onto the full-resolution
+    grid by numpy strided assignment — pure reindexing, no new pixel
+    math. Passes with zero rows or columns contribute no bytes at all
+    (not even filter bytes), per spec."""
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (width - xs + xstep - 1) // xstep
+        ph = (height - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        size = (pw * bpp + 1) * ph
+        if pos + size > len(raw):
+            raise ValueError("PNG: truncated interlaced data")
+        sub = _unfilter(raw[pos : pos + size], pw, ph, bpp)
+        pos += size
+        out[ys::ystep, xs::xstep] = np.frombuffer(
+            bytes(sub), dtype=np.uint8
+        ).reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise ValueError(
+            f"PNG: interlaced data length {len(raw)} != expected {pos}"
+        )
+    return out.tobytes()
+
+
 def decode_png(data: bytes) -> RawImage:
-    """Decode an 8-bit PNG (color types 0/2/3/4/6, non-interlaced)."""
+    """Decode an 8-bit PNG (color types 0/2/3/4/6; both progressive
+    scan orders — sequential and Adam7-interlaced)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -117,6 +196,7 @@ def decode_png(data: bytes) -> RawImage:
     depth = ctype = interlace = None
     idat = bytearray()
     plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -129,6 +209,8 @@ def decode_png(data: bytes) -> RawImage:
             )
         elif tag == b"PLTE":
             plte = bytes(body)
+        elif tag == b"tRNS":
+            trns = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -138,23 +220,41 @@ def decode_png(data: bytes) -> RawImage:
         raise ValueError("PNG: missing IHDR")
     if depth != 8:
         raise ValueError(f"PNG: only 8-bit depth supported, got {depth}")
-    if interlace:
-        raise ValueError("PNG: interlaced (Adam7) images not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if ctype not in _CHANNELS:
         raise ValueError(f"PNG: unsupported color type {ctype}")
     if not idat:
         raise ValueError("PNG: no IDAT data")
+    if trns is not None and ctype != 3:
+        # color-key transparency on gray/RGB is outside the supported
+        # subset — reject loudly (the module's policy) rather than
+        # silently dropping the alpha semantics
+        raise ValueError(f"PNG: tRNS on color type {ctype} not supported")
     bpp = _CHANNELS[ctype]
-    pixels = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
-    if ctype == 3:  # palette → RGB
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        pixels = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        pixels = _unfilter(raw, width, height, bpp)
+    if ctype == 3:  # palette → RGB (RGBA when a tRNS alpha table exists)
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")
-        rgb = bytearray(width * height * 3)
-        for i, idx in enumerate(pixels):
-            if idx * 3 + 2 >= len(plte):
-                raise ValueError(f"PNG: palette index {idx} out of range")
-            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
-        return RawImage(width, height, 3, bytes(rgb))
+        n_entries = len(plte) // 3
+        if max(pixels, default=0) >= n_entries:
+            raise ValueError("PNG: palette index out of range")
+        pal = np.frombuffer(plte, dtype=np.uint8)[: n_entries * 3].reshape(-1, 3)
+        idx = np.frombuffer(bytes(pixels), dtype=np.uint8)
+        if trns is not None:
+            # tRNS holds per-entry alpha for the first len(trns)
+            # entries; unlisted entries are opaque (PNG spec 11.3.2)
+            alpha = np.full(n_entries, 255, dtype=np.uint8)
+            alpha[: min(len(trns), n_entries)] = np.frombuffer(
+                trns[:n_entries], dtype=np.uint8
+            )
+            rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+            return RawImage(width, height, 4, rgba[idx].tobytes())
+        return RawImage(width, height, 3, pal[idx].tobytes())
     return RawImage(width, height, bpp, bytes(pixels))
 
 
@@ -177,20 +277,20 @@ def decode_bmp(data: bytes) -> RawImage:
     height = abs(height)
     src_bpp = bits // 8
     row_stride = (width * src_bpp + 3) & ~3  # rows pad to 4 bytes
-    out = bytearray(width * height * 3)
-    for y in range(height):
-        src_y = y if top_down else height - 1 - y
-        row_off = px_off + src_y * row_stride
-        if row_off + width * src_bpp > len(data):
-            raise ValueError("BMP: truncated pixel data")
-        for x in range(width):
-            o = (y * width + x) * 3
-            i = row_off + x * src_bpp
-            # BMP stores BGR(A)
-            out[o] = data[i + 2]
-            out[o + 1] = data[i + 1]
-            out[o + 2] = data[i]
-    return RawImage(width, height, 3, bytes(out))
+    # the final row's trailing pad bytes may be absent — require only
+    # through its last pixel (same bound the old per-row loop checked)
+    need = px_off + (height - 1) * row_stride + width * src_bpp
+    if need > len(data):
+        raise ValueError("BMP: truncated pixel data")
+    buf = np.frombuffer(data, dtype=np.uint8, count=need - px_off, offset=px_off)
+    # zero-copy strided view over the padded rows, then BGR(A)→RGB
+    rows = np.lib.stride_tricks.as_strided(
+        buf, shape=(height, width, src_bpp), strides=(row_stride, src_bpp, 1)
+    )
+    rgb = rows[:, :, [2, 1, 0]]  # BGR(A) → RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return RawImage(width, height, 3, np.ascontiguousarray(rgb).tobytes())
 
 
 def decode_image_bytes(data: bytes) -> RawImage:
@@ -215,10 +315,11 @@ def encode_png(img: RawImage) -> bytes:
     stride = img.width * img.channels
     if len(img.pixels) != stride * img.height:
         raise ValueError("pixel buffer does not match dimensions")
-    raw = bytearray()
-    for y in range(img.height):
-        raw.append(0)
-        raw += img.pixels[y * stride : (y + 1) * stride]
+    raw = np.zeros((img.height, stride + 1), dtype=np.uint8)
+    raw[:, 1:] = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, stride
+    )
+    raw = raw.tobytes()
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -246,16 +347,12 @@ def resize_nearest(img: RawImage, dst_w: int, dst_h: int) -> RawImage:
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError("target dimensions must be positive")
     ch = img.channels
-    src_stride = img.width * ch
-    out = bytearray(dst_w * dst_h * ch)
-    for y in range(dst_h):
-        sy = y * img.height // dst_h
-        for x in range(dst_w):
-            sx = x * img.width // dst_w
-            so = sy * src_stride + sx * ch
-            do = (y * dst_w + x) * ch
-            out[do : do + ch] = img.pixels[so : so + ch]
-    return RawImage(dst_w, dst_h, ch, bytes(out))
+    src = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, ch
+    )
+    sy = np.arange(dst_h) * img.height // dst_h
+    sx = np.arange(dst_w) * img.width // dst_w
+    return RawImage(dst_w, dst_h, ch, src[sy][:, sx].tobytes())
 
 
 def split_png_stream(data: bytes) -> list[bytes]:

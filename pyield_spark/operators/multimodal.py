@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -111,23 +112,21 @@ def featurize_image(img: RawImage) -> list[float]:
     then divided once so every value is a portable IEEE double
     (half-away rounding at 8dp, same contract as the fake path).
     """
-    w, h, ch, px = img.width, img.height, img.channels, img.pixels
+    w, h, ch = img.width, img.height, img.channels
     n = w * h
+    # integer-domain numpy sums (exact — int64 never overflows at
+    # image sizes), then one double division: identical values to the
+    # old byte loops, ~2 orders of magnitude faster
+    a = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, ch)
+    ch_sums = a.sum(axis=(0, 1), dtype=np.int64)
     means = [0.0, 0.0, 0.0, 0.0]
     for c in range(min(ch, 4)):
-        means[c] = sum(px[c::ch]) / (255.0 * n)
+        means[c] = int(ch_sums[c]) / (255.0 * n)
     # gradient energy: mean |horizontal diff| and |vertical diff| over
     # all channels (integer sums — exact)
-    stride = w * ch
-    gh = gv = 0
-    if w > 1:
-        for y in range(h):
-            row = px[y * stride : (y + 1) * stride]
-            for i in range(ch, stride):
-                gh += abs(row[i] - row[i - ch])
-    if h > 1:
-        for i in range(stride, n * ch):
-            gv += abs(px[i] - px[i - stride])
+    ai = a.astype(np.int32)
+    gh = int(np.abs(np.diff(ai, axis=1)).sum(dtype=np.int64)) if w > 1 else 0
+    gv = int(np.abs(np.diff(ai, axis=0)).sum(dtype=np.int64)) if h > 1 else 0
     feats = [
         means[0], means[1], means[2], means[3],
         gh / (255.0 * max(1, (w - 1) * h * ch)),

@@ -107,21 +107,97 @@ def test_png_rgba_and_gray_alpha():
     assert (img.channels, img.pixels) == (2, bytes([9, 8]))
 
 
+def build_png_hdr(width, height, depth, ctype, interlace, raw, plte=None,
+                  trns=None) -> bytes:
+    """Hand-build a PNG with full IHDR control (depth/interlace) from
+    already-filtered raw bytes."""
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, interlace)
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
 def test_png_rejects_unsupported():
-    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    png16 = PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(
-        b"IDAT", zlib.compress(b"\x00\x00\x01")
-    ) + chunk(b"IEND", b"")
+    # every unsupported branch pins its EXACT error (the documented
+    # loud-rejection contract — no silent wrong answers)
     with pytest.raises(ValueError, match="8-bit"):
-        decode_png(png16)
-    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-    png_i = PNG_SIG + chunk(b"IHDR", ihdr_i) + chunk(
-        b"IDAT", zlib.compress(b"\x00\x01")
-    ) + chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_png(png_i)
+        decode_png(build_png_hdr(1, 1, 16, 0, 0, b"\x00\x00\x01"))
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(build_png_hdr(1, 1, 8, 0, 2, b"\x00\x01"))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(build_png_hdr(1, 1, 8, 5, 0, b"\x00\x01"))
+    with pytest.raises(ValueError, match="filter type 7"):
+        decode_png(build_png_hdr(1, 1, 8, 0, 0, b"\x07\x01"))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JUNK" * 4)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_png(PNG_SIG + struct.pack(">I", 99) + b"IHDRxx")
+    with pytest.raises(ValueError, match="without PLTE"):
+        decode_png(build_png_hdr(1, 1, 8, 3, 0, b"\x00\x00"))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(build_png_hdr(1, 1, 8, 3, 0, b"\x00\x05",
+                                 plte=bytes([1, 2, 3])))
+    # color-key tRNS on gray/RGB: outside the subset, loud
+    with pytest.raises(ValueError, match="tRNS on color type 0"):
+        decode_png(build_png_hdr(1, 1, 8, 0, 0, b"\x00\x01",
+                                 trns=b"\x00\x01"))
+    # data length mismatches
+    with pytest.raises(ValueError, match="data length"):
+        decode_png(build_png_hdr(2, 2, 8, 0, 0, b"\x00\x01\x02"))
+
+
+def test_png_trns_palette_expands_to_rgba():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+    trns = bytes([10, 200])  # entries 0,1 translucent; entry 2 opaque
+    png = build_png_hdr(3, 1, 8, 3, 0, bytes([0, 0, 1, 2]),
+                        plte=plte, trns=trns)
+    img = decode_png(png)
+    assert img.channels == 4
+    assert img.pixels == bytes(
+        [255, 0, 0, 10, 0, 255, 0, 200, 0, 0, 255, 255]
+    )
+
+
+def adam7_raw(pixels, width, height, bpp):
+    """Gather the 7 Adam7 passes from a full pixel buffer as filter-0
+    scanlines — an independent (gather-side) construction of the
+    stream the decoder scatters back."""
+    grid = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for xs, ys, xstep, ystep in grid:
+        for y in range(ys, height, ystep):
+            row = bytearray([0])
+            for x in range(xs, width, xstep):
+                o = (y * width + x) * bpp
+                row += pixels[o : o + bpp]
+            if len(row) > 1:
+                raw += row
+    return bytes(raw)
+
+
+def test_png_adam7_roundtrip():
+    import random
+
+    rnd = random.Random(42)
+    for w, h, ctype, bpp in [(8, 8, 2, 3), (5, 3, 0, 1), (1, 1, 0, 1),
+                             (9, 2, 6, 4), (2, 9, 4, 2)]:
+        pixels = bytes(rnd.randrange(256) for _ in range(w * h * bpp))
+        png = build_png_hdr(w, h, 8, ctype, 1, adam7_raw(pixels, w, h, bpp))
+        img = decode_png(png)
+        assert (img.width, img.height, img.channels) == (w, h, bpp)
+        assert img.pixels == pixels, f"adam7 mismatch at {w}x{h} ct{ctype}"
+
+
+def test_png_adam7_truncated_rejected():
+    raw = adam7_raw(bytes(range(64)), 8, 8, 1)
+    with pytest.raises(ValueError, match="truncated interlaced"):
+        decode_png(build_png_hdr(8, 8, 8, 0, 1, raw[:-5]))
+    with pytest.raises(ValueError, match="interlaced data length"):
+        decode_png(build_png_hdr(8, 8, 8, 0, 1, raw + b"\x00"))
 
 
 def build_bmp24(width, height, rows_bgr_topdown) -> bytes:
