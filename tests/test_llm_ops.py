@@ -969,3 +969,37 @@ def test_bloom_build_bounded_and_deterministic(spark):
     assert len(w1) == bl.M_BITS // bl.WORD_BITS
     assert any(w1)  # bits actually set
     assert all(0 <= w < 2**32 for w in w1)  # 32-bit words, sign-safe
+
+
+def test_ann_artifact_reproducible_and_served(spark, sf_dir):
+    """The pinned codebook artifact (queries/ann_artifact.py) is exactly
+    what train_codebooks produces from the sf0.01 corpus today — the
+    regenerate-equals-checked-in golden — and q_ivfpq_trained serves
+    well-formed ranks from training-rank list ids."""
+    from pyield_spark.operators.similarity import train_codebooks
+    from pyield_spark.queries.ann_artifact import BY_RESIDUAL, COARSE, PQ
+    from pyield_spark.queries import QUERIES, load_all, tables
+
+    load_all()
+
+    assert BY_RESIDUAL is True
+    assert len(COARSE) == 16 and all(len(c) == 64 for c in COARSE)
+    assert len(PQ) == 4 and all(len(s) == 16 for s in PQ)
+    assert all(len(w) == 16 for s in PQ for w in s)
+
+    emb = tables(spark, "/root/testdata/sf0.01", "embeddings")
+    cb = train_codebooks(
+        emb, "vec_id", "embedding", n_centroids=16, m=4, ks=16,
+        dim=64, sample=4096, iters=8, by_residual=True,
+    )
+    assert cb.coarse == COARSE and cb.pq == PQ
+
+    out = QUERIES["q_ivfpq_trained"](spark, sf_dir).collect()
+    assert out, "trained serve path returned no neighbors"
+    by_q = {}
+    for r in out:
+        assert 0 <= r["list_id"] < 16  # training ranks, not vec_ids
+        assert not (r["adc_cosine"] != r["adc_cosine"])  # no NaN
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q

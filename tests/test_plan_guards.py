@@ -40,6 +40,9 @@ ARROW_KERNELS = {
     # kernel (mapInPandas) — same rationale/precedent as the Lloyd
     # argmin kernel above (interpreted HOF form ~10× slower)
     "q_ivfpq_topk",          # pq_encode (mapInPandas)
+    # round 9: the trained-artifact serve path runs the same pq_encode
+    # kernel (residual mode) against the pinned codebooks
+    "q_ivfpq_trained",       # pq_encode (mapInPandas)
 }
 
 # stream queries execute eagerly inside queries() (memory-sink replay) —
