@@ -276,13 +276,15 @@ def q_decontaminate(spark, sf_dir):
 
 # === Bloom-filter decontamination (round 8) ===============================
 
-# the k=4 bit positions of one shingle hash, as SQL fragments — the
-# identical (h·A + B) mod 4096 arithmetic bloom.py builds Column-side
-_BLOOM_H = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
-_BLOOM_AB = [(1299721, 104729), (15485863, 32452843),
-             (49979687, 67867967), (86028121, 93827561)]
+# the k=4 bit positions of one shingle, as SQL fragments — the
+# identical Kirsch–Mitzenmacher (h1 + i·(2·h2+1)) mod 4096 arithmetic
+# bloom.py builds Column-side (two independent md5-derived 32-bit
+# hashes — an affine family over ONE hash has an n/m FP floor, see the
+# bloom.py module docstring)
+_BLOOM_H1 = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
+_BLOOM_H2 = "CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT)"
 _BLOOM_POS = ", ".join(
-    f"(({_BLOOM_H} * {a} + {b}) % 4096)" for a, b in _BLOOM_AB
+    f"(({_BLOOM_H1} + {i} * (2 * {_BLOOM_H2} + 1)) % 4096)" for i in range(4)
 )
 
 

@@ -1003,3 +1003,130 @@ def test_ann_artifact_reproducible_and_served(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rnk"])
     for q, rnks in by_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+
+
+def test_bloom_size_identities():
+    from pyield_spark.operators import bloom as bl
+
+    m, k = bl.bloom_size(1000, 0.01)
+    assert m % bl.WORD_BITS == 0
+    assert m == 9600 and k == 7  # ceil(9585.06) -> word-rounded
+    # denser target -> bigger table, more hashes; k clamps at MAX_K
+    m2, k2 = bl.bloom_size(1000, 0.001)
+    assert m2 > m and k2 == 10
+    assert bl.bloom_size(10, 1e-9)[1] == bl.MAX_K
+    import pytest
+
+    with pytest.raises(ValueError):
+        bl.bloom_size(0, 0.01)
+    with pytest.raises(ValueError):
+        bl.bloom_size(10, 1.5)
+
+
+def test_bloom_measured_fp_within_2x_theoretical(spark):
+    """Sized from (n, p), the MEASURED false-positive rate on fresh
+    non-member shingles stays within 2x the theoretical bound
+    (deterministic: md5 hashing, fixed inputs)."""
+    from pyield_spark.operators import bloom as bl
+
+    n_elems, target_p, n_probe = 400, 0.02, 1500
+    block = spark.createDataFrame(
+        [(i, f"blk{i} blk{i + 10000} blk{i + 20000}") for i in range(n_elems)],
+        "doc_id long, text string",
+    )  # one unique trigram shingle per doc
+    probe = spark.createDataFrame(
+        [(i, f"probe{i} x{i + 50000} y{i + 90000}") for i in range(n_probe)],
+        "doc_id long, text string",
+    )
+    m, k = bl.bloom_size(n_elems, target_p)
+    out = bl.bloom_decontaminate(
+        probe, block, m_bits=m, k=k, min_hits=1
+    ).collect()
+    fp = sum(r["contaminated"] for r in out) / n_probe
+    theo = bl.bloom_fp_rate(n_elems, m, k)
+    assert fp <= 2 * theo, f"measured {fp} vs theoretical {theo}"
+    # and members ALWAYS hit (one-sided error)
+    hits = bl.bloom_decontaminate(block, block, m_bits=m, k=k, min_hits=1)
+    assert all(r["contaminated"] for r in hits.collect())
+
+
+def test_bloom_broadcast_spill_matches_literal(spark):
+    """Above the inline threshold the word table ships as a one-row
+    broadcast: same values as the literal route, no data shuffle on
+    the corpus, exactly one BroadcastExchange."""
+    from pyield_spark.operators import bloom as bl
+
+    block = spark.createDataFrame(
+        [(i, f"blk{i} blk{i + 10000} blk{i + 20000}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"blk{i} blk{i + 10000} blk{i + 20000}") for i in range(0, 600, 3)],
+        "doc_id long, text string",
+    )
+    m, k = 65536, 4
+    lit = bl.bloom_decontaminate(corpus, block, m_bits=m, k=k,
+                                 inline_max_words=1 << 20)
+    bc = bl.bloom_decontaminate(corpus, block, m_bits=m, k=k,
+                                inline_max_words=0)
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bc.collect()))
+    # AQE's toString repeats nodes in the "Initial Plan" section — only
+    # the final plan counts
+    plan = (bc._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("BroadcastExchange") == 1
+    # the corpus side never joins via shuffle (the only hash exchanges
+    # allowed are the blocklist BUILD's distinct/groupBy)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_simhash_clusters_equal_doc_level_closure(spark):
+    """The fingerprint-quotient components (simhash_clusters) are
+    EXACTLY the doc-level closure of the banded pair stream — the
+    quotient is an optimization, not an approximation. Corpus includes
+    exact dups (hamming 0), near-dups, chains (A~B~C transitive with
+    A!~C), and singletons."""
+    from pyield_spark.operators import graph as gr
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),    # near 1
+            (4, "alpha beta gamma delta theta eta"),      # near 3, far 1?
+            (5, "totally different words entirely here now"),
+            (6, "another unrelated document with own tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    via_quotient = sorted(
+        map(tuple, dd.simhash_clusters(docs, "text", "doc_id", k=3).collect())
+    )
+    pairs = dd.simhash_hamming_pairs(docs, "text", "doc_id", k=3)
+    via_pairs = sorted(
+        map(tuple, gr.dedup_decisions(docs, pairs, id_col="doc_id").collect())
+    )
+    assert via_quotient == via_pairs
+    by_id = dict((r[0], (r[1], r[2])) for r in via_quotient)
+    assert by_id[1][0] == by_id[2][0] == 1  # exact dups share cluster 1
+    assert by_id[1][1] and not by_id[2][1]  # min id keeps
+    assert by_id[5] == (5, True) and by_id[6] == (6, True)  # singletons
+
+
+def test_simhash_bits_forwarded_and_validated(spark):
+    """bits propagates to the fingerprint builder (r8 ADVICE medium:
+    it was silently pinned to 32) and bits>32 rejects loudly."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    sixteen = dd.simhash_hamming_pairs(docs, "text", "doc_id", bits=16, k=2)
+    # a 16-bit fingerprint bounds every band value below 2^16
+    sig = dd.simhash_expr_input(docs, "text", "doc_id", bits=16).collect()
+    assert all(0 <= r["simhash"] < 2**16 for r in sig)
+    sixteen.collect()  # plan executes
+    with pytest.raises(ValueError, match="h32"):
+        dd.simhash_hamming_pairs(docs, "text", "doc_id", bits=64, k=2)
+    with pytest.raises(ValueError, match="h32"):
+        dd.simhash_clusters(docs, "text", "doc_id", bits=40, k=2)
