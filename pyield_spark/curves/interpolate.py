@@ -63,6 +63,11 @@ def interpolar(
             crossover), else 'shuffle'; reference curve panels are
             tens of KB, so auto normally broadcasts them and the
             target side never shuffles),
+            "auto-exact" (auto, plus ONE bounded count when the
+            estimate is unbounded — the derived-curve case; the
+            deduped panel is lazily checkpointed first so the probe
+            pass is the same one the join consumes. Opt-in because it
+            launches a job at plan-resolution time),
             "shuffle" (union + dual window, one shuffle on the group
             key) or "broadcast" — when the WHOLE curve panel (all
             groups) is dimension-sized, consecutive vertex pairs become
@@ -75,8 +80,12 @@ def interpolar(
     """
     if method not in ("flat_forward", "linear"):
         raise ValueError("method must be 'flat_forward' or 'linear'")
-    if distribution not in ("auto", "shuffle", "broadcast"):
-        raise ValueError("distribution must be 'auto', 'shuffle' or 'broadcast'")
+    if distribution not in ("auto", "auto-exact", "shuffle", "broadcast"):
+        raise ValueError(
+            "distribution must be 'auto', 'auto-exact', 'shuffle' or"
+            " 'broadcast'"
+        )
+    resolve_exact = distribution == "auto-exact"
     if distribution == "auto":
         from pyield_spark.operators.asof import auto_distribution
 
@@ -114,7 +123,16 @@ def interpolar(
     else:
         cur = cur.groupBy(*by_cols, "_du").agg(F.max("_tx").alias("_tx"))
 
-    if not by_cols and distribution != "broadcast":
+    if resolve_exact:
+        # auto-exact (r8 VERDICT #3): resolve on the DEDUPED panel —
+        # the actual broadcast payload. Checkpoint first so the bounded
+        # probe count materializes the frame the join then reuses (one
+        # aggregation pass total, whichever route wins).
+        from pyield_spark.operators.asof import auto_distribution_exact
+
+        cur = cur.localCheckpoint(eager=False)
+        distribution = auto_distribution_exact(cur)
+    elif not by_cols and distribution != "broadcast":
         # the ungrouped shuffle route consumes the deduped curve from
         # FOUR subplans (union branch, percentile bounds, per-bucket
         # ghost aggregates, global extremes) and Spark does not reuse

@@ -52,6 +52,13 @@ try:  # the JVM bridge's error family (absent under Spark Connect)
 except ImportError:  # pragma: no cover - Connect-only installs
     _PY4J_ERRORS = ()
 
+try:  # pyspark re-wraps JVM exceptions into its own family
+    from pyspark.errors import PySparkException as _PySparkException
+
+    _PY4J_ERRORS = _PY4J_ERRORS + (_PySparkException,)
+except ImportError:  # pragma: no cover - very old pyspark
+    pass
+
 _AUTO_STATS_ERRORS = (AttributeError, TypeError, ValueError) + _PY4J_ERRORS
 _AUTO_STATS_WARNED = False
 
@@ -95,11 +102,14 @@ def auto_distribution(right: DataFrame) -> str:
         # py4j maps scala BigInt to a Python int on recent versions;
         # older bridges hand back the object
         size = int(raw if isinstance(raw, int) else raw.toString())
+        thr_conf = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        ).strip()
+        if thr_conf.startswith("-"):  # broadcast disabled (-1)
+            return "shuffle"
         thr = int(
             spark._jvm.org.apache.spark.network.util.JavaUtils
-            .byteStringAsBytes(
-                str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-            )
+            .byteStringAsBytes(thr_conf)
         )
     except _AUTO_STATS_ERRORS as exc:
         # Connect sessions (no _jdf) / a renamed JVM API / stat-less
@@ -119,6 +129,37 @@ def auto_distribution(right: DataFrame) -> str:
         return "shuffle"
     cap = thr // AUTO_BROADCAST_COST_FACTOR
     return "broadcast" if 0 < cap and 0 <= size <= cap else "shuffle"
+
+
+# row cap for the auto-exact probe: the broadcast-interval route's
+# measured crossover sits far above typical curve panels (the 100×
+# skew lap's ~250 k-row panel runs 3× faster broadcast), and 256 k
+# rows of (group, key, value) is single-digit MB on the driver.
+AUTO_EXACT_MAX_ROWS = 262_144
+
+
+def auto_distribution_exact(
+    right: DataFrame, max_rows: int = AUTO_EXACT_MAX_ROWS
+) -> str:
+    """Resolve ``distribution="auto-exact"``: the free Catalyst probe
+    first (a bounded-small estimate broadcasts, same as ``auto``);
+    when the estimate cannot bound the side — the derived-curve case,
+    where an aggregate inherits its big fact child's size estimate —
+    spend ONE bounded ``count()``: ``limit(max_rows + 1)`` stops the
+    scan early, so the probe costs at most one pass of the right
+    side's plan, never of the fact table it joins against.
+
+    Opt-in by contract (``auto`` never launches a job): callers should
+    ``localCheckpoint(eager=False)`` the right side FIRST so the pass
+    the probe spends materializes the frame the join then reuses —
+    ``asof_join``/``interpolar`` do exactly that, making the probe's
+    marginal cost ≈ 0 on the plans where it matters (PLANS.md r9 skew
+    lap: auto-exact ≈ broadcast, vs auto ≈ shuffle).
+    """
+    if auto_distribution(right) == "broadcast":
+        return "broadcast"
+    n = right.limit(max_rows + 1).count()
+    return "broadcast" if n <= max_rows else "shuffle"
 
 
 def asof_join(
@@ -150,7 +191,10 @@ def asof_join(
             the right side's Catalyst size estimate is truly
             dimension-sized: under autoBroadcastJoinThreshold/32, the
             interval route's measured cost crossover — see
-            ``auto_distribution``; else 'shuffle'), "shuffle" (the window plan; grouped
+            ``auto_distribution``; else 'shuffle'), "auto-exact"
+            (auto, plus one bounded count() when the estimate is
+            unbounded — see ``auto_distribution_exact``; opt-in, it
+            launches a job), "shuffle" (the window plan; grouped
             = one shuffle, ungrouped = range buckets + ghost stitch) or
             "broadcast" — for an as-of (grouped or not) whose WHOLE
             right panel is dimension-sized (a rate/PTAX/VNA series):
@@ -161,10 +205,18 @@ def asof_join(
             the series fits in a broadcast). Routes are parity-pinned
             (tests/test_bucketing.py) so the pick never changes values.
     """
-    if distribution not in ("auto", "shuffle", "broadcast"):
-        raise ValueError("distribution must be 'auto', 'shuffle' or 'broadcast'")
+    if distribution not in ("auto", "auto-exact", "shuffle", "broadcast"):
+        raise ValueError(
+            "distribution must be 'auto', 'auto-exact', 'shuffle' or"
+            " 'broadcast'"
+        )
     if distribution == "auto":
         distribution = auto_distribution(right)
+    elif distribution == "auto-exact":
+        # checkpoint FIRST: the probe's bounded count materializes the
+        # same frame the join consumes, so the pass is spent once
+        right = right.localCheckpoint(eager=False)
+        distribution = auto_distribution_exact(right)
     if strategy == "nearest":
         return _asof_nearest(
             left, right, on, right_on, by, values, allow_exact_matches,

@@ -291,3 +291,55 @@ def test_auto_distribution_interpolar_default(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, shuffle.collect())
     )
+
+
+def test_auto_exact_rescues_unbounded_estimate(spark):
+    """distribution='auto-exact' (r8 VERDICT #3): a tiny curve whose
+    Catalyst estimate is UNBOUNDED (createDataFrame scan -> Long.Max,
+    so plain auto pins shuffle) gets one bounded count and lands on
+    the broadcast-interval route — values identical on all routes."""
+    from pyield_spark.curves.interpolate import interpolar
+    from pyield_spark.operators.asof import (
+        auto_distribution, auto_distribution_exact,
+    )
+
+    curve = spark.createDataFrame(
+        [("r", (i + 1) * 63, 0.10 + (i + 1) * 63 / 10000.0) for i in range(4)],
+        "ref string, dias_uteis long, taxa double",
+    )
+    targets = spark.createDataFrame(
+        [("r", i * 60 + 21) for i in range(5)],
+        "ref string, dias_uteis long",
+    )
+    assert auto_distribution(curve) == "shuffle"  # unbounded estimate
+    assert auto_distribution_exact(curve) == "broadcast"  # counted: 4 rows
+    exact = interpolar(targets, curve, by="ref", distribution="auto-exact")
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    got = sorted(map(tuple, exact.collect()))
+    for route in ("shuffle", "broadcast", "auto"):
+        assert got == sorted(map(tuple, interpolar(
+            targets, curve, by="ref", distribution=route).collect())), route
+
+
+def test_auto_exact_row_cap_falls_back_to_shuffle(spark):
+    """Above the row cap the bounded count picks shuffle — the probe
+    scan stops at max_rows + 1, never a full pass."""
+    from pyield_spark.operators.asof import asof_join, auto_distribution_exact
+
+    big = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, px double"
+    )
+    assert auto_distribution_exact(big, max_rows=10) == "shuffle"
+    assert auto_distribution_exact(big, max_rows=64) == "broadcast"
+    # asof_join accepts the mode end to end and matches shuffle values
+    left = spark.createDataFrame([(i * 3 + 1,) for i in range(20)], "k long")
+    got = sorted(map(tuple, asof_join(
+        left, big, on="k", strategy="backward", values=["px"],
+        distribution="auto-exact",
+    ).collect()))
+    want = sorted(map(tuple, asof_join(
+        left, big, on="k", strategy="backward", values=["px"],
+        distribution="shuffle",
+    ).collect()))
+    assert got == want

@@ -176,6 +176,13 @@ def main():
         # broadcast time when the curve panel's estimate fits the
         # broadcast threshold (the whole point of the auto default)
         timed(f"interp_skew_auto_{FACTOR}x", lambda: interp_skew("auto"))
+        # round-9: auto-exact spends one bounded count when the
+        # estimate is unbounded (this derived panel) — should land on
+        # the broadcast time, closing the gap the r8 auto row left
+        timed(
+            f"interp_skew_autoexact_{FACTOR}x",
+            lambda: interp_skew("auto-exact"),
+        )
 
     # grouped as-of join at 10× groups
     def asof():
