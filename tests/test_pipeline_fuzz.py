@@ -139,3 +139,150 @@ def test_filter_asof_agg_pipeline_matches_duckdb(spark, sf_dir, ddb, spec):
         ).fetchall()
     )
     assert got == want, (spec, got[:3], want[:3])
+
+
+# --- round-9 fuzz: simhash banding and Bloom bitsets (VERDICT r8 #8) -----
+
+_sim_spec = st.fixed_dictionaries(
+    {
+        "bits": st.integers(8, 32),
+        "k": st.integers(1, 6),
+        "seed": st.integers(0, 2**16),
+        "n_docs": st.integers(10, 36),
+    }
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=_sim_spec)
+def test_simhash_banded_equals_brute_force(spark, spec):
+    """The pigeonhole-banded candidate join finds EXACTLY the pairs a
+    brute-force all-pairs popcount finds, for drawn (bits, k) — the
+    banding theorem's exact-recall claim, fuzzed. Corpus: token sets
+    drawn from a small pool so near-dup fingerprints actually occur."""
+    import random
+
+    from pyield_spark.operators import dedup as dd
+
+    bits = spec["bits"]
+    k = min(spec["k"], bits - 1)
+    rnd = random.Random(spec["seed"])
+    pool = [f"w{j}" for j in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rnd.choice(pool) for _ in range(rnd.randint(3, 9))))
+            for i in range(spec["n_docs"])
+        ],
+        "doc_id long, text string",
+    )
+    banded = sorted(
+        map(tuple, dd.simhash_hamming_pairs(
+            docs, "text", "doc_id", bits=bits, k=k).collect())
+    )
+    sig = {r["doc_id"]: r["simhash"]
+           for r in dd.simhash_expr_input(docs, "text", "doc_id", bits).collect()}
+    ids = sorted(sig)
+    brute = sorted(
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sig[a] ^ sig[b]).count("1") <= k
+    )
+    assert banded == brute
+
+
+_bloom_spec = st.fixed_dictionaries(
+    {
+        "m_words": st.sampled_from([4, 16, 64, 256]),
+        "k": st.integers(1, 8),
+        "n_block": st.integers(5, 60),
+        "n_probe": st.integers(5, 40),
+        "seed": st.integers(0, 2**16),
+    }
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().strip().split()
+    return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+
+def _py_bloom(shingles, m_bits: int, k: int):
+    """Independent pure-Python twin of the engine's KM double-hashed
+    bitset (hashlib md5, int arithmetic — no Spark expressions)."""
+    import hashlib
+
+    bits = 0
+    for s in shingles:
+        d = hashlib.md5(s.encode()).hexdigest()
+        h1, h2 = int(d[:8], 16), int(d[8:16], 16)
+        for i in range(k):
+            bits |= 1 << ((h1 + i * (2 * h2 + 1)) % m_bits)
+    return bits
+
+
+def _py_hits(text: str, bits: int, m_bits: int, k: int) -> int:
+    import hashlib
+
+    n = 0
+    for s in _py_shingles(text):
+        d = hashlib.md5(s.encode()).hexdigest()
+        h1, h2 = int(d[:8], 16), int(d[8:16], 16)
+        if all(bits >> ((h1 + i * (2 * h2 + 1)) % m_bits) & 1 for i in range(k)):
+            n += 1
+    return n
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=_bloom_spec)
+def test_bloom_bitset_matches_exact_python_twin(spark, spec):
+    """Drawn (m, k, n) Bloom configs: the engine's expression-built
+    bitset and per-document hit counts equal an independent pure-Python
+    md5/bit-arithmetic implementation EXACTLY (including false
+    positives), and every true member hits (one-sided error)."""
+    import random
+
+    from pyield_spark.operators import bloom as bl
+
+    rnd = random.Random(spec["seed"])
+    m_bits, k = spec["m_words"] * bl.WORD_BITS, spec["k"]
+    block_rows = [
+        (i, f"b{rnd.randint(0, 99)} c{rnd.randint(0, 99)} "
+            f"d{rnd.randint(0, 99)} e{rnd.randint(0, 99)}")
+        for i in range(spec["n_block"])
+    ]
+    probe_rows = [
+        (i, f"p{rnd.randint(0, 999)} q{rnd.randint(0, 999)} r{rnd.randint(0, 999)}")
+        for i in range(spec["n_probe"])
+    ]
+    block = spark.createDataFrame(block_rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+
+    # bitset parity: engine word table == python twin
+    words = bl.bloom_words(bl.bloom_build(block, m_bits=m_bits, k=k), m_bits)
+    blk_shingles = set().union(*[_py_shingles(t) for _, t in block_rows])
+    py_bits = _py_bloom(blk_shingles, m_bits, k)
+    got_bits = 0
+    for w, v in enumerate(words):
+        got_bits |= v << (w * bl.WORD_BITS)
+    assert got_bits == py_bits
+
+    # hit-count parity on probes (includes any false positives)
+    got = {r["doc_id"]: r["n_hits"] for r in bl.bloom_decontaminate(
+        probe, block, m_bits=m_bits, k=k, min_hits=1).collect()}
+    for i, t in probe_rows:
+        assert got[i] == _py_hits(t, py_bits, m_bits, k), (i, t)
+
+    # one-sided: members always fully hit
+    mem = {r["doc_id"]: r["n_hits"] for r in bl.bloom_decontaminate(
+        block, block, m_bits=m_bits, k=k, min_hits=1).collect()}
+    for i, t in block_rows:
+        assert mem[i] == len(_py_shingles(t)), (i, t)
