@@ -171,28 +171,101 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+def _is_prime(x: int) -> bool:
+    if x < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13):
+        if x % p == 0:
+            return x == p
+    i = 17
+    while i * i <= x:
+        if x % i == 0:
+            return False
+        i += 2
+    return True
+
+
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """First ``num_perm`` (a, b) affine coefficient pairs: the 4 pinned
+    base pairs (oracle-registered constants), then deterministically
+    generated primes — ``a`` from 10^8 upward, ``b`` from 10^6 upward —
+    so any permutation count replays identically in any engine.
+    Products stay exact: sid < 2^31 (mod MINHASH_PRIME), a < 2^27 →
+    sid·a + b < 2^58."""
+    coeffs = list(MINHASH_COEFFS)
+    a_next, b_next = 100_000_001, 1_000_001
+    while len(coeffs) < num_perm:
+        while not _is_prime(a_next):
+            a_next += 2
+        while not _is_prime(b_next):
+            b_next += 2
+        coeffs.append((a_next, b_next))
+        a_next += 2
+        b_next += 2
+    return coeffs[:num_perm]
+
+
+def lsh_size(
+    threshold: float, max_perms: int = 64
+) -> tuple[int, int]:
+    """(num_perm, band_size) whose LSH S-curve midpoint
+    ``(1/bands)^(1/band_size)`` sits closest to the target Jaccard
+    ``threshold`` within the permutation budget — the standard
+    datasketch-style parameter pick (same sizing role as
+    ``bloom.bloom_size``). Prefers more permutations on ties (sharper
+    S-curve)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    if max_perms < 2:
+        raise ValueError("max_perms must be >= 2")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, max_perms + 1):
+        for b in range(1, max_perms // r + 1):
+            if b * r < 2:
+                continue
+            mid = (1.0 / b) ** (1.0 / r)
+            key = (abs(mid - threshold), -(b * r), r)
+            if best is None or key < best[0]:
+                best = (key, b * r, r)
+    assert best is not None
+    return best[1], best[2]
+
+
+def lsh_capture_prob(jaccard: float, bands: int, band_size: int) -> float:
+    """P(candidate) = 1 − (1 − j^r)^b — the S-curve the sizing targets."""
+    return 1.0 - (1.0 - jaccard**band_size) ** bands
+
+
 def minhash_signatures(
-    df: DataFrame, text: str, id_col: str, n: int = 3
+    df: DataFrame, text: str, id_col: str, n: int = 3,
+    num_perm: int | None = None,
 ) -> DataFrame:
-    """k-wide MinHash signature per document (portable affine family)."""
+    """k-wide MinHash signature per document (portable affine family).
+    ``num_perm`` defaults to the 4 pinned base coefficients; larger
+    counts extend the family deterministically (``minhash_coeffs``)."""
     sh = exploded_shingles(df, text, id_col, n).withColumn(
         "sid", h32_expr("shingle")
     )
+    coeffs = minhash_coeffs(num_perm) if num_perm else MINHASH_COEFFS
     aggs = [
         F.min((F.col("sid") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"mh{i}"
         )
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
+        for i, (a, b) in enumerate(coeffs)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, text: str, id_col: str, n: int = 3, band_size: int = 2
+    df: DataFrame, text: str, id_col: str, n: int = 3, band_size: int = 2,
+    num_perm: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: documents sharing any MinHash band."""
-    sig = minhash_signatures(df, text, id_col, n)
-    k = len(MINHASH_COEFFS)
+    """Candidate near-dup pairs: documents sharing any MinHash band.
+    Size (``num_perm``, ``band_size``) from a target Jaccard threshold
+    with :func:`lsh_size`; the default (4 permutations, 2-rows bands)
+    is the pinned oracle-registered config."""
+    sig = minhash_signatures(df, text, id_col, n, num_perm)
+    k = num_perm or len(MINHASH_COEFFS)
     band_keys = [
         F.concat_ws(
             "_", *[f"mh{i}" for i in range(b0, min(b0 + band_size, k))]

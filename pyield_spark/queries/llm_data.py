@@ -157,6 +157,66 @@ def q_minhash_lsh(spark, sf_dir):
     return dd.lsh_candidate_pairs(docs, "text", "doc_id", n=3, band_size=2)
 
 
+# --- threshold-sized MinHash-LSH (r9): parameters picked by lsh_size
+# for a target Jaccard of 0.7 within a 16-permutation budget — the
+# datasketch-style S-curve sizing, with the extended deterministic
+# coefficient family (minhash_coeffs) pinned in the oracle.
+
+_SZ_PERMS, _SZ_R = dd.lsh_size(0.7, max_perms=16)
+_SZ_COEFFS = dd.minhash_coeffs(_SZ_PERMS)
+_SZ_MH = ",\n        ".join(
+    f"MIN((sid * {a} + {b}) % 2147483647) AS mh{i}"
+    for i, (a, b) in enumerate(_SZ_COEFFS)
+)
+_SZ_BANDS = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {idx}, concat_ws('_', {cols}) FROM sig".format(
+        idx=bi,
+        cols=", ".join(
+            f"CAST(mh{i} AS VARCHAR)"
+            for i in range(b0, min(b0 + _SZ_R, _SZ_PERMS))
+        ),
+    )
+    for bi, b0 in enumerate(range(0, _SZ_PERMS, _SZ_R))
+)
+
+
+@query(
+    "q_minhash_sized",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_GRAMS3}) AS shingle FROM documents
+    ),
+    sid AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS sid
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        {_SZ_MH}
+      FROM sid GROUP BY doc_id
+    ),
+    bands(_id, band, bkey) AS (
+{_SZ_BANDS}
+    )
+    SELECT DISTINCT a._id AS id_a, b._id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a._id < b._id
+    """,
+)
+def q_minhash_sized(spark, sf_dir):
+    """MinHash-LSH candidates with THRESHOLD-SIZED parameters:
+    ``lsh_size(0.7)`` picks (bands=3, rows=3, 9 permutations) whose
+    S-curve midpoint (1/3)^(1/3) ≈ 0.69 targets 0.7-Jaccard near-dups
+    — a sharper capture curve than the 4-permutation pinned config
+    (q_minhash_lsh), same single-pass posexplode band join. The
+    extended affine coefficients are deterministic primes
+    (operators/dedup.py::minhash_coeffs), replayed in the oracle."""
+    docs = tables(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(
+        docs, "text", "doc_id", n=3, band_size=_SZ_R, num_perm=_SZ_PERMS
+    )
+
+
 # === SimHash fingerprints =================================================
 
 

@@ -1130,3 +1130,53 @@ def test_simhash_bits_forwarded_and_validated(spark):
         dd.simhash_hamming_pairs(docs, "text", "doc_id", bits=64, k=2)
     with pytest.raises(ValueError, match="h32"):
         dd.simhash_clusters(docs, "text", "doc_id", bits=40, k=2)
+
+
+def test_lsh_size_and_capture_curve():
+    from pyield_spark.operators import dedup as dd
+
+    assert dd.lsh_size(0.5) == (64, 4)  # (1/16)^(1/4) = 0.5 exactly
+    n, r = dd.lsh_size(0.7, max_perms=16)
+    assert (n, r) == (9, 3)
+    assert abs(dd.lsh_capture_prob(0.7, n // r, r) - 0.65) < 0.1
+    # monotone S-curve: higher jaccard -> higher capture
+    probs = [dd.lsh_capture_prob(j / 10, 3, 3) for j in range(11)]
+    assert probs == sorted(probs) and probs[0] == 0.0 and probs[10] == 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.lsh_size(1.0)
+    # extended coefficients: deterministic, prime, bounded for exact
+    # BIGINT products, and the pinned 4 lead unchanged
+    cs = dd.minhash_coeffs(12)
+    assert cs[:4] == dd.MINHASH_COEFFS
+    assert cs == dd.minhash_coeffs(12)
+    assert all(a < 2**27 for a, _ in cs)
+
+
+def test_minhash_num_perm_extends_pipeline(spark):
+    """num_perm>4 signatures agree with a pure-Python md5 twin and the
+    banded join still finds the exact-dup pair."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "other words entirely here")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: [r[f"mh{i}"] for i in range(9)]
+           for r in dd.minhash_signatures(docs, "text", "doc_id",
+                                          num_perm=9).collect()}
+    coeffs = dd.minhash_coeffs(9)
+
+    def py_sig(text):
+        toks = text.split()
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        sids = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        return [min((s * a + b) % 2147483647 for s in sids) for a, b in coeffs]
+
+    assert sig[1] == py_sig("alpha beta gamma delta") == sig[2]
+    assert sig[3] == py_sig("other words entirely here")
+    pairs = dd.lsh_candidate_pairs(docs, "text", "doc_id",
+                                   band_size=3, num_perm=9).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(1, 2)]
