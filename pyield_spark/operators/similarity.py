@@ -906,6 +906,168 @@ def ivfpq_topk(
     )
 
 
+def sq8_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar 8-bit quantization (FAISS ``ScalarQuantizer`` QT_8bit):
+    per-DIMENSION corpus min/max train the affine code
+    ``q_d = floor((x_d − mn_d) / (mx_d − mn_d) · 255 + 0.5)`` — each
+    vector stores ``dim`` bytes instead of ``dim`` float64s (8×
+    candidate-payload compression; the middle rung between exact floats
+    and the 128× PQ codes, at near-exact recall since every dimension
+    keeps 8 bits).
+
+    Execution: the (mn, mx) stats are ONE engine-side aggregate row
+    (order-independent min/max — never collected to the driver)
+    broadcast onto the corpus; the encode itself is a map-only
+    expression. Returns (_vid, _vec, _norm2, _codes array<int>, _mn,
+    _mx) — the serve frame ``sq8_topk(index=...)`` consumes; persist it
+    once per corpus like the PQ index.
+
+    Portability: quantize is ``floor(v·255 + 0.5)`` on non-negative
+    spans and dequant is ``mn + (q · span) / 255`` — fixed IEEE op
+    order, replayed exactly in the DuckDB oracle. NaN-containing and
+    invalid vectors are dropped from the index (NaN cannot quantize;
+    same predicate class as pq_encode/train_codebooks).
+    """
+    base = (
+        emb.select(
+            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+        )
+        .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
+        .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
+        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    )
+    stats = base.agg(
+        F.array(*[F.min(F.get("_vec", d)) for d in range(dim)]).alias("_mn"),
+        F.array(*[F.max(F.get("_vec", d)) for d in range(dim)]).alias("_mx"),
+    )
+    enc = base.crossJoin(F.broadcast(stats))
+    code = F.zip_with(
+        F.col("_vec"),
+        F.zip_with(
+            F.col("_mn"), F.col("_mx"), lambda mn, mx: F.struct(
+                mn.alias("mn"), mx.alias("mx")
+            )
+        ),
+        lambda x, s: F.when(
+            s["mx"] == s["mn"], F.lit(0)
+        ).otherwise(
+            F.floor((x - s["mn"]) / (s["mx"] - s["mn"]) * F.lit(255.0) + F.lit(0.5))
+            .cast("int")
+        ),
+    )
+    return enc.select("_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx")
+
+
+def sq8_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+    refine: int | None = None,
+    dim: int = 64,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k cosine ANN over SQ8 codes: candidates score against the
+    DEQUANTIZED corpus (``x̂_d = mn_d + (q_d · span_d) / 255`` — 8 bits
+    per dimension, asymmetric: queries stay exact floats), the
+    ``refine`` (default 4k) best rescore exactly, final rank on the
+    exact cosine — the same shortlist→refine ladder as ``ivfpq_topk``
+    with a much finer (8×, not 128×, compressed) first stage.
+
+    Scale shape: the candidate scan reads dim BYTES per corpus vector
+    instead of dim float64s — at 100 TB that is the difference between
+    an 800 GB and a 100 GB scan per query batch — and composes with the
+    IVF list pruning exactly as PQ does (swap the ADC stage). Scores
+    round to 6dp with id tie-breaks; bit-stable across engines.
+
+    Returns (query_id, neighbor_id, sq_cosine, cosine, rnk).
+    """
+    from pyspark.sql import Window
+
+    from pyield_spark.functions.numbers import pround_expr
+
+    if refine is None:
+        refine = 4 * k
+    assigned = index if index is not None else sq8_encode(emb, id_col, vec_col, dim)
+    deq = F.zip_with(
+        F.col("_codes"),
+        F.zip_with(
+            F.col("_mn"), F.col("_mx"), lambda mn, mx: F.struct(
+                mn.alias("mn"), mx.alias("mx")
+            )
+        ),
+        lambda q, s: s["mn"] + (q.cast("double") * (s["mx"] - s["mn"])) / F.lit(255.0),
+    )
+    corpus = assigned.select(
+        "_vid", "_vec", "_norm2", deq.alias("_dq")
+    ).withColumn("_dqn2", norm_sq_dec(F.col("_dq")))
+
+    queries = (
+        assigned.filter(
+            query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
+        )
+        .select(
+            F.col("_vid").alias("query_id"),
+            F.col("_vec").alias("_qvec"),
+            F.col("_norm2").alias("_qnorm2"),
+        )
+        .localCheckpoint(eager=False)  # tiny side: AQE broadcasts it,
+        # the corpus never shuffles (same shape as ivf/ivfpq probes)
+    )
+    scored = (
+        queries.crossJoin(corpus)
+        .filter(F.col("_vid") != F.col("query_id"))
+        .withColumn(
+            "sq_cosine",
+            pround_expr(
+                dot_dec(F.col("_qvec"), F.col("_dq"))
+                / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_dqn2"))),
+                6,
+            ),
+        )
+    )
+    w_sq = Window.partitionBy("query_id").orderBy(
+        F.col("sq_cosine").desc(), F.col("_vid").asc()
+    )
+    shortlist = (
+        scored.filter(~F.isnan("sq_cosine"))
+        .withColumn("_srn", F.row_number().over(w_sq))
+        .filter(F.col("_srn") <= refine)
+        .select("query_id", "_vid", "sq_cosine", "_qvec", "_qnorm2")
+    )
+    refined = shortlist.join(
+        corpus.select("_vid", "_vec", "_norm2"), "_vid"
+    ).withColumn(
+        "cosine",
+        pround_expr(
+            dot_dec(F.col("_qvec"), F.col("_vec"))
+            / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
+            6,
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_vid").asc()
+    )
+    return (
+        refined.filter(~F.isnan("cosine"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("_vid").alias("neighbor_id"),
+            "sq_cosine",
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def hard_negatives(
     emb: DataFrame,
     id_col: str = "vec_id",

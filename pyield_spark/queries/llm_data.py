@@ -983,6 +983,96 @@ def q_ivfpq_trained(spark, sf_dir):
     )
 
 
+# --- SQ8 scalar-quantized ANN (r9): the 8×-compression middle rung
+# between exact floats (q_cosine_topk) and 128× PQ codes (q_ivfpq_*).
+
+_SQ8_DEQ_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+    " i -> q.v[i] * c.dq[i])), (x, y) -> x + y)"
+)
+
+
+@query(
+    "q_sq8_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                            x -> x IS NULL OR isnan(x))) = 0
+    ),
+    stats AS (
+      SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+        SELECT unnest(v) AS x, unnest(range(1, 65)) AS d FROM base
+      ) GROUP BY d
+    ),
+    mnmx AS (
+      SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM stats
+    ),
+    enc AS (
+      SELECT b.vec_id, b.v,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(b.v, x -> x * x)), (x, y) -> x + y) AS norm2,
+        list_transform(range(1, 65), i -> CASE WHEN m.mx[i] = m.mn[i] THEN 0
+          ELSE CAST(floor((b.v[i] - m.mn[i]) / (m.mx[i] - m.mn[i]) * 255.0
+                          + 0.5) AS INT) END) AS codes,
+        m.mn AS mn, m.mx AS mx
+      FROM base b CROSS JOIN mnmx m
+    ),
+    corpus AS (
+      SELECT vec_id, v, norm2, dq,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(dq, x -> x * x)), (x, y) -> x + y) AS dqn2
+      FROM (
+        SELECT *, list_transform(range(1, 65),
+          i -> mn[i] + (CAST(codes[i] AS DOUBLE) * (mx[i] - mn[i])) / 255.0)
+          AS dq
+        FROM enc
+      )
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        q.v AS qv, q.norm2 AS qnorm2, c.v AS bv, c.norm2 AS bnorm2,
+        {pround_sql(_SQ8_DEQ_DOT + " / (sqrt(q.norm2) * sqrt(c.dqn2))", 6)}
+          AS sq_cosine
+      FROM (SELECT * FROM enc WHERE vec_id % 100 = 0) q
+      CROSS JOIN corpus c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    shortlist AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sq_cosine DESC, neighbor_id) AS srn
+        FROM scored WHERE NOT isnan(sq_cosine)
+      ) WHERE srn <= 20
+    ),
+    refined AS (
+      SELECT query_id, neighbor_id, sq_cosine,
+        {pround_sql(
+            _PQ_EXACT_DOT + " / (sqrt(qnorm2) * sqrt(bnorm2))", 6)} AS cosine
+      FROM shortlist
+    )
+    SELECT query_id, neighbor_id, sq_cosine, cosine, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM refined WHERE NOT isnan(cosine)
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN: per-dimension min/max affine 8-bit
+    codes (FAISS ScalarQuantizer QT_8bit), asymmetric scoring (exact
+    query floats vs dequantized corpus), shortlist 20 → exact refine
+    top-5. The candidate scan reads dim BYTES per vector instead of
+    dim float64s — the 8× middle rung between q_cosine_topk (exact)
+    and q_ivfpq_topk (128× PQ) with near-exact first-stage ranking;
+    see operators/similarity.py::sq8_encode for the train/add/search
+    split."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.sq8_topk(emb, "vec_id", "embedding", k=5, refine=20)
+
+
 # === Gopher-style quality filter composition ==============================
 
 _SW_LISTS_SQL = {

@@ -1180,3 +1180,54 @@ def test_minhash_num_perm_extends_pipeline(spark):
     pairs = dd.lsh_candidate_pairs(docs, "text", "doc_id",
                                    band_size=3, num_perm=9).collect()
     assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(1, 2)]
+
+
+def test_sq8_recall_and_index_reuse(spark):
+    """SQ8 keeps 8 bits per dimension, so the dequantized first stage
+    ranks near-exactly: on the clustered corpus the refine ladder
+    recovers the exact top-k verbatim. Codes are in [0,255]; a
+    prebuilt index serves identically to the e2e route."""
+    from pyield_spark.operators.similarity import (
+        cosine_topk, sq8_encode, sq8_topk,
+    )
+
+    emb = _clustered_emb(spark, n=60)
+    pred = F.col("_vid") % 10 == 0
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in cosine_topk(emb, query_pred=pred, k=4).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in sq8_topk(emb, query_pred=pred, k=4, refine=12).collect()
+    )
+    assert got == exact  # near-exact first stage -> exact after refine
+
+    idx = sq8_encode(emb)
+    codes = idx.select("_codes").collect()
+    assert all(0 <= c <= 255 for r in codes for c in r["_codes"])
+    via_idx = sorted(
+        map(tuple, sq8_topk(emb, query_pred=pred, k=4, refine=12,
+                            index=idx).collect())
+    )
+    e2e = sorted(
+        map(tuple, sq8_topk(emb, query_pred=pred, k=4, refine=12).collect())
+    )
+    assert via_idx == e2e
+
+
+def test_sq8_drops_invalid_vectors(spark):
+    """Null / wrong-length / NaN-containing embeddings are dropped from
+    the index (NaN cannot quantize); constant dimensions quantize to
+    code 0 without dividing by zero."""
+    from pyield_spark.operators.similarity import sq8_encode
+
+    rows = [(1, [1.0] + [0.5] * 63), (2, [2.0] + [0.5] * 63),
+            (3, None), (4, [1.0] * 10),
+            (5, [float("nan")] + [0.5] * 63)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sq8_encode(emb).collect()
+    assert sorted(r["_vid"] for r in got) == [1, 2]
+    by_id = {r["_vid"]: r["_codes"] for r in got}
+    assert by_id[1][0] == 0 and by_id[2][0] == 255  # span endpoints
+    assert all(c == 0 for c in by_id[1][1:])  # constant dims -> 0
