@@ -341,3 +341,118 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k_each: int = 20,
+    k: int = 10,
+    n_seed: int = 3,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    leg and a DENSE leg fused by ``rrf = Σ 1/(rrf_k + rank)`` (Cormack
+    et al., SIGIR'09 — the fusion every production retrieval stack
+    runs over its lexical+vector legs).
+
+    The dense query vector comes from pseudo-relevance feedback
+    (Rocchio): the centroid of the BM25 top-``n_seed`` documents'
+    embeddings — so the pipeline needs no query-text encoder, the
+    standard trick for bootstrapping dense retrieval from a lexical
+    engine. Documents without an embedding simply have no dense rank
+    (their dense RRF term is 0), and vice versa.
+
+    Scale shape: both legs end in TakeOrdered top-``k_each`` lists —
+    the fusion join touches ≤ 2·k_each rows however big the corpus is;
+    the dense scan is one broadcast-centroid map pass + top-k (swap in
+    ``ivf_topk``/``sq8_topk`` pruning at 100 TB, same contract).
+
+    Cross-engine determinism: embedding components round to 8dp before
+    the EXACT decimal centroid sum (order-independent); the centroid
+    divide, cosine, and 1/(rrf_k+rank) terms are fixed-order IEEE ops;
+    every rank ties on the id. Returns (id, r_bm25, r_dense, rrf, rnk).
+    """
+    from pyield_spark.functions.numbers import pround_expr
+    from pyield_spark.operators.similarity import dot_dec, norm_sq_dec, _as_double
+
+    bm = bm25_topk(docs, text, id_col, terms, k=k_each)
+    w_bm = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    bmrank = bm.select(
+        F.col(id_col).alias("_id"), F.row_number().over(w_bm).alias("r_bm25")
+    ).localCheckpoint(eager=False)  # ≤ k_each rows; reused by seed + fusion
+
+    base = emb.select(
+        F.col(vec_id).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
+    ).filter(F.col("_v").isNotNull() & (F.size("_v") == dim))
+    seeds = bmrank.filter(F.col("r_bm25") <= n_seed).join(
+        base, bmrank._id == base._vid
+    )
+    # exact decimal per-dimension sum of 8dp-rounded components: the
+    # centroid is order-independent and replays bit-for-bit in SQL
+    centd = (
+        seeds.select(F.posexplode("_v").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.sum(pround_expr(F.col("x"), 8).cast("decimal(28,14)")).alias("_sx"),
+            F.count("*").cast("long").alias("_ns"),
+        )
+    )
+    cent = centd.agg(
+        F.map_from_arrays(
+            F.collect_list("d"),
+            F.collect_list(
+                F.col("_sx").cast("double") / F.col("_ns").cast("double")
+            ),
+        ).alias("_cm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.element_at(F.col("_cm"), i),
+        ).alias("_c")
+    ).withColumn("_cn2", norm_sq_dec(F.col("_c")))
+
+    dense = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("_n2", norm_sq_dec(F.col("_v")))
+        .withColumn(
+            "_cos",
+            pround_expr(
+                dot_dec(F.col("_v"), F.col("_c"))
+                / (F.sqrt(F.col("_n2")) * F.sqrt(F.col("_cn2"))),
+                6,
+            ),
+        )
+        .filter(~F.isnan("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col("_vid").asc())
+        .limit(k_each)
+    )
+    w_d = Window.orderBy(F.col("_cos").desc(), F.col("_vid").asc())
+    drank = dense.select(
+        F.col("_vid").alias("_id"), F.row_number().over(w_d).alias("r_dense")
+    )
+
+    fused = bmrank.join(drank, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        "r_bm25",
+        "r_dense",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_bm25")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_dense")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

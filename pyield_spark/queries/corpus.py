@@ -464,3 +464,118 @@ def q_bm25_topk(spark, sf_dir):
     TakeOrderedAndProject. See ``operators/vocab.py::bm25_topk``."""
     docs = tables(spark, sf_dir, "documents")
     return vb.bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
+
+
+# --- hybrid retrieval (r9): BM25 leg + pseudo-relevance-feedback dense
+# leg fused by reciprocal-rank fusion — the lexical+vector stack every
+# production retrieval deployment runs.
+
+_RRF_DOT_VC = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+    " i -> b.v[i] * c.c[i])), (x, y) -> x + y)"
+)
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(toks)) AS BIGINT) AS sumdl
+      FROM toked
+    ),
+    tok AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM toked
+    ),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE token IN ('spark', 'window', 'merge', 'vector')
+      GROUP BY doc_id, dl, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    w AS (
+      SELECT tf.doc_id,
+             {pround_sql(_BM25_W.replace("avgdl", "(CAST(sumdl AS DOUBLE) / n)"), 8)} AS w8
+      FROM tf JOIN dfq USING (token) CROSS JOIN stats
+    ),
+    bmagg AS (
+      SELECT doc_id, CAST(SUM(CAST(w8 AS DECIMAL(28,14))) AS DOUBLE) AS bm25
+      FROM w GROUP BY doc_id
+    ),
+    bmrank AS (
+      SELECT doc_id AS id, r_bm25 FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+        FROM bmagg
+      ) WHERE r_bm25 <= 20
+    ),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    seeds AS (
+      SELECT b.v FROM bmrank r JOIN base b ON b.vec_id = r.id
+      WHERE r.r_bm25 <= 3
+    ),
+    centd AS (
+      SELECT d,
+        CAST(SUM(CAST({pround_sql("x", 8)} AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+        CAST(count(*) AS BIGINT) AS ns
+      FROM (SELECT unnest(v) AS x, unnest(range(1, 65)) AS d FROM seeds)
+      GROUP BY d
+    ),
+    cent AS (
+      SELECT list(sx / CAST(ns AS DOUBLE) ORDER BY d) AS c FROM centd
+    ),
+    centn AS (
+      SELECT c,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(c, x -> x * x)), (x, y) -> x + y) AS cn2
+      FROM cent
+    ),
+    dense AS (
+      SELECT vec_id, dcos FROM (
+        SELECT b.vec_id,
+          {pround_sql(
+              _RRF_DOT_VC
+              + " / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+              "   list_transform(b.v, x -> x * x)), (x, y) -> x + y))"
+              " * sqrt(c.cn2))", 6)} AS dcos
+        FROM base b CROSS JOIN centn c
+      ) WHERE NOT isnan(dcos)
+      ORDER BY dcos DESC, vec_id LIMIT 20
+    ),
+    drank AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (ORDER BY dcos DESC, vec_id) AS r_dense
+      FROM dense
+    ),
+    fused AS (
+      SELECT COALESCE(b.id, d.id) AS doc_id,
+             CAST(b.r_bm25 AS INT) AS r_bm25,
+             CAST(d.r_dense AS INT) AS r_dense,
+             COALESCE(1.0::DOUBLE / (60.0::DOUBLE + b.r_bm25), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + d.r_dense), 0.0::DOUBLE)
+               AS rrf
+      FROM bmrank b FULL OUTER JOIN drank d ON d.id = b.id
+    )
+    SELECT doc_id, r_bm25, r_dense, rrf, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    """,
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 + a dense top-20 leg whose query
+    vector is the Rocchio pseudo-relevance-feedback centroid of the
+    BM25 top-3 documents' embeddings, fused by reciprocal-rank fusion
+    ``Σ 1/(60 + rank)`` to a final top-10. No query-text encoder
+    needed; docs missing from one leg contribute 0 from it. See
+    ``operators/vocab.py::hybrid_rrf`` for the fusion-join scale shape
+    (≤ 2·k rows regardless of corpus size)."""
+    docs = tables(spark, sf_dir, "documents")
+    emb = tables(spark, sf_dir, "embeddings")
+    return vb.hybrid_rrf(docs, emb, _BM25_TERMS, "text", "doc_id")

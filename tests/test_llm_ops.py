@@ -1231,3 +1231,37 @@ def test_sq8_drops_invalid_vectors(spark):
     by_id = {r["_vid"]: r["_codes"] for r in got}
     assert by_id[1][0] == 0 and by_id[2][0] == 255  # span endpoints
     assert all(c == 0 for c in by_id[1][1:])  # constant dims -> 0
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF = sum of 1/(60+rank) over the legs a doc appears in; docs
+    missing an embedding still rank via BM25 alone; final order is
+    rrf DESC with id tie-break."""
+    from pyield_spark.operators.vocab import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [(1, "spark window merge vector spark spark"),
+         (2, "spark window merge filler filler filler"),
+         (3, "spark filler filler filler filler filler"),
+         (4, "no matching terms at all here"),
+         (5, "vector vector window spark merge merge")],
+        "doc_id long, text string",
+    )
+    # doc 3 has NO embedding: its dense leg must contribute 0
+    emb = spark.createDataFrame(
+        [(i, [float(i)] + [0.5] * 63) for i in (1, 2, 4, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf(docs, emb, ["spark", "window", "merge", "vector"],
+                     n_seed=2, k_each=4, k=10).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert 4 not in rows or rows[4]["r_bm25"] is None  # no terms -> no bm leg
+    r3 = rows[3]
+    assert r3["r_dense"] is None
+    assert abs(r3["rrf"] - 1.0 / (60 + r3["r_bm25"])) < 1e-15
+    both = rows[1]
+    assert both["r_bm25"] is not None and both["r_dense"] is not None
+    assert abs(both["rrf"] - (1.0 / (60 + both["r_bm25"])
+                              + 1.0 / (60 + both["r_dense"]))) < 1e-15
+    rrfs = [r["rrf"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert rrfs == sorted(rrfs, reverse=True)
