@@ -1035,14 +1035,21 @@ def sq8_topk(
     w_sq = Window.partitionBy("query_id").orderBy(
         F.col("sq_cosine").desc(), F.col("_vid").asc()
     )
+    # the candidate stream entering the ranking window is
+    # (query_id, _vid, sq_cosine) ≈ 24 bytes — neither side's vector
+    # rides through the Q·N sort (measured at the 100× lap: carrying
+    # the 512-byte query vector made the window sort the wall); the
+    # refine fetches both vectors BY KEY over the tiny shortlist
     shortlist = (
-        scored.filter(~F.isnan("sq_cosine"))
+        scored.select("query_id", "_vid", "sq_cosine")
+        .filter(~F.isnan("sq_cosine"))
         .withColumn("_srn", F.row_number().over(w_sq))
         .filter(F.col("_srn") <= refine)
-        .select("query_id", "_vid", "sq_cosine", "_qvec", "_qnorm2")
     )
     refined = shortlist.join(
         corpus.select("_vid", "_vec", "_norm2"), "_vid"
+    ).join(
+        queries.select("query_id", "_qvec", "_qnorm2"), "query_id"
     ).withColumn(
         "cosine",
         pround_expr(

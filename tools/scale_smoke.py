@@ -62,6 +62,9 @@ KNOWN_OPS = {
     # round-7 (continued): the curation family (decontamination,
     # incremental-delta dedup, domain caps) at FACTOR x documents
     "curation",
+    # round-9: fingerprint-quotient Hamming clusters, SQ8 encode/serve,
+    # hybrid BM25+dense RRF at FACTOR x
+    "simclusters", "sq8", "hybrid",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -589,9 +592,10 @@ def main():
     run_warehouse = want("warehouse")
     run_sessionize = want("sessionize")
     run_curation = want("curation")
+    run_r9 = want("simclusters") or want("sq8") or want("hybrid")
     if not (
         run_leiloes or run_semantic or run_neardup
-        or run_warehouse or run_sessionize or run_curation
+        or run_warehouse or run_sessionize or run_curation or run_r9
     ):
         return
     scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
@@ -716,6 +720,85 @@ def main():
                 f"{qn}_{FACTOR}x",
                 lambda qn=qn: QUERIES[qn](spark, scaled_dir).count(),
             )
+
+    # round-9: fingerprint-quotient Hamming clusters at FACTOR×
+    # documents. Replicated copies share TEXT (the shifted ids change
+    # only the key), so every doc sits in a FACTOR-sized hamming-0
+    # clique — the worst case the quotient design exists for: distinct
+    # fingerprints DO NOT grow with the factor, so the banded join and
+    # the component propagation run on the sf0.1-sized fingerprint
+    # graph however large the corpus; only the final fp→doc verdict
+    # join scales. (The doc-level pair stream would be FACTOR²·pairs —
+    # 7.8 G rows at 100× — and is exactly what this operator avoids.)
+    if want("simclusters"):
+        from pyield_spark.operators import dedup as sc_dd
+
+        def _simclusters():
+            docs = replicate(
+                spark.read.parquet(f"{SF}/documents.parquet").select(
+                    "doc_id", "text"
+                ),
+                ["doc_id"],
+            )
+            out = sc_dd.simhash_clusters(docs, "text", "doc_id", k=2)
+            return out.filter(~F.col("keep")).count()
+
+        timed(f"simhash_clusters_{FACTOR}x", _simclusters)
+
+    # round-9: SQ8 encode (ingest half — stats + map-only quantize) and
+    # serve (dequantized scan + refine) at FACTOR× vectors with a FIXED
+    # query workload; the serve scan cost is the 8×-compressed payload.
+    if want("sq8"):
+        from pyield_spark.operators.similarity import sq8_encode, sq8_topk
+
+        sq_emb = replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        )
+        sq_holder = {}
+
+        def _sq8_encode():
+            sq_holder["idx"] = sq8_encode(sq_emb).localCheckpoint()
+            return sq_holder["idx"].count()
+
+        timed(f"sq8_encode_{FACTOR}x", _sq8_encode)
+        sq_pred = (F.col("_vid") < 2000) & (F.col("_vid") % 100 == 0)
+        timed(
+            f"sq8_serve_{FACTOR}x",
+            lambda: sq8_topk(
+                sq_emb, query_pred=sq_pred, k=5, refine=20,
+                index=sq_holder["idx"],
+            ).count(),
+        )
+
+    # round-9: hybrid BM25+dense RRF at FACTOR× documents — both legs
+    # end in fixed top-k lists, so the fusion join is constant-size;
+    # the scaling terms are the BM25 pruned-token shuffle and the
+    # dense brute-force scan (the documented baseline; ivf/sq8 pruning
+    # swaps into the dense leg at deployment).
+    if want("hybrid"):
+        from pyield_spark.operators.vocab import hybrid_rrf
+
+        def _hybrid():
+            docs = replicate(
+                spark.read.parquet(f"{SF}/documents.parquet").select(
+                    "doc_id", "text"
+                ),
+                ["doc_id"],
+            )
+            embs = replicate(
+                spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                    "vec_id", "embedding"
+                ),
+                ["vec_id"],
+            )
+            return hybrid_rrf(
+                docs, embs, ["spark", "window", "merge", "vector"]
+            ).count()
+
+        timed(f"hybrid_rrf_{FACTOR}x", _hybrid)
 
     # Gap-based sessionization at FACTOR× events / FACTOR× users: one
     # user-key window (lag + cumulative session counter) + the
