@@ -73,6 +73,9 @@ DRIVER_PRIORITY: list[str] = [
     # --- the round-9 first-timers ---
     "q_ivfpq_trained",         # pinned-artifact residual IVF-PQ serve
     "q_simhash_clusters",      # fingerprint-quotient component verdicts
+    "q_sq8_topk",              # scalar-quantized ANN serve
+    "q_minhash_sized",         # threshold-sized LSH (9 perms, 3x3)
+    "q_hybrid_rrf",            # BM25 + PRF dense leg, RRF fusion
     # --- round-9 code-change re-verification ---
     "q_simhash_hamming",       # bits forwarding fix + band-key refactor
     "q_simhash",               # shares the fingerprint pipeline
