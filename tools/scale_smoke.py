@@ -4,10 +4,12 @@ beyond the driver's benchmark sizes (more groups, more vertices, more
 targets; same shuffle structure).
 
 Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
-(ops: bd interp asof asof_ungrouped asof_broadcast minhash bootstrap lm
-futuro composites leiloes semantic neardup cc_chain cc_clique totalret
-mensal bm25 pack — default all; leiloes/semantic/neardup select
-individual members of the composites set)
+(ops: bd interp interp_skew asof asof_ungrouped asof_broadcast minhash
+bootstrap lm futuro composites leiloes semantic neardup cc_chain
+cc_clique totalret mensal bm25 pack ivfpq ivfpq_trained warehouse
+sessionize curation simclusters sq8 hybrid — default all;
+leiloes/semantic/neardup select individual members of the composites
+set)
 """
 
 from __future__ import annotations
