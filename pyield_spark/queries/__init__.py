@@ -82,8 +82,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_bloom_decontaminate",   # KM double hashing (oracle in lockstep)
     "q_multimodal_features",   # numpy featurize/decode kernels
     "q_frame_sample", "q_resize_payload",  # numpy codec round trips
-    "q_futuro_panel",          # startswith filter (LIKE-injection fix)
-    "q_futures_enrich",        # same filter path
+    "q_futuro_panel",          # startswith filter (LIKE-injection fix;
+    # q_futures_enrich shares the path and is already a window anchor)
     "q_ivfpq_topk", "q_ivf_topk",  # similarity codepaths next to trained
     "q_dedup_clusters",        # graph components consumer
     # remaining slots fill via driver_ordered()'s registration-order
