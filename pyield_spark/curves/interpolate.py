@@ -125,13 +125,20 @@ def interpolar(
 
     if resolve_exact:
         # auto-exact (r8 VERDICT #3): resolve on the DEDUPED panel —
-        # the actual broadcast payload. Checkpoint first so the bounded
-        # probe count materializes the frame the join then reuses (one
-        # aggregation pass total, whichever route wins).
-        from pyield_spark.operators.asof import auto_distribution_exact
+        # the actual broadcast payload. The free Catalyst probe runs
+        # on the un-checkpointed panel (a checkpoint would hide a
+        # bounded estimate behind the LogicalRDD); only the unbounded
+        # case checkpoints + spends the bounded count, so the probe's
+        # aggregation pass is the one the join then reuses.
+        from pyield_spark.operators.asof import (
+            auto_distribution, auto_distribution_exact,
+        )
 
-        cur = cur.localCheckpoint(eager=False)
-        distribution = auto_distribution_exact(cur)
+        if auto_distribution(cur) == "broadcast":
+            distribution = "broadcast"
+        else:
+            cur = cur.localCheckpoint(eager=False)
+            distribution = auto_distribution_exact(cur)
     elif not by_cols and distribution != "broadcast":
         # the ungrouped shuffle route consumes the deduped curve from
         # FOUR subplans (union branch, percentile bounds, per-bucket

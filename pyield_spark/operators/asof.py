@@ -213,10 +213,16 @@ def asof_join(
     if distribution == "auto":
         distribution = auto_distribution(right)
     elif distribution == "auto-exact":
-        # checkpoint FIRST: the probe's bounded count materializes the
-        # same frame the join consumes, so the pass is spent once
-        right = right.localCheckpoint(eager=False)
-        distribution = auto_distribution_exact(right)
+        if auto_distribution(right) == "broadcast":
+            # bounded-small estimate: the free probe suffices, no job
+            distribution = "broadcast"
+        else:
+            # checkpoint BEFORE the bounded count (checkpointing first
+            # would hide a bounded estimate behind the LogicalRDD and
+            # force the probe even on plain dimension frames): the
+            # count then materializes the same frame the join consumes
+            right = right.localCheckpoint(eager=False)
+            distribution = auto_distribution_exact(right)
     if strategy == "nearest":
         return _asof_nearest(
             left, right, on, right_on, by, values, allow_exact_matches,

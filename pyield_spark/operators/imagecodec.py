@@ -241,10 +241,10 @@ def decode_png(data: bytes) -> RawImage:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")
         n_entries = len(plte) // 3
-        if max(pixels, default=0) >= n_entries:
-            raise ValueError("PNG: palette index out of range")
         pal = np.frombuffer(plte, dtype=np.uint8)[: n_entries * 3].reshape(-1, 3)
         idx = np.frombuffer(bytes(pixels), dtype=np.uint8)
+        if idx.size and int(idx.max()) >= n_entries:
+            raise ValueError("PNG: palette index out of range")
         if trns is not None:
             # tRNS holds per-entry alpha for the first len(trns)
             # entries; unlisted entries are opaque (PNG spec 11.3.2)
