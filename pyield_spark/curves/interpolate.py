@@ -125,20 +125,11 @@ def interpolar(
 
     if resolve_exact:
         # auto-exact (r8 VERDICT #3): resolve on the DEDUPED panel —
-        # the actual broadcast payload. The free Catalyst probe runs
-        # on the un-checkpointed panel (a checkpoint would hide a
-        # bounded estimate behind the LogicalRDD); only the unbounded
-        # case checkpoints + spends the bounded count, so the probe's
-        # aggregation pass is the one the join then reuses.
-        from pyield_spark.operators.asof import (
-            auto_distribution, auto_distribution_exact,
-        )
+        # the actual broadcast payload (shared resolver: free probe
+        # first, checkpoint + bounded count only when unbounded)
+        from pyield_spark.operators.asof import resolve_auto_exact
 
-        if auto_distribution(cur) == "broadcast":
-            distribution = "broadcast"
-        else:
-            cur = cur.localCheckpoint(eager=False)
-            distribution = auto_distribution_exact(cur)
+        cur, distribution = resolve_auto_exact(cur)
     elif not by_cols and distribution != "broadcast":
         # the ungrouped shuffle route consumes the deduped curve from
         # FOUR subplans (union branch, percentile bounds, per-bucket

@@ -120,9 +120,10 @@ def auto_distribution(right: DataFrame) -> str:
             _AUTO_STATS_WARNED = True
             warnings.warn(
                 "asof auto_distribution: Catalyst stats probe failed "
-                f"({type(exc).__name__}: {exc}); every distribution='auto' "
-                "call in this session falls back to the shuffle route. "
-                "Pass distribution= explicitly to silence.",
+                f"({type(exc).__name__}: {exc}); THIS call falls back to "
+                "the shuffle route (later calls re-probe independently; "
+                "further warnings are suppressed). Pass distribution= "
+                "explicitly to silence.",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -134,20 +135,52 @@ def auto_distribution(right: DataFrame) -> str:
 # row cap for the auto-exact probe: the broadcast-interval route's
 # measured crossover sits far above typical curve panels (the 100×
 # skew lap's ~250 k-row panel runs 3× faster broadcast), and 256 k
-# rows of (group, key, value) is single-digit MB on the driver.
+# rows of (group, key, value) is single-digit MB on the driver. The
+# EFFECTIVE cap also honors bytes: rows × schema defaultSize must fit
+# the same threshold/32 envelope plain auto uses, so a wide right side
+# (many `values` columns, array payloads) lowers the row cap instead
+# of OOMing the driver at 256 k × hundreds of bytes.
 AUTO_EXACT_MAX_ROWS = 262_144
 
 
+def _broadcast_byte_cap(right: DataFrame) -> int | None:
+    """threshold/32 in bytes, or None when broadcasting is disabled
+    (negative threshold) / the conf is unreadable."""
+    try:
+        spark = right.sparkSession
+        thr_conf = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        ).strip()
+        if thr_conf.startswith("-"):
+            return None
+        thr = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(thr_conf)
+        )
+    except _AUTO_STATS_ERRORS:
+        return None
+    cap = thr // AUTO_BROADCAST_COST_FACTOR
+    return cap if cap > 0 else None
+
+
 def auto_distribution_exact(
-    right: DataFrame, max_rows: int = AUTO_EXACT_MAX_ROWS
+    right: DataFrame, max_rows: int = AUTO_EXACT_MAX_ROWS,
+    stats_probe: bool = True,
 ) -> str:
     """Resolve ``distribution="auto-exact"``: the free Catalyst probe
     first (a bounded-small estimate broadcasts, same as ``auto``);
     when the estimate cannot bound the side — the derived-curve case,
     where an aggregate inherits its big fact child's size estimate —
-    spend ONE bounded ``count()``: ``limit(max_rows + 1)`` stops the
-    scan early, so the probe costs at most one pass of the right
-    side's plan, never of the fact table it joins against.
+    spend ONE bounded ``count()``: ``limit(n + 1)`` stops the scan
+    early, so the probe costs at most one pass of the right side's
+    plan, never of the fact table it joins against.
+
+    The effective row cap is ``min(max_rows, byte_cap / row_width)``
+    with row width from the schema's Catalyst defaultSize — the same
+    threshold/32 byte envelope plain ``auto`` enforces, so auto-exact
+    can never broadcast MORE bytes than auto would, only bound an
+    estimate auto couldn't. A disabled broadcast threshold (-1)
+    resolves straight to 'shuffle' with no job.
 
     Opt-in by contract (``auto`` never launches a job): callers should
     ``localCheckpoint(eager=False)`` the right side FIRST so the pass
@@ -156,10 +189,36 @@ def auto_distribution_exact(
     marginal cost ≈ 0 on the plans where it matters (PLANS.md r9 skew
     lap: auto-exact ≈ broadcast, vs auto ≈ shuffle).
     """
-    if auto_distribution(right) == "broadcast":
+    if stats_probe and auto_distribution(right) == "broadcast":
         return "broadcast"
-    n = right.limit(max_rows + 1).count()
-    return "broadcast" if n <= max_rows else "shuffle"
+    byte_cap = _broadcast_byte_cap(right)
+    if byte_cap is None:  # broadcast disabled / conf unreadable
+        return "shuffle"
+    try:
+        width = int(right._jdf.schema().defaultSize())
+    except _AUTO_STATS_ERRORS:
+        width = 0
+    cap = min(max_rows, byte_cap // width) if width > 0 else max_rows
+    if cap <= 0:
+        return "shuffle"
+    n = right.limit(cap + 1).count()
+    return "broadcast" if n <= cap else "shuffle"
+
+
+def resolve_auto_exact(right: DataFrame) -> tuple[DataFrame, str]:
+    """The shared ``distribution="auto-exact"`` resolution for
+    ``asof_join``/``interpolar``: free Catalyst probe on the
+    UN-checkpointed frame first (a lazy localCheckpoint becomes a
+    LogicalRDD whose stats hide a bounded estimate); only the
+    unbounded case checkpoints and spends the bounded count, so the
+    probe's pass materializes the exact frame the join consumes.
+    Returns the (possibly checkpointed) frame and the route."""
+    if auto_distribution(right) == "broadcast":
+        return right, "broadcast"
+    right = right.localCheckpoint(eager=False)
+    # stats_probe=False: the checkpointed LogicalRDD has no usable
+    # estimate, so re-probing would only burn py4j round trips
+    return right, auto_distribution_exact(right, stats_probe=False)
 
 
 def asof_join(
@@ -213,16 +272,7 @@ def asof_join(
     if distribution == "auto":
         distribution = auto_distribution(right)
     elif distribution == "auto-exact":
-        if auto_distribution(right) == "broadcast":
-            # bounded-small estimate: the free probe suffices, no job
-            distribution = "broadcast"
-        else:
-            # checkpoint BEFORE the bounded count (checkpointing first
-            # would hide a bounded estimate behind the LogicalRDD and
-            # force the probe even on plain dimension frames): the
-            # count then materializes the same frame the join consumes
-            right = right.localCheckpoint(eager=False)
-            distribution = auto_distribution_exact(right)
+        right, distribution = resolve_auto_exact(right)
     if strategy == "nearest":
         return _asof_nearest(
             left, right, on, right_on, by, values, allow_exact_matches,

@@ -994,7 +994,17 @@ def sq8_topk(
 
     if refine is None:
         refine = 4 * k
-    assigned = index if index is not None else sq8_encode(emb, id_col, vec_col, dim)
+    # e2e: the encode subtree has THREE consumers (stats agg inside
+    # the encode, the scored corpus scan, the refine by-key fetch) and
+    # Spark replays unshared subplans per consumer — one lazy
+    # checkpoint scans the corpus once (measured: consistent ~8% at
+    # sf0.1; the win grows with corpus size, and the 100× lap serves
+    # from a persisted index= anyway)
+    assigned = (
+        index
+        if index is not None
+        else sq8_encode(emb, id_col, vec_col, dim).localCheckpoint(eager=False)
+    )
     deq = F.zip_with(
         F.col("_codes"),
         F.zip_with(

@@ -343,3 +343,33 @@ def test_auto_exact_row_cap_falls_back_to_shuffle(spark):
         distribution="shuffle",
     ).collect()))
     assert got == want
+
+
+def test_auto_exact_honors_disabled_and_byte_cap(spark):
+    """auto-exact never out-broadcasts auto's byte envelope: a disabled
+    threshold (-1) resolves to shuffle with no job, and a wide schema
+    lowers the effective row cap (rows x defaultSize <= threshold/32)."""
+    from pyield_spark.operators.asof import auto_distribution_exact
+
+    tiny = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k long, px double"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert auto_distribution_exact(tiny) == "shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # wide rows: 5 rows of ~16KB strings; defaultSize(string)=20 makes
+    # the schema-width cap tiny only under a tiny threshold
+    wide = spark.createDataFrame(
+        [(i,) + ("x" * 16384,) * 8 for i in range(5)],
+        "k long, " + ", ".join(f"s{j} string" for j in range(8)),
+    )
+    try:
+        # threshold/32 = 32 bytes < one row's defaultSize*rows -> cap 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        assert auto_distribution_exact(wide) == "shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert auto_distribution_exact(tiny) == "broadcast"
