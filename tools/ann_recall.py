@@ -28,6 +28,7 @@ from pyield_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     ivf_topk,
     ivfpq_topk,
+    sq8_topk,
     train_codebooks,
 )
 from pyield_spark.session import get_session  # noqa: E402
@@ -68,6 +69,15 @@ def main():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = pairs(cosine_topk(emb, "vec_id", "embedding", k=K))
     print(f"corpus={emb.count()} queries={len(exact) // K} k={K}")
+
+    # SQ8 (r9): per-dimension 8-bit scalar quantization — brute-force
+    # compressed scan, so recall is probe-independent; report refine=20
+    # and refine=K (pure quantized ordering) once
+    r_sq20 = len(pairs(sq8_topk(emb, "vec_id", "embedding", k=K, refine=20))
+                 & exact) / len(exact)
+    r_sqk = len(pairs(sq8_topk(emb, "vec_id", "embedding", k=K, refine=K))
+                & exact) / len(exact)
+    print(f"sq8: refine20={r_sq20:.3f}  refineK={r_sqk:.3f}")
 
     def recall(approx: set) -> float:
         return len(approx & exact) / len(exact)
