@@ -343,8 +343,20 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     codebooks: TrainedCodebooks | None = None,
+    candidate_pred: Column | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse codebook → inverted lists → probe → rescore.
+
+    ``candidate_pred`` (a Column over ``emb``'s columns) enables
+    FILTERED vector search: only index vectors satisfying the
+    predicate are candidates — pre-filter semantics, i.e. the true
+    top-k among matching vectors inside the probed lists (the vector-
+    store "metadata filter" feature). The predicate evaluates at the
+    corpus SCAN (pushed down with it — no extra join or shuffle), the
+    shared codebook/lists are built from the FULL corpus so one index
+    serves every filter, and queries need not satisfy the predicate.
+    Selective filters thin the probed lists — raise ``n_probe`` to
+    keep candidate counts (standard filtered-ANN practice).
 
     The default codebook is the ``n_centroids`` lowest-id vectors
     (deterministic on any engine — the oracle-expressible baseline);
@@ -368,7 +380,9 @@ def ivf_topk(
     from pyield_spark.functions.numbers import pround_expr
 
     base = emb.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        *([] if candidate_pred is None else [candidate_pred.alias("_cand")]),
     ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
 
     if codebooks is not None:
@@ -378,6 +392,10 @@ def ivf_topk(
     else:
         cents = _ivf_codebook(base, n_centroids)
     assigned = _ivf_nearest_lists(base, cents, "_vid", "_vec", "_norm2", 1)
+    if candidate_pred is not None:
+        # filter AFTER list assignment (the shared-index contract) but
+        # the predicate itself evaluated at the scan projection
+        assigned = assigned.filter(F.col("_cand")).drop("_cand")
 
     queries = base.filter(
         query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)

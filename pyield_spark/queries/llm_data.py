@@ -666,6 +666,77 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+# --- filtered vector search (r9): the vector-store "metadata filter"
+# feature — true top-k among index vectors satisfying a predicate,
+# served from the SAME shared lists (pre-filter semantics; queries
+# need not match the filter; n_probe raised 4→8 to keep candidate
+# counts over the thinned lists).
+
+
+@query(
+    "q_ann_filtered",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, v, label,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (a, b) -> a + b) AS norm2
+      FROM base
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v, norm2 FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM norms
+      ) WHERE crn <= 16
+    ),
+    assign AS (
+      SELECT vec_id, v, norm2, cid FROM (
+        SELECT n.vec_id, n.v, n.norm2, n.label, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM norms n CROSS JOIN cents c
+      ) WHERE arn = 1 AND label % 2 = 0
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v, norm2, cid FROM (
+        SELECT n.vec_id, n.v, n.norm2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM norms n CROSS JOIN cents c
+        WHERE n.vec_id % 100 = 0
+      ) WHERE arn <= 8
+    ),
+    cand AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id, q.cid AS list_id,
+        {pround_sql(_IVF_DOT_QB + " / (sqrt(q.norm2) * sqrt(b.norm2))", 6)} AS cosine
+      FROM probes q JOIN assign b ON b.cid = q.cid AND b.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, list_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_ann_filtered(spark, sf_dir):
+    """FILTERED vector search: top-5 among even-label vectors only,
+    from the SAME shared 16-list index (pre-filter semantics — the
+    predicate evaluates at the corpus scan, no extra join; queries are
+    unrestricted; n_probe=8 compensates the thinned lists). The
+    metadata-filter feature every production vector store exposes —
+    see operators/similarity.py::ivf_topk ``candidate_pred``."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=8,
+        candidate_pred=F.col("label") % 2 == 0,
+    )
+
+
 # === IVF-PQ: product-quantized candidate scoring + exact refine ===========
 
 _PQ_L2_SJ = (

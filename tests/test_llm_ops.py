@@ -1265,3 +1265,50 @@ def test_hybrid_rrf_fusion_semantics(spark):
                               + 1.0 / (60 + both["r_dense"]))) < 1e-15
     rrfs = [r["rrf"] for r in sorted(out, key=lambda r: r["rnk"])]
     assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_ivf_candidate_pred_filters_exactly(spark):
+    """Filtered search == brute-force top-k over the predicate-matching
+    subset (at exhaustive probes), and every returned neighbor
+    satisfies the predicate; queries themselves need not."""
+    from pyield_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _clustered_emb(spark, n=60).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    pred = F.col("_vid") % 10 == 0
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in ivf_topk(
+            emb, query_pred=pred, k=3, n_centroids=6, n_probe=6,
+            candidate_pred=F.col("label") == 1,
+        ).collect()
+    )
+    assert got and all((nid % 3) == 1 for _, nid, _, _ in got)
+    # brute-force twin: exact top-k over the label==1 subset, queries
+    # drawn from the FULL corpus (the pre-filter contract)
+    allowed = emb.filter("label = 1")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    from pyield_spark.operators.similarity import dot_dec, norm_sq_dec
+    from pyield_spark.functions.numbers import pround_expr
+    from pyspark.sql import Window
+
+    pairs = queries.crossJoin(
+        allowed.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    ).filter("qid <> nid").withColumn(
+        "cosine",
+        pround_expr(
+            dot_dec(F.col("qv"), F.col("nv"))
+            / (F.sqrt(norm_sq_dec(F.col("qv"))) * F.sqrt(norm_sq_dec(F.col("nv")))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    want = sorted(
+        (r["qid"], r["nid"], r["cosine"], r["rnk"])
+        for r in pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter("rnk <= 3").collect()
+    )
+    assert got == want
