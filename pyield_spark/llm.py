@@ -15,13 +15,15 @@ Namespaces:
                 candidates, winnowing spans, URL canonicalization
 - ``cluster``   connected components over candidate pairs + keep-one /
                 keep-best verdicts; SemDeDup k-means clustering
-- ``similarity`` brute cosine top-k, sign-LSH buckets, IVF, IVF-PQ
-                (``pq_encode`` ingest / ``ivfpq_topk`` serve),
-                hard-negative mining
+- ``similarity`` brute cosine top-k, sign-LSH buckets, IVF (with
+                metadata-filtered search via ``candidate_pred``),
+                IVF-PQ (``pq_encode`` ingest / ``ivfpq_topk`` serve),
+                SQ8 scalar quantization, hard-negative mining
 - ``text``      tokenization, quality scores, language id, Gopher
                 rules, PII redaction, fingerprints, chunking
 - ``vocab``     vocabulary/TF-IDF, distinctive terms, repetition
-                stats, bigram-LM typicality, token entropy, BM25
+                stats, bigram-LM typicality, token entropy, BM25,
+                hybrid BM25+dense RRF retrieval
 - ``sample``    deterministic hash/stratified/weighted sampling,
                 mixture resampling, corpus shuffle (global sort
                 index), sequence packing
@@ -59,8 +61,14 @@ dedup = SimpleNamespace(
     lsh_candidate_pairs=_dedup.lsh_candidate_pairs,
     simhash=_dedup.simhash_expr_input,
     simhash_hamming_pairs=_dedup.simhash_hamming_pairs,
+    simhash_clusters=_dedup.simhash_clusters,
+    lsh_size=_dedup.lsh_size,
+    lsh_capture_prob=_dedup.lsh_capture_prob,
+    minhash_coeffs=_dedup.minhash_coeffs,
     bloom_build=_bloom.bloom_build,
     bloom_decontaminate=_bloom.bloom_decontaminate,
+    bloom_size=_bloom.bloom_size,
+    bloom_fp_rate=_bloom.bloom_fp_rate,
     containment_pairs=_dedup.containment_pairs,
     winnow_spans=_text.spans_expr,
     canonical_url=_text.canonical_url_expr,
@@ -82,6 +90,8 @@ similarity = SimpleNamespace(
     ivf_topk=_sim.ivf_topk,
     pq_encode=_sim.pq_encode,
     ivfpq_topk=_sim.ivfpq_topk,
+    sq8_encode=_sim.sq8_encode,
+    sq8_topk=_sim.sq8_topk,
     hard_negatives=_sim.hard_negatives,
 )
 
@@ -106,6 +116,7 @@ vocab = SimpleNamespace(
     lm_typicality=_vocab.lm_typicality,
     token_entropy=_vocab.token_entropy,
     bm25_topk=_vocab.bm25_topk,
+    hybrid_rrf=_vocab.hybrid_rrf,
 )
 
 sample = SimpleNamespace(
