@@ -91,7 +91,7 @@ similarity = SimpleNamespace(
     pq_encode=_sim.pq_encode,
     ivfpq_topk=_sim.ivfpq_topk,
     sq8_encode=_sim.sq8_encode,
-    sq8_topk=_sim.sq8_topk,
+    sq8_topk=_sim.sq8_topk,  # n_centroids= composes IVF-SQ8
     hard_negatives=_sim.hard_negatives,
 )
 

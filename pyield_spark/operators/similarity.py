@@ -990,6 +990,8 @@ def sq8_topk(
     refine: int | None = None,
     dim: int = 64,
     index: DataFrame | None = None,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Top-k cosine ANN over SQ8 codes: candidates score against the
     DEQUANTIZED corpus (``x̂_d = mn_d + (q_d · span_d) / 255`` — 8 bits
@@ -998,13 +1000,21 @@ def sq8_topk(
     exact cosine — the same shortlist→refine ladder as ``ivfpq_topk``
     with a much finer (8×, not 128×, compressed) first stage.
 
+    ``n_centroids=None`` (default) scans the whole compressed corpus
+    per query — the exact-first-stage baseline. Passing an int
+    composes the SAME IVF list pruning the PQ route uses (lowest-id
+    coarse codebook, ``n_probe`` probed lists, equi-join candidates)
+    with SQ8 scoring inside the lists — IVF-SQ8, FAISS's
+    ``IVF<n>,SQ8`` index family: the compute path when the brute
+    compressed scan is the wall (measured in PLANS.md).
+
     Scale shape: the candidate scan reads dim BYTES per corpus vector
     instead of dim float64s — at 100 TB that is the difference between
-    an 800 GB and a 100 GB scan per query batch — and composes with the
-    IVF list pruning exactly as PQ does (swap the ADC stage). Scores
-    round to 6dp with id tie-breaks; bit-stable across engines.
+    an 800 GB and a 100 GB scan per query batch. Scores round to 6dp
+    with id tie-breaks; bit-stable across engines.
 
-    Returns (query_id, neighbor_id, sq_cosine, cosine, rnk).
+    Returns (query_id, neighbor_id, sq_cosine, cosine, rnk) — IVF mode
+    additionally carries ``list_id``.
     """
     from pyspark.sql import Window
 
@@ -1048,17 +1058,31 @@ def sq8_topk(
         .localCheckpoint(eager=False)  # tiny side: AQE broadcasts it,
         # the corpus never shuffles (same shape as ivf/ivfpq probes)
     )
-    scored = (
-        queries.crossJoin(corpus)
-        .filter(F.col("_vid") != F.col("query_id"))
-        .withColumn(
-            "sq_cosine",
-            pround_expr(
-                dot_dec(F.col("_qvec"), F.col("_dq"))
-                / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_dqn2"))),
-                6,
-            ),
+    if n_centroids:
+        # IVF-SQ8: coarse lists over the index frame, probed-list
+        # equi-join replaces the full cross product (same codebook /
+        # probe helpers as ivf_topk/ivfpq_topk)
+        cents = _ivf_codebook(assigned, n_centroids)
+        corpus_l = _ivf_nearest_lists(
+            corpus, cents, "_vid", "_vec", "_norm2", 1
         )
+        probes = _ivf_nearest_lists(
+            queries, cents, "query_id", "_qvec", "_qnorm2", n_probe
+        ).localCheckpoint(eager=False)
+        cand = probes.join(corpus_l, "_cid").filter(
+            F.col("_vid") != F.col("query_id")
+        )
+    else:
+        cand = queries.crossJoin(corpus).filter(
+            F.col("_vid") != F.col("query_id")
+        )
+    scored = cand.withColumn(
+        "sq_cosine",
+        pround_expr(
+            dot_dec(F.col("_qvec"), F.col("_dq"))
+            / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_dqn2"))),
+            6,
+        ),
     )
     w_sq = Window.partitionBy("query_id").orderBy(
         F.col("sq_cosine").desc(), F.col("_vid").asc()
@@ -1068,8 +1092,9 @@ def sq8_topk(
     # rides through the Q·N sort (measured at the 100× lap: carrying
     # the 512-byte query vector made the window sort the wall); the
     # refine fetches both vectors BY KEY over the tiny shortlist
+    keep = ["query_id", "_vid", "sq_cosine"] + (["_cid"] if n_centroids else [])
     shortlist = (
-        scored.select("query_id", "_vid", "sq_cosine")
+        scored.select(*keep)
         .filter(~F.isnan("sq_cosine"))
         .withColumn("_srn", F.row_number().over(w_sq))
         .filter(F.col("_srn") <= refine)
@@ -1096,6 +1121,11 @@ def sq8_topk(
         .select(
             "query_id",
             F.col("_vid").alias("neighbor_id"),
+            *(
+                [F.col("_cid").alias("list_id")]
+                if n_centroids
+                else []
+            ),
             "sq_cosine",
             "cosine",
             F.col("rnk").cast("int").alias("rnk"),

@@ -1144,6 +1144,119 @@ def q_sq8_topk(spark, sf_dir):
     return sim.sq8_topk(emb, "vec_id", "embedding", k=5, refine=20)
 
 
+
+@query(
+    "q_ivf_sq8",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                            x -> x IS NULL OR isnan(x))) = 0
+    ),
+    stats AS (
+      SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+        SELECT unnest(v) AS x, unnest(range(1, 65)) AS d FROM base
+      ) GROUP BY d
+    ),
+    mnmx AS (
+      SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM stats
+    ),
+    enc AS (
+      SELECT b.vec_id, b.v,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(b.v, x -> x * x)), (x, y) -> x + y) AS norm2,
+        list_transform(range(1, 65), i -> CASE WHEN m.mx[i] = m.mn[i] THEN 0
+          ELSE CAST(floor((b.v[i] - m.mn[i]) / (m.mx[i] - m.mn[i]) * 255.0
+                          + 0.5) AS INT) END) AS codes,
+        m.mn AS mn, m.mx AS mx
+      FROM base b CROSS JOIN mnmx m
+    ),
+    corpus AS (
+      SELECT vec_id, v, norm2, dq,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(dq, x -> x * x)), (x, y) -> x + y) AS dqn2
+      FROM (
+        SELECT *, list_transform(range(1, 65),
+          i -> mn[i] + (CAST(codes[i] AS DOUBLE) * (mx[i] - mn[i])) / 255.0)
+          AS dq
+        FROM enc
+      )
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v, norm2 FROM (
+        SELECT vec_id, v, norm2,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM enc
+      ) WHERE crn <= 16
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM enc n CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, norm2 AS qnorm2, cid FROM (
+        SELECT n.vec_id, n.v, n.norm2, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_IVF_DOT_VC + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM enc n CROSS JOIN cents c
+        WHERE n.vec_id % 100 = 0
+      ) WHERE arn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, p.cid AS list_id,
+        p.qv, p.qnorm2, c.v AS bv, c.norm2 AS bnorm2,
+        {pround_sql(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+            "range(1, 65), i -> p.qv[i] * c.dq[i])), (x, y) -> x + y)"
+            " / (sqrt(p.qnorm2) * sqrt(c.dqn2))", 6)} AS sq_cosine
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN corpus c ON c.vec_id = a.vec_id
+    ),
+    shortlist AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sq_cosine DESC, neighbor_id) AS srn
+        FROM scored WHERE NOT isnan(sq_cosine)
+      ) WHERE srn <= 20
+    ),
+    refined AS (
+      SELECT query_id, neighbor_id, list_id, sq_cosine,
+        {pround_sql(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+            "range(1, 65), i -> qv[i] * bv[i])), (x, y) -> x + y)"
+            " / (sqrt(qnorm2) * sqrt(bnorm2))", 6)} AS cosine
+      FROM shortlist
+    )
+    SELECT query_id, neighbor_id, list_id, sq_cosine, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM refined WHERE NOT isnan(cosine)
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ivf_sq8(spark, sf_dir):
+    """IVF-SQ8 (FAISS ``IVF16,SQ8``): 16 coarse lists / 4 probes prune
+    candidates, SQ8 dequantized scoring inside the probed lists,
+    shortlist 20 → exact refine top-5 — the compute-pruned variant of
+    q_sq8_topk (whose first stage scans the whole compressed corpus by
+    contract). Same 8× candidate payload, ~n_probe/C of the scoring
+    work."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.sq8_topk(
+        emb, "vec_id", "embedding", k=5, refine=20,
+        n_centroids=16, n_probe=4,
+    )
+
+
 # === Gopher-style quality filter composition ==============================
 
 _SW_LISTS_SQL = {

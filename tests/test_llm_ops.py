@@ -1312,3 +1312,33 @@ def test_ivf_candidate_pred_filters_exactly(spark):
         .filter("rnk <= 3").collect()
     )
     assert got == want
+
+
+def test_ivf_sq8_exhaustive_matches_brute_sq8(spark):
+    """IVF-SQ8 with n_probe == C and corpus-sized refine is
+    bit-identical to the brute-force SQ8 route (and hence to exact
+    cosine on the clustered corpus)."""
+    from pyield_spark.operators.similarity import cosine_topk, sq8_topk
+
+    emb = _clustered_emb(spark, n=60)
+    pred = F.col("_vid") % 10 == 0
+    brute = sorted(
+        (r["query_id"], r["neighbor_id"], r["sq_cosine"], r["cosine"], r["rnk"])
+        for r in sq8_topk(emb, query_pred=pred, k=4, refine=60).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["neighbor_id"], r["sq_cosine"], r["cosine"], r["rnk"])
+        for r in sq8_topk(emb, query_pred=pred, k=4, refine=60,
+                          n_centroids=6, n_probe=6).collect()
+    )
+    assert ivf == brute
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in cosine_topk(emb, query_pred=pred, k=4).collect()
+    )
+    assert [(q, n, c, r) for q, n, _, c, r in ivf] == exact
+    # pruned config returns well-formed ranks from list-pruned space
+    pruned = sq8_topk(emb, query_pred=pred, k=3, refine=9,
+                      n_centroids=6, n_probe=2).collect()
+    assert pruned and all(1 <= r["rnk"] <= 3 for r in pruned)
+    assert all(r["list_id"] is not None for r in pruned)

@@ -774,6 +774,15 @@ def main():
                 index=sq_holder["idx"],
             ).count(),
         )
+        # round-9 (cont.): IVF-pruned SQ8 serve — n_probe/C of the
+        # scoring work, same index, same exact refine
+        timed(
+            f"ivf_sq8_serve_{FACTOR}x",
+            lambda: sq8_topk(
+                sq_emb, query_pred=sq_pred, k=5, refine=20,
+                index=sq_holder["idx"], n_centroids=16, n_probe=4,
+            ).count(),
+        )
 
     # round-9: hybrid BM25+dense RRF at FACTOR× documents — both legs
     # end in fixed top-k lists, so the fusion join is constant-size;
