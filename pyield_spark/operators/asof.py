@@ -176,11 +176,18 @@ def auto_distribution_exact(
     plan, never of the fact table it joins against.
 
     The effective row cap is ``min(max_rows, byte_cap / row_width)``
-    with row width from the schema's Catalyst defaultSize — the same
-    threshold/32 byte envelope plain ``auto`` enforces, so auto-exact
-    can never broadcast MORE bytes than auto would, only bound an
-    estimate auto couldn't. A disabled broadcast threshold (-1)
-    resolves straight to 'shuffle' with no job.
+    with row width from the schema's Catalyst defaultSize, and the
+    SAME bounded probe additionally measures the average ACTUAL row
+    bytes (``octet_length(to_json(struct(*)))`` — a conservative
+    over-estimate for any serialization) so a right side whose
+    variable-length payloads dwarf defaultSize's fixed 20-byte string
+    guess still resolves to 'shuffle' when ``n × measured_avg``
+    exceeds the byte envelope. The bound is therefore best-effort
+    exact on measured bytes, not just on the schema estimate — but it
+    is still an estimate of broadcast wire size, so pathological
+    schemas to_json cannot serialize fall back to defaultSize alone.
+    A disabled broadcast threshold (-1) resolves straight to 'shuffle'
+    with no job.
 
     Opt-in by contract (``auto`` never launches a job): callers should
     ``localCheckpoint(eager=False)`` the right side FIRST so the pass
@@ -201,8 +208,23 @@ def auto_distribution_exact(
     cap = min(max_rows, byte_cap // width) if width > 0 else max_rows
     if cap <= 0:
         return "shuffle"
-    n = right.limit(cap + 1).count()
-    return "broadcast" if n <= cap else "shuffle"
+    try:
+        row = right.limit(cap + 1).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(
+                F.octet_length(F.to_json(F.struct(*right.columns)))
+            ).alias("_avg_bytes"),
+        ).head()
+        n, avg_bytes = int(row["_n"]), row["_avg_bytes"]
+    except _AUTO_STATS_ERRORS:
+        # schema to_json can't serialize — defaultSize cap only
+        n, avg_bytes = right.limit(cap + 1).count(), None
+    if n > cap:
+        return "shuffle"
+    if avg_bytes is not None and n * float(avg_bytes) > byte_cap:
+        return "shuffle"  # measured bytes burst the envelope even
+        # though the defaultSize row cap admitted them
+    return "broadcast"
 
 
 def resolve_auto_exact(right: DataFrame) -> tuple[DataFrame, str]:

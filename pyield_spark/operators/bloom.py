@@ -69,7 +69,12 @@ def bloom_size(n: int, p: float, max_k: int = MAX_K) -> tuple[int, int]:
     ``k`` is clamped to ``max_k`` (double hashing synthesizes any k
     from the two base hashes; a smaller-than-optimal k only RAISES the
     FP rate predictably, never breaks the one-sided-error contract).
-    Feed the result straight into ``bloom_build``/
+    When the clamp actually bites — very small target ``p`` whose
+    optimal k exceeds ``max_k`` — the achieved rate silently exceeding
+    the request is easy to miss at call sites, so a ``UserWarning``
+    reports the achieved ``bloom_fp_rate``; callers sizing for a
+    strict ``p`` should raise ``max_k`` or treat the warned rate as
+    the contract. Feed the result straight into ``bloom_build``/
     ``bloom_decontaminate``.
     """
     if n <= 0:
@@ -78,7 +83,19 @@ def bloom_size(n: int, p: float, max_k: int = MAX_K) -> tuple[int, int]:
         raise ValueError(f"p must be in (0, 1): {p}")
     m = math.ceil(-n * math.log(p) / (math.log(2.0) ** 2))
     m = ((m + WORD_BITS - 1) // WORD_BITS) * WORD_BITS
-    k = max(1, min(max_k, round(m / n * math.log(2.0))))
+    k_opt = max(1, round(m / n * math.log(2.0)))
+    k = min(max_k, k_opt)
+    if k < k_opt:
+        achieved = bloom_fp_rate(n, m, k)
+        if achieved > p:
+            import warnings
+
+            warnings.warn(
+                f"bloom_size: k clamped {k_opt}->{k} (max_k={max_k}); "
+                f"achieved FP rate {achieved:.3g} exceeds target {p:.3g}",
+                UserWarning,
+                stacklevel=2,
+            )
     return m, k
 
 

@@ -190,8 +190,11 @@ def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
     base pairs (oracle-registered constants), then deterministically
     generated primes — ``a`` from 10^8 upward, ``b`` from 10^6 upward —
     so any permutation count replays identically in any engine.
-    Products stay exact: sid < 2^31 (mod MINHASH_PRIME), a < 2^27 →
-    sid·a + b < 2^58."""
+    Products stay exact in BIGINT: sid is the raw 32-bit h32, so
+    sid < 2^32, and every ``a`` (pinned or generated near 10^8) stays
+    under the 2^27 ceiling that keeps sid·a + b < 2^59 — extend the
+    family only with primes below 2^27 or the product overflows the
+    exact-int64 envelope."""
     coeffs = list(MINHASH_COEFFS)
     a_next, b_next = 100_000_001, 1_000_001
     while len(coeffs) < num_perm:

@@ -275,6 +275,10 @@ def decode_bmp(data: bytes) -> RawImage:
         raise ValueError(f"BMP: only 24/32-bit supported, got {bits}")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height <= 0:
+        # a degenerate header would otherwise reach np.frombuffer with
+        # a zero/negative count and raise an opaque numpy ValueError
+        raise ValueError(f"BMP: bad dimensions {width}x{height}")
     src_bpp = bits // 8
     row_stride = (width * src_bpp + 3) & ~3  # rows pad to 4 bytes
     # the final row's trailing pad bytes may be absent — require only

@@ -373,3 +373,30 @@ def test_auto_exact_honors_disabled_and_byte_cap(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert auto_distribution_exact(tiny) == "broadcast"
+
+
+def test_auto_exact_measured_bytes_beat_default_size(spark):
+    """r9 ADVICE: defaultSize counts any string as ~20 bytes, so a
+    side with huge variable-length payloads could pass the schema-width
+    row cap yet broadcast far more actual bytes than the threshold/32
+    envelope. The probe now measures avg row bytes in the same bounded
+    job: 5 rows x 160 KB strings (~800 KB actual, defaultSize says
+    ~900 B total) must resolve to shuffle under a 1 MB threshold
+    (envelope = 32 KB)."""
+    from pyield_spark.operators.asof import auto_distribution_exact
+
+    fat = spark.createDataFrame(
+        [(i, "x" * 163840) for i in range(5)], "k long, payload string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1 << 20))
+        # schema cap admits them (5 rows * 28 B << 32 KB) — measured
+        # bytes (5 * ~160 KB) must veto the broadcast
+        assert auto_distribution_exact(fat) == "shuffle"
+        slim = spark.createDataFrame(
+            [(i, "x" * 64) for i in range(5)], "k long, payload string"
+        )
+        assert auto_distribution_exact(slim) == "broadcast"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
