@@ -981,6 +981,36 @@ def sq8_encode(
     return enc.select("_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx")
 
 
+def ivf_assign(index: DataFrame, n_centroids: int) -> DataFrame:
+    """The ingest half of IVF serving: attach each index row's coarse
+    list id ``_cid`` (nearest of the deterministic lowest-id
+    ``n_centroids`` codebook) in one broadcast pass. Run ONCE per
+    corpus and persist alongside the encode output —
+    ``sq8_topk``/``hybrid_rrf`` detect the ``_cid`` column and skip
+    the per-call N·C assignment, the term that otherwise dominates
+    single-query / small-batch serves (a 1-query serve pays 16× the
+    brute scan in assignment if rebuilt inline; measured in PLANS.md
+    r10 hybrid rows). The serve call must pass the SAME
+    ``n_centroids`` so its probe codebook matches this assignment."""
+    cents = _ivf_codebook(index, n_centroids)
+    return _ivf_nearest_lists(index, cents, "_vid", "_vec", "_norm2", 1)
+
+
+def sq8_dequant_expr(codes: Column, mn: Column, mx: Column) -> Column:
+    """``x̂_d = mn_d + (q_d · (mx_d − mn_d)) / 255`` — the dequantized
+    corpus vector the asymmetric SQ8 scorer reads. Fixed IEEE op order,
+    replayed exactly in the DuckDB oracles; shared by ``sq8_topk`` and
+    ``hybrid_rrf(route="ivf_sq8")``."""
+    return F.zip_with(
+        codes,
+        F.zip_with(
+            mn, mx, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))
+        ),
+        lambda q, s: s["mn"]
+        + (q.cast("double") * (s["mx"] - s["mn"])) / F.lit(255.0),
+    )
+
+
 def sq8_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1033,17 +1063,12 @@ def sq8_topk(
         if index is not None
         else sq8_encode(emb, id_col, vec_col, dim).localCheckpoint(eager=False)
     )
-    deq = F.zip_with(
-        F.col("_codes"),
-        F.zip_with(
-            F.col("_mn"), F.col("_mx"), lambda mn, mx: F.struct(
-                mn.alias("mn"), mx.alias("mx")
-            )
-        ),
-        lambda q, s: s["mn"] + (q.cast("double") * (s["mx"] - s["mn"])) / F.lit(255.0),
-    )
+    deq = sq8_dequant_expr(F.col("_codes"), F.col("_mn"), F.col("_mx"))
+    # a pre-assigned index (ivf_assign output) carries _cid — keep it
+    # so the n_centroids branch skips the per-call N·C assignment
+    pre_cid = ["_cid"] if "_cid" in assigned.columns else []
     corpus = assigned.select(
-        "_vid", "_vec", "_norm2", deq.alias("_dq")
+        "_vid", "_vec", "_norm2", *pre_cid, deq.alias("_dq")
     ).withColumn("_dqn2", norm_sq_dec(F.col("_dq")))
 
     queries = (
@@ -1061,9 +1086,11 @@ def sq8_topk(
     if n_centroids:
         # IVF-SQ8: coarse lists over the index frame, probed-list
         # equi-join replaces the full cross product (same codebook /
-        # probe helpers as ivf_topk/ivfpq_topk)
+        # probe helpers as ivf_topk/ivfpq_topk). A pre-assigned index
+        # (ivf_assign, SAME n_centroids) already carries _cid and
+        # skips this N·C pass.
         cents = _ivf_codebook(assigned, n_centroids)
-        corpus_l = _ivf_nearest_lists(
+        corpus_l = corpus if pre_cid else _ivf_nearest_lists(
             corpus, cents, "_vid", "_vec", "_norm2", 1
         )
         probes = _ivf_nearest_lists(

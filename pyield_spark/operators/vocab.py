@@ -356,6 +356,11 @@ def hybrid_rrf(
     k: int = 10,
     n_seed: int = 3,
     rrf_k: int = 60,
+    route: str = "exact",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
     leg and a DENSE leg fused by ``rrf = Σ 1/(rrf_k + rank)`` (Cormack
@@ -369,10 +374,35 @@ def hybrid_rrf(
     engine. Documents without an embedding simply have no dense rank
     (their dense RRF term is 0), and vice versa.
 
+    ``route`` picks the dense leg's scale rung (r9 VERDICT #1 — the
+    pruning is now a parameter, not a docstring suggestion):
+
+    - ``"exact"`` (default): one broadcast-centroid corpus map pass +
+      top-``k_each`` — the by-contract exact baseline.
+    - ``"ivf"``: the corpus is coarse-assigned to ``n_centroids``
+      inverted lists (same lowest-id codebook as ``ivf_topk``); the
+      centroid probes its ``n_probe`` nearest lists and scores exactly
+      ONLY inside them — ~``n_probe/C`` of the scoring work. With
+      ``n_probe == n_centroids`` every list is probed and the result
+      is bit-identical to ``"exact"`` (test-pinned).
+    - ``"ivf_sq8"``: IVF lists over the SQ8-encoded corpus
+      (``sq8_encode``) — probed candidates score against DEQUANTIZED
+      byte codes (8× payload), the best ``refine`` (default
+      2·``k_each``) rescore exactly; FAISS ``IVF<n>,SQ8`` serving the
+      PRF centroid. Exhaustive config (all lists probed, ``refine`` ≥
+      corpus) is bit-identical to ``"exact"`` (test-pinned).
+
+    ``index`` (pruned routes only) is the persisted ingest-side frame —
+    ``sq8_encode`` output for ``"ivf_sq8"``, a (_vid, _vec, _norm2)
+    frame for ``"ivf"`` — optionally pre-assigned with
+    ``similarity.ivf_assign`` (same ``n_centroids``), in which case the
+    per-call N·C coarse-assignment pass is skipped too. With a single
+    PRF-centroid query the inline assignment costs ~``n_centroids``×
+    the brute scan, so serving from a persisted index is what makes
+    the pruned routes pay (PLANS.md r10 lap rows).
+
     Scale shape: both legs end in TakeOrdered top-``k_each`` lists —
-    the fusion join touches ≤ 2·k_each rows however big the corpus is;
-    the dense scan is one broadcast-centroid map pass + top-k (swap in
-    ``ivf_topk``/``sq8_topk`` pruning at 100 TB, same contract).
+    the fusion join touches ≤ 2·k_each rows however big the corpus is.
 
     Cross-engine determinism: embedding components round to 8dp before
     the EXACT decimal centroid sum (order-independent); the centroid
@@ -381,6 +411,9 @@ def hybrid_rrf(
     """
     from pyield_spark.functions.numbers import pround_expr
     from pyield_spark.operators.similarity import dot_dec, norm_sq_dec, _as_double
+
+    if route not in ("exact", "ivf", "ivf_sq8"):
+        raise ValueError(f"unknown dense route: {route!r}")
 
     bm = bm25_topk(docs, text, id_col, terms, k=k_each)
     w_bm = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
@@ -418,21 +451,101 @@ def hybrid_rrf(
         ).alias("_c")
     ).withColumn("_cn2", norm_sq_dec(F.col("_c")))
 
-    dense = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("_n2", norm_sq_dec(F.col("_v")))
-        .withColumn(
-            "_cos",
-            pround_expr(
-                dot_dec(F.col("_v"), F.col("_c"))
-                / (F.sqrt(F.col("_n2")) * F.sqrt(F.col("_cn2"))),
-                6,
-            ),
+    def _exact_cos(vec: str, n2: str):
+        # the one scoring expression every route ends in — identical
+        # op order keeps the exhaustive-config parity bit-exact
+        return pround_expr(
+            dot_dec(F.col(vec), F.col("_c"))
+            / (F.sqrt(F.col(n2)) * F.sqrt(F.col("_cn2"))),
+            6,
         )
-        .filter(~F.isnan("_cos"))
-        .orderBy(F.col("_cos").desc(), F.col("_vid").asc())
-        .limit(k_each)
-    )
+
+    if route == "exact":
+        dense = (
+            base.crossJoin(F.broadcast(cent))
+            .withColumn("_n2", norm_sq_dec(F.col("_v")))
+            .withColumn("_cos", _exact_cos("_v", "_n2"))
+            .filter(~F.isnan("_cos"))
+            .orderBy(F.col("_cos").desc(), F.col("_vid").asc())
+            .limit(k_each)
+        )
+    else:
+        from pyield_spark.operators.similarity import (
+            _ivf_codebook,
+            _ivf_nearest_lists,
+            sq8_dequant_expr,
+            sq8_encode,
+        )
+
+        if index is not None:
+            enc = index
+        elif route == "ivf_sq8":
+            # SQ8-encoded index: codes/mn/mx ride the frame; the NaN /
+            # length filters match sq8_encode's index contract (exact
+            # route drops the same vectors later at isnan(_cos))
+            enc = sq8_encode(emb, vec_id, vec_col, dim).localCheckpoint(
+                eager=False
+            )
+        else:
+            enc = (
+                base.select(F.col("_vid"), F.col("_v").alias("_vec"))
+                .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
+                .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+            )
+        cents = _ivf_codebook(enc, n_centroids)
+        # the single PRF centroid probes its n_probe nearest lists —
+        # a C-row broadcast pass over ONE row
+        probes = _ivf_nearest_lists(
+            cent.withColumn("_qid", F.lit(0)), cents, "_qid", "_c", "_cn2",
+            n_probe,
+        ).localCheckpoint(eager=False)
+        # a pre-assigned index (ivf_assign, same n_centroids) already
+        # carries _cid — the N·C assignment pass is ingest-side then
+        corpus_l = enc if "_cid" in enc.columns else _ivf_nearest_lists(
+            enc, cents, "_vid", "_vec", "_norm2", 1
+        )
+        cand = probes.join(corpus_l, "_cid")
+        if route == "ivf":
+            dense = (
+                cand.withColumn("_cos", _exact_cos("_vec", "_norm2"))
+                .filter(~F.isnan("_cos"))
+                .select("_vid", "_cos")
+                .orderBy(F.col("_cos").desc(), F.col("_vid").asc())
+                .limit(k_each)
+            )
+        else:
+            if refine is None:
+                refine = 2 * k_each
+            dq = sq8_dequant_expr(F.col("_codes"), F.col("_mn"), F.col("_mx"))
+            sq = cand.withColumn("_dq", dq).withColumn(
+                "_dqn2", norm_sq_dec(F.col("_dq"))
+            ).withColumn(
+                "_sqcos",
+                pround_expr(
+                    dot_dec(F.col("_c"), F.col("_dq"))
+                    / (F.sqrt(F.col("_cn2")) * F.sqrt(F.col("_dqn2"))),
+                    6,
+                ),
+            )
+            # slim to (id, score) BEFORE the TakeOrdered — neither the
+            # corpus vector nor the centroid rides the shortlist sort
+            # (the sq8_topk lesson, PLANS.md r9); exact vectors come
+            # back BY KEY over ≤ refine rows
+            shortlist = (
+                sq.filter(~F.isnan("_sqcos"))
+                .select("_vid", "_sqcos")
+                .orderBy(F.col("_sqcos").desc(), F.col("_vid").asc())
+                .limit(refine)
+            )
+            dense = (
+                shortlist.join(enc.select("_vid", "_vec", "_norm2"), "_vid")
+                .crossJoin(F.broadcast(cent))
+                .withColumn("_cos", _exact_cos("_vec", "_norm2"))
+                .filter(~F.isnan("_cos"))
+                .select("_vid", "_cos")
+                .orderBy(F.col("_cos").desc(), F.col("_vid").asc())
+                .limit(k_each)
+            )
     w_d = Window.orderBy(F.col("_cos").desc(), F.col("_vid").asc())
     drank = dense.select(
         F.col("_vid").alias("_id"), F.row_number().over(w_d).alias("r_dense")

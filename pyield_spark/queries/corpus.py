@@ -579,3 +579,187 @@ def q_hybrid_rrf(spark, sf_dir):
     docs = tables(spark, sf_dir, "documents")
     emb = tables(spark, sf_dir, "embeddings")
     return vb.hybrid_rrf(docs, emb, _BM25_TERMS, "text", "doc_id")
+
+
+def _dot64(a: str, b: str) -> str:
+    """DuckDB 64-dim double dot product with the fold order dot_dec uses."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+        f"range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+_NORM64 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({v}, x -> x * x)), (x, y) -> x + y)"
+)
+
+
+@query(
+    "q_hybrid_rrf_pruned",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(toks)) AS BIGINT) AS sumdl
+      FROM toked
+    ),
+    tok AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM toked
+    ),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE token IN ('spark', 'window', 'merge', 'vector')
+      GROUP BY doc_id, dl, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    w AS (
+      SELECT tf.doc_id,
+             {pround_sql(_BM25_W.replace("avgdl", "(CAST(sumdl AS DOUBLE) / n)"), 8)} AS w8
+      FROM tf JOIN dfq USING (token) CROSS JOIN stats
+    ),
+    bmagg AS (
+      SELECT doc_id, CAST(SUM(CAST(w8 AS DECIMAL(28,14))) AS DOUBLE) AS bm25
+      FROM w GROUP BY doc_id
+    ),
+    bmrank AS (
+      SELECT doc_id AS id, r_bm25 FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+        FROM bmagg
+      ) WHERE r_bm25 <= 20
+    ),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    seeds AS (
+      SELECT b.v FROM bmrank r JOIN base b ON b.vec_id = r.id
+      WHERE r.r_bm25 <= 3
+    ),
+    centd AS (
+      SELECT d,
+        CAST(SUM(CAST({pround_sql("x", 8)} AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+        CAST(count(*) AS BIGINT) AS ns
+      FROM (SELECT unnest(v) AS x, unnest(range(1, 65)) AS d FROM seeds)
+      GROUP BY d
+    ),
+    cent AS (
+      SELECT list(sx / CAST(ns AS DOUBLE) ORDER BY d) AS c FROM centd
+    ),
+    centn AS (
+      SELECT c, {_NORM64.format(v="c")} AS cn2 FROM cent
+    ),
+    ibase AS (
+      SELECT vec_id, v, {_NORM64.format(v="v")} AS norm2 FROM base
+      WHERE len(list_filter(v, x -> x IS NULL OR isnan(x))) = 0
+    ),
+    sq8stats AS (
+      SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+        SELECT unnest(v) AS x, unnest(range(1, 65)) AS d FROM ibase
+      ) GROUP BY d
+    ),
+    mnmx AS (
+      SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM sq8stats
+    ),
+    enc AS (
+      SELECT b.vec_id, b.v, b.norm2,
+        list_transform(range(1, 65), i -> CASE WHEN m.mx[i] = m.mn[i] THEN 0
+          ELSE CAST(floor((b.v[i] - m.mn[i]) / (m.mx[i] - m.mn[i]) * 255.0
+                          + 0.5) AS INT) END) AS codes,
+        m.mn AS mn, m.mx AS mx
+      FROM ibase b CROSS JOIN mnmx m
+    ),
+    corpus AS (
+      SELECT vec_id, v, norm2, dq, {_NORM64.format(v="dq")} AS dqn2
+      FROM (
+        SELECT *, list_transform(range(1, 65),
+          i -> mn[i] + (CAST(codes[i] AS DOUBLE) * (mx[i] - mn[i])) / 255.0)
+          AS dq
+        FROM enc
+      )
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v, norm2 FROM (
+        SELECT vec_id, v, norm2,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM enc
+      ) WHERE crn <= 16
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            {pround_sql(_dot64("n.v", "c.v") + " / (sqrt(n.norm2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS arn
+        FROM enc n CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+          ROW_NUMBER() OVER (ORDER BY
+            {pround_sql(_dot64("q.c", "c.v") + " / (sqrt(q.cn2) * sqrt(c.norm2))", 6)} DESC,
+            c.cid) AS prn
+        FROM centn q CROSS JOIN cents c
+      ) WHERE prn <= 4
+    ),
+    sqscored AS (
+      SELECT co.vec_id, co.v, co.norm2,
+        {pround_sql(_dot64("q.c", "co.dq") + " / (sqrt(q.cn2) * sqrt(co.dqn2))", 6)}
+          AS sqcos
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid
+      JOIN corpus co ON co.vec_id = a.vec_id
+      CROSS JOIN centn q
+    ),
+    shortlist AS (
+      SELECT * FROM sqscored WHERE NOT isnan(sqcos)
+      ORDER BY sqcos DESC, vec_id LIMIT 40
+    ),
+    dense AS (
+      SELECT vec_id, dcos FROM (
+        SELECT s.vec_id,
+          {pround_sql(_dot64("q.c", "s.v") + " / (sqrt(q.cn2) * sqrt(s.norm2))", 6)}
+            AS dcos
+        FROM shortlist s CROSS JOIN centn q
+      ) WHERE NOT isnan(dcos)
+      ORDER BY dcos DESC, vec_id LIMIT 20
+    ),
+    drank AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (ORDER BY dcos DESC, vec_id) AS r_dense
+      FROM dense
+    ),
+    fused AS (
+      SELECT COALESCE(b.id, d.id) AS doc_id,
+             CAST(b.r_bm25 AS INT) AS r_bm25,
+             CAST(d.r_dense AS INT) AS r_dense,
+             COALESCE(1.0::DOUBLE / (60.0::DOUBLE + b.r_bm25), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + d.r_dense), 0.0::DOUBLE)
+               AS rrf
+      FROM bmrank b FULL OUTER JOIN drank d ON d.id = b.id
+    )
+    SELECT doc_id, r_bm25, r_dense, rrf, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10
+    """,
+)
+def q_hybrid_rrf_pruned(spark, sf_dir):
+    """q_hybrid_rrf with the dense leg served through the IVF-SQ8
+    ladder (r9 VERDICT #1): ``route="ivf_sq8"`` coarse-assigns the
+    SQ8-encoded corpus to 16 inverted lists, the PRF centroid probes
+    its 4 nearest lists, candidates score against dequantized byte
+    codes, and the best 40 rescore exactly — the dense scan drops from
+    the whole corpus to ~n_probe/C of it at 8× less payload, the same
+    FAISS ``IVF16,SQ8`` shape as q_ivf_sq8. Exhaustive config is
+    bit-identical to q_hybrid_rrf (test-pinned in
+    tests/test_llm_ops.py)."""
+    docs = tables(spark, sf_dir, "documents")
+    emb = tables(spark, sf_dir, "embeddings")
+    return vb.hybrid_rrf(
+        docs, emb, _BM25_TERMS, "text", "doc_id",
+        route="ivf_sq8", n_centroids=16, n_probe=4, refine=40,
+    )

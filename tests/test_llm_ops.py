@@ -1267,6 +1267,54 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert rrfs == sorted(rrfs, reverse=True)
 
 
+def test_hybrid_rrf_pruned_routes_exhaustive_parity(spark):
+    """route='ivf' / 'ivf_sq8' (r9 VERDICT #1): with every list probed
+    (n_probe == n_centroids) and an unbounded refine, both pruned
+    dense legs are BIT-IDENTICAL to route='exact' — the same
+    exhaustive-config contract q_ivf_sq8 pins vs brute SQ8. A bogus
+    route raises."""
+    import pytest
+
+    from pyield_spark.operators.vocab import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [(i, "spark window merge vector" if i % 3 == 0
+          else "spark filler " + "pad " * (i % 7))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 37 + d * 11) % 19) - 9.0 for d in range(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(text="text", id_col="doc_id", n_seed=2, k_each=6, k=8)
+    exact = sorted(map(tuple, hybrid_rrf(
+        docs, emb, ["spark", "window", "merge", "vector"], **kw).collect()))
+    for route in ("ivf", "ivf_sq8"):
+        got = sorted(map(tuple, hybrid_rrf(
+            docs, emb, ["spark", "window", "merge", "vector"], **kw,
+            route=route, n_centroids=8, n_probe=8, refine=1000,
+        ).collect()))
+        assert got == exact, route
+    with pytest.raises(ValueError, match="unknown dense route"):
+        hybrid_rrf(docs, emb, ["spark"], **kw, route="hnsw")
+    # serve from a persisted, PRE-ASSIGNED index (ivf_assign) ==
+    # inline build, bit-exact — at the pruned config this time
+    from pyield_spark.operators.similarity import ivf_assign, sq8_encode
+
+    pruned_kw = dict(kw, route="ivf_sq8", n_centroids=4, n_probe=2)
+    inline = sorted(map(tuple, hybrid_rrf(
+        docs, emb, ["spark", "window", "merge", "vector"], **pruned_kw,
+    ).collect()))
+    idx = ivf_assign(sq8_encode(emb), 4).localCheckpoint()
+    served = sorted(map(tuple, hybrid_rrf(
+        docs, emb, ["spark", "window", "merge", "vector"], **pruned_kw,
+        index=idx,
+    ).collect()))
+    assert served == inline
+
+
 def test_ivf_candidate_pred_filters_exactly(spark):
     """Filtered search == brute-force top-k over the predicate-matching
     subset (at exhaustive probes), and every returned neighbor

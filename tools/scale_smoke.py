@@ -7,7 +7,7 @@ Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
 (ops: bd interp interp_skew asof asof_ungrouped asof_broadcast minhash
 bootstrap lm futuro composites leiloes semantic neardup cc_chain
 cc_clique totalret mensal bm25 pack ivfpq ivfpq_trained warehouse
-sessionize curation simclusters sq8 hybrid — default all;
+sessionize curation simclusters sq8 hybrid hybrid_pruned — default all;
 leiloes/semantic/neardup select individual members of the composites
 set)
 """
@@ -67,6 +67,9 @@ KNOWN_OPS = {
     # round-9: fingerprint-quotient Hamming clusters, SQ8 encode/serve,
     # hybrid BM25+dense RRF at FACTOR x
     "simclusters", "sq8", "hybrid",
+    # round-10: the dense leg served through the IVF-SQ8 ladder via the
+    # route= parameter (r9 VERDICT #1)
+    "hybrid_pruned",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -594,7 +597,10 @@ def main():
     run_warehouse = want("warehouse")
     run_sessionize = want("sessionize")
     run_curation = want("curation")
-    run_r9 = want("simclusters") or want("sq8") or want("hybrid")
+    run_r9 = (
+        want("simclusters") or want("sq8") or want("hybrid")
+        or want("hybrid_pruned")
+    )
     if not (
         run_leiloes or run_semantic or run_neardup
         or run_warehouse or run_sessionize or run_curation or run_r9
@@ -810,6 +816,55 @@ def main():
             ).count()
 
         timed(f"hybrid_rrf_{FACTOR}x", _hybrid)
+
+    # round-10: the same hybrid pipeline with route='ivf_sq8' — the
+    # dense leg scores SQ8 byte codes inside 4 probed lists instead of
+    # brute-scanning FACTOR× float vectors (r9 VERDICT #1: the pruning
+    # is now a parameter, measured here against the hybrid row above).
+    if want("hybrid_pruned"):
+        from pyield_spark.operators.similarity import ivf_assign, sq8_encode
+        from pyield_spark.operators.vocab import hybrid_rrf as _hrrf
+
+        hp_docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            ["doc_id"],
+        )
+        hp_embs = replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        )
+        # end-to-end (index built inline): with ONE PRF-centroid query
+        # the N·C assignment costs ~n_centroids× the brute scan, so
+        # this row is EXPECTED to lose to the brute hybrid row — it is
+        # the measured reason hybrid_rrf grew index= (serve row below)
+        timed(
+            f"hybrid_rrf_pruned_e2e_{FACTOR}x",
+            lambda: _hrrf(
+                hp_docs, hp_embs, ["spark", "window", "merge", "vector"],
+                route="ivf_sq8", n_centroids=16, n_probe=4,
+            ).count(),
+        )
+        hp_holder = {}
+
+        def _hp_ingest():
+            hp_holder["idx"] = ivf_assign(
+                sq8_encode(hp_embs), 16
+            ).localCheckpoint()
+            return hp_holder["idx"].count()
+
+        timed(f"hybrid_sq8_ingest_{FACTOR}x", _hp_ingest)
+        timed(
+            f"hybrid_rrf_pruned_serve_{FACTOR}x",
+            lambda: _hrrf(
+                hp_docs, hp_embs, ["spark", "window", "merge", "vector"],
+                route="ivf_sq8", n_centroids=16, n_probe=4,
+                index=hp_holder["idx"],
+            ).count(),
+        )
 
     # Gap-based sessionization at FACTOR× events / FACTOR× users: one
     # user-key window (lag + cumulative session counter) + the
