@@ -964,20 +964,7 @@ def sq8_encode(
         F.array(*[F.max(F.get("_vec", d)) for d in range(dim)]).alias("_mx"),
     )
     enc = base.crossJoin(F.broadcast(stats))
-    code = F.zip_with(
-        F.col("_vec"),
-        F.zip_with(
-            F.col("_mn"), F.col("_mx"), lambda mn, mx: F.struct(
-                mn.alias("mn"), mx.alias("mx")
-            )
-        ),
-        lambda x, s: F.when(
-            s["mx"] == s["mn"], F.lit(0)
-        ).otherwise(
-            F.floor((x - s["mn"]) / (s["mx"] - s["mn"]) * F.lit(255.0) + F.lit(0.5))
-            .cast("int")
-        ),
-    )
+    code = sq8_quant_expr(F.col("_vec"), F.col("_mn"), F.col("_mx"))
     return enc.select("_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx")
 
 
@@ -994,6 +981,131 @@ def ivf_assign(index: DataFrame, n_centroids: int) -> DataFrame:
     ``n_centroids`` so its probe codebook matches this assignment."""
     cents = _ivf_codebook(index, n_centroids)
     return _ivf_nearest_lists(index, cents, "_vid", "_vec", "_norm2", 1)
+
+
+def sq8_quant_expr(
+    vec: Column, mn: Column, mx: Column, clamp: bool = False
+) -> Column:
+    """``q_d = floor((x_d − mn_d) / (mx_d − mn_d) · 255 + 0.5)`` (0 on
+    a degenerate span). ``clamp=True`` pins codes to [0, 255] — a
+    no-op when x sits inside the trained span, REQUIRED when encoding
+    a new batch against FROZEN stats (``sq8_index_add``), where an
+    out-of-span value would otherwise produce an out-of-domain code."""
+
+    def q(x, s):
+        raw = F.floor(
+            (x - s["mn"]) / (s["mx"] - s["mn"]) * F.lit(255.0) + F.lit(0.5)
+        ).cast("int")
+        if clamp:
+            raw = F.greatest(F.lit(0), F.least(F.lit(255), raw))
+        return F.when(s["mx"] == s["mn"], F.lit(0)).otherwise(raw)
+
+    return F.zip_with(
+        vec,
+        F.zip_with(
+            mn, mx, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))
+        ),
+        q,
+    )
+
+
+def sq8_index_add(
+    index: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    drift: str = "warn",
+    drift_tol: float = 0.0,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """Append a new batch to a persisted SQ8 index with FROZEN
+    per-dimension stats — the second half of FAISS's add-vs-search
+    split (r9 VERDICT #4): ``sq8_encode`` trains+adds in one pass; an
+    ingestion pipeline calls THIS per arriving batch so the stats (and
+    codes of already-indexed vectors) never churn.
+
+    The batch encodes against the index's ``_mn``/``_mx`` (one-row
+    bounded hop) with codes CLAMPED to [0, 255]; if ``index`` is
+    pre-assigned (``ivf_assign`` — has ``_cid``), pass the SAME
+    ``n_centroids`` and the batch is assigned against the index's
+    frozen lowest-id codebook too.
+
+    Parity contract (test-pinned): when the batch stays inside the
+    trained span (and introduces no ids below the codebook rows),
+    ``sq8_index_add(sq8_encode(prefix), batch)`` is BIT-IDENTICAL to
+    ``sq8_encode(prefix ∪ batch)`` — the clamp and the frozen stats
+    are both no-ops then.
+
+    Drift guard: one bounded aggregate over the batch (2·dim doubles
+    to the driver) compares the batch's per-dim min/max against the
+    frozen span widened by ``drift_tol``·span per side.
+    ``drift="error"`` raises, ``"warn"`` (default) emits a
+    ``UserWarning`` naming the worst dims, ``"ignore"`` skips the
+    aggregate entirely. A drifted batch still encodes correctly (codes
+    clamp; recall degrades gracefully as mass piles at 0/255) — the
+    guard is the re-train signal, mirroring FAISS operational
+    practice.
+    """
+    if drift not in ("error", "warn", "ignore"):
+        raise ValueError(f"drift must be error|warn|ignore: {drift!r}")
+    stats_row = index.select("_mn", "_mx").head()
+    if stats_row is None:
+        raise ValueError("sq8_index_add: empty index (no frozen stats)")
+    batch = (
+        emb.select(
+            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+        )
+        .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
+        .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
+        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    )
+    if drift != "ignore":
+        brow = batch.agg(
+            F.array(*[F.min(F.get("_vec", d)) for d in range(dim)]).alias("_bmn"),
+            F.array(*[F.max(F.get("_vec", d)) for d in range(dim)]).alias("_bmx"),
+        ).head()
+        mn, mx = stats_row["_mn"], stats_row["_mx"]
+        drifted = []
+        if brow["_bmn"] and brow["_bmn"][0] is not None:  # non-empty batch
+            for d in range(dim):
+                span = mx[d] - mn[d]
+                lo, hi = mn[d] - drift_tol * span, mx[d] + drift_tol * span
+                if brow["_bmn"][d] < lo or brow["_bmx"][d] > hi:
+                    drifted.append(
+                        (max(lo - brow["_bmn"][d], brow["_bmx"][d] - hi), d)
+                    )
+        if drifted:
+            drifted.sort(reverse=True)
+            msg = (
+                f"sq8_index_add: batch exceeds the frozen stats span on "
+                f"{len(drifted)}/{dim} dims (worst: "
+                + ", ".join(f"d{d} by {by:.4g}" for by, d in drifted[:3])
+                + ") — codes will clamp; re-train the index to recover "
+                "resolution"
+            )
+            if drift == "error":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, UserWarning, stacklevel=2)
+    frozen = index.select("_mn", "_mx").limit(1)
+    enc = batch.crossJoin(F.broadcast(frozen))
+    code = sq8_quant_expr(
+        F.col("_vec"), F.col("_mn"), F.col("_mx"), clamp=True
+    )
+    out = enc.select(
+        "_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx"
+    )
+    if "_cid" in index.columns:
+        if n_centroids is None:
+            raise ValueError(
+                "pre-assigned index (has _cid): pass the build-time "
+                "n_centroids so the batch joins the same frozen codebook"
+            )
+        cents = _ivf_codebook(index, n_centroids)
+        out = _ivf_nearest_lists(out, cents, "_vid", "_vec", "_norm2", 1)
+    return index.unionByName(out)
 
 
 def sq8_dequant_expr(codes: Column, mn: Column, mx: Column) -> Column:

@@ -1257,6 +1257,97 @@ def q_ivf_sq8(spark, sf_dir):
     )
 
 
+@query(
+    "q_sq8_index_add",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                            x -> x IS NULL OR isnan(x))) = 0
+    ),
+    stats AS (
+      SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+        SELECT unnest(v) AS x, unnest(range(1, 65)) AS d FROM base
+        WHERE vec_id % 2 = 0
+      ) GROUP BY d
+    ),
+    mnmx AS (
+      SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM stats
+    ),
+    enc AS (
+      SELECT b.vec_id, b.v,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(b.v, x -> x * x)), (x, y) -> x + y) AS norm2,
+        list_transform(range(1, 65), i -> CASE WHEN m.mx[i] = m.mn[i] THEN 0
+          ELSE GREATEST(0, LEAST(255,
+            CAST(floor((b.v[i] - m.mn[i]) / (m.mx[i] - m.mn[i]) * 255.0
+                       + 0.5) AS INT))) END) AS codes,
+        m.mn AS mn, m.mx AS mx
+      FROM base b CROSS JOIN mnmx m
+    ),
+    corpus AS (
+      SELECT vec_id, v, norm2, dq,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(dq, x -> x * x)), (x, y) -> x + y) AS dqn2
+      FROM (
+        SELECT *, list_transform(range(1, 65),
+          i -> mn[i] + (CAST(codes[i] AS DOUBLE) * (mx[i] - mn[i])) / 255.0)
+          AS dq
+        FROM enc
+      )
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        q.v AS qv, q.norm2 AS qnorm2, c.v AS bv, c.norm2 AS bnorm2,
+        {pround_sql(_SQ8_DEQ_DOT + " / (sqrt(q.norm2) * sqrt(c.dqn2))", 6)}
+          AS sq_cosine
+      FROM (SELECT * FROM enc WHERE vec_id % 100 = 0) q
+      CROSS JOIN corpus c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    shortlist AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sq_cosine DESC, neighbor_id) AS srn
+        FROM scored WHERE NOT isnan(sq_cosine)
+      ) WHERE srn <= 20
+    ),
+    refined AS (
+      SELECT query_id, neighbor_id, sq_cosine,
+        {pround_sql(
+            _PQ_EXACT_DOT + " / (sqrt(qnorm2) * sqrt(bnorm2))", 6)} AS cosine
+      FROM shortlist
+    )
+    SELECT query_id, neighbor_id, sq_cosine, cosine, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM refined WHERE NOT isnan(cosine)
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sq8_index_add(spark, sf_dir):
+    """Incremental SQ8 index maintenance (FAISS add-vs-train split,
+    r9 VERDICT #4): the index trains on the EVEN-id half of the corpus
+    (sq8_encode), the odd-id half arrives as an ingest batch encoded
+    with sq8_index_add against the FROZEN per-dim stats (codes clamp
+    to [0,255] where the batch exceeds the trained span), and the
+    combined index serves the standard shortlist→refine top-5. The
+    oracle replays the frozen-stats semantics exactly: min/max over
+    the even subset only, clamped affine codes for every row. See
+    operators/similarity.py::sq8_index_add for the drift guard (tests
+    pin warn/error/tolerance behavior)."""
+    emb = tables(spark, sf_dir, "embeddings")
+    prefix = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = sim.sq8_index_add(
+        sim.sq8_encode(prefix, "vec_id", "embedding"),
+        batch, "vec_id", "embedding", drift="ignore",
+    )
+    return sim.sq8_topk(emb, "vec_id", "embedding", k=5, refine=20, index=idx)
+
+
 # === Gopher-style quality filter composition ==============================
 
 _SW_LISTS_SQL = {

@@ -1233,6 +1233,105 @@ def test_sq8_drops_invalid_vectors(spark):
     assert all(c == 0 for c in by_id[1][1:])  # constant dims -> 0
 
 
+def test_sq8_index_add_parity_and_drift(spark):
+    """FAISS add-vs-train split (r9 VERDICT #4): appending a batch
+    that stays inside the trained span reproduces the from-scratch
+    build BIT-exactly (frozen stats + clamp are no-ops there); a batch
+    outside the span trips the drift guard (warn/error) but still
+    encodes with clamped codes; a pre-assigned index demands
+    n_centroids and assigns the batch on the frozen codebook."""
+    import warnings
+
+    import pytest
+
+    from pyield_spark.operators.similarity import (
+        ivf_assign,
+        sq8_encode,
+        sq8_index_add,
+    )
+
+    # prefix rows 0..1 pin the per-dim extremes (-9/+9 alternating);
+    # batch rows 20..39 stay strictly inside the span
+    def vec(i):
+        if i == 0:
+            return [-9.0 if d % 2 == 0 else 9.0 for d in range(64)]
+        if i == 1:
+            return [9.0 if d % 2 == 0 else -9.0 for d in range(64)]
+        return [float((i * 37 + d * 11) % 17) - 8.0 for d in range(64)]
+
+    full = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    prefix = full.filter("vec_id < 20")
+    batch = full.filter("vec_id >= 20")
+
+    want = sorted(map(tuple, sq8_encode(full).collect()))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # in-span batch must NOT warn
+        got = sorted(map(tuple, sq8_index_add(
+            sq8_encode(prefix), batch, drift="warn").collect()))
+    assert got == want
+
+    # pre-assigned parity: add on ivf_assign(prefix) == ivf_assign(full)
+    want_a = sorted(map(tuple, ivf_assign(sq8_encode(full), 4).collect()))
+    got_a = sorted(map(tuple, sq8_index_add(
+        ivf_assign(sq8_encode(prefix), 4), batch, drift="ignore",
+        n_centroids=4).collect()))
+    assert got_a == want_a
+    with pytest.raises(ValueError, match="n_centroids"):
+        sq8_index_add(ivf_assign(sq8_encode(prefix), 4), batch,
+                      drift="ignore")
+
+    # drift: a batch breaching the span warns (naming dims) / raises,
+    # and its codes clamp to the [0, 255] domain
+    hot = spark.createDataFrame(
+        [(99, [100.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.warns(UserWarning, match="exceeds the frozen stats"):
+        added = sq8_index_add(sq8_encode(prefix), hot, drift="warn")
+    codes = {r["_vid"]: r["_codes"] for r in added.collect()}[99]
+    assert all(c == 255 for c in codes)
+    with pytest.raises(ValueError, match="exceeds the frozen stats"):
+        sq8_index_add(sq8_encode(prefix), hot, drift="error")
+    # widened tolerance admits it silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sq8_index_add(sq8_encode(prefix), hot, drift="warn",
+                      drift_tol=10.0).collect()
+    with pytest.raises(ValueError, match="drift must be"):
+        sq8_index_add(sq8_encode(prefix), hot, drift="maybe")
+
+
+def test_pq_encode_trained_add_parity(spark):
+    """The trained-PQ half of the add-vs-train split: with FROZEN
+    codebooks, encoding is row-independent, so
+    encode(prefix) ∪ encode(batch) == encode(full) bit-exact — the
+    invariant an ingestion pipeline relies on to append batches
+    without re-encoding the corpus (would catch any future
+    corpus-dependent term sneaking into pq_encode)."""
+    from pyield_spark.operators.similarity import pq_encode, train_codebooks
+
+    full = spark.createDataFrame(
+        [(i, [float((i * 37 + d * 11) % 17) - 8.0 for d in range(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    prefix, batch = full.filter("vec_id < 25"), full.filter("vec_id >= 25")
+    cb = train_codebooks(
+        prefix, "vec_id", "embedding", n_centroids=4, m=4, ks=8,
+        sample=64, iters=2, by_residual=True,
+    )
+    want = sorted(map(tuple, pq_encode(
+        full, "vec_id", "embedding", m=4, codebooks=cb).collect()))
+    got = sorted(map(tuple,
+        pq_encode(prefix, "vec_id", "embedding", m=4, codebooks=cb)
+        .unionByName(
+            pq_encode(batch, "vec_id", "embedding", m=4, codebooks=cb))
+        .collect()))
+    assert got == want
+
+
 def test_hybrid_rrf_fusion_semantics(spark):
     """RRF = sum of 1/(60+rank) over the legs a doc appears in; docs
     missing an embedding still rank via BM25 alone; final order is
