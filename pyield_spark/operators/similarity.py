@@ -929,14 +929,16 @@ def sq8_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    bits: int = 8,
 ) -> DataFrame:
-    """Scalar 8-bit quantization (FAISS ``ScalarQuantizer`` QT_8bit):
-    per-DIMENSION corpus min/max train the affine code
-    ``q_d = floor((x_d − mn_d) / (mx_d − mn_d) · 255 + 0.5)`` — each
-    vector stores ``dim`` bytes instead of ``dim`` float64s (8×
-    candidate-payload compression; the middle rung between exact floats
-    and the 128× PQ codes, at near-exact recall since every dimension
-    keeps 8 bits).
+    """Scalar quantization (FAISS ``ScalarQuantizer`` QT_8bit /
+    QT_4bit via ``bits``): per-DIMENSION corpus min/max train the
+    affine code ``q_d = floor((x_d − mn_d) / (mx_d − mn_d) · levels +
+    0.5)`` with ``levels = 2^bits − 1`` — each vector stores ``dim``
+    ``bits``-wide codes instead of ``dim`` float64s (8× compression at
+    QT_8bit, 16× at QT_4bit; the rungs between exact floats and the
+    128× PQ codes — QT_8bit near-exact, QT_4bit trades recall floor
+    for half the scan payload, see tools/ann_recall.py envelope).
 
     Execution: the (mn, mx) stats are ONE engine-side aggregate row
     (order-independent min/max — never collected to the driver)
@@ -959,12 +961,16 @@ def sq8_encode(
         .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
         .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
     )
+    if not 2 <= bits <= 8:
+        raise ValueError(f"bits must be in [2, 8]: {bits}")
     stats = base.agg(
         F.array(*[F.min(F.get("_vec", d)) for d in range(dim)]).alias("_mn"),
         F.array(*[F.max(F.get("_vec", d)) for d in range(dim)]).alias("_mx"),
     )
     enc = base.crossJoin(F.broadcast(stats))
-    code = sq8_quant_expr(F.col("_vec"), F.col("_mn"), F.col("_mx"))
+    code = sq8_quant_expr(
+        F.col("_vec"), F.col("_mn"), F.col("_mx"), levels=(1 << bits) - 1
+    )
     return enc.select("_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx")
 
 
@@ -984,20 +990,23 @@ def ivf_assign(index: DataFrame, n_centroids: int) -> DataFrame:
 
 
 def sq8_quant_expr(
-    vec: Column, mn: Column, mx: Column, clamp: bool = False
+    vec: Column, mn: Column, mx: Column, clamp: bool = False,
+    levels: int = 255,
 ) -> Column:
-    """``q_d = floor((x_d − mn_d) / (mx_d − mn_d) · 255 + 0.5)`` (0 on
-    a degenerate span). ``clamp=True`` pins codes to [0, 255] — a
+    """``q_d = floor((x_d − mn_d) / (mx_d − mn_d) · levels + 0.5)``
+    (0 on a degenerate span); ``levels = 2^bits − 1`` (255 for QT_8bit,
+    15 for QT_4bit). ``clamp=True`` pins codes to [0, levels] — a
     no-op when x sits inside the trained span, REQUIRED when encoding
     a new batch against FROZEN stats (``sq8_index_add``), where an
     out-of-span value would otherwise produce an out-of-domain code."""
 
     def q(x, s):
         raw = F.floor(
-            (x - s["mn"]) / (s["mx"] - s["mn"]) * F.lit(255.0) + F.lit(0.5)
+            (x - s["mn"]) / (s["mx"] - s["mn"]) * F.lit(float(levels))
+            + F.lit(0.5)
         ).cast("int")
         if clamp:
-            raw = F.greatest(F.lit(0), F.least(F.lit(255), raw))
+            raw = F.greatest(F.lit(0), F.least(F.lit(levels), raw))
         return F.when(s["mx"] == s["mn"], F.lit(0)).otherwise(raw)
 
     return F.zip_with(
@@ -1018,6 +1027,7 @@ def sq8_index_add(
     drift: str = "warn",
     drift_tol: float = 0.0,
     n_centroids: int | None = None,
+    bits: int = 8,
 ) -> DataFrame:
     """Append a new batch to a persisted SQ8 index with FROZEN
     per-dimension stats — the second half of FAISS's add-vs-search
@@ -1092,7 +1102,8 @@ def sq8_index_add(
     frozen = index.select("_mn", "_mx").limit(1)
     enc = batch.crossJoin(F.broadcast(frozen))
     code = sq8_quant_expr(
-        F.col("_vec"), F.col("_mn"), F.col("_mx"), clamp=True
+        F.col("_vec"), F.col("_mn"), F.col("_mx"), clamp=True,
+        levels=(1 << bits) - 1,  # must match the index build's bits
     )
     out = enc.select(
         "_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx"
@@ -1108,10 +1119,13 @@ def sq8_index_add(
     return index.unionByName(out)
 
 
-def sq8_dequant_expr(codes: Column, mn: Column, mx: Column) -> Column:
-    """``x̂_d = mn_d + (q_d · (mx_d − mn_d)) / 255`` — the dequantized
-    corpus vector the asymmetric SQ8 scorer reads. Fixed IEEE op order,
-    replayed exactly in the DuckDB oracles; shared by ``sq8_topk`` and
+def sq8_dequant_expr(
+    codes: Column, mn: Column, mx: Column, levels: int = 255
+) -> Column:
+    """``x̂_d = mn_d + (q_d · (mx_d − mn_d)) / levels`` — the
+    dequantized corpus vector the asymmetric SQ scorer reads
+    (``levels = 2^bits − 1``). Fixed IEEE op order, replayed exactly
+    in the DuckDB oracles; shared by ``sq8_topk`` and
     ``hybrid_rrf(route="ivf_sq8")``."""
     return F.zip_with(
         codes,
@@ -1119,7 +1133,7 @@ def sq8_dequant_expr(codes: Column, mn: Column, mx: Column) -> Column:
             mn, mx, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))
         ),
         lambda q, s: s["mn"]
-        + (q.cast("double") * (s["mx"] - s["mn"])) / F.lit(255.0),
+        + (q.cast("double") * (s["mx"] - s["mn"])) / F.lit(float(levels)),
     )
 
 
@@ -1134,13 +1148,17 @@ def sq8_topk(
     index: DataFrame | None = None,
     n_centroids: int | None = None,
     n_probe: int = 4,
+    bits: int = 8,
 ) -> DataFrame:
-    """Top-k cosine ANN over SQ8 codes: candidates score against the
-    DEQUANTIZED corpus (``x̂_d = mn_d + (q_d · span_d) / 255`` — 8 bits
-    per dimension, asymmetric: queries stay exact floats), the
-    ``refine`` (default 4k) best rescore exactly, final rank on the
-    exact cosine — the same shortlist→refine ladder as ``ivfpq_topk``
-    with a much finer (8×, not 128×, compressed) first stage.
+    """Top-k cosine ANN over SQ codes: candidates score against the
+    DEQUANTIZED corpus (``x̂_d = mn_d + (q_d · span_d) / levels``,
+    ``levels = 2^bits − 1``; asymmetric: queries stay exact floats),
+    the ``refine`` (default 4k) best rescore exactly, final rank on
+    the exact cosine — the same shortlist→refine ladder as
+    ``ivfpq_topk`` with a much finer compressed first stage (8× at
+    the QT_8bit default, 16× at ``bits=4``). ``bits`` must match the
+    index build (``sq8_encode(bits=...)``) when ``index=`` is passed —
+    the code domain is not recorded in the frame.
 
     ``n_centroids=None`` (default) scans the whole compressed corpus
     per query — the exact-first-stage baseline. Passing an int
@@ -1173,9 +1191,14 @@ def sq8_topk(
     assigned = (
         index
         if index is not None
-        else sq8_encode(emb, id_col, vec_col, dim).localCheckpoint(eager=False)
+        else sq8_encode(emb, id_col, vec_col, dim, bits).localCheckpoint(
+            eager=False
+        )
     )
-    deq = sq8_dequant_expr(F.col("_codes"), F.col("_mn"), F.col("_mx"))
+    deq = sq8_dequant_expr(
+        F.col("_codes"), F.col("_mn"), F.col("_mx"),
+        levels=(1 << bits) - 1,
+    )
     # a pre-assigned index (ivf_assign output) carries _cid — keep it
     # so the n_centroids branch skips the per-call N·C assignment
     pre_cid = ["_cid"] if "_cid" in assigned.columns else []

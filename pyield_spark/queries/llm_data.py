@@ -1063,9 +1063,12 @@ _SQ8_DEQ_DOT = (
 )
 
 
-@query(
-    "q_sq8_topk",
-    oracle=f"""
+def _sq_scan_oracle(lv: str) -> str:
+    """Brute SQ-scan oracle (shared by q_sq8_topk / q_sq4_topk /
+    the bits-parametrized family): ``lv`` is the code-domain level
+    count as a SQL double literal — '255.0' for QT_8bit, '15.0'
+    for QT_4bit."""
+    return f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = 64
@@ -1085,7 +1088,7 @@ _SQ8_DEQ_DOT = (
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list_transform(b.v, x -> x * x)), (x, y) -> x + y) AS norm2,
         list_transform(range(1, 65), i -> CASE WHEN m.mx[i] = m.mn[i] THEN 0
-          ELSE CAST(floor((b.v[i] - m.mn[i]) / (m.mx[i] - m.mn[i]) * 255.0
+          ELSE CAST(floor((b.v[i] - m.mn[i]) / (m.mx[i] - m.mn[i]) * {lv}
                           + 0.5) AS INT) END) AS codes,
         m.mn AS mn, m.mx AS mx
       FROM base b CROSS JOIN mnmx m
@@ -1096,7 +1099,7 @@ _SQ8_DEQ_DOT = (
           list_transform(dq, x -> x * x)), (x, y) -> x + y) AS dqn2
       FROM (
         SELECT *, list_transform(range(1, 65),
-          i -> mn[i] + (CAST(codes[i] AS DOUBLE) * (mx[i] - mn[i])) / 255.0)
+          i -> mn[i] + (CAST(codes[i] AS DOUBLE) * (mx[i] - mn[i])) / {lv})
           AS dq
         FROM enc
       )
@@ -1129,8 +1132,10 @@ _SQ8_DEQ_DOT = (
                                    ORDER BY cosine DESC, neighbor_id) AS rnk
       FROM refined WHERE NOT isnan(cosine)
     ) WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@query("q_sq8_topk", oracle=_sq_scan_oracle("255.0"))
 def q_sq8_topk(spark, sf_dir):
     """Scalar-quantized (SQ8) ANN: per-dimension min/max affine 8-bit
     codes (FAISS ScalarQuantizer QT_8bit), asymmetric scoring (exact
@@ -1143,6 +1148,18 @@ def q_sq8_topk(spark, sf_dir):
     emb = tables(spark, sf_dir, "embeddings")
     return sim.sq8_topk(emb, "vec_id", "embedding", k=5, refine=20)
 
+
+
+@query("q_sq4_topk", oracle=_sq_scan_oracle("15.0"))
+def q_sq4_topk(spark, sf_dir):
+    """QT_4bit scalar quantization (r9 VERDICT #6): the same affine
+    per-dim codes as q_sq8_topk with levels = 15 — dim NIBBLES per
+    corpus vector, 16x candidate-payload compression (half the SQ8
+    scan), shortlist 20 -> exact refine top-5. The recall floor of the
+    coarser codes is measured in the tools/ann_recall.py envelope; the
+    oracle gate here pins the exact pipeline replay at 3 SFs."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.sq8_topk(emb, "vec_id", "embedding", k=5, refine=20, bits=4)
 
 
 @query(

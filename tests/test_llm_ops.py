@@ -1233,6 +1233,33 @@ def test_sq8_drops_invalid_vectors(spark):
     assert all(c == 0 for c in by_id[1][1:])  # constant dims -> 0
 
 
+def test_sq4_bits_domain_and_add_parity(spark):
+    """bits=4 (QT_4bit, r9 VERDICT #6): codes live in [0, 15] with the
+    span endpoints mapped to 0/15; sq8_index_add(bits=4) keeps the
+    from-scratch parity at the 4-bit domain; bits out of [2, 8] raise."""
+    import pytest
+
+    from pyield_spark.operators.similarity import sq8_encode, sq8_index_add
+
+    full = spark.createDataFrame(
+        [(i, [float((i * 37 + d * 11) % 17) - 8.0 for d in range(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sq8_encode(full, bits=4).collect()
+    allc = [c for r in got for c in r["_codes"]]
+    assert min(allc) == 0 and max(allc) == 15
+    prefix, batch = full.filter("vec_id < 25"), full.filter("vec_id >= 25")
+    # prefix spans the full value set (mod-17 grid repeats every 17 ids)
+    want = sorted(map(tuple, sq8_encode(full, bits=4).collect()))
+    added = sorted(map(tuple, sq8_index_add(
+        sq8_encode(prefix, bits=4), batch, drift="ignore", bits=4,
+    ).collect()))
+    assert added == want
+    with pytest.raises(ValueError, match="bits"):
+        sq8_encode(full, bits=12)
+
+
 def test_sq8_index_add_parity_and_drift(spark):
     """FAISS add-vs-train split (r9 VERDICT #4): appending a batch
     that stays inside the trained span reproduces the from-scratch

@@ -78,6 +78,16 @@ def main():
     r_sqk = len(pairs(sq8_topk(emb, "vec_id", "embedding", k=K, refine=K))
                 & exact) / len(exact)
     print(f"sq8: refine20={r_sq20:.3f}  refineK={r_sqk:.3f}")
+    # QT_4bit (r10): half the SQ8 scan payload, coarser codes — the
+    # refine headroom matters more here (refineK isolates the raw
+    # 4-bit ordering quality)
+    r_s4_20 = len(pairs(sq8_topk(
+        emb, "vec_id", "embedding", k=K, refine=20, bits=4)) & exact
+    ) / len(exact)
+    r_s4_k = len(pairs(sq8_topk(
+        emb, "vec_id", "embedding", k=K, refine=K, bits=4)) & exact
+    ) / len(exact)
+    print(f"sq4: refine20={r_s4_20:.3f}  refineK={r_s4_k:.3f}")
 
     def recall(approx: set) -> float:
         return len(approx & exact) / len(exact)
