@@ -595,6 +595,46 @@ _NORM64 = (
 )
 
 
+def _bpe_oracle() -> str:
+    from pyield_spark.operators.bpe import bpe_apply_duckdb
+    from pyield_spark.queries.bpe_artifact import BPE_MERGES
+
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    vocab AS (
+      SELECT w, CASE WHEN length(w) = 0 THEN 0
+                     ELSE len({bpe_apply_duckdb(BPE_MERGES)}) END AS n_bpe
+      FROM (SELECT DISTINCT w FROM tok)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+           CAST(sum(v.n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM tok t JOIN vocab v ON v.w = t.w
+    GROUP BY t.doc_id
+    """
+
+
+@query("q_bpe_tokens", oracle=_bpe_oracle())
+def q_bpe_tokens(spark, sf_dir):
+    """REAL tokenizer token counts per document (r9 VERDICT #7): the
+    pinned 24-merge BPE vocabulary (queries/bpe_artifact.py, trained by
+    tools/train_bpe.py with the deterministic pair argmax) encodes
+    every DISTINCT word once via the rank-order merge fold; the
+    corpus-sized token stream joins the per-word count back and
+    aggregates (doc_id, n_words, n_chars, n_bpe_tokens) — the counts
+    packing budgets and per-doc token costs should be denominated in,
+    vs the whitespace approximation token_count_expr gives. Train and
+    encode are parity-pinned against a pure-Python BPE reference in
+    tests/test_bpe.py; the oracle replays the encode fold exactly."""
+    from pyield_spark.operators.bpe import bpe_token_count
+    from pyield_spark.queries.bpe_artifact import BPE_MERGES
+
+    docs = tables(spark, sf_dir, "documents")
+    return bpe_token_count(docs, "text", "doc_id", BPE_MERGES)
+
+
+
 @query(
     "q_hybrid_rrf_pruned",
     oracle=f"""

@@ -7,7 +7,8 @@ Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
 (ops: bd interp interp_skew asof asof_ungrouped asof_broadcast minhash
 bootstrap lm futuro composites leiloes semantic neardup cc_chain
 cc_clique totalret mensal bm25 pack ivfpq ivfpq_trained warehouse
-sessionize curation simclusters sq8 hybrid hybrid_pruned — default all;
+sessionize curation simclusters sq8 hybrid hybrid_pruned bpe —
+default all;
 leiloes/semantic/neardup select individual members of the composites
 set)
 """
@@ -70,6 +71,9 @@ KNOWN_OPS = {
     # round-10: the dense leg served through the IVF-SQ8 ladder via the
     # route= parameter (r9 VERDICT #1)
     "hybrid_pruned",
+    # round-10: BPE token counting at FACTOR× documents (vocabulary is
+    # corpus-size-independent, so the merge-fold cost must not scale)
+    "bpe",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -448,6 +452,23 @@ def main():
 
     if want("bm25"):
         timed(f"bm25_topk_{FACTOR}x", bm25)
+
+    # BPE token counting at FACTOR× documents: the merge-fold chain
+    # runs on DISTINCT words only (constant under replication — the
+    # honest shape of a natural-language vocabulary), so wall should
+    # track the explode+join, not FACTOR× the fold cost.
+    def bpe():
+        from pyield_spark.operators.bpe import bpe_token_count
+        from pyield_spark.queries.bpe_artifact import BPE_MERGES
+
+        docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text"),
+            ["doc_id"],
+        )
+        return bpe_token_count(docs, "text", "doc_id", BPE_MERGES).count()
+
+    if want("bpe"):
+        timed(f"bpe_tokens_{FACTOR}x", bpe)
 
     # Corpus shuffle (dense global position, bucketed — no
     # single-partition rank) + sequence packing (hash-sharded cumsum
