@@ -66,8 +66,18 @@ def interpolar(
             "auto-exact" (auto, plus ONE bounded count when the
             estimate is unbounded — the derived-curve case; the
             deduped panel is lazily checkpointed first so the probe
-            pass is the same one the join consumes. Opt-in because it
-            launches a job at plan-resolution time),
+            pass is the same one the join consumes. DELIBERATELY still
+            opt-in after the r10 promotion experiment: the r9 skew lap
+            shows auto-exact ≈ best-of-four when the FACT side is huge
+            (100×), but the r10 sf0.1 A/B measured the default flip
+            costing +3.3 s across the seven affected queries
+            (q_interp_flat_forward 0.60→1.84 s, q_breakeven
+            2.63→4.58 s, min-of-3, idle box; PLANS.md r10) — the probe
+            job plus the broadcast-interval route's ~10×-per-byte
+            constant are NOT free when the fact side is small, and
+            plan-time stats cannot see the fact side to pick per
+            query. Opt in where the deployment knows its fact side
+            dwarfs the panel),
             "shuffle" (union + dual window, one shuffle on the group
             key) or "broadcast" — when the WHOLE curve panel (all
             groups) is dimension-sized, consecutive vertex pairs become
