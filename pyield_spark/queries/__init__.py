@@ -77,6 +77,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_sq8_index_add",         # frozen-stats incremental index add
     "q_sq4_topk",              # QT_4bit scalar quantization rung
     "q_bpe_tokens",            # pinned-merge BPE token counts
+    "q_pack_bpe",              # packing re-denominated in BPE tokens
     # --- round-10 code-change re-verification ---
     "q_sq8_topk", "q_ivf_sq8",  # bits= generalization + quant factor-out
     "q_hybrid_rrf",            # route/index params around the exact path
