@@ -140,6 +140,16 @@ class TrainedCodebooks:
     paths — a few KB of driver state, broadcast-shipped, independent of
     corpus size. Coarse list ids are the training ranks 0..C-1 (trained
     centroids are synthetic points, not corpus vectors).
+
+    ``rotation`` (OPQ — Ge et al., "Optimized Product Quantization",
+    CVPR 2013) is an optional (dim, dim) orthogonal matrix learned by
+    ``train_codebooks(opq_iters=...)``: vectors are rotated BEFORE
+    subspace splitting so the PQ subspaces decorrelate, lifting the
+    recall floor the fixed axis-aligned split leaves on correlated
+    dims. Coarse centroids and codewords then live in ROTATED space;
+    the serve path back-rotates them into original space at plan build
+    (k·dim numpy, driver-side) so query expressions never change —
+    ``dot(xR, c) == dot(x, cRᵀ)`` for orthogonal R.
     """
 
     def __init__(
@@ -147,10 +157,12 @@ class TrainedCodebooks:
         coarse: list[list[float]],
         pq: list[list[list[float]]] | None,
         by_residual: bool = False,
+        rotation: list[list[float]] | None = None,
     ):
         self.coarse = coarse
         self.pq = pq
         self.by_residual = by_residual
+        self.rotation = rotation
 
     @property
     def n_centroids(self) -> int:
@@ -196,6 +208,7 @@ def train_codebooks(
     sample: int = 4096,
     iters: int = 8,
     by_residual: bool = False,
+    opq_iters: int = 0,
 ) -> TrainedCodebooks:
     """Train IVF coarse centroids (and, with ``m``, per-subspace PQ
     codebooks) with deterministic Lloyd on a bounded corpus sample —
@@ -216,6 +229,16 @@ def train_codebooks(
     (x − nearest coarse centroid) instead of raw vectors — the true
     FAISS IVFPQ encoding; pair it with ``pq_encode(..., codebooks=cb)``
     which reads the flag off the returned object.
+
+    ``opq_iters > 0`` additionally learns an OPQ rotation (Ge et al.
+    2013, the non-parametric alternating solver FAISS ships as
+    ``OPQMatrix``): each round trains codebooks on the rotated sample,
+    reconstructs it, and re-solves the orthogonal Procrustes problem
+    ``min_R ‖XR − X̂‖_F`` via one SVD (R = UVᵀ of XᵀX̂) — all on the
+    bounded driver-side sample, so train cost stays corpus-size-
+    independent. The final codebooks are trained in the learned
+    rotated space and shipped with ``rotation`` set; ``pq_encode`` and
+    ``ivfpq_topk`` consume it transparently.
 
     Measured effect (tools/ann_recall.py, PLANS.md): on the synthetic
     near-orthogonal corpus the trained coarse quantizer balances list
@@ -243,25 +266,72 @@ def train_codebooks(
     X = np.asarray([list(r["_vec"]) for r in rows], dtype=np.float64).reshape(
         -1, dim
     )
-    coarse = _lloyd_np(X, n_centroids, iters)
-    pq = None
-    if m is not None:
+
+    def _coarse_assign(Xa, C):
+        acc = np.zeros((len(Xa), len(C)))
+        for i in range(dim):
+            d = Xa[:, i, None] - C[None, :, i]
+            acc += d * d
+        return acc.argmin(axis=1)
+
+    def _fit(Xa):
+        """(coarse, pq_mats) trained on Xa; pq_mats is None when m is."""
+        C = _lloyd_np(Xa, n_centroids, iters)
+        if m is None:
+            return C, None
         sub = dim // m
-        T = X
-        if by_residual and len(coarse):
-            acc = np.zeros((len(X), len(coarse)))
-            for i in range(dim):
-                d = X[:, i, None] - coarse[None, :, i]
-                acc += d * d
-            T = X - coarse[acc.argmin(axis=1)]
-        pq = [
-            [list(map(float, w)) for w in _lloyd_np(
+        T = Xa
+        if by_residual and len(C):
+            T = Xa - C[_coarse_assign(Xa, C)]
+        mats = [
+            _lloyd_np(
                 np.ascontiguousarray(T[:, s * sub : (s + 1) * sub]), ks, iters
-            )]
+            )
             for s in range(m)
         ]
+        return C, mats
+
+    def _reconstruct(Xa, C, mats):
+        """Quantize Xa with (C, mats) and return the reconstruction —
+        codeword (+ coarse centroid in residual mode) per subspace."""
+        sub = dim // m
+        cass = _coarse_assign(Xa, C) if len(C) else np.zeros(len(Xa), int)
+        T = Xa - C[cass] if (by_residual and len(C)) else Xa
+        recon = C[cass].copy() if (by_residual and len(C)) else np.zeros_like(Xa)
+        for s in range(m):
+            cwm = mats[s]
+            acc = np.zeros((len(Xa), len(cwm)))
+            for i in range(sub):
+                d = T[:, s * sub + i, None] - cwm[None, :, i]
+                acc += d * d
+            recon[:, s * sub : (s + 1) * sub] += cwm[acc.argmin(axis=1)]
+        return recon
+
+    rotation = None
+    if opq_iters > 0:
+        if m is None:
+            raise ValueError("opq_iters requires PQ training (m is not None)")
+        R = np.eye(dim)
+        for _ in range(opq_iters):
+            Xr = X @ R
+            C, mats = _fit(Xr)
+            if not len(X):
+                break
+            Xhat = _reconstruct(Xr, C, mats)
+            # orthogonal Procrustes: min_R ||X R - Xhat||_F
+            U, _, Vt = np.linalg.svd(X.T @ Xhat)
+            R = U @ Vt
+        X = X @ R
+        rotation = [list(map(float, r)) for r in R]
+
+    coarse, pq_mats = _fit(X)
+    pq = (
+        None
+        if pq_mats is None
+        else [[list(map(float, w)) for w in mat] for mat in pq_mats]
+    )
     return TrainedCodebooks(
-        [list(map(float, c)) for c in coarse], pq, by_residual
+        [list(map(float, c)) for c in coarse], pq, by_residual, rotation
     )
 
 
@@ -573,7 +643,13 @@ def pq_encode(
             np.asarray(codebooks.pq[s], dtype=np.float64).reshape(-1, sub)
             for s in range(m)
         ]
+        rot = (
+            np.asarray(codebooks.rotation, dtype=np.float64).reshape(dim, dim)
+            if codebooks.rotation
+            else None
+        )
     else:
+        rot = None
         by_residual = bool(by_residual)
         # one bounded driver hop: coarse centroids + PQ codebooks
         head = base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
@@ -622,9 +698,14 @@ def pq_encode(
             n2 = np.zeros(n)
             for i in range(dim):
                 n2 += X[:, i] * X[:, i]
+            # OPQ: quantization (assign/codes/recon) happens in ROTATED
+            # space — output _vec/_norm2 stay original (the refine's
+            # exact-cosine inputs); norms are rotation-invariant so the
+            # original n2 serves the assignment score denominator too
+            Xq = X @ rot if rot is not None else X
             dots = np.zeros((n, cmat.shape[0]))
             for i in range(dim):
-                dots += X[:, i, None] * cmat[None, :, i]
+                dots += Xq[:, i, None] * cmat[None, :, i]
             score = _pround_np(dots / (np.sqrt(n2)[:, None] * np.sqrt(cn2)[None, :]))
             # NaN → +inf so argmax picks the NaN-scoring column (first /
             # lowest-cid on ties): Spark's sort and the DuckDB oracle
@@ -636,7 +717,7 @@ def pq_encode(
             cass = np.where(np.isnan(score), np.inf, score).argmax(axis=1)
             # residual mode quantizes x − c (codes span the within-cell
             # spread); raw mode quantizes x itself (oracle-expressible)
-            T = X - cmat[cass] if by_residual else X
+            T = Xq - cmat[cass] if by_residual else Xq
             codes = np.empty((n, m), dtype=np.int32)
             pqn2 = np.zeros(n)
             for s in range(m):
@@ -781,7 +862,41 @@ def ivfpq_topk(
             raise ValueError("trained codebooks are empty")
         if by_residual is None:
             by_residual = codebooks.by_residual
-        cents = _trained_cents_frame(emb.sparkSession, codebooks)
+        if codebooks.rotation:
+            # OPQ serve: centroids/codewords live in ROTATED space —
+            # back-rotate them into original space once at plan build
+            # (dot(q, cRᵀ) == dot(qR, c) for orthogonal R), so the
+            # probe scoring and the LUT keep reading the ORIGINAL
+            # query vectors; effective codewords become dim-length
+            # (R[:, s·sub:(s+1)·sub] @ w) and the LUT entry is a full
+            # dim-dot instead of a subspace slice dot.
+            import numpy as np
+
+            Rm = np.asarray(codebooks.rotation, dtype=np.float64).reshape(
+                dim, dim
+            )
+            c_back = (
+                np.asarray(codebooks.coarse, dtype=np.float64).reshape(-1, dim)
+                @ Rm.T
+            )
+            cents = _trained_cents_frame(
+                emb.sparkSession,
+                TrainedCodebooks([list(map(float, c)) for c in c_back], None),
+            )
+            cb_eff = [
+                [
+                    list(map(
+                        float,
+                        Rm[:, s * sub : (s + 1) * sub]
+                        @ np.asarray(w, dtype=np.float64),
+                    ))
+                    for w in codebooks.pq[s]
+                ]
+                for s in range(m)
+            ]
+        else:
+            cents = _trained_cents_frame(emb.sparkSession, codebooks)
+            cb_eff = None
         cb = codebooks.pq
         assigned = (
             index
@@ -793,6 +908,7 @@ def ivfpq_topk(
         )
     elif index is not None:
         by_residual = bool(by_residual)
+        cb_eff = None
         assigned = index
         cents = _ivf_codebook(index, n_centroids)
         cb, _cbn = _pq_codebooks(index, m, ks, dim)
@@ -804,6 +920,7 @@ def ivfpq_topk(
         # regressed end-to-end ~1.6× even pre-kernel). Callers who DO
         # want the index reused across calls pass ``index=`` instead.
         by_residual = bool(by_residual)
+        cb_eff = None
         assigned = pq_encode(
             emb, id_col, vec_col, n_centroids, m, ks, dim,
             by_residual=by_residual,
@@ -823,21 +940,41 @@ def ivfpq_topk(
     # codewords (a corpus or prebuilt index smaller than ks must not
     # IndexError at plan construction; codes from pq_encode are always
     # < len(cb[s]) by construction, so the LUT stays lookup-complete)
-    lut = F.array(*[
-        F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.slice("_qvec", s * sub + 1, sub),
-                    F.array(*[F.lit(c) for c in cb[s][j]]),
-                    lambda x, c: x * c,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for j in range(len(cb[s]))
+    if cb_eff is not None:
+        # OPQ: dim-length back-rotated effective codewords — the LUT
+        # entry is dot(full q, R[:, s_cols] @ w), no rotated query
+        # column needed anywhere in the plan
+        lut = F.array(*[
+            F.array(*[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qvec"),
+                        F.array(*[F.lit(c) for c in cb_eff[s][j]]),
+                        lambda x, c: x * c,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(len(cb_eff[s]))
+            ])
+            for s in range(m)
         ])
-        for s in range(m)
-    ])
+    else:
+        lut = F.array(*[
+            F.array(*[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("_qvec", s * sub + 1, sub),
+                        F.array(*[F.lit(c) for c in cb[s][j]]),
+                        lambda x, c: x * c,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(len(cb[s]))
+            ])
+            for s in range(m)
+        ])
     # probes is Q·n_probe rows (bounded by the query batch) —
     # materialize it so (a) the candidate join sees an exactly-sized
     # tiny build side (AQE broadcast, the corpus never shuffles) and

@@ -102,6 +102,13 @@ def main():
         emb, "vec_id", "embedding", n_centroids=16, m=4, ks=16,
         sample=4096, iters=8, by_residual=True,
     )
+    # OPQ (r10): learned orthogonal rotation before the subspace split
+    # (Ge 2013) on top of residual training — the rung that attacks the
+    # PQ floor on dims the axis-aligned split leaves correlated
+    cb_opq = train_codebooks(
+        emb, "vec_id", "embedding", n_centroids=16, m=4, ks=16,
+        sample=4096, iters=8, by_residual=True, opq_iters=4,
+    )
 
     for n_probe in (2, 4, 8, 16):
         r_ivf = recall(pairs(ivf_topk(
@@ -123,6 +130,10 @@ def main():
             emb, "vec_id", "embedding", k=K,
             n_probe=n_probe, m=4, refine=20, codebooks=cb_res,
         )))
+        r_pq20_o = recall(pairs(ivfpq_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_probe=n_probe, m=4, refine=20, codebooks=cb_opq,
+        )))
         r_pqk = recall(pairs(ivfpq_topk(
             emb, "vec_id", "embedding", k=K,
             n_centroids=16, n_probe=n_probe, m=4, ks=16, refine=K,
@@ -131,11 +142,16 @@ def main():
             emb, "vec_id", "embedding", k=K,
             n_probe=n_probe, m=4, refine=K, codebooks=cb_res,
         )))
+        r_pqk_o = recall(pairs(ivfpq_topk(
+            emb, "vec_id", "embedding", k=K,
+            n_probe=n_probe, m=4, refine=K, codebooks=cb_opq,
+        )))
         print(
             f"n_probe={n_probe:>2}  ivf={r_ivf:.3f}  ivf_trained={r_ivf_t:.3f}  "
             f"ivfpq20={r_pq20:.3f}  ivfpq20_trained={r_pq20_t:.3f}  "
-            f"ivfpq20_resid={r_pq20_r:.3f}  "
-            f"ivfpqK={r_pqk:.3f}  ivfpqK_resid={r_pqk_r:.3f}"
+            f"ivfpq20_resid={r_pq20_r:.3f}  ivfpq20_opq={r_pq20_o:.3f}  "
+            f"ivfpqK={r_pqk:.3f}  ivfpqK_resid={r_pqk_r:.3f}  "
+            f"ivfpqK_opq={r_pqk_o:.3f}"
         )
 
 
