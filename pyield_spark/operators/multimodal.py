@@ -37,7 +37,7 @@ from pyield_spark.operators.imagecodec import (
 
 FEATURE_DIM = 8
 
-# Stdlib PNG/BMP codecs are always available (imagecodec.py needs only
+# Stdlib PNG/JPEG/BMP codecs are always available (imagecodec.py needs only
 # zlib + struct). The flag remains the deployment seam: tests and
 # codec-richer images swap decode_image/featurize_image/sniff_format at
 # the module level and the kernels capture them at plan-build time.
@@ -90,7 +90,7 @@ def media_metadata_exprs(payload: str | Column) -> dict[str, Column]:
 
 
 def decode_image(payload: bytes) -> RawImage:
-    """Decode one image payload through the stdlib PNG/BMP codecs
+    """Decode one image payload through the stdlib PNG/JPEG/BMP codecs
     (``imagecodec.py`` — zlib/struct only, no codec libraries).
     Raises ``ValueError`` on formats outside the supported subset;
     ``extract_features`` sniffs first and falls back to the fake path
@@ -269,7 +269,7 @@ def resize_payload(
     """Payload downsample — the resize slot of the pipeline
     (image → thumbnail).
 
-    REAL resize for payloads that sniff as PNG/BMP: decode through the
+    REAL resize for payloads that sniff as PNG/JPEG/BMP: decode through the
     stdlib codecs, nearest-neighbor resample to ``target_w×target_h``,
     re-encode as a deterministic filter-0 PNG (bit-stable output —
     fixed zlib level, no ancillary chunks). Non-image payloads keep
