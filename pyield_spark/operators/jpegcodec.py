@@ -92,6 +92,14 @@ def _huff_lut(counts: tuple[int, ...], symbols: bytes) -> list:
     build runs once per process, not per image."""
     if sum(counts) != len(symbols):
         raise ValueError("JPEG: DHT symbol count mismatch")
+    # validate the code space BEFORE building — an over-subscribed
+    # table would otherwise index past the LUT (IndexError, review fix)
+    code = 0
+    for ln in range(1, 17):
+        code += counts[ln - 1]
+        if code > (1 << ln):
+            raise ValueError("JPEG: over-subscribed Huffman table")
+        code <<= 1
     lut: list = [None] * 65536
     code = 0
     k = 0
@@ -103,8 +111,6 @@ def _huff_lut(counts: tuple[int, ...], symbols: bytes) -> list:
                 lut[base | ext] = entry
             code += 1
             k += 1
-        if code > (1 << ln):
-            raise ValueError("JPEG: over-subscribed Huffman table")
         code <<= 1
     return lut
 
@@ -201,7 +207,17 @@ def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
 def decode_jpeg(data: bytes) -> RawImage:
     """Decode a baseline/extended-sequential Huffman JPEG. See the
     module docstring for the supported envelope and the determinism
-    contract."""
+    contract. Every rejection — including truncated/corrupt streams
+    whose raw failure mode would be an IndexError or struct.error mid-
+    parse — surfaces as ValueError, so callers can fall back with one
+    except clause (the decode_png-class contract; review fix)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"JPEG: truncated or corrupt stream ({e})") from e
+
+
+def _decode_jpeg(data: bytes) -> RawImage:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qtables: dict[int, np.ndarray] = {}

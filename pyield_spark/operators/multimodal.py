@@ -179,7 +179,16 @@ def extract_features(
 
         def row_features(b: bytes) -> list[float]:
             if sniff(b):
-                return featurize(decode(b))
+                try:
+                    return featurize(decode(b))
+                except ValueError:
+                    # sniffed as an image but outside the decoders'
+                    # envelope (e.g. progressive JPEG — the sniff is
+                    # format-level, the JPEG decoder baseline-only) or
+                    # corrupt: degrade to the deterministic fallback
+                    # instead of killing the stage (review fix; the
+                    # curation-pipeline norm is skip, not crash)
+                    return _fake_features(b)
             return _fake_features(b)
     else:  # pragma: no cover - stdlib codecs are always importable
         row_features = _fake_features
@@ -291,9 +300,17 @@ def resize_payload(
                     continue
                 b = bytes(payload)
                 if sniff_format(b):
-                    img = decode_image_bytes(b)
-                    outs.append(encode_png(resize_nearest(img, target_w, target_h)))
-                    continue
+                    try:
+                        img = decode_image_bytes(b)
+                    except ValueError:
+                        img = None  # unsupported-variant/corrupt image
+                        # payloads degrade to the byte-thin fallback
+                        # instead of killing the stage (review fix)
+                    if img is not None:
+                        outs.append(
+                            encode_png(resize_nearest(img, target_w, target_h))
+                        )
+                        continue
                 stride = max(1, -(-len(b) // target_bytes))
                 outs.append(b[::stride])
             yield pd.DataFrame({id_col: pdf[id_col], "resized": outs})

@@ -1090,14 +1090,7 @@ def sq8_encode(
     invalid vectors are dropped from the index (NaN cannot quantize;
     same predicate class as pq_encode/train_codebooks).
     """
-    base = (
-        emb.select(
-            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
-        )
-        .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
-        .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
-        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
-    )
+    base = _sq_base(emb, id_col, vec_col, dim)
     if not 2 <= bits <= 8:
         raise ValueError(f"bits must be in [2, 8]: {bits}")
     stats = base.agg(
@@ -1108,7 +1101,30 @@ def sq8_encode(
     code = sq8_quant_expr(
         F.col("_vec"), F.col("_mn"), F.col("_mx"), levels=(1 << bits) - 1
     )
-    return enc.select("_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx")
+    return enc.select(
+        "_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx"
+    ).withMetadata("_codes", {"bits": bits})
+    # ^ the code domain rides the SCHEMA (column metadata), so a serve
+    # call with mismatched bits= fails loudly at plan build instead of
+    # silently mis-dequantizing (review fix; best-effort — metadata
+    # lost through an exotic rewrite just skips the check)
+
+
+def _sq_base(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """The SQ index-side input contract, in ONE place so the
+    add==rebuild bit-parity can never drift on the invalid-vector
+    predicate (review fix): wrong-length/null vectors and any vector
+    with a NaN/null component are dropped (NaN cannot quantize)."""
+    return (
+        emb.select(
+            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+        )
+        .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
+        .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
+        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    )
 
 
 def ivf_assign(index: DataFrame, n_centroids: int) -> DataFrame:
@@ -1123,7 +1139,11 @@ def ivf_assign(index: DataFrame, n_centroids: int) -> DataFrame:
     r10 hybrid rows). The serve call must pass the SAME
     ``n_centroids`` so its probe codebook matches this assignment."""
     cents = _ivf_codebook(index, n_centroids)
-    return _ivf_nearest_lists(index, cents, "_vid", "_vec", "_norm2", 1)
+    return _ivf_nearest_lists(
+        index, cents, "_vid", "_vec", "_norm2", 1
+    ).withMetadata("_cid", {"n_centroids": n_centroids})
+    # ^ recorded in the schema so a serve call probing a DIFFERENT
+    # codebook size fails at plan build (review fix)
 
 
 def sq8_quant_expr(
@@ -1173,7 +1193,9 @@ def sq8_index_add(
     codes of already-indexed vectors) never churn.
 
     The batch encodes against the index's ``_mn``/``_mx`` (one-row
-    bounded hop) with codes CLAMPED to [0, 255]; if ``index`` is
+    bounded hop) with codes CLAMPED to the [0, 2^bits − 1] domain
+    (``bits`` must match the index build — the domain is cross-checked
+    against the schema metadata ``sq8_encode`` records); if ``index`` is
     pre-assigned (``ivf_assign`` — has ``_cid``), pass the SAME
     ``n_centroids`` and the batch is assigned against the index's
     frozen lowest-id codebook too.
@@ -1196,17 +1218,15 @@ def sq8_index_add(
     """
     if drift not in ("error", "warn", "ignore"):
         raise ValueError(f"drift must be error|warn|ignore: {drift!r}")
+    _check_index_meta(index, "_codes", "bits", bits, "SQ code domain")
+    if "_cid" in index.columns and n_centroids is not None:
+        _check_index_meta(
+            index, "_cid", "n_centroids", n_centroids, "IVF codebook"
+        )
     stats_row = index.select("_mn", "_mx").head()
     if stats_row is None:
         raise ValueError("sq8_index_add: empty index (no frozen stats)")
-    batch = (
-        emb.select(
-            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
-        )
-        .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
-        .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
-        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
-    )
+    batch = _sq_base(emb, id_col, vec_col, dim)
     if drift != "ignore":
         brow = batch.agg(
             F.array(*[F.min(F.get("_vec", d)) for d in range(dim)]).alias("_bmn"),
@@ -1253,7 +1273,30 @@ def sq8_index_add(
             )
         cents = _ivf_codebook(index, n_centroids)
         out = _ivf_nearest_lists(out, cents, "_vid", "_vec", "_norm2", 1)
-    return index.unionByName(out)
+    merged = index.unionByName(out)
+    # re-stamp the recorded parameters (union metadata propagation is
+    # not contractual across Spark versions)
+    merged = merged.withMetadata("_codes", {"bits": bits})
+    if "_cid" in index.columns and n_centroids is not None:
+        merged = merged.withMetadata("_cid", {"n_centroids": n_centroids})
+    return merged
+
+
+def _check_index_meta(frame: DataFrame, col: str, key: str, want, what: str):
+    """Plan-time build-vs-serve guard: compare a recorded index
+    parameter (column metadata written by sq8_encode/ivf_assign)
+    against the serve call's. Best-effort — absent metadata skips."""
+    try:
+        meta = frame.schema[col].metadata or {}
+    except (KeyError, TypeError):
+        return
+    got = meta.get(key)
+    if got is not None and got != want:
+        raise ValueError(
+            f"{what} mismatch: index recorded {key}={got}, "
+            f"this call passed {key}={want} — codes/lists are "
+            "meaningless under different parameters"
+        )
 
 
 def sq8_dequant_expr(
@@ -1325,6 +1368,12 @@ def sq8_topk(
     # checkpoint scans the corpus once (measured: consistent ~8% at
     # sf0.1; the win grows with corpus size, and the 100× lap serves
     # from a persisted index= anyway)
+    if index is not None:
+        _check_index_meta(index, "_codes", "bits", bits, "SQ code domain")
+        if n_centroids and "_cid" in index.columns:
+            _check_index_meta(
+                index, "_cid", "n_centroids", n_centroids, "IVF codebook"
+            )
     assigned = (
         index
         if index is not None

@@ -1358,10 +1358,18 @@ def q_sq8_index_add(spark, sf_dir):
     emb = tables(spark, sf_dir, "embeddings")
     prefix = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
+    # checkpoint BOTH the prefix encode (sq8_index_add's empty-check
+    # head() plus the frozen-stats crossJoin would otherwise replay
+    # its stats-aggregate lineage) and the combined index (the serve's
+    # three consumers — corpus scan, queries scan, refine fetch — get
+    # one materialization, the same reason sq8_topk checkpoints its
+    # own inline encode; review fix)
     idx = sim.sq8_index_add(
-        sim.sq8_encode(prefix, "vec_id", "embedding"),
+        sim.sq8_encode(prefix, "vec_id", "embedding").localCheckpoint(
+            eager=False
+        ),
         batch, "vec_id", "embedding", drift="ignore",
-    )
+    ).localCheckpoint(eager=False)
     return sim.sq8_topk(emb, "vec_id", "embedding", k=5, refine=20, index=idx)
 
 

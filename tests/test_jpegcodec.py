@@ -208,6 +208,41 @@ def test_loud_rejects():
         decode_jpeg(patched)
 
 
+def test_unsupported_and_corrupt_jpegs_degrade_not_crash(spark):
+    """The sniff envelope ('any JPEG') is wider than the decode
+    envelope ('baseline Huffman'): a progressive JPEG or a truncated
+    stream in the corpus must take the deterministic fallback inside
+    the kernels, never kill the stage (review fix) — and raw
+    decode_jpeg surfaces every corruption as ValueError, including the
+    IndexError/struct.error classes a mid-parse failure raises."""
+    from pyield_spark.operators.multimodal import (
+        _fake_features,
+        extract_features,
+        resize_payload,
+    )
+
+    base = encode_jpeg(_gradient(8, 8), quality=90)
+    i = base.index(b"\xff\xc0")
+    progressive = base[:i] + b"\xff\xc2" + base[i + 2:]
+    truncated = base[: len(base) // 2]
+    for bad in (progressive, truncated, b"\xff\xd8\xff",
+                b"\xff\xd8\xff\xdb\x00"):
+        assert sniff_format(bad) == "jpeg"
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    df = spark.createDataFrame(
+        [(1, bytearray(progressive)), (2, bytearray(truncated))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in
+            extract_features(df, "payload", "doc_id").collect()}
+    assert list(rows[1]["features"]) == list(_fake_features(progressive))
+    assert list(rows[2]["features"]) == list(_fake_features(truncated))
+    rz = {r["doc_id"]: bytes(r["resized"]) for r in
+          resize_payload(df, "payload", "doc_id").collect()}
+    assert rz[1] and rz[2]  # byte-thin fallback, stage alive
+
+
 def test_extract_features_routes_jpeg(spark):
     """The multimodal kernel's sniff now routes JPEG payloads through
     the REAL decode path (features from true pixels, not the fake) —

@@ -1260,6 +1260,43 @@ def test_sq4_bits_domain_and_add_parity(spark):
         sq8_encode(full, bits=12)
 
 
+def test_sq_index_metadata_guards_mismatched_serve(spark):
+    """Build-vs-serve parameter mismatches are a plan-build ValueError,
+    not silent score corruption (review fix): sq8_encode records bits
+    and ivf_assign records n_centroids in column metadata; sq8_topk /
+    sq8_index_add cross-check them, and matching calls still work —
+    including through localCheckpoint and union re-stamping."""
+    import pytest
+
+    from pyield_spark.operators.similarity import (
+        ivf_assign,
+        sq8_encode,
+        sq8_index_add,
+        sq8_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 37 + d * 11) % 17) - 8.0 for d in range(64)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    idx4 = sq8_encode(emb, bits=4).localCheckpoint(eager=False)
+    with pytest.raises(ValueError, match="SQ code domain"):
+        sq8_topk(emb, index=idx4)  # default bits=8
+    with pytest.raises(ValueError, match="SQ code domain"):
+        sq8_index_add(idx4, emb.limit(1), drift="ignore")  # default 8
+    assert sq8_topk(emb, index=idx4, bits=4, k=2).count() > 0
+
+    asg = ivf_assign(sq8_encode(emb), 4)
+    with pytest.raises(ValueError, match="IVF codebook"):
+        sq8_topk(emb, index=asg, n_centroids=8)
+    # the re-stamped union keeps guarding after an add
+    grown = sq8_index_add(asg, emb.limit(0), drift="ignore", n_centroids=4)
+    with pytest.raises(ValueError, match="IVF codebook"):
+        sq8_topk(emb, index=grown, n_centroids=16)
+    assert sq8_topk(emb, index=grown, n_centroids=4, k=2).count() > 0
+
+
 def test_sq8_index_add_parity_and_drift(spark):
     """FAISS add-vs-train split (r9 VERDICT #4): appending a batch
     that stays inside the trained span reproduces the from-scratch
