@@ -138,3 +138,12 @@ media = SimpleNamespace(
 )
 
 skew = SimpleNamespace(salted_join=_skew.salted_join)
+
+from pyield_spark.operators import sketch as _sketch  # noqa: E402
+
+sketch = SimpleNamespace(
+    countmin_build=_sketch.countmin_build,
+    countmin_merge=_sketch.countmin_merge,
+    countmin_estimate=_sketch.countmin_estimate,
+    countmin_size=_sketch.countmin_size,
+)

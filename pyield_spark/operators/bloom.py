@@ -114,9 +114,11 @@ def _positions(h1: Column, h2: Column, m_bits: int, k: int) -> list[Column]:
 
 
 def _h2_expr(s: Column) -> Column:
-    """Second independent 32-bit hash: md5 hex digits 9-16 (h32_expr
-    takes 1-8) — same portability class."""
-    return F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    """Second independent 32-bit hash — shared with Count-Min via
+    :func:`pyield_spark.operators.text.h32b_expr`."""
+    from pyield_spark.operators.text import h32b_expr
+
+    return h32b_expr(s)
 
 
 def _bitval(pos: Column) -> Column:

@@ -44,8 +44,11 @@ def content_hash_expr(text: str | Column) -> Column:
     return F.md5(normalize_text_expr(text))
 
 
-def shingles_expr(text: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
+def ngrams_expr(text: str | Column, n: int = 3) -> Column:
+    """Word n-grams of the normalized text, in document order WITH
+    repeats — the occurrence stream (Count-Min counting wants every
+    instance; dedup shingling wants the distinct set — see
+    :func:`shingles_expr`).
 
     Built from n aligned array slices zipped together — NOT by indexing
     the token array from inside a lambda, which would re-evaluate the
@@ -60,7 +63,13 @@ def shingles_expr(text: str | Column, n: int = 3) -> Column:
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
         grams = F.zip_with(grams, shifted, lambda g, z: F.concat(g, F.lit(" "), z))
-    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def shingles_expr(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text — the
+    dedup/LSH set view of :func:`ngrams_expr`'s occurrence stream."""
+    return F.array_distinct(ngrams_expr(text, n))
 
 
 def exact_dup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:

@@ -121,6 +121,14 @@ def h32_expr(s: str | Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def h32b_expr(s: str | Column) -> Column:
+    """Second independent portable 32-bit hash: md5 hex digits 9-16
+    (``h32_expr`` takes 1-8) — the Kirsch–Mitzenmacher pair used by the
+    Bloom filter and Count-Min double-hash position families."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+
+
 def mean_word_len_expr(text: str | Column) -> Column:
     """Mean token length: non-whitespace chars / token count."""
     c = F.col(text) if isinstance(text, str) else text

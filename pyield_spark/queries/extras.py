@@ -537,3 +537,93 @@ def q_kll_quantiles(spark, sf_dir):
             & (F.col("_med") <= F.col("_pcts")[1])
         ).alias("kll_median_within_decile"),
     )
+
+
+# === Count-Min heavy hitters (round 10) ==================================
+
+from pyield_spark.queries.llm_data import _TOKS as _CM_TOKS  # noqa: E402
+
+_CM_W, _CM_D = 1024, 4
+_CM_H1 = "CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)"
+_CM_H2 = "CAST(concat('0x', substr(md5(gram), 9, 8)) AS BIGINT)"
+_CM_POS = ", ".join(
+    f"(({_CM_H1} + {i} * (2 * {_CM_H2} + 1)) % {_CM_W})" for i in range(_CM_D)
+)
+# occurrence-stream trigrams: _GRAMS3 minus the list_distinct (Count-Min
+# counts every instance; the dedup shingle set view would undercount)
+_CM_NG3 = f"""
+  list_transform(
+    range(1, greatest(len({_CM_TOKS}) - 2, 0) + 1),
+    i -> concat_ws(' ', {_CM_TOKS}[i], {_CM_TOKS}[i+1], {_CM_TOKS}[i+2]))
+""".strip()
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(list_concat({_CM_TOKS}, {_CM_NG3})) AS gram
+      FROM documents
+    ),
+    tc AS (SELECT gram, CAST(count(*) AS BIGINT) AS exact_count
+           FROM occ GROUP BY gram),
+    pe AS (SELECT gram, exact_count,
+                  unnest([{_CM_POS}]) AS pos,
+                  unnest([{", ".join(str(i) for i in range(_CM_D))}]) AS row
+           FROM tc),
+    cm AS (SELECT row, pos, SUM(exact_count) AS cnt
+           FROM pe GROUP BY row, pos),
+    est AS (SELECT p.gram, p.exact_count,
+                   CAST(MIN(c.cnt) AS BIGINT) AS est_count
+            FROM pe p JOIN cm c ON c.row = p.row AND c.pos = p.pos
+            GROUP BY p.gram, p.exact_count)
+    SELECT gram, est_count, exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overcount
+    FROM est
+    ORDER BY est_count DESC, gram ASC LIMIT 15
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters over the mixed n-gram occurrence stream
+    (unigrams ∪ trigrams — the count-based-LM counting job): top-15
+    grams by ESTIMATED frequency read from a 4×1024 counter grid
+    (`operators/sketch.py`; Cormode & Muthukrishnan 2005) instead of an
+    unbounded per-gram count table.
+
+    The mixed stream is the demonstration shape this flat synthetic
+    corpus needs: ~31 heavy unigrams (hundreds-to-thousands of
+    occurrences each) ride above a ~27k-item trigram tail that supplies
+    genuine collision pressure, so the top-15 the sketch surfaces ARE
+    the true heavy hitters, recovered within a few percent while the
+    grid is ~7× smaller than the item domain. exact_count is the
+    verification twin (what a sketchless engine pays a full groupBy
+    for); overcount = est − exact ≥ 0 is the one-sided collision error
+    the min estimator absorbed, bounded by e·N/w per row w.h.p.
+
+    Unlike the bounds-flag HLL/Theta/KLL twins, the md5 double-hash
+    grid replays bit-identically in DuckDB — even the collision noise
+    is inside the value-hash gate. Top-15 by (est DESC, gram ASC) is a
+    total order (grams unique after the groupBy)."""
+    from pyield_spark.operators import sketch as sk
+    from pyield_spark.operators.dedup import ngrams_expr
+    from pyield_spark.operators.text import tokens_expr
+
+    docs = tables(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(
+            F.concat(tokens_expr(F.col("text")), ngrams_expr(F.col("text"), 3))
+        ).alias("gram")
+    )
+    grid = sk.countmin_build(occ, "gram", _CM_W, _CM_D)
+    cand = occ.groupBy("gram").agg(F.count("*").alias("exact_count"))
+    est = sk.countmin_estimate(cand, "gram", grid, _CM_W, _CM_D)
+    return (
+        est.select(
+            "gram",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("gram").asc())
+        .limit(15)
+    )
