@@ -139,7 +139,15 @@ media = SimpleNamespace(
 
 skew = SimpleNamespace(salted_join=_skew.salted_join)
 
+from pyield_spark.operators import classifier as _clf  # noqa: E402
 from pyield_spark.operators import sketch as _sketch  # noqa: E402
+
+classifier = SimpleNamespace(
+    features=_clf.clf_features,
+    weak_label=_clf.clf_label,
+    logreg_train=_clf.logreg_train,
+    logreg_prob=_clf.logreg_prob,
+)
 
 sketch = SimpleNamespace(
     countmin_build=_sketch.countmin_build,

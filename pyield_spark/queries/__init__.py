@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_bpe_tokens",            # pinned-merge BPE token counts
     "q_pack_bpe",              # packing re-denominated in BPE tokens
     "q_heavy_hitters",         # Count-Min grid, oracle-exact collisions
+    "q_quality_classifier",    # trained LR filter from pinned artifact
     # --- round-10 code-change re-verification ---
     "q_sq8_topk", "q_ivf_sq8",  # bits= generalization + quant factor-out
     "q_hybrid_rrf",            # route/index params around the exact path

@@ -536,3 +536,61 @@ def q_url_dedup(spark, sf_dir):
         "canonical_url",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+# === model-based quality filtering (round 10): trained LR classifier =====
+
+
+def _clf_oracle() -> str:
+    from pyield_spark.operators import classifier as clf
+    from pyield_spark.queries.clf_artifact import CLF_WEIGHTS
+    from pyield_spark.queries.llm_data import _SW_EN, _TOKS
+
+    prob = clf.logreg_prob_sql_duck(
+        CLF_WEIGHTS, clf.clf_features_sql_duck(_TOKS, _SW_EN)
+    )
+    label = clf.clf_label_sql_duck(_TOKS, _SW_EN)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {prob} AS p_keep, {label} AS label_keep
+      FROM documents
+    )
+    SELECT doc_id, p_keep,
+           p_keep >= 0.5e0 AS pred_keep,
+           label_keep,
+           (p_keep >= 0.5e0) = label_keep AS correct
+    FROM scored
+    """
+
+
+@query("q_quality_classifier", oracle=_clf_oracle())
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering — the CCNet/LLaMA-style trained
+    classifier stage: every document scored by a logistic regression
+    DISTILLED (inside the engine: iterative full-batch gradient
+    aggregation, `operators/classifier.py::logreg_train`) from the
+    active-Gopher weak label, served with weights pinned in
+    `queries/clf_artifact.py` (train accuracy 0.950 at sf0.01).
+
+    Serving is map-only expression arithmetic in the scan projection —
+    integer counts, single IEEE divisions, a left-associative logit
+    fold and one pround(σ, 6) for the sigmoid's exp — no shuffle, no
+    UDF, no broadcast; the DuckDB oracle replays the identical model
+    from the same pinned constants. label_keep/correct columns keep the
+    weak label and the disagreement surface inside the hash gate (the
+    audit a production filter ships with)."""
+    from pyield_spark.operators import classifier as clf
+    from pyield_spark.queries.clf_artifact import CLF_WEIGHTS
+
+    docs = tables(spark, sf_dir, "documents")
+    p = clf.logreg_prob(CLF_WEIGHTS, clf.clf_features("text"))
+    scored = docs.select(
+        "doc_id", p.alias("p_keep"), clf.clf_label("text").alias("label_keep")
+    )
+    return scored.select(
+        "doc_id",
+        "p_keep",
+        (F.col("p_keep") >= 0.5).alias("pred_keep"),
+        "label_keep",
+        ((F.col("p_keep") >= 0.5) == F.col("label_keep")).alias("correct"),
+    )

@@ -184,7 +184,12 @@ def test_no_driver_collect_in_library_code():
     - the ≤ m_bits/32-row Bloom word-table hop
       (operators/bloom.py::bloom_words, round 8) — ~1 KB at the
       default geometry, inlined as a literal so the corpus probe is a
-      map-only scan stage.
+      map-only scan stage;
+    - the 1-row-per-iteration gradient hop of the logistic-regression
+      trainer (operators/classifier.py::logreg_train, round 10) —
+      n_features doubles per full-batch GD step, the same driver-side
+      iterate Spark MLlib's LogisticRegression makes; serving is
+      map-only expression arithmetic with pinned literal weights.
 
     Everything else (including the streaming foreachBatch demo, which
     now writes to a parquet sink) must stay executor-side.
@@ -197,6 +202,7 @@ def test_no_driver_collect_in_library_code():
         "operators/semantic.py",
         "operators/similarity.py",
         "operators/bloom.py",
+        "operators/classifier.py",
     }
     offenders = []
     for py in pkg.rglob("*.py"):
