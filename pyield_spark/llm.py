@@ -93,6 +93,7 @@ similarity = SimpleNamespace(
     sq8_encode=_sim.sq8_encode,
     sq8_topk=_sim.sq8_topk,  # n_centroids= composes IVF-SQ8
     hard_negatives=_sim.hard_negatives,
+    mmr_rerank=_sim.mmr_rerank,
 )
 
 text = SimpleNamespace(

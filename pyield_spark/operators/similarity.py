@@ -1606,3 +1606,142 @@ def hard_negatives(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    shortlist_n: int = 10,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998) of the cosine shortlist: greedily select k
+    of the top-``shortlist_n`` neighbors per query, each step taking
+    argmax over the remaining candidates of
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` — relevance traded
+    against redundancy with what is already picked, the standard
+    rerank between retrieval and a context window.
+
+    Spark-first shape: the greedy loop has a FIXED, small depth (k−1
+    steps), so it unrolls into pure DataFrame algebra — shortlist →
+    vectors re-joined BY KEY (never carried through the ranking
+    window) → one N²-per-query candidate-sim table (N = shortlist_n,
+    built once, reused by every step) → per step one max-penalty
+    aggregation and one row_number argmax. No Python kernel, no
+    iteration on the driver's data path; per-query cost is constant
+    (N² sims + k windows over ≤ N rows) regardless of corpus size —
+    MMR applies after retrieval pruning by construction.
+
+    Portability: relevance and pairwise sims use the pround(cosine, 6)
+    recipe of :func:`cosine_topk` (sequential-fold dot, one division);
+    the MMR expression is products/subtraction of those identical
+    doubles with λ as a double literal, so the per-step argmax (ties:
+    id ASC) selects the same candidate in the DuckDB twin — the greedy
+    trajectory, not just the final set, is inside the oracle gate.
+
+    Returns (query_id, mmr_rank 1..k, neighbor_id, relevance,
+    mmr_score); rank-1 score is λ·rel (empty-set penalty = 0).
+    """
+    from pyield_spark.functions.numbers import pround_expr
+    from pyspark.sql import Window
+
+    short = cosine_topk(emb, id_col, vec_col, query_pred, k=shortlist_n)
+    base = emb.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
+    ).withColumn("_bnorm2", norm_sq_dec(F.col("_bvec")))
+    cand = (
+        short.select("query_id", "neighbor_id", F.col("cosine").alias("relevance"))
+        .join(base, F.col("neighbor_id") == F.col("_bid"))
+        .drop("_bid")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("_a"),
+        F.col("_bvec").alias("_avec"),
+        F.col("_bnorm2").alias("_anorm2"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("_b"),
+        F.col("_bvec").alias("_cbvec"),
+        F.col("_bnorm2").alias("_cbnorm2"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            "query_id",
+            "_a",
+            "_b",
+            pround_expr(
+                dot_dec(F.col("_avec"), F.col("_cbvec"))
+                / (F.sqrt(F.col("_anorm2")) * F.sqrt(F.col("_cbnorm2"))),
+                6,
+            ).alias("_sim"),
+        )
+        .localCheckpoint(eager=False)  # reused by every unrolled step
+    )
+    cands = cand.select("query_id", "neighbor_id", "relevance")
+
+    lam_c = F.lit(float(lam))
+    one_m = F.lit(1.0 - float(lam))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_mmr").desc(), F.col("neighbor_id").asc()
+    )
+    first = (
+        cands.withColumn("_mmr", lam_c * F.col("relevance"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("mmr_rank"),
+            "neighbor_id",
+            "relevance",
+            pround_expr(F.col("_mmr"), 6).alias("mmr_score"),
+        )
+    )
+    selected = first
+    for step in range(2, k + 1):
+        sel_ids = selected.select("query_id", F.col("neighbor_id").alias("_sid"))
+        remaining = cands.join(
+            sel_ids.withColumnRenamed("_sid", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = (
+            remaining.join(
+                sims.withColumnRenamed("query_id", "_sq"),
+                (F.col("query_id") == F.col("_sq"))
+                & (F.col("_a") == F.col("neighbor_id")),
+            )
+            .join(
+                sel_ids.withColumnRenamed("query_id", "_pq"),
+                (F.col("_pq") == F.col("_sq")) & (F.col("_sid") == F.col("_b")),
+            )
+            .groupBy("query_id", "neighbor_id", "relevance")
+            .agg(F.max("_sim").alias("_pen"))
+        )
+        pick = (
+            pen.withColumn(
+                "_mmr", lam_c * F.col("relevance") - one_m * F.col("_pen")
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).alias("mmr_rank"),
+                "neighbor_id",
+                "relevance",
+                pround_expr(F.col("_mmr"), 6).alias("mmr_score"),
+            )
+        )
+        # the next step references `selected` twice (union + anti-join
+        # seed), so without a cut the logical tree doubles per step —
+        # lazy checkpoint caps growth at O(k); no stats-based decision
+        # reads these tiny frames afterwards (pitfall: checkpoint only
+        # AFTER auto-broadcast choices, which don't occur here)
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected

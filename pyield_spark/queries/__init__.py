@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_pack_bpe",              # packing re-denominated in BPE tokens
     "q_heavy_hitters",         # Count-Min grid, oracle-exact collisions
     "q_quality_classifier",    # trained LR filter from pinned artifact
+    "q_mmr_rerank",            # unrolled greedy MMR diversification
     # --- round-10 code-change re-verification ---
     "q_sq8_topk", "q_ivf_sq8",  # bits= generalization + quant factor-out
     "q_hybrid_rrf",            # route/index params around the exact path

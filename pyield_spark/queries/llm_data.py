@@ -1656,3 +1656,123 @@ def q_containment_pairs(spark, sf_dir):
     return dd.containment_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5, block="source"
     )
+
+
+# === MMR diversified reranking (round 10) ================================
+
+_MMR_N, _MMR_K, _MMR_LAM = 10, 5, 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: the loop depth is fixed (k−1
+    steps), so each step becomes a (penalty, argmax) CTE pair
+    generated here — the same unrolling the Spark operator performs
+    in DataFrame algebra (operators/similarity.py::mmr_rerank)."""
+    lam = f"{_MMR_LAM:.17e}"
+    one_m = f"{1.0 - _MMR_LAM:.17e}"  # repr-exact: 1−0.7 ≠ 0.3 in fp
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+        " i -> n1.v[i] * n2.v[i])), (a, b) -> a + b)"
+        " / (sqrt(n1.norm2) * sqrt(n2.norm2))"
+    )
+    qdot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+        " i -> q.v[i] * b.v[i])), (a, b) -> a + b)"
+        " / (sqrt(q.norm2) * sqrt(b.norm2))"
+    )
+    steps = []
+    prev = "sel1"
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+    pen{i} AS (
+      SELECT s.query_id, s.neighbor_id, s.relevance, MAX(cs.sim) AS pen
+      FROM short s
+      JOIN cs ON cs.query_id = s.query_id AND cs.a = s.neighbor_id
+      JOIN {prev} p ON p.query_id = cs.query_id AND p.neighbor_id = cs.b
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.query_id = s.query_id
+                          AND x.neighbor_id = s.neighbor_id)
+      GROUP BY 1, 2, 3
+    ),
+    pick{i} AS (
+      SELECT query_id, neighbor_id, relevance,
+             {pround_sql("mmr", 6)} AS mmr_score
+      FROM (SELECT *, {lam} * relevance - {one_m} * pen AS mmr,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY {lam} * relevance - {one_m} * pen DESC,
+                                neighbor_id) AS rn
+            FROM pen{i})
+      WHERE rn = 1
+    ),
+    sel{i} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT query_id, neighbor_id, relevance, mmr_score FROM pick{i}
+    )""")
+        prev = f"sel{i}"
+    finals = ["SELECT query_id, CAST(1 AS INT) AS mmr_rank, neighbor_id,"
+              " relevance, mmr_score FROM sel1"]
+    for i in range(2, _MMR_K + 1):
+        finals.append(
+            f"SELECT query_id, CAST({i} AS INT) AS mmr_rank, neighbor_id,"
+            f" relevance, mmr_score FROM pick{i}"
+        )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> x * x)),
+                    (a, b) -> a + b) AS norm2
+      FROM base
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {pround_sql(qdot, 6)} AS relevance
+      FROM norms q JOIN norms b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, relevance
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY relevance DESC, neighbor_id) AS rnk
+            FROM scored WHERE NOT isnan(relevance))
+      WHERE rnk <= {_MMR_N}
+    ),
+    cs AS (
+      SELECT s1.query_id, s1.neighbor_id AS a, s2.neighbor_id AS b,
+             {pround_sql(dot, 6)} AS sim
+      FROM short s1
+      JOIN short s2 ON s2.query_id = s1.query_id
+                   AND s2.neighbor_id <> s1.neighbor_id
+      JOIN norms n1 ON n1.vec_id = s1.neighbor_id
+      JOIN norms n2 ON n2.vec_id = s2.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, relevance,
+             {pround_sql(f"{lam} * relevance", 6)} AS mmr_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY {lam} * relevance DESC, neighbor_id) AS rn
+            FROM short)
+      WHERE rn = 1
+    ),{",".join(steps)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark, sf_dir):
+    """MMR-diversified retrieval (Carbonell & Goldstein 1998): the
+    cosine top-10 shortlist per query greedily reranked to 5 picks
+    trading relevance against redundancy (λ=0.7) — the standard stage
+    between ANN retrieval and a RAG context window, here as pure
+    unrolled DataFrame algebra (no kernel; per-query cost constant in
+    corpus size). The oracle unrolls the identical greedy trajectory,
+    so every intermediate argmax — not just the final set — sits
+    inside the value-hash gate."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(
+        emb, "vec_id", "embedding",
+        shortlist_n=_MMR_N, k=_MMR_K, lam=_MMR_LAM,
+    )

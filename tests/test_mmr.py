@@ -1,0 +1,102 @@
+"""MMR rerank: greedy invariants, λ degeneracy, output structure
+(operators/similarity.py::mmr_rerank)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyield_spark.operators import similarity as sim
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_structure_and_rank1(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = sim.mmr_rerank(emb, shortlist_n=10, k=5, lam=0.7).toPandas()
+    short = sim.cosine_topk(emb, k=10).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert sorted(grp.mmr_rank) == [1, 2, 3, 4, 5]
+        assert grp.neighbor_id.is_unique
+        sl = short[short.query_id == qid]
+        # picks come from the shortlist; rank 1 is the relevance argmax
+        assert set(grp.neighbor_id) <= set(sl.neighbor_id)
+        top = sl.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+        assert grp[grp.mmr_rank == 1].neighbor_id.iloc[0] == top.neighbor_id.iloc[0]
+
+
+def test_lambda_one_degenerates_to_topk(spark, sf_dir):
+    """λ=1 removes the redundancy term: MMR order must equal the plain
+    cosine top-k order exactly."""
+    emb = _emb(spark, sf_dir)
+    out = sim.mmr_rerank(emb, shortlist_n=10, k=5, lam=1.0).toPandas()
+    topk = sim.cosine_topk(emb, k=5).toPandas()
+    got = out.sort_values(["query_id", "mmr_rank"])[
+        ["query_id", "neighbor_id"]
+    ].values.tolist()
+    want = topk.sort_values(["query_id", "rnk"])[
+        ["query_id", "neighbor_id"]
+    ].values.tolist()
+    assert got == want
+
+
+def test_greedy_step_invariant(spark, sf_dir):
+    """The rank-2 pick maximizes λ·rel − (1−λ)·sim(c, pick1) over the
+    remaining shortlist — recomputed independently in pandas from the
+    same pround'd cosines."""
+    emb = _emb(spark, sf_dir)
+    lam = 0.7
+    out = sim.mmr_rerank(emb, shortlist_n=10, k=5, lam=lam).toPandas()
+    short = sim.cosine_topk(emb, k=10).toPandas()
+    # pairwise sims among shortlist members, via the operator's own
+    # recipe (re-using cosine_topk against the full set would change
+    # the rounding path): join vectors and fold in numpy mirrors the
+    # expression fold only approximately, so read them from a tiny
+    # Spark job instead.
+    from pyield_spark.functions.numbers import pround_expr
+    from pyield_spark.operators.similarity import dot_dec, norm_sq_dec
+
+    base = emb.select(
+        F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+    ).withColumn("_n2", norm_sq_dec(F.col("_v")))
+    a = base.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_av"), F.col("_n2").alias("_an")
+    )
+    b = base.select(
+        F.col("_id").alias("b"), F.col("_v").alias("_bv"), F.col("_n2").alias("_bn")
+    )
+    ids = set(short.neighbor_id)
+    sims_pd = (
+        a.filter(F.col("a").isin(ids))
+        .crossJoin(b.filter(F.col("b").isin(ids)))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            pround_expr(
+                dot_dec(F.col("_av"), F.col("_bv"))
+                / (F.sqrt(F.col("_an")) * F.sqrt(F.col("_bn"))),
+                6,
+            ).alias("s"),
+        )
+        .toPandas()
+    )
+    smap = {(r.a, r.b): r.s for r in sims_pd.itertuples()}
+    for qid, grp in out.groupby("query_id"):
+        grp = grp.sort_values("mmr_rank")
+        p1 = grp.neighbor_id.iloc[0]
+        p2 = grp.neighbor_id.iloc[1]
+        sl = short[short.query_id == qid]
+        rel = dict(zip(sl.neighbor_id, sl.cosine))
+        best, best_key = None, None
+        for c in sorted(rel):
+            if c == p1:
+                continue
+            mmr = lam * rel[c] - (1.0 - lam) * smap[(c, p1)]
+            key = (-mmr, c)
+            if best_key is None or key < best_key:
+                best, best_key = c, key
+        assert p2 == best, f"query {qid}: rank-2 pick {p2} != argmax {best}"
+    assert isinstance(out, pd.DataFrame)
