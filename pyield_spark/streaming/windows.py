@@ -543,3 +543,83 @@ def running_totals_tws(
             timeMode="None",
         )
     )
+
+
+def foreach_batch_index_add(
+    batches: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    drift: str = "warn",
+    drift_tol: float = 0.0,
+):
+    """Streaming ANN index ingestion — the ``foreachBatch`` body around
+    ``operators/similarity.py::sq8_index_add``: each micro-batch of
+    vectors encodes against the persisted index's FROZEN per-dimension
+    stats and appends, so a live embedding feed maintains the same
+    index an offline rebuild would produce (the FAISS add-vs-search
+    split, now fed by Structured Streaming).
+
+    Contract:
+
+    - the index must be BOOTSTRAPPED offline first (``sq8_encode`` on a
+      seed corpus, written to ``index_path``) — the seed fixes the
+      stats; an empty path raises rather than silently training on
+      whatever micro-batch arrives first (stats would then depend on
+      file-discovery order);
+    - idempotent under at-least-once replay: batch ids already present
+      in the index are anti-joined away before encoding, so a replayed
+      micro-batch converges instead of duplicating rows — and because
+      frozen-stats encoding is per-row, the final index is independent
+      of micro-batch boundaries AND order (test-pinned against the
+      single-shot ``sq8_index_add`` of the concatenated remainder);
+    - the ``bits`` build parameter is cross-checked against the schema
+      metadata ``sq8_encode`` stamped on ``_codes`` — Spark persists
+      column metadata through parquet, so the build-vs-serve guard
+      survives the round trip;
+    - same crash-safe swap discipline as :func:`foreach_batch_upsert`
+      (target/._old two-rename protocol; on plain parquet the append
+      is a rewrite — with Delta/Iceberg the body becomes a true
+      append of only the new rows).
+
+    Returns the configured ``DataStreamWriter`` (caller picks trigger
+    and calls ``.start()``).
+    """
+    import os
+    import shutil
+
+    from pyield_spark.operators.similarity import sq8_index_add
+
+    spark = batches.sparkSession
+    old_path = index_path + "._old"
+
+    def _restore_then_current() -> str | None:
+        if not os.path.isdir(index_path) and os.path.isdir(old_path):
+            os.rename(old_path, index_path)
+        return index_path if os.path.isdir(index_path) else None
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if _restore_then_current() is None:
+            raise ValueError(
+                "foreach_batch_index_add: no index at "
+                f"{index_path!r} — bootstrap with sq8_encode first"
+            )
+        cur = spark.read.parquet(index_path)
+        fresh = batch_df.join(
+            cur.select(F.col("_vid").alias(id_col)), id_col, "left_anti"
+        )
+        merged = sq8_index_add(
+            cur, fresh, id_col, vec_col, dim,
+            drift=drift, drift_tol=drift_tol, bits=bits,
+        )
+        tmp = index_path + "._tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.isdir(index_path):
+            os.rename(index_path, old_path)
+        os.rename(tmp, index_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+
+    return batches.writeStream.foreachBatch(handle)

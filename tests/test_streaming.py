@@ -437,3 +437,68 @@ def test_upsert_crash_during_recovered_swap_preserves_state(
     got = {r.user_id for r in spark.read.parquet(target).collect()}
     assert got == full
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_index_add_matches_batch(spark, sf_dir):
+    """Streaming SQ8 ingestion (foreach_batch_index_add) converges to
+    the single-shot sq8_index_add of the concatenated remainder —
+    frozen-stats encoding is per-row, so micro-batch boundaries and
+    file-discovery order don't matter; a full at-least-once REPLAY
+    of the stream leaves the index unchanged (anti-join idempotency)."""
+    import os
+    import shutil
+
+    from pyield_spark.operators.similarity import sq8_encode, sq8_index_add
+    from pyield_spark.streaming.windows import foreach_batch_index_add
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".stream_cache",
+        "index_add_test",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "batches")
+    index_path = os.path.join(base, "index")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+
+    # bootstrap offline (the seed fixes the frozen stats)
+    sq8_encode(seed).write.parquet(index_path)
+
+    # three micro-batch files, written separately so the file source
+    # triggers three epochs
+    for lo, hi in ((250, 330), (330, 420), (420, 10**9)):
+        rest.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            foreach_batch_index_add(stream, index_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def snap(df):
+        return {
+            r._vid: (tuple(r._codes), tuple(r._mn), tuple(r._mx))
+            for r in df.select("_vid", "_codes", "_mn", "_mx").collect()
+        }
+
+    got = snap(spark.read.parquet(index_path))
+    want = snap(sq8_index_add(sq8_encode(seed), rest))
+    assert got == want
+
+    # replay: a fresh run over the same files must be a no-op
+    run_stream()
+    assert snap(spark.read.parquet(index_path)) == got
