@@ -1616,6 +1616,7 @@ def mmr_rerank(
     shortlist_n: int = 10,
     k: int = 5,
     lam: float = 0.7,
+    shortlist: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell &
     Goldstein, SIGIR 1998) of the cosine shortlist: greedily select k
@@ -1644,11 +1645,22 @@ def mmr_rerank(
 
     Returns (query_id, mmr_rank 1..k, neighbor_id, relevance,
     mmr_score); rank-1 score is λ·rel (empty-set penalty = 0).
+
+    ``shortlist=None`` retrieves via the brute :func:`cosine_topk` —
+    the by-contract exact baseline (measured 265 s of the 285 s 100×
+    lap). At scale pass a PRUNED shortlist instead — any frame with
+    (query_id, neighbor_id, cosine), e.g. ``sq8_topk(...,
+    n_centroids=…, index=…)``'s output — and the MMR stage itself is
+    the only cost (the pairwise sims still come exact from ``emb``).
     """
     from pyield_spark.functions.numbers import pround_expr
     from pyspark.sql import Window
 
-    short = cosine_topk(emb, id_col, vec_col, query_pred, k=shortlist_n)
+    short = (
+        shortlist.select("query_id", "neighbor_id", "cosine")
+        if shortlist is not None
+        else cosine_topk(emb, id_col, vec_col, query_pred, k=shortlist_n)
+    )
     base = emb.select(
         F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
     ).withColumn("_bnorm2", norm_sq_dec(F.col("_bvec")))
@@ -1656,6 +1668,12 @@ def mmr_rerank(
         short.select("query_id", "neighbor_id", F.col("cosine").alias("relevance"))
         .join(base, F.col("neighbor_id") == F.col("_bid"))
         .drop("_bid")
+        # the retrieval subtree (brute/pruned corpus scan) feeds the
+        # sim table AND every unrolled step below — without a cut each
+        # step re-executes the scan (~2k-per-query output, so the cut
+        # is tiny; measured: the 100× lap re-ran the 10M-pair brute
+        # scan ~9× before this checkpoint)
+        .localCheckpoint(eager=False)
     )
     a = cand.select(
         "query_id",

@@ -100,3 +100,21 @@ def test_greedy_step_invariant(spark, sf_dir):
                 best, best_key = c, key
         assert p2 == best, f"query {qid}: rank-2 pick {p2} != argmax {best}"
     assert isinstance(out, pd.DataFrame)
+
+
+def test_explicit_shortlist_matches_default(spark, sf_dir):
+    """Passing the brute shortlist explicitly reproduces the default
+    path exactly — the seam the pruned ladder plugs into."""
+    emb = _emb(spark, sf_dir)
+    sl = sim.cosine_topk(emb, k=10)
+    got = (
+        sim.mmr_rerank(emb, shortlist=sl)
+        .orderBy("query_id", "mmr_rank")
+        .collect()
+    )
+    want = (
+        sim.mmr_rerank(emb, shortlist_n=10)
+        .orderBy("query_id", "mmr_rank")
+        .collect()
+    )
+    assert got == want

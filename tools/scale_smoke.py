@@ -7,8 +7,8 @@ Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
 (ops: bd interp interp_skew asof asof_ungrouped asof_broadcast minhash
 bootstrap lm futuro composites leiloes semantic neardup cc_chain
 cc_clique totalret mensal bm25 pack ivfpq ivfpq_trained warehouse
-sessionize curation simclusters sq8 hybrid hybrid_pruned bpe —
-default all;
+sessionize curation simclusters sq8 hybrid hybrid_pruned bpe
+countmin clf mmr — default all;
 leiloes/semantic/neardup select individual members of the composites
 set)
 """
@@ -74,6 +74,9 @@ KNOWN_OPS = {
     # round-10: BPE token counting at FACTOR× documents (vocabulary is
     # corpus-size-independent, so the merge-fold cost must not scale)
     "bpe",
+    # round-10 (cont.): Count-Min grid build+probe, classifier serve,
+    # MMR rerank with a fixed query workload
+    "countmin", "clf", "mmr",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -106,8 +109,9 @@ def timed(name, fn):
 def main():
     spark = get_session("scale_smoke")
     needs_tables = not ONLY or bool(
-        ONLY - {"cc_chain", "cc_clique"}
-    )  # cc ops generate their own edges via spark.range
+        ONLY - {"cc_chain", "cc_clique", "countmin", "clf", "mmr"}
+    )  # cc ops generate their own edges via spark.range; the
+    # countmin/clf/mmr laps read only documents/embeddings
     li = od = None
     if needs_tables:
         li = replicate(spark.read.parquet(f"{SF}/lineitem.parquet"), ["l_orderkey"])
@@ -622,9 +626,11 @@ def main():
         want("simclusters") or want("sq8") or want("hybrid")
         or want("hybrid_pruned")
     )
+    run_r10 = want("countmin") or want("clf") or want("mmr")
     if not (
         run_leiloes or run_semantic or run_neardup
         or run_warehouse or run_sessionize or run_curation or run_r9
+        or run_r10
     ):
         return
     scaled_dir = tempfile.mkdtemp(prefix="scale_sfx_")
@@ -886,6 +892,103 @@ def main():
                 index=hp_holder["idx"],
             ).count(),
         )
+
+    # round-10: Count-Min at FACTOR× documents — the grid stays d×w
+    # rows no matter the corpus (the entire point of the sketch), so
+    # build cost must track the explode+groupBy and the probe must stay
+    # a broadcast lookup. Replication multiplies counts, not items (the
+    # honest vocabulary shape); the probe estimates EVERY distinct gram.
+    if want("countmin"):
+        from pyield_spark.operators import sketch as sk
+        from pyield_spark.operators.dedup import ngrams_expr
+        from pyield_spark.operators.text import tokens_expr
+
+        cm_docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            ["doc_id"],
+        )
+        cm_occ = cm_docs.select(
+            F.explode(
+                F.concat(tokens_expr(F.col("text")), ngrams_expr(F.col("text"), 3))
+            ).alias("gram")
+        )
+        cm_holder = {}
+
+        def _cm_build():
+            cm_holder["grid"] = sk.countmin_build(cm_occ, "gram").localCheckpoint()
+            return cm_holder["grid"].count()
+
+        timed(f"countmin_build_{FACTOR}x", _cm_build)
+        timed(
+            f"countmin_probe_{FACTOR}x",
+            lambda: sk.countmin_estimate(
+                cm_occ.groupBy("gram").agg(F.count("*").alias("exact")),
+                "gram",
+                cm_holder["grid"],
+            ).count(),
+        )
+
+    # round-10: classifier serve at FACTOR× documents — map-only
+    # expression arithmetic; wall must track the scan, no shuffle.
+    if want("clf"):
+        from pyield_spark.operators import classifier as clf
+        from pyield_spark.queries.clf_artifact import CLF_WEIGHTS
+
+        clf_docs = replicate(
+            spark.read.parquet(f"{SF}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            ["doc_id"],
+        )
+
+        def _clf():
+            p = clf.logreg_prob(CLF_WEIGHTS, clf.clf_features("text"))
+            return clf_docs.select("doc_id", p.alias("p")).filter(
+                F.col("p") >= 0.5
+            ).count()
+
+        timed(f"clf_serve_{FACTOR}x", _clf)
+
+    # round-10: MMR rerank at FACTOR× vectors, FIXED 20-query workload
+    # — the scaling term is the shortlist retrieval (brute cosine by
+    # contract; the IVF/SQ8 ladder swaps in at deployment); the k−1
+    # unrolled greedy steps run on constant-size shortlists.
+    if want("mmr"):
+        from pyield_spark.operators.similarity import mmr_rerank
+
+        mmr_emb = replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        )
+        mmr_pred = (F.col("_vid") < 2000) & (F.col("_vid") % 100 == 0)
+        timed(
+            f"mmr_rerank_brute_{FACTOR}x",
+            lambda: mmr_rerank(mmr_emb, query_pred=mmr_pred).count(),
+        )
+        # pruned serve: shortlist from the IVF-SQ8 ladder (persisted
+        # index), MMR itself is then the only marginal cost — the
+        # brute row above is 93% retrieval (265 of 285 s measured)
+        from pyield_spark.operators.similarity import (
+            ivf_assign,
+            sq8_encode,
+            sq8_topk,
+        )
+
+        mmr_idx = ivf_assign(sq8_encode(mmr_emb), 16).localCheckpoint()
+        mmr_idx.count()
+
+        def _mmr_pruned():
+            sl = sq8_topk(
+                mmr_emb, query_pred=mmr_pred, k=10, refine=40,
+                index=mmr_idx, n_centroids=16, n_probe=4,
+            )
+            return mmr_rerank(mmr_emb, shortlist=sl).count()
+
+        timed(f"mmr_rerank_ivf_sq8_{FACTOR}x", _mmr_pruned)
 
     # Gap-based sessionization at FACTOR× events / FACTOR× users: one
     # user-key window (lag + cumulative session counter) + the
