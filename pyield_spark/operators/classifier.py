@@ -74,13 +74,16 @@ def clf_features(text: str | Column) -> list[Column]:
     ]
 
 
-def clf_features_sql_duck(toks_sql: str, sw_list_sql: str) -> list[str]:
+def clf_features_sql_duck(
+    toks_sql: str, sw_list_sql: str, text_sql: str = "text"
+) -> list[str]:
     """DuckDB twins of :func:`clf_features` — same counts, same single
     divisions, same power-of-two scales (exponent-notation literals so
-    nothing parses as DECIMAL)."""
+    nothing parses as DECIMAL). ``text_sql`` must be the same column
+    ``toks_sql`` tokenizes (the Spark side takes one column for both)."""
     n_tok = f"len({toks_sql})"
     sw = f"len(list_filter({toks_sql}, t -> list_contains({sw_list_sql}, t)))"
-    chars = "length(regexp_replace(trim(text), '\\s+', '', 'g'))"
+    chars = f"length(regexp_replace(trim({text_sql}), '\\s+', '', 'g'))"
     return [
         "1.0e0",
         f"{n_tok} / 1.28e2",
@@ -137,11 +140,12 @@ def logreg_prob_sql_duck(weights: list[float], feat_sqls: list[str]) -> str:
     6-decimal portable round."""
     if len(weights) != len(feat_sqls):
         raise ValueError(f"{len(weights)} weights for {len(feat_sqls)} features")
+    from pyield_spark.queries.oracle_helpers import pround_sql
+
     z = f"{_dbl(weights[0])} * ({feat_sqls[0]})"
     for w, f in zip(weights[1:], feat_sqls[1:]):
         z = f"({z}) + {_dbl(w)} * ({f})"
-    p = f"1.0e0 / (1.0e0 + exp(-({z})))"
-    return f"sign({p}) * floor(abs({p}) * 1000000.0 + 0.5) / 1000000.0"
+    return pround_sql(f"1.0e0 / (1.0e0 + exp(-({z})))", 6)
 
 
 def logreg_train(
@@ -166,10 +170,11 @@ def logreg_train(
     if n == 0:
         raise ValueError("empty training frame")
     w = [0.0] * len(feats)
+    fcols = [F.col(f"_f{j}") for j in range(len(feats))]
     for _ in range(iters):
-        z: Column = F.lit(w[0]) * F.col("_f0")
-        for j in range(1, len(w)):
-            z = z + F.lit(w[j]) * F.col(f"_f{j}")
+        # the SAME fold as serving (_logit): training and serving must
+        # never decouple in fp op order
+        z = _logit(w, fcols)
         err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
         grads = base.agg(
             *[

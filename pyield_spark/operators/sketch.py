@@ -77,22 +77,53 @@ def _position_rows(item: Column, w: int, d: int) -> Column:
     )
 
 
+def _check_grid_shape(grid: DataFrame, w: int, d: int, what: str) -> None:
+    """Plan-time build-vs-serve guard (the sq8_encode ``bits`` metadata
+    convention): a grid probed or merged with a different (w, d) would
+    silently read absent cells as 0 — UNDER-estimating, breaking the
+    one-sided contract — so a recorded mismatch raises. Best-effort:
+    grids from sources that drop metadata skip the check."""
+    try:
+        meta = grid.schema["cnt"].metadata or {}
+    except Exception:
+        return
+    got = (meta.get("w"), meta.get("d"))
+    if got != (None, None) and got != (w, d):
+        raise ValueError(
+            f"{what}: grid was built with (w, d)={got}, called with "
+            f"({w}, {d}) — estimates would silently under-count"
+        )
+
+
 def countmin_build(
-    df: DataFrame, item: str, w: int = WIDTH, d: int = DEPTH
+    df: DataFrame,
+    item: str,
+    w: int = WIDTH,
+    d: int = DEPTH,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Build the counter grid ``(row int, pos int, cnt long)`` from one
-    occurrence row per item instance — ≤ d·w output rows.
+    occurrence row per item instance — ≤ d·w output rows; the grid's
+    (w, d) is stamped in the ``cnt`` column metadata so a mismatched
+    probe/merge raises instead of silently under-counting.
 
     Per-item partial counts first (map-side combinable; distinct items
     ≪ occurrences bounds the d-fold expansion), then the d-way cell
-    fan-out and the cell-wise sum."""
-    counts = df.groupBy(item).agg(F.count("*").alias("_c"))
+    fan-out and the cell-wise sum. Pass ``count_col`` when ``df``
+    ALREADY holds one row per item with its count (e.g. a candidate
+    table computed anyway) — the pre-aggregation is skipped and the
+    occurrence stream is never rescanned."""
+    if count_col is None:
+        counts = df.groupBy(item).agg(F.count("*").alias("_c"))
+    else:
+        counts = df.select(item, F.col(count_col).cast("long").alias("_c"))
     cells = counts.select(
         F.explode(_position_rows(F.col(item), w, d)).alias("_rp"), "_c"
     )
     return (
         cells.groupBy(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
         .agg(F.sum("_c").alias("cnt"))
+        .withMetadata("cnt", {"w": w, "d": d})
     )
 
 
@@ -100,13 +131,35 @@ def countmin_merge(*sketches: DataFrame) -> DataFrame:
     """Cell-wise sum of equal-shape grids — the persist-then-regroup
     path: per-partition/per-day sketches union-merge without touching
     the fact table again. ``merge(build(a), build(b)) == build(a ∪ b)``
-    bit-exactly (test-pinned)."""
+    bit-exactly (test-pinned). Mixed-shape grids raise via the
+    recorded (w, d) metadata."""
     if not sketches:
         raise ValueError("countmin_merge needs at least one sketch")
+    shape = None
+    for sk in sketches:
+        try:
+            meta = sk.schema["cnt"].metadata or {}
+        except Exception:
+            meta = {}
+        got = (meta.get("w"), meta.get("d"))
+        if got == (None, None):
+            continue
+        if shape is None:
+            shape = got
+        elif got != shape:
+            raise ValueError(
+                f"countmin_merge: grid shapes differ ({shape} vs {got}) — "
+                "cell-wise sums across shapes are meaningless"
+            )
     out = sketches[0]
     for sk in sketches[1:]:
         out = out.unionByName(sk)
-    return out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+    merged = out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+    if shape is not None:
+        # re-stamp: metadata propagation through union/groupBy is not
+        # contractual across Spark versions
+        merged = merged.withMetadata("cnt", {"w": shape[0], "d": shape[1]})
+    return merged
 
 
 def countmin_estimate(
@@ -125,7 +178,9 @@ def countmin_estimate(
     costs one explode + map-only lookups + a per-candidate min; the
     candidate stream is never shuffled against the corpus. Candidate
     rows must be unique per ``item``; extra payload columns ride
-    through as grouping keys (no re-join against the candidate side)."""
+    through as grouping keys (no re-join against the candidate side).
+    A (w, d) different from the grid's recorded build shape raises."""
+    _check_grid_shape(sketch, w, d, "countmin_estimate")
     payload = list(candidates.columns)
     cells = candidates.select(
         *payload, F.explode(_position_rows(F.col(item), w, d)).alias("_rp")

@@ -614,8 +614,16 @@ def q_heavy_hitters(spark, sf_dir):
             F.concat(tokens_expr(F.col("text")), ngrams_expr(F.col("text"), 3))
         ).alias("gram")
     )
-    grid = sk.countmin_build(occ, "gram", _CM_W, _CM_D)
-    cand = occ.groupBy("gram").agg(F.count("*").alias("exact_count"))
+    # ONE corpus scan: the exact candidate table (needed anyway as the
+    # verification twin) doubles as the build input via count_col — the
+    # tokenize+explode subtree is never re-executed (review finding);
+    # the lazy checkpoint cuts the shared subtree for the two consumers
+    cand = (
+        occ.groupBy("gram")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
+    grid = sk.countmin_build(cand, "gram", _CM_W, _CM_D, count_col="exact_count")
     est = sk.countmin_estimate(cand, "gram", grid, _CM_W, _CM_D)
     return (
         est.select(

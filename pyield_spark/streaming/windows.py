@@ -607,7 +607,10 @@ def foreach_batch_index_add(
                 f"{index_path!r} — bootstrap with sq8_encode first"
             )
         cur = spark.read.parquet(index_path)
-        fresh = batch_df.join(
+        # null ids would defeat the replay-idempotency anti-join below
+        # (NULL never equi-matches, so the same row re-appends on every
+        # at-least-once replay) — drop them before the seen-id filter
+        fresh = batch_df.filter(F.col(id_col).isNotNull()).join(
             cur.select(F.col("_vid").alias(id_col)), id_col, "left_anti"
         )
         merged = sq8_index_add(

@@ -98,3 +98,24 @@ def test_probe_plan_broadcasts_grid(spark, sf_dir):
 def test_countmin_merge_rejects_empty():
     with pytest.raises(ValueError):
         sk.countmin_merge()
+
+
+def test_shape_guard_and_count_col(spark, sf_dir):
+    """(w,d) is stamped at build: a mismatched probe or merge raises
+    instead of silently under-counting; and building from a
+    pre-counted candidate table (count_col=) is cell-identical to
+    building from the occurrence stream."""
+    occ = _occ(spark, sf_dir)
+    grid = sk.countmin_build(occ, "gram", 256, 3)
+    cand = occ.groupBy("gram").agg(F.count("*").alias("exact"))
+    with pytest.raises(ValueError, match="under-count"):
+        sk.countmin_estimate(cand, "gram", grid, 1024, 4)
+    other = sk.countmin_build(occ, "gram", 128, 3)
+    with pytest.raises(ValueError, match="shapes differ"):
+        sk.countmin_merge(grid, other)
+
+    from_counts = sk.countmin_build(cand, "gram", 256, 3, count_col="exact")
+    diff = grid.join(from_counts, ["row", "pos"], "full").filter(
+        ~(grid["cnt"] == from_counts["cnt"])
+    )
+    assert diff.count() == 0
