@@ -101,6 +101,7 @@ def countmin_build(
     w: int = WIDTH,
     d: int = DEPTH,
     count_col: str | None = None,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Build the counter grid ``(row int, pos int, cnt long)`` from one
     occurrence row per item instance — ≤ d·w output rows; the grid's
@@ -112,16 +113,24 @@ def countmin_build(
     fan-out and the cell-wise sum. Pass ``count_col`` when ``df``
     ALREADY holds one row per item with its count (e.g. a candidate
     table computed anyway) — the pre-aggregation is skipped and the
-    occurrence stream is never rescanned."""
+    occurrence stream is never rescanned. ``by`` builds one grid per
+    group (the fine level of the rollup pattern: per-day/per-source
+    grids persist, then :func:`countmin_merge` or a plain cell sum
+    regroups them without rescanning the fact table — Count-Min's
+    linearity makes the merged grid IDENTICAL to a direct global
+    build)."""
+    by = list(by) if by else []
     if count_col is None:
-        counts = df.groupBy(item).agg(F.count("*").alias("_c"))
+        counts = df.groupBy(*by, item).agg(F.count("*").alias("_c"))
     else:
-        counts = df.select(item, F.col(count_col).cast("long").alias("_c"))
+        counts = df.select(*by, item, F.col(count_col).cast("long").alias("_c"))
     cells = counts.select(
-        F.explode(_position_rows(F.col(item), w, d)).alias("_rp"), "_c"
+        *by, F.explode(_position_rows(F.col(item), w, d)).alias("_rp"), "_c"
     )
     return (
-        cells.groupBy(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
+        cells.groupBy(
+            *by, F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos")
+        )
         .agg(F.sum("_c").alias("cnt"))
         .withMetadata("cnt", {"w": w, "d": d})
     )

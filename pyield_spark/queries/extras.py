@@ -543,6 +543,11 @@ def q_kll_quantiles(spark, sf_dir):
 
 from pyield_spark.queries.llm_data import _TOKS as _CM_TOKS  # noqa: E402
 
+
+def _cm_toks() -> str:
+    return _CM_TOKS
+
+
 _CM_W, _CM_D = 1024, 4
 _CM_H1 = "CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)"
 _CM_H2 = "CAST(concat('0x', substr(md5(gram), 9, 8)) AS BIGINT)"
@@ -635,3 +640,69 @@ def q_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("est_count").desc(), F.col("gram").asc())
         .limit(15)
     )
+
+
+# --- Count-Min rollup: fine per-source grids → coarse merge ---------------
+
+_CMR_W, _CMR_D = 64, 3
+_CMR_POS = ", ".join(
+    f"(({_CM_H1.replace('shingle', 'gram')} + {i} * "
+    f"(2 * {_CM_H2.replace('shingle', 'gram')} + 1)) % {_CMR_W})"
+    for i in range(_CMR_D)
+)
+
+
+@query(
+    "q_countmin_rollup",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest({_cm_toks()}) AS gram FROM documents
+    ),
+    tc AS (SELECT gram, CAST(count(*) AS BIGINT) AS exact_count
+           FROM occ GROUP BY gram),
+    pe AS (SELECT gram, exact_count,
+                  unnest([{_CMR_POS}]) AS pos,
+                  unnest([{", ".join(str(i) for i in range(_CMR_D))}]) AS row
+           FROM tc),
+    cm AS (SELECT row, pos, SUM(exact_count) AS cnt
+           FROM pe GROUP BY row, pos)
+    SELECT p.gram,
+           CAST(MIN(c.cnt) AS BIGINT) AS est_count,
+           p.exact_count,
+           CAST(MIN(c.cnt) - p.exact_count AS BIGINT) AS overcount
+    FROM pe p JOIN cm c ON c.row = p.row AND c.pos = p.pos
+    GROUP BY p.gram, p.exact_count
+    ORDER BY gram
+    """,
+)
+def q_countmin_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup, hash-EXACT edition: the Spark side
+    builds one Count-Min grid PER SOURCE (the fine per-partition/
+    per-day job: `countmin_build(by=["source"])`), union-merges the 20
+    grids to the coarse level (`countmin_merge` — no rescan of the
+    corpus), and estimates every token; the DuckDB oracle builds the
+    GLOBAL grid directly. The two agree bit-for-bit because Count-Min
+    is linear (cell sums commute with grouping) — so, unlike
+    `q_sketch_rollup`'s bounds-flag HLL twin, the MERGE STEP ITSELF is
+    inside the value-hash gate: any cell the merge got wrong would
+    shift a min and fail the driver compare.
+
+    Unigram domain at a deliberately tight 3×64 grid (31 items vs 192
+    counters: visible collision overcounts the min must fight)."""
+    from pyield_spark.operators import sketch as sk
+    from pyield_spark.operators.text import tokens_expr
+
+    docs = tables(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("gram")
+    )
+    fine = sk.countmin_build(occ, "gram", _CMR_W, _CMR_D, by=["source"])
+    merged = sk.countmin_merge(fine.select("row", "pos", "cnt"))
+    cand = occ.groupBy("gram").agg(F.count("*").alias("exact_count"))
+    est = sk.countmin_estimate(cand, "gram", merged, _CMR_W, _CMR_D)
+    return est.select(
+        "gram",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    ).orderBy("gram")

@@ -119,3 +119,21 @@ def test_shape_guard_and_count_col(spark, sf_dir):
         ~(grid["cnt"] == from_counts["cnt"])
     )
     assert diff.count() == 0
+
+
+def test_grouped_build_merges_to_global(spark, sf_dir):
+    """by= grids are the fine rollup level: cell-summing the per-source
+    grids reproduces the directly-built global grid exactly (Count-Min
+    linearity — the q_countmin_rollup contract)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("gram")
+    )
+    fine = sk.countmin_build(occ, "gram", 64, 3, by=["source"])
+    assert fine.select("source").distinct().count() > 1
+    merged = sk.countmin_merge(fine.select("row", "pos", "cnt"))
+    direct = sk.countmin_build(occ.select("gram"), "gram", 64, 3)
+    diff = merged.join(direct, ["row", "pos"], "full").filter(
+        ~(merged["cnt"] == direct["cnt"])
+    )
+    assert diff.count() == 0
