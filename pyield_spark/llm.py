@@ -94,6 +94,8 @@ similarity = SimpleNamespace(
     sq8_topk=_sim.sq8_topk,  # n_centroids= composes IVF-SQ8
     hard_negatives=_sim.hard_negatives,
     mmr_rerank=_sim.mmr_rerank,
+    rp_project=_sim.rp_project_expr,
+    rp_topk=_sim.rp_topk,
 )
 
 text = SimpleNamespace(

@@ -1763,3 +1763,151 @@ def mmr_rerank(
         # AFTER auto-broadcast choices, which don't occur here)
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected
+
+
+# --- random-projection (Johnson–Lindenstrauss) rung ----------------------
+
+RP_OUT_DIM = 16
+
+
+def _rp_weight(p: int, i) -> Column:
+    """Portable pseudo-random projection weight w(p,i) = ((2750161·p +
+    611953·i) mod 101) − 50 — a fixed integer family ≈ centered uniform
+    on [−50, 50] (the sign-LSH plane recipe with distinct primes, so
+    the two families stay uncorrelated). Any engine replays it
+    exactly; JL only needs a sub-gaussian family, not true
+    randomness."""
+    return (((F.lit(2750161 * p) + F.lit(611953) * i) % 101) - 50).cast("double")
+
+
+def rp_project_expr(vec: Column, out_dim: int = RP_OUT_DIM, in_dim: int = 64) -> Column:
+    """Project to ``out_dim`` dims: y_p = Σ_i x_i·w(p,i), sequential
+    fold in ascending i (the order is part of the cross-engine
+    contract). Map-only — persist the projected corpus once (the
+    ingest half) and the serve scan reads out_dim/in_dim of the
+    floats."""
+    v = _as_double(vec)
+
+    def _proj(p: int) -> Column:
+        # closure factory: a `p=p` default would change the lambda's
+        # arity and break zip_with's 2-arg HOF contract
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(in_dim - 1)),
+                lambda x, i: x * _rp_weight(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array(*[_proj(p) for p in range(out_dim)])
+
+
+def rp_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+    refine: int | None = None,
+    out_dim: int = RP_OUT_DIM,
+    in_dim: int = 64,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k cosine ANN through a Johnson–Lindenstrauss random
+    projection: candidates rank by cosine in the ``out_dim``-d
+    projected space (out_dim/in_dim of the multiply-adds of the brute
+    scan — the dimensionality-reduction rung of the ladder, orthogonal
+    to the quantization rungs: SQ shrinks bytes per dim, RP shrinks
+    DIMS), the ``refine`` (default 4k) best rescore exactly by key
+    re-join, final rank on the exact cosine.
+
+    ``index=`` takes a persisted projection (``rp_project_expr`` over
+    the corpus — the ingest half); the default projects inline.
+    Shortlist is slimmed to (query_id, id, score) before the ranking
+    window — vectors re-join by key at the refine (the ivfpq/sq8
+    discipline). Exact in the projected ordering; recall vs the brute
+    scan is the JL distortion (see tools/ann_recall.py rows).
+
+    Cites FAISS's ``PCAMatrix``/``RandomRotationMatrix`` pre-transform
+    stage as the public precedent (a VectorTransform before the
+    index); the fixed integer family replaces the stored float matrix
+    so the oracle replays bit-exactly.
+    """
+    if refine is None:
+        refine = 4 * k
+    from pyield_spark.functions.numbers import pround_expr
+    from pyspark.sql import Window
+
+    if index is not None:
+        base = index
+    else:
+        base = emb.select(
+            F.col(id_col).alias("_vid"),
+            F.col(vec_col).alias("_vec"),
+            rp_project_expr(F.col(vec_col), out_dim, in_dim).alias("_rvec"),
+        ).withColumn("_rnorm2", norm_sq_dec(F.col("_rvec")))
+    queries = base.filter(
+        query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
+    ).select(
+        F.col("_vid").alias("query_id"),
+        F.col("_rvec").alias("_qrvec"),
+        F.col("_rnorm2").alias("_qrnorm2"),
+        F.col("_vec").alias("_qvec"),
+    )
+    pairs = queries.select("query_id", "_qrvec", "_qrnorm2").crossJoin(
+        base.select("_vid", "_rvec", "_rnorm2")
+    ).filter(F.col("_vid") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "_vid",
+        pround_expr(
+            dot_dec(F.col("_qrvec"), F.col("_rvec"))
+            / (F.sqrt(F.col("_qrnorm2")) * F.sqrt(F.col("_rnorm2"))),
+            6,
+        ).alias("rp_cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rp_cosine").desc(), F.col("_vid").asc()
+    )
+    short = (
+        scored.filter(~F.isnan("rp_cosine"))
+        .withColumn("_rr", F.row_number().over(wr))
+        .filter(F.col("_rr") <= refine)
+    )
+    exact_side = emb.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_evec")
+    ).withColumn("_enorm2", norm_sq_dec(F.col("_evec")))
+    qexact = queries.select(
+        "query_id", F.col("_qvec").alias("_qevec")
+    ).withColumn("_qenorm2", norm_sq_dec(F.col("_qevec")))
+    refined = (
+        short.join(exact_side, "_vid")
+        .join(qexact, "query_id")
+        .select(
+            "query_id",
+            "_vid",
+            "rp_cosine",
+            pround_expr(
+                dot_dec(F.col("_qevec"), F.col("_evec"))
+                / (F.sqrt(F.col("_qenorm2")) * F.sqrt(F.col("_enorm2"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_vid").asc()
+    )
+    return (
+        refined.filter(~F.isnan("cosine"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("_vid").alias("neighbor_id"),
+            "rp_cosine",
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

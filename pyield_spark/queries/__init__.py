@@ -85,6 +85,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_quality_classifier",    # trained LR filter from pinned artifact
     "q_mmr_rerank",            # unrolled greedy MMR diversification
     "q_countmin_rollup",       # fine->coarse grid merge, hash-exact
+    "q_rp_topk",               # JL random-projection ANN rung
     # --- round-10 code-change re-verification ---
     "q_sq8_topk", "q_ivf_sq8",  # bits= generalization + quant factor-out
     "q_hybrid_rrf",            # route/index params around the exact path

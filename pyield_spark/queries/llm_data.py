@@ -1776,3 +1776,90 @@ def q_mmr_rerank(spark, sf_dir):
         emb, "vec_id", "embedding",
         shortlist_n=_MMR_N, k=_MMR_K, lam=_MMR_LAM,
     )
+
+
+# === random-projection (JL) ANN rung (round 10) ==========================
+
+_RP_DIM, _RP_REFINE, _RP_K = 16, 20, 5
+
+
+def _rp_oracle() -> str:
+    """DuckDB replay of rp_topk: same integer weight family, same
+    ascending-i fold, same pround(cosine, 6) in both spaces."""
+    projs = ", ".join(
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+        f" i -> v[i] * CAST(((2750161 * {p} + 611953 * (i - 1)) % 101) - 50"
+        " AS DOUBLE))), (a, b) -> a + b)"
+        for p in range(_RP_DIM)
+    )
+    sq = "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform({c}, x -> x * x)), (a, b) -> a + b)"
+    rdot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, {_RP_DIM + 1}),"
+        " i -> q.rv[i] * b.rv[i])), (a, b) -> a + b)"
+        " / (sqrt(q.rnorm2) * sqrt(b.rnorm2))"
+    )
+    edot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),"
+        " i -> q.v[i] * b.v[i])), (a, b) -> a + b)"
+        " / (sqrt(q.enorm2) * sqrt(b.enorm2))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    proj AS (SELECT vec_id, v, [{projs}] AS rv FROM base),
+    pn AS (
+      SELECT vec_id, v, rv,
+             {sq.format(c="rv")} AS rnorm2,
+             {sq.format(c="v")} AS enorm2
+      FROM proj
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS nid,
+             {pround_sql(rdot, 6)} AS rp_cosine
+      FROM pn q JOIN pn b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    short AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rp_cosine DESC, nid) AS rr
+        FROM pairs WHERE NOT isnan(rp_cosine))
+      WHERE rr <= {_RP_REFINE}
+    ),
+    ref AS (
+      SELECT s.query_id, s.nid, s.rp_cosine,
+             {pround_sql(edot, 6)} AS cosine
+      FROM short s
+      JOIN pn q ON q.vec_id = s.query_id
+      JOIN pn b ON b.vec_id = s.nid
+    )
+    SELECT query_id, nid AS neighbor_id, rp_cosine, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, nid) AS rnk
+          FROM ref WHERE NOT isnan(cosine))
+    WHERE rnk <= {_RP_K}
+    """
+
+
+@query("q_rp_topk", oracle=_rp_oracle())
+def q_rp_topk(spark, sf_dir):
+    """Johnson–Lindenstrauss random-projection ANN — the
+    DIMENSIONALITY-reduction rung of the ladder (SQ shrinks bytes per
+    dim, IVF prunes rows, RP shrinks DIMS: the candidate scan does
+    16/64 of the brute multiply-adds), with the usual exact refine by
+    key re-join. The projection matrix is a fixed portable integer
+    family (the sign-LSH plane recipe, distinct primes), so the DuckDB
+    oracle replays projection, shortlist AND refine bit-exactly —
+    FAISS's PCAMatrix/RandomRotation pre-transform, minus the stored
+    float matrix. Recall on the structure-free corpus is the
+    documented floor (~0.2 — neighbors there differ by margins JL
+    distortion swamps); on the clustered corpus the rung holds 1.000
+    even at out_dim=8, refine=k (tools/ann_recall.py rows in
+    PLANS.md)."""
+    emb = tables(spark, sf_dir, "embeddings")
+    return sim.rp_topk(
+        emb, "vec_id", "embedding",
+        k=_RP_K, refine=_RP_REFINE, out_dim=_RP_DIM,
+    )

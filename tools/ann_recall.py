@@ -88,6 +88,20 @@ def main():
         emb, "vec_id", "embedding", k=K, refine=K, bits=4)) & exact
     ) / len(exact)
     print(f"sq4: refine20={r_s4_20:.3f}  refineK={r_s4_k:.3f}")
+    # RP (r10): Johnson–Lindenstrauss 64→16 projection — the
+    # DIMS-reduction rung (scan does 16/64 of the multiply-adds);
+    # refineK isolates the raw projected-space ordering
+    from pyield_spark.operators.similarity import rp_topk
+
+    r_rp20 = len(pairs(rp_topk(emb, "vec_id", "embedding", k=K, refine=20))
+                 & exact) / len(exact)
+    r_rpk = len(pairs(rp_topk(emb, "vec_id", "embedding", k=K, refine=K))
+                & exact) / len(exact)
+    r_rp8 = len(pairs(rp_topk(
+        emb, "vec_id", "embedding", k=K, refine=20, out_dim=8)) & exact
+    ) / len(exact)
+    print(f"rp16: refine20={r_rp20:.3f}  refineK={r_rpk:.3f}  "
+          f"rp8 refine20={r_rp8:.3f}")
 
     def recall(approx: set) -> float:
         return len(approx & exact) / len(exact)
