@@ -8,7 +8,7 @@ Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [factor] [op ...]
 bootstrap lm futuro composites leiloes semantic neardup cc_chain
 cc_clique totalret mensal bm25 pack ivfpq ivfpq_trained warehouse
 sessionize curation simclusters sq8 hybrid hybrid_pruned bpe
-countmin clf mmr — default all;
+countmin clf mmr rp — default all;
 leiloes/semantic/neardup select individual members of the composites
 set)
 """
@@ -76,7 +76,7 @@ KNOWN_OPS = {
     "bpe",
     # round-10 (cont.): Count-Min grid build+probe, classifier serve,
     # MMR rerank with a fixed query workload
-    "countmin", "clf", "mmr",
+    "countmin", "clf", "mmr", "rp",
 }
 _unknown = ONLY - KNOWN_OPS
 if _unknown:  # a typo'd op would otherwise run NOTHING and exit 0
@@ -109,7 +109,7 @@ def timed(name, fn):
 def main():
     spark = get_session("scale_smoke")
     needs_tables = not ONLY or bool(
-        ONLY - {"cc_chain", "cc_clique", "countmin", "clf", "mmr"}
+        ONLY - {"cc_chain", "cc_clique", "countmin", "clf", "mmr", "rp"}
     )  # cc ops generate their own edges via spark.range; the
     # countmin/clf/mmr laps read only documents/embeddings
     li = od = None
@@ -626,7 +626,9 @@ def main():
         want("simclusters") or want("sq8") or want("hybrid")
         or want("hybrid_pruned")
     )
-    run_r10 = want("countmin") or want("clf") or want("mmr")
+    run_r10 = (
+        want("countmin") or want("clf") or want("mmr") or want("rp")
+    )
     if not (
         run_leiloes or run_semantic or run_neardup
         or run_warehouse or run_sessionize or run_curation or run_r9
@@ -989,6 +991,46 @@ def main():
             return mmr_rerank(mmr_emb, shortlist=sl).count()
 
         timed(f"mmr_rerank_ivf_sq8_{FACTOR}x", _mmr_pruned)
+
+    # round-10: JL random-projection rung at FACTOR× vectors, fixed
+    # 20-query workload — ingest (project+persist) once, serve scans
+    # out_dim/64 of the floats; brute row above is the 64-d baseline
+    if want("rp"):
+        from pyield_spark.operators.similarity import (
+            norm_sq_dec,
+            rp_project_expr,
+            rp_topk,
+        )
+
+        rp_emb = replicate(
+            spark.read.parquet(f"{SF}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        )
+        rp_holder = {}
+
+        def _rp_ingest():
+            rp_holder["idx"] = (
+                rp_emb.select(
+                    F.col("vec_id").alias("_vid"),
+                    F.col("embedding").alias("_vec"),
+                    rp_project_expr(F.col("embedding")).alias("_rvec"),
+                )
+                .withColumn("_rnorm2", norm_sq_dec(F.col("_rvec")))
+                .localCheckpoint()
+            )
+            return rp_holder["idx"].count()
+
+        timed(f"rp_ingest_{FACTOR}x", _rp_ingest)
+        rp_pred = (F.col("_vid") < 2000) & (F.col("_vid") % 100 == 0)
+        timed(
+            f"rp_serve_{FACTOR}x",
+            lambda: rp_topk(
+                rp_emb, query_pred=rp_pred, k=5, refine=20,
+                index=rp_holder["idx"],
+            ).count(),
+        )
 
     # Gap-based sessionization at FACTOR× events / FACTOR× users: one
     # user-key window (lag + cumulative session counter) + the
