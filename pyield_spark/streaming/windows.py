@@ -626,3 +626,102 @@ def foreach_batch_index_add(
         shutil.rmtree(old_path, ignore_errors=True)
 
     return batches.writeStream.foreachBatch(handle)
+
+
+def foreach_batch_countmin(
+    batches: DataFrame,
+    grid_path: str,
+    item: str = "gram",
+    w: int | None = None,
+    d: int | None = None,
+):
+    """Streaming Count-Min maintenance — the canonical streaming-sketch
+    loop: each micro-batch builds its own grid (map-side combinable,
+    ≤ d·w rows) and cell-sum merges into the persisted grid, so a live
+    item feed answers heavy-hitter/frequency queries from bounded
+    state that a batch job can also union with (`countmin_merge` —
+    grids are linear).
+
+    Exactly-once discipline: unlike the index add (idempotent via the
+    seen-id anti-join — ids either exist or they don't), counter MERGE
+    is associative but NOT idempotent — replaying a micro-batch would
+    double-count. ``foreachBatch`` replays carry the same ``epoch_id``,
+    so processed epochs are recorded in a ``_epochs`` sidecar under the
+    grid path and a replayed epoch is skipped — the standard
+    epoch-id-dedup recipe from the Structured Streaming guide, applied
+    to a mergeable sketch. (With a transactional sink the epoch check
+    and the merge would be one atomic commit; on plain parquet the
+    sidecar is written AFTER the swapped grid, so a crash between the
+    two replays the batch into a grid that does not yet record it —
+    at-least-once never under-counts, and the window is one rename.)
+    The dedup keys on ``epoch_id`` alone — the guide's ``batchId``
+    recipe — which assumes ONE checkpointed query lineage per grid: a
+    brand-new query (fresh checkpoint) restarts epochs at 0 and would
+    be skipped against an old sidecar. Point a new lineage at a fresh
+    grid+sidecar, or clear ``._epochs`` when the old lineage is
+    retired.
+
+    (w, d) default to the persisted grid's recorded shape (or the
+    module defaults when bootstrapping); passing a mismatched shape
+    raises via the countmin metadata guard at merge time.
+
+    Returns the configured ``DataStreamWriter`` (caller picks trigger
+    and calls ``.start()``).
+    """
+    import os
+    import shutil
+
+    from pyield_spark.operators import sketch as sk
+
+    spark = batches.sparkSession
+    old_path = grid_path + "._old"
+    epochs_path = grid_path + "._epochs"
+
+    def _restore_then_current() -> str | None:
+        if not os.path.isdir(grid_path) and os.path.isdir(old_path):
+            os.rename(old_path, grid_path)
+        return grid_path if os.path.isdir(grid_path) else None
+
+    def _seen(epoch_id: int) -> bool:
+        marker = os.path.join(epochs_path, str(epoch_id))
+        return os.path.exists(marker)
+
+    def _mark(epoch_id: int) -> None:
+        os.makedirs(epochs_path, exist_ok=True)
+        with open(os.path.join(epochs_path, str(epoch_id)), "w"):
+            pass
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if _seen(epoch_id):
+            return  # replayed micro-batch: merging again would double-count
+        cur_path = _restore_then_current()
+        use_w = w if w is not None else sk.WIDTH
+        use_d = d if d is not None else sk.DEPTH
+        if cur_path is not None:
+            cur = spark.read.parquet(cur_path)
+            meta = {}
+            try:
+                meta = cur.schema["cnt"].metadata or {}
+            except Exception:
+                pass
+            if w is None and meta.get("w") is not None:
+                use_w = meta["w"]
+            if d is None and meta.get("d") is not None:
+                use_d = meta["d"]
+        fresh = sk.countmin_build(batch_df, item, use_w, use_d)
+        if cur_path is not None:
+            merged = sk.countmin_merge(
+                spark.read.parquet(cur_path), fresh
+            )
+        else:
+            merged = fresh
+        tmp = grid_path + "._tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.isdir(grid_path):
+            os.rename(grid_path, old_path)
+        os.rename(tmp, grid_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        _mark(epoch_id)
+
+    return batches.writeStream.foreachBatch(handle)

@@ -502,3 +502,62 @@ def test_streaming_index_add_matches_batch(spark, sf_dir):
     # replay: a fresh run over the same files must be a no-op
     run_stream()
     assert snap(spark.read.parquet(index_path)) == got
+
+
+def test_streaming_countmin_matches_batch(spark, sf_dir):
+    """Streaming Count-Min maintenance (foreach_batch_countmin):
+    merging per-micro-batch grids converges to the single batch build
+    (grid linearity ⇒ boundary- and order-independent), and a replay
+    of the same query lineage (same epoch ids) is a no-op via the
+    epoch sidecar — counter merge is NOT idempotent, so this is the
+    guard that keeps at-least-once from double-counting."""
+    import os
+    import shutil
+
+    from pyield_spark.operators import sketch as sk
+    from pyield_spark.operators.text import tokens_expr
+    from pyield_spark.streaming.windows import foreach_batch_countmin
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".stream_cache",
+        "countmin_test",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "batches")
+    grid_path = os.path.join(base, "grid")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("gram")
+    )
+    for lo, hi in ((0, 150), (150, 300), (300, 10**9)):
+        grams.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(grams.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            foreach_batch_countmin(stream, grid_path, item="gram", w=128, d=4)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def snap(df):
+        return {(r.row, r.pos): r.cnt for r in df.collect()}
+
+    got = snap(spark.read.parquet(grid_path))
+    want = snap(sk.countmin_build(grams.select("gram"), "gram", 128, 4))
+    assert got == want
+
+    # replayed lineage: same epoch ids → sidecar skips every batch
+    run_stream()
+    assert snap(spark.read.parquet(grid_path)) == got
