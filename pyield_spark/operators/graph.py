@@ -90,6 +90,13 @@ def connected_components(
     rounds = 0
     converged = False
     for _ in range(max_iter):
+        # EAGER checkpoint, deliberately: an r10-optimization A/B
+        # (profile_queries.py) measured the "obvious" fuse — lazy
+        # checkpoint materialized by the checksum job — at 2.8×
+        # SLOWER on q_dedup_clusters (cold 2.6 s → 7.4 s) because the
+        # un-persisted round output gets recomputed by the next
+        # round's plan finalization; the eager job is what makes each
+        # round's output reusable. Keep eager.
         labels = labels.localCheckpoint()
         # convergence checksum: labels only ever DECREASE (min-label
         # propagation; doubling takes label-of-label ≤ label), so equal

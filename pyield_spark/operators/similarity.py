@@ -1626,15 +1626,19 @@ def mmr_rerank(
     against redundancy with what is already picked, the standard
     rerank between retrieval and a context window.
 
-    Spark-first shape: the greedy loop has a FIXED, small depth (k−1
-    steps), so it unrolls into pure DataFrame algebra — shortlist →
-    vectors re-joined BY KEY (never carried through the ranking
-    window) → one N²-per-query candidate-sim table (N = shortlist_n,
-    built once, reused by every step) → per step one max-penalty
-    aggregation and one row_number argmax. No Python kernel, no
-    iteration on the driver's data path; per-query cost is constant
-    (N² sims + k windows over ≤ N rows) regardless of corpus size —
-    MMR applies after retrieval pruning by construction.
+    Spark-first shape (r10 optimization): ONE shuffle — the shortlist
+    (with vectors re-joined BY KEY) groups by ``query_id`` and a
+    single Arrow-batched kernel runs the whole greedy trajectory per
+    query. Per-query state is ≤ shortlist_n rows by construction (MMR
+    applies after retrieval pruning), so the kernel is embarrassingly
+    parallel across queries at any corpus size. This replaced the
+    r10-build unrolled-DataFrame form, whose k−1 steps each cost a
+    GLOBAL barrier round (anti-join + penalty join + window + a
+    plan-capping localCheckpoint that AQE materializes eagerly):
+    measured 39 Spark jobs / ~2.9 s at sf0.1, and k−1 sequential
+    cluster-wide rounds at scale, versus 1 exchange +
+    1 FlatMapGroupsInPandas here (guide §2.4 — remove shuffles
+    outright; §4.2 — do the work batched inside the Python boundary).
 
     Portability: relevance and pairwise sims use the pround(cosine, 6)
     recipe of :func:`cosine_topk` (sequential-fold dot, one division);
@@ -1653,116 +1657,113 @@ def mmr_rerank(
     n_centroids=…, index=…)``'s output — and the MMR stage itself is
     the only cost (the pairwise sims still come exact from ``emb``).
     """
-    from pyield_spark.functions.numbers import pround_expr
-    from pyspark.sql import Window
-
     short = (
         shortlist.select("query_id", "neighbor_id", "cosine")
         if shortlist is not None
         else cosine_topk(emb, id_col, vec_col, query_pred, k=shortlist_n)
     )
     base = emb.select(
-        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
-    ).withColumn("_bnorm2", norm_sq_dec(F.col("_bvec")))
+        F.col(id_col).alias("_bid"), _as_double(F.col(vec_col)).alias("_bvec")
+    )
     cand = (
         short.select("query_id", "neighbor_id", F.col("cosine").alias("relevance"))
         .join(base, F.col("neighbor_id") == F.col("_bid"))
-        .drop("_bid")
-        # the retrieval subtree (brute/pruned corpus scan) feeds the
-        # sim table AND every unrolled step below — without a cut each
-        # step re-executes the scan (~2k-per-query output, so the cut
-        # is tiny; measured: the 100× lap re-ran the 10M-pair brute
-        # scan ~9× before this checkpoint)
-        .localCheckpoint(eager=False)
+        .select("query_id", "neighbor_id", "relevance", "_bvec")
     )
-    a = cand.select(
-        "query_id",
-        F.col("neighbor_id").alias("_a"),
-        F.col("_bvec").alias("_avec"),
-        F.col("_bnorm2").alias("_anorm2"),
+    qt = cand.schema["query_id"].dataType.simpleString()
+    nt = cand.schema["neighbor_id"].dataType.simpleString()
+    out_schema = (
+        f"query_id {qt}, mmr_rank int, neighbor_id {nt},"
+        " relevance double, mmr_score double"
     )
-    b = cand.select(
-        "query_id",
-        F.col("neighbor_id").alias("_b"),
-        F.col("_bvec").alias("_cbvec"),
-        F.col("_bnorm2").alias("_cbnorm2"),
-    )
-    sims = (
-        a.join(b, "query_id")
-        .filter(F.col("_a") != F.col("_b"))
-        .select(
-            "query_id",
-            "_a",
-            "_b",
-            pround_expr(
-                dot_dec(F.col("_avec"), F.col("_cbvec"))
-                / (F.sqrt(F.col("_anorm2")) * F.sqrt(F.col("_cbnorm2"))),
-                6,
-            ).alias("_sim"),
-        )
-        .localCheckpoint(eager=False)  # reused by every unrolled step
-    )
-    cands = cand.select("query_id", "neighbor_id", "relevance")
+    lam_f, one_m, kk = float(lam), 1.0 - float(lam), int(k)
 
-    lam_c = F.lit(float(lam))
-    one_m = F.lit(1.0 - float(lam))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_mmr").desc(), F.col("neighbor_id").asc()
-    )
-    first = (
-        cands.withColumn("_mmr", lam_c * F.col("relevance"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).alias("mmr_rank"),
-            "neighbor_id",
-            "relevance",
-            pround_expr(F.col("_mmr"), 6).alias("mmr_score"),
+    def _greedy(pdf):
+        # Bit-exact Python twins of the expression recipe this kernel
+        # replaced (every op below is the same IEEE double op the
+        # Column form compiled to; CPython floats ARE C doubles):
+        # - dot/norm: sequential left-to-right fold (dot_dec/norm_sq_dec)
+        # - pround6:  signum(x)·floor(|x|·1e6 + 0.5)/1e6 (pround_expr;
+        #   Math.signum keeps ±0.0, floor's long result is exact in a
+        #   double for |cosine| ≤ 1)
+        # - DESC sort: NaN above every double (Spark ordering), ties id ASC
+        # - max penalty: NaN-dominant (Spark Greatest/Max semantics)
+        import math
+
+        import pandas as pd
+
+        def pround6(x: float) -> float:
+            if math.isnan(x):
+                return x
+            sg = math.copysign(1.0, x) if x != 0.0 else x
+            return sg * float(math.floor(abs(x) * 1e6 + 0.5)) / 1e6
+
+        def desc_key(v: float):
+            # sort ASC by this key == Spark DESC with NaN first
+            return (0, 0.0) if math.isnan(v) else (1, -v)
+
+        ids = pdf["neighbor_id"].tolist()
+        rels = [float(r) for r in pdf["relevance"]]
+        vecs = [[float(x) for x in v] for v in pdf["_bvec"]]
+        norm2 = []
+        for v in vecs:
+            acc = 0.0
+            for x in v:
+                acc = acc + x * x
+            norm2.append(acc)
+        n = len(ids)
+        sim = [[0.0] * n for _ in range(n)]
+        for i in range(n):
+            vi, ni = vecs[i], norm2[i]
+            for j in range(n):
+                if i == j:
+                    continue
+                vj = vecs[j]
+                acc = 0.0
+                for d in range(len(vi)):
+                    acc = acc + vi[d] * vj[d]
+                sim[i][j] = pround6(acc / (math.sqrt(ni) * math.sqrt(norm2[j])))
+        qid = pdf["query_id"].iloc[0]
+        remaining = list(range(n))
+        out_rank, out_id, out_rel, out_score = [], [], [], []
+        sel: list[int] = []
+        for step in range(1, kk + 1):
+            if not remaining:
+                break
+            best, best_key = None, None
+            for i in remaining:
+                if step == 1:
+                    m = lam_f * rels[i]
+                else:
+                    pen = None
+                    for s in sel:
+                        v = sim[i][s]
+                        if math.isnan(v):
+                            pen = v
+                            break
+                        if pen is None or v > pen:
+                            pen = v
+                    m = lam_f * rels[i] - one_m * pen
+                key = (desc_key(m), ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key, best_m = i, key, m
+            sel.append(best)
+            remaining.remove(best)
+            out_rank.append(step)
+            out_id.append(ids[best])
+            out_rel.append(rels[best])
+            out_score.append(pround6(best_m))
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out_rank),
+                "mmr_rank": pd.Series(out_rank, dtype="int32"),
+                "neighbor_id": out_id,
+                "relevance": out_rel,
+                "mmr_score": out_score,
+            }
         )
-    )
-    selected = first
-    for step in range(2, k + 1):
-        sel_ids = selected.select("query_id", F.col("neighbor_id").alias("_sid"))
-        remaining = cands.join(
-            sel_ids.withColumnRenamed("_sid", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        pen = (
-            remaining.join(
-                sims.withColumnRenamed("query_id", "_sq"),
-                (F.col("query_id") == F.col("_sq"))
-                & (F.col("_a") == F.col("neighbor_id")),
-            )
-            .join(
-                sel_ids.withColumnRenamed("query_id", "_pq"),
-                (F.col("_pq") == F.col("_sq")) & (F.col("_sid") == F.col("_b")),
-            )
-            .groupBy("query_id", "neighbor_id", "relevance")
-            .agg(F.max("_sim").alias("_pen"))
-        )
-        pick = (
-            pen.withColumn(
-                "_mmr", lam_c * F.col("relevance") - one_m * F.col("_pen")
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "query_id",
-                F.lit(step).alias("mmr_rank"),
-                "neighbor_id",
-                "relevance",
-                pround_expr(F.col("_mmr"), 6).alias("mmr_score"),
-            )
-        )
-        # the next step references `selected` twice (union + anti-join
-        # seed), so without a cut the logical tree doubles per step —
-        # lazy checkpoint caps growth at O(k); no stats-based decision
-        # reads these tiny frames afterwards (pitfall: checkpoint only
-        # AFTER auto-broadcast choices, which don't occur here)
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
-    return selected
+
+    return cand.groupBy("query_id").applyInPandas(_greedy, out_schema)
 
 
 # --- random-projection (Johnson–Lindenstrauss) rung ----------------------
