@@ -89,7 +89,9 @@ def connected_components(
     prev_sum = None
     rounds = 0
     converged = False
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         # EAGER checkpoint, deliberately: an r10-optimization A/B
         # (profile_queries.py) measured the "obvious" fuse — lazy
         # checkpoint materialized by the checksum job — at 2.8×
@@ -97,7 +99,7 @@ def connected_components(
         # un-persisted round output gets recomputed by the next
         # round's plan finalization; the eager job is what makes each
         # round's output reusable. Keep eager.
-        labels = labels.localCheckpoint()
+        #
         # convergence checksum: labels only ever DECREASE (min-label
         # propagation; doubling takes label-of-label ≤ label), so equal
         # consecutive checksums mean a fixpoint.
@@ -107,9 +109,17 @@ def connected_components(
         # decimal(38,0) accumulation is overflow-free (n·2^63 needs only
         # ~19+len(n) digits) — a plain LongType sum throws
         # ARITHMETIC_OVERFLOW under ANSI mode (Spark 4 default).
-        cur = labels.agg(
-            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        #
+        # r10 optimization: the checksum rides the checkpoint job as an
+        # observe() metric (CollectMetrics) instead of a separate
+        # agg().collect() — one action per round instead of two, and at
+        # scale one less full pass over the labels (guide §1.2/§2.4;
+        # probe-verified identical value, 0 extra jobs).
+        obs = Observation(f"cc_chk_{it}")
+        labels = labels.observe(
+            obs, F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("chk")
+        ).localCheckpoint()
+        cur = obs.get["chk"]
         if cur is None:
             # empty label set (no edges): the fixpoint is trivially the
             # empty frame. Without this branch the None checksum never

@@ -43,6 +43,11 @@ ARROW_KERNELS = {
     # round 9: the trained-artifact serve path runs the same pq_encode
     # kernel (residual mode) against the pinned codebooks
     "q_ivfpq_trained",       # pq_encode (mapInPandas)
+    # round 10 (optimization): the MMR greedy runs as ONE grouped
+    # kernel per query_id (applyInPandas) instead of k-1 unrolled
+    # barrier rounds — bit-exact recipe twin, oracle-gated; measured
+    # 39 jobs -> 5 and >2x wall at sf0.1
+    "q_mmr_rerank",          # mmr greedy (applyInPandas)
 }
 
 # stream queries execute eagerly inside queries() (memory-sink replay) —
