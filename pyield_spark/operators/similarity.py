@@ -510,6 +510,78 @@ def ivf_topk(
     )
 
 
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: repr(x) is the shortest roundtrip
+    decimal, and Spark's ``<digits>D`` literal parses with
+    Double.parseDouble — the same double back. Non-finite values take
+    the cast spelling."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _sql_dmat(mat) -> str:
+    """Nested array<array<double>> SQL literal for a codeword matrix."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_sql_double(c) for c in w) + ")" for w in mat
+        )
+        + ")"
+    )
+
+
+def _cents_frame_from_head(spark, head, id_type) -> DataFrame:
+    """The (_cid, _cvec, _cnorm2) coarse-codebook frame from
+    already-collected ``(vid, vec)`` head rows — a LocalRelation twin
+    of ``_ivf_codebook`` (same rows: the lowest-id vectors, _cid is
+    the REAL vid), so the serve plan broadcasts a literal instead of
+    re-running a scan+sort+limit subtree per consumer. Norms
+    accumulate left-to-right (python floats are exact doubles), the
+    ``norm_sq_dec`` fold order."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    rows = []
+    for vid, vec in head:
+        n2 = 0.0
+        for x in vec:
+            n2 += x * x
+        rows.append((vid, vec, n2))
+    schema = StructType([
+        StructField("_cid", id_type),
+        StructField("_cvec", ArrayType(DoubleType())),
+        StructField("_cnorm2", DoubleType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _pq_codebooks_from_rows(vecs: list[list[float]], m: int, dim: int):
+    """The pure slicing half of :func:`_pq_codebooks` over
+    already-collected head vectors (python floats, exact doubles)."""
+    sub = dim // m
+    cb: list[list[list[float]]] = [[] for _ in range(m)]
+    cbn: list[list[float]] = [[] for _ in range(m)]
+    for vec in vecs:
+        for s in range(m):
+            sv = vec[s * sub : (s + 1) * sub]
+            acc = 0.0
+            for x in sv:
+                acc += x * x
+            cb[s].append(sv)
+            cbn[s].append(acc)
+    return cb, cbn
+
+
 def _pq_codebooks(base: DataFrame, m: int, ks: int, dim: int):
     """Deterministic product-quantization sub-codebooks: the ``ks``
     lowest-id vectors, each sliced into ``m`` contiguous subvectors
@@ -524,20 +596,8 @@ def _pq_codebooks(base: DataFrame, m: int, ks: int, dim: int):
     ``list_reduce``/``aggregate`` folds, so the value is bit-identical
     to what a SQL oracle computes from the same parquet cells.
     """
-    sub = dim // m
     rows = base.orderBy("_vid").limit(ks).select("_vec").collect()
-    cb: list[list[list[float]]] = [[] for _ in range(m)]
-    cbn: list[list[float]] = [[] for _ in range(m)]
-    for r in rows:
-        vec = list(r["_vec"])
-        for s in range(m):
-            sv = vec[s * sub : (s + 1) * sub]
-            acc = 0.0
-            for x in sv:
-                acc += x * x
-            cb[s].append(sv)
-            cbn[s].append(acc)
-    return cb, cbn
+    return _pq_codebooks_from_rows([list(r["_vec"]) for r in rows], m, dim)
 
 
 def _pround_np(x, decimals: int = 6):
@@ -560,9 +620,15 @@ def pq_encode(
     dim: int = 64,
     codebooks: TrainedCodebooks | None = None,
     by_residual: bool | None = None,
+    head: list | None = None,
 ) -> DataFrame:
     """The INGEST-TIME half of IVF-PQ: assign every vector to its
     coarse list and product-quantize it to ``m`` codeword indexes.
+
+    ``head=`` (untrained path only) supplies the already-collected
+    ``(vid, vec)`` lowest-id head rows so callers that need the same
+    codebooks plan-side (``ivfpq_topk``) pay the bounded driver hop
+    ONCE instead of once per consumer (r10 optimization).
 
     ``codebooks=`` serves trained centroids/codewords from
     :func:`train_codebooks` instead of the lowest-id head (list ids
@@ -652,9 +718,14 @@ def pq_encode(
         rot = None
         by_residual = bool(by_residual)
         # one bounded driver hop: coarse centroids + PQ codebooks
-        head = base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
-        ids = [r["_vid"] for r in head]
-        vecs = [list(r["_vec"]) for r in head]
+        # (skipped when the caller already holds the head rows)
+        if head is None:
+            head = [
+                (r["_vid"], list(r["_vec"]))
+                for r in base.orderBy("_vid").limit(max(ks, n_centroids)).collect()
+            ]
+        ids = [vid for vid, _ in head]
+        vecs = [list(v) for _, v in head]
         # reshape keeps the (0, dim) shape on an EMPTY corpus (np.asarray
         # of an empty list is 1-D and would break the per-dimension
         # folds); a corpus smaller than ks/n_centroids just yields
@@ -919,14 +990,35 @@ def ivfpq_topk(
         # it saves here (measured at the 100× lap — checkpointing
         # regressed end-to-end ~1.6× even pre-kernel). Callers who DO
         # want the index reused across calls pass ``index=`` instead.
+        #
+        # r10 optimization: ONE head collect serves all three codebook
+        # consumers. pq_encode and _pq_codebooks each ran their own
+        # TakeOrdered collect of the SAME max(ks, n_centroids)
+        # lowest-id vectors, and _ivf_codebook added a third
+        # scan+sort+limit subtree under every cents broadcast — one
+        # bounded driver hop now feeds pq_encode (``head=``), the cb
+        # slicing, and a literal cents LocalRelation (guide §1.2:
+        # don't compute things twice). Values are reused verbatim;
+        # cents norms accumulate left-to-right like norm_sq_dec.
         by_residual = bool(by_residual)
         cb_eff = None
+        head = [
+            (r["_vid"], list(r["_vec"]))
+            for r in base.orderBy("_vid")
+            .limit(max(ks, n_centroids))
+            .select("_vid", "_vec")
+            .collect()
+        ]
         assigned = pq_encode(
             emb, id_col, vec_col, n_centroids, m, ks, dim,
-            by_residual=by_residual,
+            by_residual=by_residual, head=head,
         )
-        cents = _ivf_codebook(base, n_centroids)
-        cb, _cbn = _pq_codebooks(base, m, ks, dim)
+        cents = _cents_frame_from_head(
+            emb.sparkSession, head[:n_centroids], base.schema["_vid"].dataType
+        )
+        cb, _cbn = _pq_codebooks_from_rows(
+            [v for _, v in head[:ks]], m, dim
+        )
 
     # --- queries: probe lists + the m×ks ADC lookup table -------------
     queries = base.filter(
@@ -943,38 +1035,33 @@ def ivfpq_topk(
     if cb_eff is not None:
         # OPQ: dim-length back-rotated effective codewords — the LUT
         # entry is dot(full q, R[:, s_cols] @ w), no rotated query
-        # column needed anywhere in the plan
-        lut = F.array(*[
-            F.array(*[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_qvec"),
-                        F.array(*[F.lit(c) for c in cb_eff[s][j]]),
-                        lambda x, c: x * c,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for j in range(len(cb_eff[s]))
-            ])
-            for s in range(m)
-        ])
+        # column needed anywhere in the plan.
+        # r10 optimization (here and below): the whole LUT is ONE
+        # parsed SQL expression — codeword matrices as nested-array
+        # literals, the per-codeword fold a transform() lambda — not
+        # m·ks separate aggregate() Columns with per-component
+        # F.lit()s. The old form cost ~2.5 s of pure py4j round-trips
+        # per query BUILD (1024 lit calls + 128 lambda registrations,
+        # measured); the parser takes ~30 ms and yields the identical
+        # zip_with/aggregate fold tree → bit-identical LUT
+        # (probe-verified equal on collect).
+        lut = F.expr(
+            "array(" + ", ".join(
+                f"transform({_sql_dmat(cb_eff[s])}, w -> aggregate("
+                "zip_with(_qvec, w, (x, c) -> x * c),"
+                " 0.0D, (acc, x) -> acc + x))"
+                for s in range(m)
+            ) + ")"
+        )
     else:
-        lut = F.array(*[
-            F.array(*[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice("_qvec", s * sub + 1, sub),
-                        F.array(*[F.lit(c) for c in cb[s][j]]),
-                        lambda x, c: x * c,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for j in range(len(cb[s]))
-            ])
-            for s in range(m)
-        ])
+        lut = F.expr(
+            "array(" + ", ".join(
+                f"transform({_sql_dmat(cb[s])}, w -> aggregate("
+                f"zip_with(slice(_qvec, {s * sub + 1}, {sub}), w,"
+                " (x, c) -> x * c), 0.0D, (acc, x) -> acc + x))"
+                for s in range(m)
+            ) + ")"
+        )
     # probes is Q·n_probe rows (bounded by the query batch) —
     # materialize it so (a) the candidate join sees an exactly-sized
     # tiny build side (AQE broadcast, the corpus never shuffles) and
@@ -1093,10 +1180,8 @@ def sq8_encode(
     base = _sq_base(emb, id_col, vec_col, dim)
     if not 2 <= bits <= 8:
         raise ValueError(f"bits must be in [2, 8]: {bits}")
-    stats = base.agg(
-        F.array(*[F.min(F.get("_vec", d)) for d in range(dim)]).alias("_mn"),
-        F.array(*[F.max(F.get("_vec", d)) for d in range(dim)]).alias("_mx"),
-    )
+    mn_e, mx_e = _sq_stats_exprs(dim)
+    stats = base.agg(mn_e.alias("_mn"), mx_e.alias("_mx"))
     enc = base.crossJoin(F.broadcast(stats))
     code = sq8_quant_expr(
         F.col("_vec"), F.col("_mn"), F.col("_mx"), levels=(1 << bits) - 1
@@ -1108,6 +1193,22 @@ def sq8_encode(
     # call with mismatched bits= fails loudly at plan build instead of
     # silently mis-dequantizing (review fix; best-effort — metadata
     # lost through an exotic rewrite just skips the check)
+
+
+def _sq_stats_exprs(dim: int):
+    """Per-dimension (min, max) stats arrays as ONE parsed SQL
+    expression each. The Column form (dim F.min(F.get(...)) builds per
+    array) cost ~0.3 s of py4j round-trips per call at dim=64 (r10
+    optimization); ``_vec[d]`` is GetArrayItem — same null-on-OOB
+    semantics as ``F.get``, and ``_sq_base`` pins size == dim so OOB
+    never occurs. Values identical."""
+    mn = F.expr(
+        "array(" + ", ".join(f"min(_vec[{d}])" for d in range(dim)) + ")"
+    )
+    mx = F.expr(
+        "array(" + ", ".join(f"max(_vec[{d}])" for d in range(dim)) + ")"
+    )
+    return mn, mx
 
 
 def _sq_base(
@@ -1228,10 +1329,8 @@ def sq8_index_add(
         raise ValueError("sq8_index_add: empty index (no frozen stats)")
     batch = _sq_base(emb, id_col, vec_col, dim)
     if drift != "ignore":
-        brow = batch.agg(
-            F.array(*[F.min(F.get("_vec", d)) for d in range(dim)]).alias("_bmn"),
-            F.array(*[F.max(F.get("_vec", d)) for d in range(dim)]).alias("_bmx"),
-        ).head()
+        bmn_e, bmx_e = _sq_stats_exprs(dim)
+        brow = batch.agg(bmn_e.alias("_bmn"), bmx_e.alias("_bmx")).head()
         mn, mx = stats_row["_mn"], stats_row["_mx"]
         drifted = []
         if brow["_bmn"] and brow["_bmn"][0] is not None:  # non-empty batch
@@ -1788,21 +1887,25 @@ def rp_project_expr(vec: Column, out_dim: int = RP_OUT_DIM, in_dim: int = 64) ->
     ingest half) and the serve scan reads out_dim/in_dim of the
     floats."""
     v = _as_double(vec)
-
-    def _proj(p: int) -> Column:
-        # closure factory: a `p=p` default would change the lambda's
-        # arity and break zip_with's 2-arg HOF contract
-        return F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(in_dim - 1)),
-                lambda x, i: x * _rp_weight(p, i),
-            ),
+    # r10 optimization: the weight family is a deterministic integer
+    # formula, so the whole out_dim×in_dim matrix is computed in Python
+    # (exact small integers → exact doubles) and shipped as ONE nested
+    # array literal; one transform() lambda replaces out_dim separate
+    # aggregate() Columns (the old form cost ~0.5 s of py4j round-trips
+    # per build). Same per-element product x·w(p,i) and same ascending-i
+    # fold → bit-identical projection.
+    w_mat = [
+        [float(((2750161 * p + 611953 * i) % 101) - 50) for i in range(in_dim)]
+        for p in range(out_dim)
+    ]
+    return F.transform(
+        F.lit(w_mat),
+        lambda w: F.aggregate(
+            F.zip_with(v, w, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    return F.array(*[_proj(p) for p in range(out_dim)])
+        ),
+    )
 
 
 def rp_topk(
