@@ -276,7 +276,17 @@ def lsh_candidate_pairs(
     Size (``num_perm``, ``band_size``) from a target Jaccard threshold
     with :func:`lsh_size`; the default (4 permutations, 2-rows bands)
     is the pinned oracle-registered config."""
-    sig = minhash_signatures(df, text, id_col, n, num_perm)
+    # the banded self-join consumes the signature frame on BOTH sides,
+    # and Catalyst does not reuse the subtree: without materialization
+    # the full text scan + shingle explode + min-hash aggregation runs
+    # twice per query (plan-verified: 4 parquet scans in the r10
+    # baseline plan). The signature frame is (id, k mh columns) —
+    # linear and narrow, never the text — so a lazy localCheckpoint
+    # pays one tiny persist for half the heavy map work (guide §8:
+    # decide on fingerprints, scan the payload once).
+    sig = minhash_signatures(df, text, id_col, n, num_perm).localCheckpoint(
+        eager=False
+    )
     k = num_perm or len(MINHASH_COEFFS)
     band_keys = [
         F.concat_ws(
@@ -384,7 +394,13 @@ def simhash_hamming_pairs(
     any SQL engine. Returns (id_a, id_b, hamming), id_a < id_b.
     """
     _validate_simhash_params(bits, k)
-    sig = simhash_expr_input(df, text, id_col, bits)
+    # materialized once: the banded self-join reads the fingerprint
+    # frame on both sides and the tokenize + bit-vote aggregation would
+    # otherwise execute twice (same rationale as lsh_candidate_pairs —
+    # the frame is (id, simhash), two narrow columns)
+    sig = simhash_expr_input(df, text, id_col, bits).localCheckpoint(
+        eager=False
+    )
     band_keys = _simhash_band_keys(F.col("simhash"), bits, k)
     allb = sig.select(
         F.col(id_col).alias("_id"),
@@ -437,7 +453,14 @@ def simhash_clusters(
     from pyield_spark.operators.graph import connected_components
 
     _validate_simhash_params(bits, k)
-    sig = simhash_expr_input(df, text, id_col, bits)
+    # materialized once (narrow (id, simhash) frame): three consumers —
+    # the distinct-fingerprint graph build and both sides of the final
+    # label join — would otherwise each re-run the corpus tokenize +
+    # bit-vote passes (plan-verified 2 full-text subtrees in the r10
+    # baseline plan)
+    sig = simhash_expr_input(df, text, id_col, bits).localCheckpoint(
+        eager=False
+    )
     dfp = sig.select("simhash").distinct()
     band_keys = _simhash_band_keys(F.col("simhash"), bits, k)
     allb = dfp.select(
@@ -456,9 +479,12 @@ def simhash_clusters(
     fcomp = connected_components(fpairs, "fa", "fb").select(
         F.col("node").alias("simhash"), F.col("cluster_id").alias("_flab")
     )
+    # labeled feeds the cluster aggregate AND the final join — one
+    # materialization of (id, simhash, _flabel) instead of running the
+    # sig⋈fcomp join twice
     labeled = sig.join(fcomp, "simhash", "left").withColumn(
         "_flabel", F.coalesce("_flab", F.col("simhash"))
-    )
+    ).localCheckpoint(eager=False)
     agg = labeled.groupBy("_flabel").agg(
         F.min(id_col).alias("_cmin"), F.count("*").alias("_csize")
     )

@@ -219,9 +219,14 @@ def dedup_keep_best(
     Returns ``(id_col, cluster_id, quality_col, keep)``.
     """
     comp = connected_components(pairs, src, dst)
+    # scored feeds the per-cluster best aggregate AND the final verdict
+    # join; quality_col is typically computed from document text, so an
+    # unmaterialized frame re-runs that text pass per consumer
+    # (plan-verified 2 full-text subtrees in the r10 baseline plan).
+    # (id, quality, cluster_id) is three narrow columns — cheap to pin.
     scored = docs.select(id_col, quality_col).join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
-    )
+    ).localCheckpoint(eager=False)
     # min over (-quality, id) == quality DESC with id ASC tie-break in
     # ONE min_by struct. Negating QUALITY (numeric by contract) rather
     # than the id keeps the operator correct for any orderable id type
