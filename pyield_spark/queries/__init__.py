@@ -208,13 +208,32 @@ def _parquet_layout(path: str) -> tuple[int, int]:
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str, widen: bool = False):
+    """Base-table readers, with a lazy-PLAN memo per session.
+
+    143 tables() call sites rebuild the identical parquet relation
+    (JVM file listing + footer schema read + a dozen py4j round trips)
+    on every query construction — ~0.1-0.4 s per call, tens of seconds
+    across a cold 148-query suite (measured, OPTIMIZATION_r10.md).
+    The memo (calendar_br.df_cache_get — session-token keyed with
+    dead-session eviction) stores the UNRESOLVED lazy DataFrame only:
+    every action still scans parquet; no rows, no results, nothing
+    keyed on data content is retained. The key carries the file mtime
+    so a rewritten path rebuilds, and the widen flag + core count so a
+    different widen decision does too.
+    """
+    import os as _os
+
     from pyspark.sql import functions as F
+
+    from pyield_spark.calendar_br import df_cache_get
 
     # Defensive session confs (runtime-settable): the driver may hand us
     # a vanilla SparkSession. events.parquet has shipped as both
     # TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata generations —
     # nanosAsLong keeps the NANOS variant readable; UTC keeps
     # timestamp→date casts aligned with the (tz-naive) DuckDB oracle.
+    # Re-applied on every call (NOT memoized) so a caller that flipped a
+    # conf between two queries still gets the documented reset.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Spark 4 defaults ANSI ON; the engine's null-on-malformed parse
@@ -224,9 +243,8 @@ def tables(spark: SparkSession, sf_dir: str, *names: str, widen: bool = False):
     spark.conf.set("spark.sql.ansi.enabled", "false")
 
     cores = spark.sparkContext.defaultParallelism
-    out = []
-    for n in names:
-        path = f"{sf_dir}/{n}.parquet"
+
+    def _build(path: str, n: str):
         df = spark.read.parquet(path)
         rows, groups = _parquet_layout(path)
         # widen=True and >=2000 rows on fewer than cores/2 row groups:
@@ -255,5 +273,20 @@ def tables(spark: SparkSession, sf_dir: str, *names: str, widen: bool = False):
                 # value-preserving under the UTC session tz set above;
                 # keeps unix_micros()/window() applicable downstream
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        out.append(df)
+        return df
+
+    out = []
+    for n in names:
+        path = f"{sf_dir}/{n}.parquet"
+        try:
+            mtime = _os.path.getmtime(path)
+        except OSError:
+            mtime = None  # let spark.read raise its own error below
+        out.append(
+            df_cache_get(
+                spark,
+                ("table", path, mtime, bool(widen), cores),
+                lambda path=path, n=n: _build(path, n),
+            )
+        )
     return out if len(out) > 1 else out[0]
