@@ -25,7 +25,6 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from pyield_spark import du as du_mod
-from pyield_spark.bonds.cashflows import explode_payment_dates
 from pyield_spark.bonds.pricing import anos_uteis_expr, ltn_pu_expr
 from pyield_spark.functions.numbers import (
     pround_expr,
@@ -84,18 +83,36 @@ def _panel(spark, sf_dir):
     )
 
 
-def _family_pricing(panel):
-    """One exploded pass pricing NTN-F (base-1000, vp bround9) and NTN-B
-    (base-1, vp bround12) at taxa and taxa+1bp, plus Macaulay duration."""
-    fam = panel.filter(F.col("titulo").isin("NTN-F", "NTN-B"))
-    # the reference's dv01 truncates the rate, adds 1bp with round8, and
-    # the pricing function then re-truncates (normalizar) — re-truncation
-    # is NOT a no-op in float (trunc8(0.1445) = 0.14449999), so mirror
-    # the double application exactly (ltn.py:281-289, _utils.py:195-197).
-    # Both rate scenarios are computed BEFORE the flow explode: the
-    # Generate is a projection barrier, so the nested truncation chains
-    # evaluate once per bond, not once per cash flow.
-    fam = fam.withColumns(
+def _family_pricing_single_pass(p):
+    """Panel + coupon-family pricing in ONE orders pass.
+
+    The r10 baseline plan scanned orders TWICE — once for the enriched
+    panel, once under the family-pricing aggregate — and re-attached
+    the aggregate with a fact⋈fact-aggregate SortMergeJoin (2 sorts +
+    3 Exchanges). Here the coupon flows are exploded IN-LINE
+    (``explode_outer`` keeps LTN/LFT and empty-flow bonds as sentinel
+    ``pay IS NULL`` rows) and the pricing aggregate carries the panel
+    columns through ``first()``, so the fact table is scanned once and
+    the only fact shuffle is the groupBy exchange (guide §2.4: remove
+    shuffles outright; §8: one pass over the payload). Values are
+    identical by construction: decimal sums are exact
+    (order-independent), NTN-F (base-1000, vp bround9) / NTN-B
+    (base-1, vp bround12) price at taxa and taxa+1bp exactly as
+    before, and SUM/ratio over the all-NULL sentinel groups reproduces
+    the old LEFT JOIN's null semantics for LTN/LFT and empty flow
+    sets (Spark SUM skips nulls and returns NULL for all-null groups).
+
+    The reference's dv01 truncates the rate, adds 1bp with round8, and
+    the pricing function then re-truncates (normalizar) — re-truncation
+    is NOT a no-op in float (trunc8(0.1445) = 0.14449999), so the
+    double application is mirrored exactly (ltn.py:281-289,
+    _utils.py:195-197). Both rate scenarios are computed BEFORE the
+    flow explode: the Generate is a projection barrier, so the nested
+    truncation chains evaluate once per bond, not once per cash flow.
+    """
+    carry = [c for c in p.columns if c != "o_orderkey"]
+    fam_cond = F.col("titulo").isin("NTN-F", "NTN-B")
+    p = p.withColumns(
         {
             "_t1": truncar_expr(truncar_expr(F.col("taxa_media"), 8), 8),
             "_t2": truncar_expr(
@@ -106,7 +123,26 @@ def _family_pricing(panel):
             ),
         }
     )
-    flows = explode_payment_dates(fam, "liq", "data_vencimento", 6, "pay")
+    # the payment grid of explode_payment_dates, built as an ARRAY so
+    # non-coupon / empty-flow rows survive the explode as one sentinel
+    # row: dates at ven - 6i months for i = 0.. while date > liq
+    liq = F.col("liq")
+    ven = F.col("data_vencimento")
+    n_max = F.greatest(
+        F.ceil(F.months_between(ven, liq) / F.lit(6.0)).cast("int")
+        + F.lit(1),
+        F.lit(0),
+    )
+    pays = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n_max),
+            lambda i: F.add_months(ven, -i * F.lit(6)),
+        ),
+        lambda d: d > liq,
+    )
+    flows = p.withColumn(
+        "pay", F.explode_outer(F.when(fam_cond, pays).otherwise(F.array()))
+    )
     flows = du_mod.contar(flows, "liq", "pay", alias="_du_f")
     au = anos_uteis_expr("_du_f")
     is_f = F.col("titulo") == "NTN-F"
@@ -132,6 +168,7 @@ def _family_pricing(panel):
         )
         .groupBy("o_orderkey")
         .agg(
+            *[F.first(c).alias(c) for c in carry],
             trunc_decimal_sum_expr(
                 F.sum(F.col("_vp1").cast("decimal(28,12)")), 6
             ).alias("_preco1"),
@@ -295,13 +332,14 @@ def _leiloes_oracle() -> str:
 
 @query("q_leiloes", oracle=_leiloes_oracle())
 def q_leiloes(spark, sf_dir):
-    # ONE panel construction feeding both the enriched side and the
-    # family-pricing aggregate (round 7: the plan is identical — the
-    # JVM tree is shared — but the Python-side expression building ran
-    # twice, ~0.6 s of pure py4j chatter in the driver's cold run)
+    # ONE orders pass: the panel (with its business-day count) flows
+    # straight into the in-line family-pricing aggregate — see
+    # _family_pricing_single_pass for why this replaced the former
+    # fact⋈fact-aggregate join (one scan + one groupBy exchange vs two
+    # scans + SortMergeJoin in the r10 baseline plan)
     pnl = _panel(spark, sf_dir)
     p = du_mod.contar(pnl, "liq", "data_vencimento", alias="dias_uteis")
-    p = p.join(_family_pricing(pnl), "o_orderkey", "left")
+    p = _family_pricing_single_pass(p)
 
     q1 = F.col("quantidade_aceita_1v")
     q2 = F.col("quantidade_aceita_2v")
