@@ -163,27 +163,43 @@ _CAL_SCHEMA = (
 _DF_CACHE: dict = {}
 
 
-def _session_token(spark) -> str:
+def _session_token(spark) -> tuple[str, str]:
+    """(context_token, session_token): the context half identifies the
+    JVM SparkContext (dead-context eviction), the session half the
+    SparkSession itself. One JVM can host several sessions over the
+    same context (``newSession()`` — the driver's vanilla-session
+    lap does exactly this), and a DataFrame is bound to the session
+    that built it: handing session A's memoized frame to session B
+    silently registers temp views in A's catalog and ignores B's
+    confs, so the memo key MUST carry the session identity."""
     sc = spark.sparkContext
     try:
-        return f"{sc.applicationId}:{sc.startTime}"
+        ctx = f"{sc.applicationId}:{sc.startTime}"
     except Exception:  # pragma: no cover - startTime gone on some builds
-        return str(sc.applicationId)
+        ctx = str(sc.applicationId)
+    try:
+        sess = str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover - Connect / renamed JVM API
+        sess = str(id(spark))
+    return ctx, sess
 
 
 def df_cache_get(spark, subkey: tuple, builder):
-    """Memoized per-session DataFrame lookup with dead-session eviction.
+    """Memoized per-SESSION DataFrame lookup with dead-context eviction.
 
-    On a cache miss, entries keyed to a DIFFERENT session token are
-    purged: a long-lived process that starts/stops many sessions would
-    otherwise accumulate DataFrame plans bound to dead sessions forever
-    (each carries a cached RDD handle). A miss only happens on the first
-    use of a new (session, dimension) pair, so the sweep is rare.
+    On a cache miss, entries keyed to a DIFFERENT SparkContext are
+    purged: a long-lived process that starts/stops many contexts would
+    otherwise accumulate DataFrame plans bound to dead JVM state
+    forever (each carries a cached RDD handle). Entries from sibling
+    live sessions on the SAME context are kept — evicting them would
+    ping-pong the memo between alternating sessions. A miss only
+    happens on the first use of a new (session, dimension) pair, so
+    the sweep is rare.
     """
-    token = _session_token(spark)
-    key = (token, *subkey)
+    ctx, sess = _session_token(spark)
+    key = ((ctx, sess), *subkey)
     if key not in _DF_CACHE:
-        for stale in [k for k in _DF_CACHE if k[0] != token]:
+        for stale in [k for k in _DF_CACHE if k[0][0] != ctx]:
             del _DF_CACHE[stale]
         _DF_CACHE[key] = builder()
     return _DF_CACHE[key]

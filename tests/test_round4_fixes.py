@@ -17,13 +17,29 @@ from pyield_spark import calendar_br as cal
 
 
 def test_df_cache_evicts_dead_session_entries(spark):
-    dead_key = ("dead-app:0", "cal", "x", "y")
+    dead_key = (("dead-app:0", "dead-sess"), "cal", "x", "y")
     cal._DF_CACHE[dead_key] = object()
-    # any MISS purges entries keyed to a different session token
+    # any MISS purges entries keyed to a different CONTEXT token
     cal.df_cache_get(spark, ("evict-probe",), lambda: spark.range(1))
     assert dead_key not in cal._DF_CACHE
     live = [k for k in cal._DF_CACHE if k[0] == cal._session_token(spark)]
     assert live  # current-session entries survive
+
+
+def test_df_cache_is_per_session_not_per_context(spark):
+    """Two sessions over ONE SparkContext must not share memoized
+    DataFrames: a frame built by session A registers temp views in A's
+    catalog and carries A's confs, so handing it to B breaks B's
+    ``spark.sql`` over views it believes it just registered (the
+    q_sql_* vanilla-session regression)."""
+    sib = spark.newSession()
+    a = cal.df_cache_get(spark, ("sess-probe",), lambda: spark.range(2))
+    b = cal.df_cache_get(sib, ("sess-probe",), lambda: sib.range(2))
+    assert a.sparkSession is spark
+    assert b.sparkSession is sib
+    # sibling LIVE sessions on the same context never evict each other
+    a2 = cal.df_cache_get(spark, ("sess-probe",), lambda: spark.range(2))
+    assert a2 is a
 
 
 def test_lft_taxas_id_cols_out_of_dataframe_order(spark):
