@@ -102,43 +102,82 @@ def _shingle_intersection(
     n: int,
     block: str | None,
 ):
-    """Shared plumbing for the pairwise shingle scores: exploded
-    shingles, per-doc sizes, and the blocked self-join intersection
-    counts. Returns (inter, sizes). SET semantics always:
-    ``shingles_expr`` already ends in ``array_distinct`` (the former
-    ``distinct`` flag was a no-op — review fix).
+    """Shared plumbing for the pairwise shingle scores. Returns ONE
+    frame ``(id_a, id_b, n_inter, n_a, n_b)`` built in a single text
+    pass. SET semantics always: ``shingles_expr`` already ends in
+    ``array_distinct`` (the former ``distinct`` flag was a no-op —
+    review fix). Ids are unique per document by contract (they are id
+    columns).
 
-    The shingle lineage deliberately RECOMPUTES for its three consumers
-    (both join sides + the sizes aggregate) instead of checkpointing:
-    the explode is a ~150× row blowup of the corpus, so materializing
-    it trades map-side CPU (cheap, parallel) for executor storage of a
-    corpus multiple (a scale bomb at 100 TB). This is the opposite
-    call from interpolar/asof's curve checkpoint, where the reused
-    lineage is dimension-sized."""
+    The r10-baseline shape was a self-join of the exploded shingle
+    stream plus a separate sizes aggregate joined back twice — the
+    text scan + shingle explode ran for EVERY consumer (8 parquet
+    scans in the registered queries' plans) and the (shingle, id)
+    stream crossed two heavy exchanges. Now (guide §2.3
+    aggregate-before-shuffle, §2.4, §8):
+
+    - each exploded row carries its document's shingle-set size
+      (``size()`` of the same array the Generate consumes — computed
+      once in the projection below the Generate; the complex array
+      expression is referenced twice so CollapseProject keeps it
+      materialized per row), so per-doc sizes need NO second pass and
+      NO joins;
+    - the stream is grouped by (block, shingle) into posting lists —
+      ONE heavy exchange — and every unordered id pair is streamed out
+      with two chained Generates (posexplode × tail slice), never a
+      materialized C(s,2) array: a hot shingle costs streamed rows
+      (exactly what the former self-join produced), not a giant
+      in-memory row;
+    - the EXPLODED stream itself is never checkpointed (a ~150× corpus
+      multiple — a storage bomb at 100 TB; the map-side shingle work
+      is cheap, parallel CPU).
+
+    Counts are identical to the self-join: each shared shingle
+    contributes exactly one canonical (min-id, max-id) pair, the
+    ``_id`` inequality guard reproduces the old strict ``id_a < id_b``
+    filter (including the drop of null-id pairs), collect_list order
+    cannot matter because ALL unordered pairs are emitted, and
+    ``min(n_a)`` aggregates a per-pair-constant (ids are unique, so
+    every occurrence of ``id_a`` carries the same size)."""
     blk = [block] if block else []
     sh_expr = shingles_expr(text, n)
-    sh = df.select(
+    arr = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(b) for b in blk],
-        F.explode(sh_expr).alias("shingle"),
+        sh_expr.alias("_sh"),
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    a = sh.select(
-        F.col("_id").alias("id_a"), *[F.col(b).alias(f"_ba_{b}") for b in blk], "shingle"
+    sh = arr.select(
+        *[F.col(b) for b in blk],
+        F.struct(F.col("_id"), F.size("_sh").alias("_n")).alias("_doc"),
+        F.explode("_sh").alias("shingle"),
     )
-    b = sh.select(
-        F.col("_id").alias("id_b"), *[F.col(b).alias(f"_bb_{b}") for b in blk], "shingle"
+    posting = sh.groupBy(*blk, "shingle").agg(
+        F.collect_list("_doc").alias("_docs")
     )
-    cond = [a.shingle == b.shingle] + [
-        F.col(f"_ba_{k}") == F.col(f"_bb_{k}") for k in blk
-    ]
-    inter = (
-        a.join(b, cond)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    return (
+        posting.select(
+            "_docs", F.posexplode("_docs").alias("_i", "_a")
+        )
+        .select(
+            "_a",
+            F.explode(
+                F.slice(F.col("_docs"), F.col("_i") + 2, F.size("_docs"))
+            ).alias("_b"),
+        )
+        .filter(F.col("_a._id") != F.col("_b._id"))
+        .select(
+            F.least("_a", "_b").alias("_lo"),
+            F.greatest("_a", "_b").alias("_hi"),
+        )
+        .groupBy(
+            F.col("_lo._id").alias("id_a"), F.col("_hi._id").alias("id_b")
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min("_lo._n").alias("n_a"),
+            F.min("_hi._n").alias("n_b"),
+        )
     )
-    return inter, sizes
 
 
 def jaccard_pairs(
@@ -162,11 +201,9 @@ def jaccard_pairs(
     ``block`` optionally restricts comparisons to equal-key groups —
     at full scale, feed LSH candidates instead of blocking.
     """
-    inter, sizes = _shingle_intersection(df, text, id_col, n, block)
+    inter = _shingle_intersection(df, text, id_col, n, block)
     out = (
-        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
-        .filter(F.col("n_a") + F.col("n_b") - F.col("n_inter") > 0)
+        inter.filter(F.col("n_a") + F.col("n_b") - F.col("n_inter") > 0)
         .withColumn(
             "jaccard",
             pround_expr(
@@ -520,11 +557,9 @@ def containment_pairs(
     Same scale stance as ``jaccard_pairs``: ``block`` bounds the
     quadratic stage; at full scale feed LSH candidates instead.
     """
-    inter, sizes = _shingle_intersection(df, text, id_col, n, block)
+    inter = _shingle_intersection(df, text, id_col, n, block)
     out = (
-        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "containment",
             pround_expr(
                 F.col("n_inter") / F.least("n_a", "n_b").cast("double"), 6
