@@ -10,12 +10,15 @@ actually run before dropping duplicates.
 
 Algorithm: iterative min-label propagation.
 
-- ``labels(node) := node`` initially; each round every node takes the
-  min label among itself and its neighbors; converges when the label
-  sum stops decreasing (labels only ever decrease, so the sum is a
-  strictly-monotone convergence metric — one cheap aggregate per round,
-  no join against the previous state needed).
-- Each round is ONE shuffle join (edges x labels) plus ONE groupBy —
+- labels START at the round-1 state (``label(u) = min(u, min
+  neighbor)`` — one groupBy over the symmetrized edges, replacing the
+  identity labeling's distinct-nodes shuffle and its useless
+  checkpoint+checksum iteration); each step every node takes the min
+  label among itself and its neighbors; converges when the label sum
+  stops decreasing (labels only ever decrease, so the sum is a
+  strictly-monotone convergence metric — one cheap observe() metric
+  riding the checkpoint, no join against the previous state needed).
+- Each step is ONE shuffle join (edges x labels) plus ONE groupBy —
   both on the node key, so AQE coalesces them back-to-back.
 - ``localCheckpoint`` after every round cuts the lineage: without it
   round k re-executes rounds 1..k-1 (the classic iterative-plan
@@ -83,11 +86,21 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # r10: labels START at the round-1 state — label(u) = min(u, min
+    # neighbor) — computed with the same single groupBy shuffle a
+    # propagation round costs, replacing BOTH the separate
+    # distinct-nodes shuffle the identity initialization needed AND one
+    # whole checkpoint+checksum iteration of the loop (the identity
+    # labeling never converges on round 0, so checksumming it was pure
+    # overhead). Fixpoint unchanged: this is exactly what one
+    # propagation over identity labels produces.
+    labels = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(F.col("u").alias("node"), F.least("u", "_mv").alias("label"))
     )
     prev_sum = None
-    rounds = 0
+    rounds = 1
     converged = False
     from pyspark.sql import Observation
 
@@ -127,15 +140,27 @@ def connected_components(
             # pair list — a perfectly normal "no near-dups found" input
             # — would burn max_iter rounds and then RAISE (round-7
             # self-review; the pre-r7 code silently spun all rounds too)
+            rounds = 0  # the fused init propagated over nothing
             converged = True
             break
         if prev_sum is not None and cur == prev_sum:
             converged = True
             break
         prev_sum = cur
+        # NOTE: exactly ONE propagation step per checkpoint, on purpose
+        # — an r10 A/B of the "obvious" two-steps-per-checkpoint unroll
+        # (halve the barriers) measured it ~1.5-2× SLOWER on the dedup
+        # queries: the un-materialized first step is recomputed by the
+        # second step's AQE stage materializations, the same iterative
+        # recompute trap as the lazy-checkpoint fuse documented above.
         rounds += 1
-        msgs = und.join(labels, und.u == labels.node).select(
-            F.col("v").alias("node"), "label"
+        msgs = (
+            und.select(F.col("u").alias("_src"), F.col("v").alias("node"))
+            .join(
+                labels.select(F.col("node").alias("_src"), "label"),
+                "_src",
+            )
+            .select("node", "label")
         )
         labels = labels.unionByName(msgs).groupBy("node").agg(
             F.min("label").alias("label")
