@@ -362,7 +362,16 @@ def q_mensal_gold(spark, sf_dir):
         (k + 1).cast("long").alias("line_idx"),
         data_line.alias("line"),
     )
-    return mensal_gold(mensal_silver_from_lines(hdr.unionByName(data)))
+    # pin the synthesized lines ONCE: silver consumes the frame on two
+    # legs (header aggregate + data parse) and derives its filters from
+    # the line content, so Catalyst inlines the ~20-function synthesis
+    # expression into every Filter/Project of BOTH legs — the r10
+    # baseline plan evaluated it 4+ times per row over TWO orders scans
+    # (+2 round-robin exchanges). The connector contract says `lines`
+    # is an already-read frame (real zips arrive materialized), so the
+    # twin mirrors that: one synthesis pass, one scan, narrow pin.
+    lines = hdr.unionByName(data).localCheckpoint(eager=False)
+    return mensal_gold(mensal_silver_from_lines(lines))
 
 
 # === Round-5: SELIC real-time statistics CSV (secondary intradia) =========
@@ -481,6 +490,10 @@ def q_tpf_intradia(spark, sf_dir):
         *[data_cells[i].alias(f"_c{i}") for i in range(n)],
         *[F.lit(None).cast("string").alias(f"_c{i}") for i in range(n, 36)],
     )
+    # NOT pinned, unlike q_mensal_gold's lines frame: an r10 A/B of the
+    # same lazy-checkpoint pin here measured 2.01 → 4.52 s — this frame
+    # is 36 STRING COLUMNS wide (vs one line string), so materializing
+    # it costs more than re-evaluating the synthesis on the second leg
     return tpf_intradia_from_wide(
         hdr.unionByName(data), consulta=_dt.datetime(1995, 6, 15, 12, 0, 0)
     )
