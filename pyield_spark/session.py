@@ -41,10 +41,21 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # local test files are single small parquets; without this the
-        # scan runs 1-3 tasks on a 32-core box. At cluster scale the
-        # deployment overrides (default 128m is right for HDFS/S3).
-        .config("spark.sql.files.maxPartitionBytes", "2097152")
-        .config("spark.sql.files.openCostInBytes", "524288")
+        # scan runs 1-3 tasks on a 32-core box. Scale-dependent, so
+        # env-parameterised: a cluster deployment sets
+        # SPARK_GRAFT_MAX_PARTITION_BYTES to 128m-1g (guide §6 — large
+        # sequential scans on HDFS/S3 want big splits; the Spark
+        # default 128m is the floor there) and OPEN_COST to the 4m
+        # default. The local defaults below keep the driver's bench
+        # bit-comparable across rounds.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2097152"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "524288"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Oracle comparisons (DuckDB) use naive/UTC timestamps; ANSI off so
         # malformed casts yield null (reference uses strict=False casts:
