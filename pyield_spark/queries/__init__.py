@@ -94,6 +94,16 @@ DRIVER_PRIORITY: list[str] = [
     "q_ivfpq_topk", "q_ivf_topk",  # _ivf helpers adjacent to ivf_assign
     "q_ivfpq_trained", "q_ann_filtered",  # same similarity file
     "q_bloom_decontaminate",   # bloom_size clamp warning path
+    # --- round-10 OPTIMIZATION-phase code changes (re-verify under the
+    # driver's own gate: the restructures are oracle-proven locally at
+    # 3 SFs, this seals them with driver rows) ---
+    "q_containment_pairs", "q_jaccard_pairs",  # posting-list rewrite
+    "q_dedup_clusters", "q_dedup_keep_best",   # CC fused init + pins
+    "q_simhash_clusters",                      # CC + signature pin
+    "q_minhash_lsh", "q_minhash_sized",        # signature pin
+    "q_simhash_hamming",                       # signature pin
+    "q_mensal_gold",                           # lines pinned once
+    "q_sql_revenue_by_nation",  # session-token memo fix surface
     # remaining slots fill via driver_ordered()'s registration-order
     # ``rest`` — the round-1 relational/pricing core gets fresh rows
 ]
