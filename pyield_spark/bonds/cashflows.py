@@ -28,6 +28,29 @@ def explode_payment_dates(
     """
     if interval_months <= 0:
         raise ValueError("interval_months must be positive")
+    if isinstance(settlement, str) and isinstance(maturity, str):
+        # parsed-SQL fast path (r11 build optimization): the identical
+        # expression trees in 4 py4j round trips instead of ~180 —
+        # every call site in the engine passes column NAMES
+        liq_s = f"to_date(`{settlement}`)"
+        ven_s = f"to_date(`{maturity}`)"
+        iv = f"{float(interval_months)!r}D"
+        return (
+            df.withColumn(
+                "_n_max",
+                F.expr(
+                    "greatest(CAST(ceil(months_between("
+                    f"{ven_s}, {liq_s}) / {iv}) AS INT) + 1, 0)"
+                ),
+            )
+            .withColumn("_i", F.expr("explode(sequence(0, _n_max))"))
+            .withColumn(
+                alias,
+                F.expr(f"add_months({ven_s}, -_i * {interval_months})"),
+            )
+            .filter(F.expr(f"`{alias}` > {liq_s}"))
+            .drop("_n_max", "_i")
+        )
     liq = F.to_date(F.col(settlement) if isinstance(settlement, str) else settlement)
     ven = F.to_date(F.col(maturity) if isinstance(maturity, str) else maturity)
 
@@ -63,6 +86,22 @@ def coupon_flow_expr(
     cv = F.lit(coupon_value) if isinstance(coupon_value, (int, float)) else coupon_value
     fv = F.lit(final_value) if isinstance(final_value, (int, float)) else final_value
     return F.when(p == m, fv).otherwise(cv)
+
+
+def coupon_flow_sql(
+    pay_date: str,
+    maturity: str,
+    coupon_value: float,
+    final_value: float,
+) -> str:
+    """SQL-string twin of :func:`coupon_flow_expr` for float-valued
+    coupons over named columns — the identical CaseWhen/Literal tree in
+    one parse (r11 build optimization). Exact double literals via repr
+    (shortest round-trip decimal)."""
+    return (
+        f"CASE WHEN `{pay_date}` = to_date(`{maturity}`)"
+        f" THEN {float(final_value)!r}D ELSE {float(coupon_value)!r}D END"
+    )
 
 
 def amortization_flows(

@@ -122,8 +122,43 @@ def _exploded_flows(
     final_value: float,
 ) -> DataFrame:
     """Per-bond exploded flows with du, year fraction and discount factor."""
+    from pyield_spark.functions.numbers import truncar_sql_spark
+
     flows = explode_payment_dates(df, settlement, maturity, 6, "data_pagamento")
     flows = du_mod.contar(flows, settlement, "data_pagamento", alias="_du_fluxo")
+    if isinstance(coupon_value, (int, float)) and isinstance(
+        final_value, (int, float)
+    ):
+        # parsed-SQL fast path (r11 build optimization): identical
+        # trees, ~30 py4j round trips instead of ~450. The truncar
+        # string macros stay FLAT (applied to a named column / one
+        # short quotient), per truncar_sql_spark's nesting caveat.
+        from pyield_spark.bonds.cashflows import coupon_flow_sql
+
+        return (
+            flows.withColumn(
+                "_au",
+                F.expr(
+                    truncar_sql_spark(
+                        "CAST(_du_fluxo AS DOUBLE) / 252.0D", 14
+                    )
+                ),
+            )
+            .withColumn(
+                "_cf",
+                F.expr(
+                    coupon_flow_sql(
+                        "data_pagamento", maturity, coupon_value, final_value
+                    )
+                ),
+            )
+            .withColumn(
+                "_fator",
+                F.expr(
+                    f"power(1.0D + {truncar_sql_spark(f'`{taxa}`', 8)}, _au)"
+                ),
+            )
+        )
     taxa_n = truncar_expr(F.col(taxa), 8)
     au = anos_uteis_expr("_du_fluxo")
     cf = coupon_flow_expr("data_pagamento", maturity, coupon_value, final_value)
@@ -155,17 +190,20 @@ def price_coupon_bond(
     flows = _exploded_flows(
         df, settlement, maturity, taxa, coupon_value, final_value
     )
-    vp = F.bround(F.col("_cf") / F.col("_fator"), vp_round)
-    flows = flows.withColumn("_vp", vp)
+    flows = flows.withColumn(
+        "_vp", F.expr(f"bround(_cf / _fator, {int(vp_round)})")
+    )
     # decimal accumulation: exact and order-independent (a parallel double
     # sum is association-dependent; the rounded PVs fit decimal exactly).
     # The STN truncation stays in the decimal domain — decimal→double
     # casts diverge across engines exactly on the truncation grid.
-    from pyield_spark.functions.numbers import trunc_decimal_sum_expr
-
+    # (Aggregates as parsed SQL — same trees as the old
+    # trunc_decimal_sum_expr/pround_expr Column chains, r11 build
+    # optimization.)
     aggs = [
-        trunc_decimal_sum_expr(
-            F.sum(F.col("_vp").cast("decimal(28,12)")), 6
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(_vp AS DECIMAL(28,12)))"
+            " AS DECIMAL(24,12)) * 1000000) / 1000000.0D AS DOUBLE)"
         ).alias(alias)
     ]
     if with_duration:
@@ -175,13 +213,16 @@ def price_coupon_bond(
         # the product/sum stay exact; only the final quotient returns to
         # double, under a portable round. (Casting arbitrary PRODUCTS to
         # decimal is NOT portable — engines disagree near halfway.)
-        from pyield_spark.functions.numbers import pround_expr
+        from pyield_spark.functions.numbers import pround_sql_spark
 
-        au_dec = F.col("_au").cast("decimal(16,14)")
-        vp_dec = F.col("_vp").cast(f"decimal(20,{vp_round})")
-        num = F.sum(au_dec * vp_dec).cast("double")
-        den = F.sum(vp_dec).cast("double")
-        aggs.append(pround_expr(num / den, 9).alias("duration"))
+        num = (
+            "CAST(sum(CAST(_au AS DECIMAL(16,14))"
+            f" * CAST(_vp AS DECIMAL(20,{int(vp_round)}))) AS DOUBLE)"
+        )
+        den = f"CAST(sum(CAST(_vp AS DECIMAL(20,{int(vp_round)}))) AS DOUBLE)"
+        aggs.append(
+            F.expr(pround_sql_spark(f"({num}) / ({den})", 9)).alias("duration")
+        )
     return flows.groupBy(*id_cols).agg(*aggs)
 
 

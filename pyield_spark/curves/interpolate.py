@@ -102,14 +102,16 @@ def interpolar(
         distribution = auto_distribution(curve)
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
-    cur = curve.select(
-        *[F.col(c) for c in by_cols],
-        F.col(curve_du).cast("long").alias("_du"),
-        F.col(curve_rate).cast("double").alias("_tx"),
-        *([F.col(order_col).alias("_ord")] if order_col else []),
-    ).filter(
-        F.col("_du").isNotNull() & F.col("_tx").isNotNull() & ~F.isnan(F.col("_tx"))
-    )
+    # parsed-SQL construction throughout this operator (r11 build
+    # optimization): identical expression trees to the old Column
+    # chains, a handful of py4j round trips instead of ~1600 — this
+    # operator runs in every curve query's build.
+    cur = curve.selectExpr(
+        *[f"`{c}`" for c in by_cols],
+        f"CAST(`{curve_du}` AS BIGINT) AS _du",
+        f"CAST(`{curve_rate}` AS DOUBLE) AS _tx",
+        *([f"`{order_col}` AS _ord"] if order_col else []),
+    ).filter(F.expr("_du IS NOT NULL AND _tx IS NOT NULL AND NOT isnan(_tx)"))
     # dedupe (group, du): keep='last' by order_col when provided
     # (max_by mirrors the reference's arrival-order semantics); else a
     # deterministic keep-max-rate stand-in — either way exactly one
@@ -154,18 +156,18 @@ def interpolar(
         return _ladder(joined, targets.columns, method, extrapolar, alias)
 
     # ---- union + dual window ----
-    tgt = targets.select(
-        F.struct(*targets.columns).alias("_l"),
-        *[F.col(c) for c in by_cols],
-        F.col(du_col).cast("long").alias("_k"),
-        F.lit(1).alias("_is_left"),
+    tgt = targets.selectExpr(
+        "struct(" + ", ".join(f"`{c}`" for c in targets.columns) + ") AS _l",
+        *[f"`{c}`" for c in by_cols],
+        f"CAST(`{du_col}` AS BIGINT) AS _k",
+        "1 AS _is_left",
     )
     cur_tagged = cur.select(
         F.lit(None).cast(tgt.schema["_l"].dataType).alias("_l"),
         *[F.col(c) for c in by_cols],
         F.col("_du").alias("_k"),
         F.lit(0).alias("_is_left"),
-        F.struct(F.col("_du"), F.col("_tx")).alias("_v"),
+        F.expr("struct(_du, _tx) AS _v"),
     )
     tgt = tgt.withColumn("_v", F.lit(None).cast(cur_tagged.schema["_v"].dataType)).select(
         *cur_tagged.columns
@@ -173,7 +175,6 @@ def interpolar(
     unioned = cur_tagged.unionByName(tgt)
 
     if by_cols:
-        w = Window.partitionBy(*by_cols)
         # curve rows (tag 0) before targets (tag 1) at equal du: backward
         # sees exact hits; forward yields the strictly-greater vertex.
         # BOTH neighbors use GROWING frames (unbounded preceding →
@@ -182,35 +183,30 @@ def interpolar(
         # frame would rescan per row (O(n²), measured 2-4× slower at
         # sf0.1). Ties in the descending pass put targets first so
         # equal-du vertices stay excluded (strict >).
-        wo = w.orderBy(F.col("_k").asc_nulls_last(), F.col("_is_left"))
-        back = F.last("_v", ignorenulls=True).over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        wo_desc = w.orderBy(F.col("_k").desc_nulls_last(), (1 - F.col("_is_left")))
-        fwd = F.last("_v", ignorenulls=True).over(
-            wo_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        #
         # group extremes as whole-partition window aggs over the same
         # partitioning (unordered frame → single-pass aggregate buffers;
         # an ordered unbounded-following frame with ignorenulls degrades
         # to per-row scans, measured 4× slower). No second curve
-        # aggregation, no extra join.
-        # _cdu/_ctx (not curve_du/curve_tx): those names would shadow
-        # the string parameters and hand a Column to any later code
-        # expecting the column NAME (review fix)
-        _cdu = F.when(F.col("_is_left") == 0, F.col("_k"))
-        _ctx = F.when(F.col("_is_left") == 0, F.col("_v._tx"))
-        joined = unioned.select(
+        # aggregation, no extra join. All parsed SQL — same trees as the
+        # old Window/when chains, one round trip per expression.
+        part = ", ".join(f"`{c}`" for c in by_cols)
+        frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        cdu = "CASE WHEN _is_left = 0 THEN _k END"
+        ctx = "CASE WHEN _is_left = 0 THEN _v._tx END"
+        joined = unioned.selectExpr(
             "_l",
             "_k",
             "_is_left",
-            back.alias("_j"),
-            fwd.alias("_kk"),
-            F.min(_cdu).over(w).alias("_du_min"),
-            F.max(_cdu).over(w).alias("_du_max"),
-            F.min_by(_ctx, _cdu).over(w).alias("_tx_min"),
-            F.max_by(_ctx, _cdu).over(w).alias("_tx_max"),
-        ).filter(F.col("_is_left") == 1)
+            f"last(_v, true) OVER (PARTITION BY {part}"
+            f" ORDER BY _k ASC NULLS LAST, _is_left {frame}) AS _j",
+            f"last(_v, true) OVER (PARTITION BY {part}"
+            f" ORDER BY _k DESC NULLS LAST, (1 - _is_left) {frame}) AS _kk",
+            f"min({cdu}) OVER (PARTITION BY {part}) AS _du_min",
+            f"max({cdu}) OVER (PARTITION BY {part}) AS _du_max",
+            f"min_by({ctx}, {cdu}) OVER (PARTITION BY {part}) AS _tx_min",
+            f"max_by({ctx}, {cdu}) OVER (PARTITION BY {part}) AS _tx_max",
+        ).filter(F.expr("_is_left = 1"))
     else:
         # --- single curve, distributed: value-derived range buckets +
         # ghost stitch (same design as operators/asof.py ungrouped path;
@@ -335,40 +331,42 @@ def _ladder(
 ) -> DataFrame:
     """The reference's edge-case ladder (interpolador.py:481-491) over a
     frame carrying (_l, _k, _j, _kk, _du_min/_du_max/_tx_min/_tx_max) —
-    shared by the window and broadcast routes."""
-    du = F.col("_k").cast("double")
-    du_j = F.col("_j._du").cast("double")
-    tx_j = F.col("_j._tx")
-    du_k = F.col("_kk._du").cast("double")
-    tx_k = F.col("_kk._tx")
+    shared by the window and broadcast routes. Built as ONE parsed SQL
+    expression (r11): the identical CaseWhen/pow tree the old Column
+    chain produced, ~350 py4j round trips fewer per call."""
+    du = "CAST(_k AS DOUBLE)"
+    du_j = "CAST(_j._du AS DOUBLE)"
+    tx_j = "_j._tx"
+    du_k = "CAST(_kk._du AS DOUBLE)"
+    tx_k = "_kk._tx"
 
     if method == "flat_forward":
-        au = du / DAYS_PER_YEAR
-        au_j = du_j / DAYS_PER_YEAR
-        au_k = du_k / DAYS_PER_YEAR
-        fa_j = F.pow(F.lit(1.0) + tx_j, au_j)
-        fa_k = F.pow(F.lit(1.0) + tx_k, au_k)
-        ft = (au - au_j) / (au_k - au_j)
-        mid = F.pow(fa_j * F.pow(fa_k / fa_j, ft), F.lit(1.0) / au) - F.lit(1.0)
-    else:  # linear (reference: interpolador.py:77-101)
-        mid = tx_j + (du - du_j) * (tx_k - tx_j) / (du_k - du_j)
-
-    nulo = F.lit(None).cast("double")
-    taxa = (
-        F.when(F.col("_k").isNull() | F.col("_du_min").isNull(), nulo)
-        .when(du_j == du, tx_j)
-        .when(du < F.col("_du_min"), F.col("_tx_min"))
-        .when(
-            du > F.col("_du_max"),
-            F.col("_tx_max") if extrapolar else nulo,
+        au = f"({du} / 252.0D)"
+        au_j = f"({du_j} / 252.0D)"
+        au_k = f"({du_k} / 252.0D)"
+        fa_j = f"power(1.0D + {tx_j}, {au_j})"
+        fa_k = f"power(1.0D + {tx_k}, {au_k})"
+        ft = f"(({au} - {au_j}) / ({au_k} - {au_j}))"
+        mid = (
+            f"power({fa_j} * power({fa_k} / {fa_j}, {ft}),"
+            f" 1.0D / {au}) - 1.0D"
         )
-        .otherwise(mid)
+    else:  # linear (reference: interpolador.py:77-101)
+        mid = f"{tx_j} + ({du} - {du_j}) * ({tx_k} - {tx_j}) / ({du_k} - {du_j})"
+
+    nulo = "CAST(NULL AS DOUBLE)"
+    taxa = (
+        "CASE WHEN (_k IS NULL OR _du_min IS NULL) THEN " + nulo
+        + f" WHEN {du_j} = {du} THEN {tx_j}"
+        + f" WHEN {du} < _du_min THEN _tx_min"
+        + f" WHEN {du} > _du_max THEN "
+        + ("_tx_max" if extrapolar else nulo)
+        + f" ELSE {mid} END"
     )
     # NaN → null at the exit (reference: interpolador.py:497)
-    taxa = F.when(F.isnan(taxa), nulo).otherwise(taxa)
+    taxa = f"CASE WHEN isnan({taxa}) THEN {nulo} ELSE {taxa} END"
 
-    left_cols = [F.col(f"_l.{c}").alias(c) for c in target_cols]
-    return joined.select(*left_cols, taxa.alias(alias))
+    return joined.selectExpr("_l.*", f"{taxa} AS `{alias}`")
 
 
 def _broadcast_brackets(
@@ -395,20 +393,24 @@ def _broadcast_brackets(
     # fact table, an unmaterialized lineage would re-execute per
     # consumer — checkpoint once (lazy: materializes on first use)
     cur = cur.localCheckpoint(eager=False)
-    wv = Window.partitionBy(*by_cols).orderBy("_du") if by_cols else Window.orderBy("_du")
-    iv = cur.select(
-        *by_cols,
-        F.col("_du").alias("_du_j"),
-        F.col("_tx").alias("_tx_j"),
-        F.lead("_du").over(wv).alias("_du_k"),
-        F.lead("_tx").over(wv).alias("_tx_k"),
+    _part = (
+        "PARTITION BY " + ", ".join(f"`{c}`" for c in by_cols)
+        if by_cols
+        else ""
+    )
+    iv = cur.selectExpr(
+        *[f"`{c}`" for c in by_cols],
+        "_du AS _du_j",
+        "_tx AS _tx_j",
+        f"lead(_du, 1) OVER ({_part} ORDER BY _du) AS _du_k",
+        f"lead(_tx, 1) OVER ({_part} ORDER BY _du) AS _tx_k",
     )
     ext = cur.groupBy(*by_cols).agg(
-        F.min("_du").alias("_du_min"),
-        F.max("_du").alias("_du_max"),
-        F.min_by("_tx", "_du").alias("_tx_min"),
-        F.max_by("_tx", "_du").alias("_tx_max"),
-        F.count("*").alias("_n"),
+        F.expr("min(_du) AS _du_min"),
+        F.expr("max(_du) AS _du_max"),
+        F.expr("min_by(_tx, _du) AS _tx_min"),
+        F.expr("max_by(_tx, _du) AS _tx_max"),
+        F.expr("count(*) AS _n"),
     )
     if by_cols:
         exti = ext.select(
@@ -424,29 +426,23 @@ def _broadcast_brackets(
     else:
         iv = iv.crossJoin(F.broadcast(ext))
 
-    from pyield_spark.operators.asof import grid_pitch_expr
+    from pyield_spark.operators.asof import grid_pitch_sql
 
-    def pitch():
-        return grid_pitch_expr(
-            F.col("_du_min"), F.col("_du_max"), F.col("_n")
-        )
-
-    g = pitch()
-    b_lo = F.floor(F.col("_du_j") / g)
-    b_hi = F.floor(F.coalesce(F.col("_du_k"), F.col("_du_j")) / g)
-    ivb = iv.select(
-        *by_cols,
+    g = grid_pitch_sql("_du_min", "_du_max", "_n")
+    ivb = iv.selectExpr(
+        *[f"`{c}`" for c in by_cols],
         "_du_j",
         "_tx_j",
         "_du_k",
         "_tx_k",
-        F.explode(F.sequence(b_lo, b_hi)).alias("_rbkt"),
+        f"explode(sequence(floor(_du_j / {g}),"
+        f" floor(coalesce(_du_k, _du_j) / {g}))) AS _rbkt",
     )
 
-    tgt = targets.select(
-        F.struct(*targets.columns).alias("_l"),
-        *[F.col(c) for c in by_cols],
-        F.col(du_col).cast("long").alias("_k"),
+    tgt = targets.selectExpr(
+        "struct(" + ", ".join(f"`{c}`" for c in targets.columns) + ") AS _l",
+        *[f"`{c}`" for c in by_cols],
+        f"CAST(`{du_col}` AS BIGINT) AS _k",
     )
     # per-group stats by broadcast join (left side untouched); groups
     # absent from the curve get null stats → the ladder's null arm.
@@ -466,45 +462,37 @@ def _broadcast_brackets(
         )
     else:
         tgt = tgt.crossJoin(F.broadcast(ext))
-    g_t = pitch()
-    raw = F.floor(F.col("_k") / g_t)
     # above-max targets clamp into the last, open-ended interval
-    clamped = F.least(raw, F.floor(F.col("_du_max") / g_t))
-    tgt = tgt.select(
+    tgt = tgt.selectExpr(
         "_l",
-        *by_cols,
+        *[f"`{c}`" for c in by_cols],
         "_k",
         "_du_min",
         "_du_max",
         "_tx_min",
         "_tx_max",
-        F.when(F.col("_k").isNotNull(), clamped).alias("_bkt"),
+        "CASE WHEN _k IS NOT NULL THEN"
+        f" least(floor(_k / {g}), floor(_du_max / {g})) END AS _bkt",
     )
 
-    ivbs = ivb.select(
-        *[F.col(c).alias(f"_r_{c}") for c in by_cols],
+    ivbs = ivb.selectExpr(
+        *[f"`{c}` AS `_r_{c}`" for c in by_cols],
         "_rbkt", "_du_j", "_tx_j", "_du_k", "_tx_k",
     )
-    k = F.col("_k")
-    cond = (
-        (F.col("_bkt") == F.col("_rbkt"))
-        & (k >= F.col("_du_j"))
-        & (F.col("_du_k").isNull() | (k < F.col("_du_k")))
+    cond_sql = (
+        "_bkt = _rbkt AND _k >= _du_j"
+        " AND (_du_k IS NULL OR _k < _du_k)"
     )
     for c in by_cols:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
-    out = tgt.join(F.broadcast(ivbs), cond, "left")
-    return out.select(
+        cond_sql += f" AND `{c}` <=> `_r_{c}`"
+    out = tgt.join(F.broadcast(ivbs), F.expr(cond_sql), "left")
+    return out.selectExpr(
         "_l",
         "_k",
-        F.when(
-            F.col("_du_j").isNotNull(),
-            F.struct(F.col("_du_j").alias("_du"), F.col("_tx_j").alias("_tx")),
-        ).alias("_j"),
-        F.when(
-            F.col("_du_k").isNotNull(),
-            F.struct(F.col("_du_k").alias("_du"), F.col("_tx_k").alias("_tx")),
-        ).alias("_kk"),
+        "CASE WHEN _du_j IS NOT NULL THEN"
+        " struct(_du_j AS _du, _tx_j AS _tx) END AS _j",
+        "CASE WHEN _du_k IS NOT NULL THEN"
+        " struct(_du_k AS _du, _tx_k AS _tx) END AS _kk",
         "_du_min",
         "_du_max",
         "_tx_min",

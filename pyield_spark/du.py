@@ -30,23 +30,52 @@ from pyield_spark import calendar_br as cal
 _TRANSITION = cal.TRANSITION_DATE
 
 
-def _cal_prefixed(spark, prefix: str, date_alias: str) -> DataFrame:
-    # memoized per session: contar/deslocar run in most fixed-income
-    # queries, and rebuilding the identical projection costs dozens of
-    # py4j round-trips each time — query CONSTRUCTION overhead that
-    # scales with suite size (DataFrames are immutable, reuse is safe)
+def _cal_sel(spark, date_alias: str, prefix: str, cols: tuple) -> DataFrame:
+    # memoized per session, INCLUDING the narrow projection and the
+    # broadcast hint: contar/deslocar run in most fixed-income queries,
+    # and rebuilding the identical projection costs dozens of py4j
+    # round-trips each time — query CONSTRUCTION overhead that scales
+    # with suite size (DataFrames are immutable, reuse is safe)
     def build():
         c = cal.calendar_df(spark)
-        return c.select(
-            F.col("data").alias(date_alias),
-            *[F.col(n).alias(prefix + n) for n in c.columns if n != "data"],
+        return F.broadcast(
+            c.select(
+                F.col("data").alias(date_alias),
+                *[F.col(n).alias(prefix + n) for n in cols],
+            )
         )
 
-    return cal.df_cache_get(spark, ("calpfx", prefix, date_alias), build)
+    return cal.df_cache_get(spark, ("calsel", date_alias, prefix, cols), build)
 
 
-def _regime_pick(start_col: Column, ant: Column, nov: Column) -> Column:
-    return F.when(start_col < F.lit(_TRANSITION), ant).otherwise(nov)
+def _inv_bd(spark) -> DataFrame:
+    """(regime, ordinal) -> date inverse map, projected to deslocar's
+    temp names and broadcast-hinted, memoized per session."""
+
+    def build():
+        return F.broadcast(
+            cal.business_dates_df(spark).select(
+                F.col("regime").alias("_du_regime"),
+                F.col("ordinal").alias("_du_target"),
+                F.col("data").alias("_du_result"),
+            )
+        )
+
+    return cal.df_cache_get(spark, ("calinv",), build)
+
+
+# SQL spelling of the regime transition (used in the parsed CASE
+# expressions below — one py4j round trip where the when/otherwise
+# Column chains cost ~60-80 each; same Literal/CaseWhen tree)
+_TRANSITION_SQL = f"DATE'{_TRANSITION.isoformat()}'"
+
+
+def _to_date_col(x: str | Column) -> Column:
+    # parsed to_date over a NAMED column in one round trip; Column
+    # inputs keep the (already-built) Column path
+    if isinstance(x, str):
+        return F.expr(f"to_date(`{x}`)")
+    return F.to_date(x)
 
 
 def contar(
@@ -62,24 +91,23 @@ def contar(
     Null inicio/fim (or dates outside the 1990-2099 calendar) yield null.
     """
     spark = df.sparkSession
-    ini = F.col(inicio) if isinstance(inicio, str) else inicio
-    fm = F.col(fim) if isinstance(fim, str) else fim
-    df2 = df.withColumn("_du_ini", F.to_date(ini)).withColumn("_du_fim", F.to_date(fm))
-    cal_ini = _cal_prefixed(spark, "_i_", "_du_ini").select(
-        "_du_ini", "_i_cum_ant", "_i_cum_nov"
+    df2 = df.withColumn("_du_ini", _to_date_col(inicio)).withColumn(
+        "_du_fim", _to_date_col(fim)
     )
-    cal_fim = _cal_prefixed(spark, "_f_", "_du_fim").select(
-        "_du_fim", "_f_cum_ant", "_f_cum_nov"
-    )
+    cal_ini = _cal_sel(spark, "_du_ini", "_i_", ("cum_ant", "cum_nov"))
+    cal_fim = _cal_sel(spark, "_du_fim", "_f_", ("cum_ant", "cum_nov"))
     out = (
-        df2.join(F.broadcast(cal_ini), "_du_ini", "left")
-        .join(F.broadcast(cal_fim), "_du_fim", "left")
+        df2.join(cal_ini, "_du_ini", "left")
+        .join(cal_fim, "_du_fim", "left")
         .withColumn(
             alias,
-            _regime_pick(
-                F.col("_du_ini"),
-                F.col("_f_cum_ant") - F.col("_i_cum_ant"),
-                F.col("_f_cum_nov") - F.col("_i_cum_nov"),
+            # same Literal/CaseWhen tree as the old when/otherwise
+            # Column chain, parsed in ONE py4j round trip (r11 build
+            # optimization: du ops run in most fixed-income queries)
+            F.expr(
+                f"CASE WHEN _du_ini < {_TRANSITION_SQL}"
+                " THEN _f_cum_ant - _i_cum_ant"
+                " ELSE _f_cum_nov - _i_cum_nov END"
             ),
         )
     )
@@ -100,41 +128,42 @@ def deslocar(
     if rolagem not in ("forward", "backward"):
         raise ValueError("rolagem must be 'forward' or 'backward'")
     spark = df.sparkSession
-    d = F.col(data) if isinstance(data, str) else data
-    n = F.lit(deslocamento) if isinstance(deslocamento, int) else (
-        F.col(deslocamento) if isinstance(deslocamento, str) else deslocamento
-    )
+    if isinstance(deslocamento, int):
+        n = F.expr(f"CAST({deslocamento} AS BIGINT)")
+    elif isinstance(deslocamento, str):
+        n = F.expr(f"CAST(`{deslocamento}` AS BIGINT)")
+    else:
+        n = deslocamento.cast("long")
     # forward-roll ordinal IS cum_* (own ordinal if a bd, next bd's
     # otherwise — by construction of the exclusive-end count), so only
     # the backward roll needs its own index columns
     idx = "cum_" if rolagem == "forward" else "idx_bwd_"
-    df2 = df.withColumn("_du_data", F.to_date(d)).withColumn("_du_n", n.cast("long"))
-    cal_d = _cal_prefixed(spark, "_d_", "_du_data").select(
-        "_du_data", f"_d_{idx}ant", f"_d_{idx}nov"
-    )
+    df2 = df.withColumn("_du_data", _to_date_col(data)).withColumn("_du_n", n)
+    cal_d = _cal_sel(spark, "_du_data", "_d_", (f"{idx}ant", f"{idx}nov"))
     # temp name + withColumn (REPLACE semantics, like contar): joining
     # the pre-aliased result column would leave TWO identically-named
     # columns when the input already carries `alias` — e.g. chained
     # shifts with the default alias → AMBIGUOUS_REFERENCE (review fix)
-    inv = cal.business_dates_df(spark).select(
-        F.col("regime").alias("_du_regime"),
-        F.col("ordinal").alias("_du_target"),
-        F.col("data").alias("_du_result"),
-    )
     out = (
-        df2.join(F.broadcast(cal_d), "_du_data", "left")
+        df2.join(cal_d, "_du_data", "left")
         .withColumn(
             "_du_regime",
-            F.when(F.col("_du_data").isNull(), F.lit(None).cast("string")).otherwise(
-                F.when(F.col("_du_data") < F.lit(_TRANSITION), F.lit("antigo")).otherwise(F.lit("novo"))
+            # same nested CaseWhen tree as the old when/otherwise chain,
+            # parsed once (r11 build optimization)
+            F.expr(
+                "CASE WHEN _du_data IS NULL THEN CAST(NULL AS STRING)"
+                f" ELSE CASE WHEN _du_data < {_TRANSITION_SQL}"
+                " THEN 'antigo' ELSE 'novo' END END"
             ),
         )
         .withColumn(
             "_du_target",
-            _regime_pick(F.col("_du_data"), F.col(f"_d_{idx}ant"), F.col(f"_d_{idx}nov"))
-            + F.col("_du_n"),
+            F.expr(
+                f"(CASE WHEN _du_data < {_TRANSITION_SQL}"
+                f" THEN _d_{idx}ant ELSE _d_{idx}nov END) + _du_n"
+            ),
         )
-        .join(F.broadcast(inv), ["_du_regime", "_du_target"], "left")
+        .join(_inv_bd(spark), ["_du_regime", "_du_target"], "left")
         .withColumn(alias, F.col("_du_result"))
     )
     return out.drop(
@@ -146,14 +175,14 @@ def deslocar(
 def eh_dia_util(df: DataFrame, data: str | Column, alias: str = "eh_dia_util") -> DataFrame:
     """Add a boolean business-day flag (regime selected by the date itself)."""
     spark = df.sparkSession
-    d = F.col(data) if isinstance(data, str) else data
-    df2 = df.withColumn("_du_data", F.to_date(d))
-    cal_d = _cal_prefixed(spark, "_d_", "_du_data").select(
-        "_du_data", "_d_is_bd_ant", "_d_is_bd_nov"
-    )
-    out = df2.join(F.broadcast(cal_d), "_du_data", "left").withColumn(
+    df2 = df.withColumn("_du_data", _to_date_col(data))
+    cal_d = _cal_sel(spark, "_du_data", "_d_", ("is_bd_ant", "is_bd_nov"))
+    out = df2.join(cal_d, "_du_data", "left").withColumn(
         alias,
-        _regime_pick(F.col("_du_data"), F.col("_d_is_bd_ant"), F.col("_d_is_bd_nov")),
+        F.expr(
+            f"CASE WHEN _du_data < {_TRANSITION_SQL}"
+            " THEN _d_is_bd_ant ELSE _d_is_bd_nov END"
+        ),
     )
     return out.drop("_du_data", "_d_is_bd_ant", "_d_is_bd_nov")
 

@@ -502,6 +502,18 @@ def grid_pitch_expr(mn, mx, n):
     ).otherwise(F.lit(1.0))
 
 
+def grid_pitch_sql(mn: str, mx: str, n: str) -> str:
+    """SQL-string twin of :func:`grid_pitch_expr` over named columns —
+    the identical CaseWhen tree, one parse (r11 build optimization).
+    Keep the two in lockstep: both sides of each bucket join must
+    derive the pitch from the same formula."""
+    return (
+        f"CASE WHEN {mx} > {mn}"
+        f" THEN CAST({mx} - {mn} AS DOUBLE) / greatest({n} - 1, 1)"
+        " ELSE 1.0D END"
+    )
+
+
 def _numeric_key(c, key_t):
     # type-BASED dispatch (key_t is a DataType): a string compare
     # here once let date keys fall through to cast-to-double,
