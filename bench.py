@@ -47,6 +47,12 @@ def main():
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     load_all()
     spark = get_session("bench")
+    # scaling-contract observability (r10 verdict item 2): echo the
+    # requested core count and what the context actually runs with, so
+    # an external harness can verify $SPARK_GRAFT_CPUS is honored even
+    # when sf0.1 wall times are overhead-bound and don't track cores.
+    cpus_env = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    default_par = spark.sparkContext.defaultParallelism
 
     # warmup: JVM/codegen, table-file listing, calendar-dimension cache
     for warm in ("q_pricing_summary", "q_bd_offset"):
@@ -94,11 +100,15 @@ def main():
     # Full per-query timings go to a FILE: the driver parses bench stdout
     # from a bounded tail buffer (~3 KB of merged out/err), and r2's
     # 123-query JSON line blew past it (BENCH_r02.json: parsed=null).
-    # The printed line stays r1-shaped (headline dict only, ~1 KB);
-    # BENCH_FULL.json carries every query for tools/bench_diff.py.
+    # The printed line stays r1-shaped (headline dict only, ~1 KB).
+    # The dump lands in the UNTRACKED BENCH_FULL.local.json (r10 verdict
+    # item 2: every bench run used to overwrite the committed
+    # BENCH_FULL.json, clobbering the builder's min-of-3 evidence in the
+    # working tree); the committed BENCH_FULL.json is now a deliberate
+    # copy of a representative lap.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as fh:
+                               "BENCH_FULL.local.json"), "w") as fh:
             json.dump(
                 {
                     "metric": "full_suite_seconds",
@@ -110,12 +120,14 @@ def main():
                     # identical to "queries" when reps == 1
                     "first_run": first_run,
                     "sf": sf_val,
+                    "cpus": cpus_env,
+                    "default_parallelism": default_par,
                 },
                 fh,
                 indent=1,
             )
     except OSError as e:  # read-only/full fs must not kill the stdout line
-        print(f"BENCH_FULL.json write failed: {e}", file=sys.stderr)
+        print(f"BENCH_FULL.local.json write failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -127,6 +139,10 @@ def main():
                 "n_queries": len(timings),
                 "queries": {n: timings[n] for n in HEADLINE},
                 "sf": sf_val,
+                # additions only — the driver's parser reads the keys
+                # above; these two let it check the core-count contract
+                "cpus": cpus_env,
+                "default_parallelism": default_par,
             }
         )
     )
