@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pyield_spark.functions.numbers import pround_expr
+from pyield_spark.operators.pinning import pin
 from pyield_spark.operators.text import h32_expr, tokens_expr
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1
@@ -131,6 +132,22 @@ def _shingle_intersection(
     - the EXPLODED stream itself is never checkpointed (a ~150× corpus
       multiple — a storage bomb at 100 TB; the map-side shingle work
       is cheap, parallel CPU).
+
+    SKEW BOUND (r10 advice): the posting list is ONE in-memory row of
+    O(DF) structs per (block, shingle) — ~16 bytes/doc, so a shingle
+    shared by 1 M docs builds a ~16 MB aggregation row (fine), 100 M a
+    ~1.6 GB one (executor OOM). The assumed operating bound is
+    DF ≲ 10⁷ per shingle. That is not an extra assumption in practice:
+    both consumers emit C(DF, 2) pairs per shingle, so a 10⁷-DF shingle
+    already implies 5·10¹³ output rows — the pair COUNT, not the
+    posting row, is the real wall, and it was identical under the old
+    streaming self-join. A corpus with hot/stop shingles must bound DF
+    upstream either way: raise ``n`` (longer shingles are rarer), or
+    pre-drop stop-shingles before pairing (standard stop-gram practice;
+    changes scores, hence a caller decision, not a silent default
+    here). Capping/salting inside this operator cannot preserve results
+    (splitting a posting list loses its cross-split pairs), so it
+    deliberately stays out.
 
     Counts are identical to the self-join: each shared shingle
     contributes exactly one canonical (min-id, max-id) pair, the
@@ -321,9 +338,7 @@ def lsh_candidate_pairs(
     # linear and narrow, never the text — so a lazy localCheckpoint
     # pays one tiny persist for half the heavy map work (guide §8:
     # decide on fingerprints, scan the payload once).
-    sig = minhash_signatures(df, text, id_col, n, num_perm).localCheckpoint(
-        eager=False
-    )
+    sig = pin(minhash_signatures(df, text, id_col, n, num_perm), eager=False)
     k = num_perm or len(MINHASH_COEFFS)
     band_keys = [
         F.concat_ws(
@@ -435,9 +450,7 @@ def simhash_hamming_pairs(
     # frame on both sides and the tokenize + bit-vote aggregation would
     # otherwise execute twice (same rationale as lsh_candidate_pairs —
     # the frame is (id, simhash), two narrow columns)
-    sig = simhash_expr_input(df, text, id_col, bits).localCheckpoint(
-        eager=False
-    )
+    sig = pin(simhash_expr_input(df, text, id_col, bits), eager=False)
     band_keys = _simhash_band_keys(F.col("simhash"), bits, k)
     allb = sig.select(
         F.col(id_col).alias("_id"),
@@ -495,9 +508,7 @@ def simhash_clusters(
     # label join — would otherwise each re-run the corpus tokenize +
     # bit-vote passes (plan-verified 2 full-text subtrees in the r10
     # baseline plan)
-    sig = simhash_expr_input(df, text, id_col, bits).localCheckpoint(
-        eager=False
-    )
+    sig = pin(simhash_expr_input(df, text, id_col, bits), eager=False)
     dfp = sig.select("simhash").distinct()
     band_keys = _simhash_band_keys(F.col("simhash"), bits, k)
     allb = dfp.select(
@@ -519,9 +530,12 @@ def simhash_clusters(
     # labeled feeds the cluster aggregate AND the final join — one
     # materialization of (id, simhash, _flabel) instead of running the
     # sig⋈fcomp join twice
-    labeled = sig.join(fcomp, "simhash", "left").withColumn(
-        "_flabel", F.coalesce("_flab", F.col("simhash"))
-    ).localCheckpoint(eager=False)
+    labeled = pin(
+        sig.join(fcomp, "simhash", "left").withColumn(
+            "_flabel", F.coalesce("_flab", F.col("simhash"))
+        ),
+        eager=False,
+    )
     agg = labeled.groupBy("_flabel").agg(
         F.min(id_col).alias("_cmin"), F.count("*").alias("_csize")
     )

@@ -47,6 +47,45 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pyield_spark.operators.pinning import pin
+
+def _chk_col():
+    """The per-round convergence checksum, shared by the observe() fast
+    path and the bounded-wait fallback below (a function, not a module
+    constant: Column construction needs a live SparkContext)."""
+    return F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("chk")
+
+
+def _observed_chk(obs, labels: DataFrame, timeout: float = 60.0):
+    """Read the round checksum from the Observation with a BOUNDED wait.
+
+    ``Observation.get`` blocks indefinitely and relies on the eager
+    checkpoint's action firing the QueryExecutionListener; if that
+    coupling ever breaks (Spark Connect, future versions), every
+    connected_components call would hang instead of degrading (review
+    fix, r10 advice). The action has already completed when this runs —
+    the listener normally posts within milliseconds — so on timeout we
+    fall back to the pre-r10 explicit ``agg().collect()`` checksum over
+    the already-checkpointed labels: one extra bounded pass, same value.
+    """
+    import threading
+
+    box: dict = {}
+
+    def _read():
+        try:
+            box["v"] = obs.get.get("chk")
+        except Exception as e:  # pragma: no cover - defensive
+            box["e"] = e
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive() or "e" in box:  # metrics never arrived
+        row = labels.agg(_chk_col()).collect()[0]
+        return row["chk"]
+    return box["v"]
+
 
 def connected_components(
     edges: DataFrame,
@@ -80,11 +119,10 @@ def connected_components(
     dedup pipeline must never hit quietly. With acceleration on,
     max_iter=40 covers any graph up to ~2^34 nodes of pure path.
     """
-    und = (
+    und = pin(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     # r10: labels START at the round-1 state — label(u) = min(u, min
     # neighbor) — computed with the same single groupBy shuffle a
@@ -129,10 +167,8 @@ def connected_components(
         # scale one less full pass over the labels (guide §1.2/§2.4;
         # probe-verified identical value, 0 extra jobs).
         obs = Observation(f"cc_chk_{it}")
-        labels = labels.observe(
-            obs, F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("chk")
-        ).localCheckpoint()
-        cur = obs.get["chk"]
+        labels = pin(labels.observe(obs, _chk_col()))
+        cur = _observed_chk(obs, labels)
         if cur is None:
             # empty label set (no edges): the fixpoint is trivially the
             # empty frame. Without this branch the None checksum never
@@ -249,9 +285,12 @@ def dedup_keep_best(
     # unmaterialized frame re-runs that text pass per consumer
     # (plan-verified 2 full-text subtrees in the r10 baseline plan).
     # (id, quality, cluster_id) is three narrow columns — cheap to pin.
-    scored = docs.select(id_col, quality_col).join(
-        comp.withColumnRenamed("node", id_col), id_col, "left"
-    ).localCheckpoint(eager=False)
+    scored = pin(
+        docs.select(id_col, quality_col).join(
+            comp.withColumnRenamed("node", id_col), id_col, "left"
+        ),
+        eager=False,
+    )
     # min over (-quality, id) == quality DESC with id ASC tie-break in
     # ONE min_by struct. Negating QUALITY (numeric by contract) rather
     # than the id keeps the operator correct for any orderable id type
