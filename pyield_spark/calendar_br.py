@@ -180,7 +180,20 @@ def _session_token(spark) -> tuple[str, str]:
     try:
         sess = str(spark._jsparkSession.sessionUUID())
     except Exception:  # pragma: no cover - Connect / renamed JVM API
-        sess = str(id(spark))
+        # NOT id(spark): CPython recycles addresses after GC, so a new
+        # session could collide with a dead session's key and receive a
+        # frame bound to the dead session (review fix). Stamp a uuid on
+        # the session object instead — stable for its lifetime, never
+        # reused.
+        sess = getattr(spark, "_pyield_session_token", None)
+        if sess is None:
+            import uuid as _uuid
+
+            sess = _uuid.uuid4().hex
+            try:
+                spark._pyield_session_token = sess
+            except Exception:
+                sess = str(id(spark))  # last resort: immutable session obj
     return ctx, sess
 
 
