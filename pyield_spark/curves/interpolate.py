@@ -16,9 +16,11 @@ Spark design: instead of two join_asof passes, ONE union + window pass
 computes both neighbors (curve rows sort before targets at equal du, so
 the backward window sees exact hits and the forward window yields the
 strictly-next vertex — exact hits short-circuit in the ladder before the
-forward value is consulted). Group extremes ride on a broadcast join of a
-per-group aggregate. Single shuffle on the group key; no UDFs; scales to
-arbitrarily many curves (the 100 TB axis is #groups, not vertices).
+forward value is consulted). The extreme arms are decided by the
+neighbors' null-ness — no extremes aggregate or third window pass (see
+_ladder's neighbors_only proof). Single shuffle on the group key; no
+UDFs; scales to arbitrarily many curves (the 100 TB axis is #groups,
+not vertices).
 """
 
 from __future__ import annotations
@@ -144,11 +146,12 @@ def interpolar(
         cur, distribution = resolve_auto_exact(cur)
     elif not by_cols and distribution != "broadcast":
         # the ungrouped shuffle route consumes the deduped curve from
-        # FOUR subplans (union branch, percentile bounds, per-bucket
-        # ghost aggregates, global extremes) and Spark does not reuse
-        # the subplan across them — measured 7 scans of a fact-derived
-        # curve lineage per action (review fix). One lazy checkpoint
-        # materializes it once; the broadcast route already does this.
+        # THREE subplans (union branch, percentile bounds, per-bucket
+        # ghost aggregates — r11 dropped the global-extremes fourth)
+        # and Spark does not reuse the subplan across them — measured
+        # 7 scans of a fact-derived curve lineage per action (review
+        # fix). One lazy checkpoint materializes it once; the
+        # broadcast route already does this.
         cur = cur.localCheckpoint(eager=False)
 
     if distribution == "broadcast":
@@ -184,16 +187,17 @@ def interpolar(
         # sf0.1). Ties in the descending pass put targets first so
         # equal-du vertices stay excluded (strict >).
         #
-        # group extremes as whole-partition window aggs over the same
-        # partitioning (unordered frame → single-pass aggregate buffers;
-        # an ordered unbounded-following frame with ignorenulls degrades
-        # to per-row scans, measured 4× slower). No second curve
-        # aggregation, no extra join. All parsed SQL — same trees as the
-        # old Window/when chains, one round trip per expression.
+        # r11: NO extremes pass. The ladder's extreme arms are pure
+        # functions of the two neighbors' null-ness (below-min ⟺ _j
+        # IS NULL with tx_min = _kk._tx, above-max ⟺ _kk IS NULL with
+        # tx_max = _j._tx, empty group ⟺ both NULL — proof at
+        # _ladder), so the whole-partition min/max/min_by/max_by
+        # window that previously computed them was a third full pass
+        # over every (fact + curve) row, and its inputs widened the
+        # shuffle by three columns (guide §2.3/§2.4). Plan: 3 Window
+        # nodes → 2, the exchange carries 5 columns instead of 8.
         part = ", ".join(f"`{c}`" for c in by_cols)
         frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-        cdu = "CASE WHEN _is_left = 0 THEN _k END"
-        ctx = "CASE WHEN _is_left = 0 THEN _v._tx END"
         joined = unioned.selectExpr(
             "_l",
             "_k",
@@ -202,10 +206,6 @@ def interpolar(
             f" ORDER BY _k ASC NULLS LAST, _is_left {frame}) AS _j",
             f"last(_v, true) OVER (PARTITION BY {part}"
             f" ORDER BY _k DESC NULLS LAST, (1 - _is_left) {frame}) AS _kk",
-            f"min({cdu}) OVER (PARTITION BY {part}) AS _du_min",
-            f"max({cdu}) OVER (PARTITION BY {part}) AS _du_max",
-            f"min_by({ctx}, {cdu}) OVER (PARTITION BY {part}) AS _tx_min",
-            f"max_by({ctx}, {cdu}) OVER (PARTITION BY {part}) AS _tx_max",
         ).filter(F.expr("_is_left = 1"))
     else:
         # --- single curve, distributed: value-derived range buckets +
@@ -218,8 +218,8 @@ def interpolar(
         # earlier buckets (leads the ascending pass, _seq=0) and the
         # first vertex from later buckets (leads the descending pass,
         # _seq=2); each sorts LAST in the opposite pass, where only
-        # no-op rows follow it. Global extremes ride on a broadcast
-        # 1-row aggregate.
+        # no-op rows follow it. The ghosts also make _j/_kk global
+        # neighbors, so no extremes aggregate is needed (see _ladder).
         try:
             n_buckets = int(
                 unioned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -305,21 +305,21 @@ def interpolar(
         fwd = F.last("_v", ignorenulls=True).over(
             wo_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        ext = F.broadcast(
-            cur.agg(
-                F.min("_du").alias("_du_min"),
-                F.max("_du").alias("_du_max"),
-                F.min_by("_tx", "_du").alias("_tx_min"),
-                F.max_by("_tx", "_du").alias("_tx_max"),
-            )
-        )
-        joined = (
-            u3.select("_l", "_k", "_is_left", back.alias("_j"), fwd.alias("_kk"))
-            .filter(F.col("_is_left") == 1)
-            .crossJoin(ext)
-        )
+        # r11: no global-extremes aggregate/crossJoin — the ghost
+        # carriers make _j/_kk GLOBAL neighbors (the ascending pass sees
+        # every earlier bucket's last vertex via _gb, the descending
+        # pass every later bucket's first via _gf), so the neighbors'
+        # null-ness encodes the extreme arms exactly as in the grouped
+        # route (proof at _ladder). One pass over `cur` and one
+        # broadcast fewer.
+        joined = u3.select(
+            "_l", "_k", "_is_left", back.alias("_j"), fwd.alias("_kk")
+        ).filter(F.col("_is_left") == 1)
 
-    return _ladder(joined, targets.columns, method, extrapolar, alias)
+    return _ladder(
+        joined, targets.columns, method, extrapolar, alias,
+        neighbors_only=True,
+    )
 
 
 def _ladder(
@@ -328,12 +328,30 @@ def _ladder(
     method: str,
     extrapolar: bool,
     alias: str,
+    neighbors_only: bool = False,
 ) -> DataFrame:
     """The reference's edge-case ladder (interpolador.py:481-491) over a
-    frame carrying (_l, _k, _j, _kk, _du_min/_du_max/_tx_min/_tx_max) —
-    shared by the window and broadcast routes. Built as ONE parsed SQL
-    expression (r11): the identical CaseWhen/pow tree the old Column
-    chain produced, ~350 py4j round trips fewer per call."""
+    frame carrying (_l, _k, _j, _kk) — shared by the window and
+    broadcast routes. Built as ONE parsed SQL expression (r11): the
+    identical CaseWhen/pow tree the old Column chain produced, ~350
+    py4j round trips fewer per call.
+
+    ``neighbors_only=True`` (both window routes): the extreme arms are
+    decided by the NEIGHBORS' null-ness instead of explicit
+    _du_min/_du_max/_tx_min/_tx_max columns. Given _k non-null and a
+    non-empty curve group, ``_j IS NULL`` ⟺ no vertex ≤ du ⟺
+    du < du_min, and the first strictly-greater vertex _kk IS then the
+    min-du vertex, so tx_min ≡ _kk._tx; symmetrically ``_kk IS NULL``
+    ⟺ no vertex > du ⟺ du ≥ du_max, and du = du_max implies a vertex
+    AT du (du_max is a vertex du) which the exact-hit arm already
+    caught, so the remaining cases are du > du_max with
+    tx_max ≡ _j._tx; an empty group ⟺ both neighbors NULL (any vertex
+    is ≤ or > the target). Values identical to the extremes form —
+    what it buys is dropping a whole-partition window pass (grouped
+    route) / a global aggregate + broadcast (bucket route), guide
+    §2.4. ``False`` (broadcast route): interval-join MISSES null both
+    neighbors for below-min targets too, so that route still carries
+    the explicit extremes columns to disambiguate from empty groups."""
     du = "CAST(_k AS DOUBLE)"
     du_j = "CAST(_j._du AS DOUBLE)"
     tx_j = "_j._tx"
@@ -355,14 +373,25 @@ def _ladder(
         mid = f"{tx_j} + ({du} - {du_j}) * ({tx_k} - {tx_j}) / ({du_k} - {du_j})"
 
     nulo = "CAST(NULL AS DOUBLE)"
-    taxa = (
-        "CASE WHEN (_k IS NULL OR _du_min IS NULL) THEN " + nulo
-        + f" WHEN {du_j} = {du} THEN {tx_j}"
-        + f" WHEN {du} < _du_min THEN _tx_min"
-        + f" WHEN {du} > _du_max THEN "
-        + ("_tx_max" if extrapolar else nulo)
-        + f" ELSE {mid} END"
-    )
+    if neighbors_only:
+        taxa = (
+            "CASE WHEN (_k IS NULL OR (_j IS NULL AND _kk IS NULL)) THEN "
+            + nulo
+            + f" WHEN {du_j} = {du} THEN {tx_j}"
+            + f" WHEN _j IS NULL THEN {tx_k}"
+            + " WHEN _kk IS NULL THEN "
+            + (tx_j if extrapolar else nulo)
+            + f" ELSE {mid} END"
+        )
+    else:
+        taxa = (
+            "CASE WHEN (_k IS NULL OR _du_min IS NULL) THEN " + nulo
+            + f" WHEN {du_j} = {du} THEN {tx_j}"
+            + f" WHEN {du} < _du_min THEN _tx_min"
+            + f" WHEN {du} > _du_max THEN "
+            + ("_tx_max" if extrapolar else nulo)
+            + f" ELSE {mid} END"
+        )
     # NaN → null at the exit (reference: interpolador.py:497)
     taxa = f"CASE WHEN isnan({taxa}) THEN {nulo} ELSE {taxa} END"
 
