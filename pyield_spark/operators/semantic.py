@@ -251,7 +251,7 @@ def kmeans_assign(
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     base = emb.select(
-        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_vid"), _as_double(f"`{vec_col}`").alias("_v")
     )
     # seed centroids: the k lowest-id vectors — a bounded k-row collect
     # (TakeOrdered, no full sort)
@@ -344,7 +344,7 @@ def semantic_dedup(
             emb, id_col, vec_col, k=k, iters=iters,
             route=route, n_probe=n_probe,
         )
-        .withColumn("_n2", norm_sq_dec(F.col("_v")))
+        .withColumn("_n2", norm_sq_dec("_v"))
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
@@ -361,7 +361,7 @@ def semantic_dedup(
         .withColumn(
             "_cos",
             pround_expr(
-                dot_dec(F.col("_va"), F.col("_vb"))
+                dot_dec("_va", "_vb")
                 / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
                 6,
             ),

@@ -24,7 +24,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _as_double(vec: Column) -> Column:
+# The fold helpers below accept Column | str. A str argument is a SQL
+# fragment (usually a column name) and builds the IDENTICAL expression
+# tree through one F.expr parse instead of ~10-20 py4j round trips per
+# call (r11, the 860e84d/round_pl_sql recipe — these helpers appear in
+# every ANN query's build, ~0.5 s of py4j per affected query at
+# dim=64). Same ops, same fold order, bit-identical values; the twins
+# are flat (each input interpolated once), so the string form never
+# expands combinatorially (see numbers.truncar_sql_spark's warning).
+
+
+def _as_double_sql(vec_sql: str) -> str:
+    return f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def _as_double(vec: Column | str) -> Column:
+    if isinstance(vec, str):
+        return F.expr(_as_double_sql(vec))
     return F.transform(vec, lambda x: x.cast("double"))
 
 
@@ -36,8 +52,17 @@ def _as_double(vec: Column) -> Column:
 # interpreted higher-order-function path.
 
 
-def norm_sq_dec(vec: Column) -> Column:
+def norm_sq_sql(vec_sql: str) -> str:
+    return (
+        f"aggregate({_as_double_sql(vec_sql)}, 0.0D,"
+        " (acc, x) -> acc + x * x)"
+    )
+
+
+def norm_sq_dec(vec: Column | str) -> Column:
     """Σx² — sequential double fold (deterministic order)."""
+    if isinstance(vec, str):
+        return F.expr(norm_sq_sql(vec))
     return F.aggregate(
         _as_double(vec),
         F.lit(0.0),
@@ -45,8 +70,18 @@ def norm_sq_dec(vec: Column) -> Column:
     )
 
 
-def dot_dec(a: Column, b: Column) -> Column:
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({_as_double_sql(a_sql)},"
+        f" {_as_double_sql(b_sql)}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def dot_dec(a: Column | str, b: Column | str) -> Column:
     """Σaᵢbᵢ — sequential double fold over zipped arrays."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b))
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -70,7 +105,7 @@ def cosine_topk(
 
     base = emb.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
-    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    ).withColumn("_norm2", norm_sq_dec("_vec"))
     queries = base.filter(
         query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
     ).select(
@@ -84,7 +119,7 @@ def cosine_topk(
     scored = pairs.withColumn(
         "cosine",
         pround_expr(
-            dot_dec(F.col("_qvec"), F.col("_vec"))
+            dot_dec("_qvec", "_vec")
             / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
             6,
         ),
@@ -252,7 +287,7 @@ def train_codebooks(
     base = (
         emb.select(
             F.col(id_col).alias("_vid"),
-            _as_double(F.col(vec_col)).alias("_vec"),
+            _as_double(f"`{vec_col}`").alias("_vec"),
         )
         .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
         .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
@@ -387,7 +422,7 @@ def _ivf_nearest_lists(
     from pyield_spark.functions.numbers import pround_expr
 
     score = pround_expr(
-        dot_dec(F.col(vec_col), F.col("_cvec"))
+        dot_dec(f"`{vec_col}`", "_cvec")
         / (F.sqrt(F.col(norm_col)) * F.sqrt(F.col("_cnorm2"))),
         6,
     )
@@ -396,7 +431,7 @@ def _ivf_nearest_lists(
     )
     out = frame.crossJoin(F.broadcast(cents)).withColumn("_cscore", score)
     if keep_dot is not None:
-        out = out.withColumn(keep_dot, dot_dec(F.col(vec_col), F.col("_cvec")))
+        out = out.withColumn(keep_dot, dot_dec(f"`{vec_col}`", "_cvec"))
     return (
         out.withColumn("_crn", F.row_number().over(w))
         .filter(F.col("_crn") <= n)
@@ -453,7 +488,7 @@ def ivf_topk(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_vec"),
         *([] if candidate_pred is None else [candidate_pred.alias("_cand")]),
-    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    ).withColumn("_norm2", norm_sq_dec("_vec"))
 
     if codebooks is not None:
         if not codebooks.n_centroids:
@@ -486,7 +521,7 @@ def ivf_topk(
     scored = cand.withColumn(
         "cosine",
         pround_expr(
-            dot_dec(F.col("_qvec"), F.col("_vec"))
+            dot_dec("_qvec", "_vec")
             / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
             6,
         ),
@@ -689,7 +724,7 @@ def pq_encode(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     base = emb.select(
-        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+        F.col(id_col).alias("_vid"), _as_double(f"`{vec_col}`").alias("_vec")
     ).filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
     # ^ null / wrong-length embeddings are DROPPED from the index (they
     # cannot be quantized or served; np.stack on a ragged batch would
@@ -910,12 +945,12 @@ def ivfpq_topk(
     base = (
         emb.select(
             F.col(id_col).alias("_vid"),
-            _as_double(F.col(vec_col)).alias("_vec"),
+            _as_double(f"`{vec_col}`").alias("_vec"),
         )
         # same invalid-vector predicate as pq_encode — codebooks built
         # here (e2e mode) must match the ones a prebuilt index embeds
         .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
-        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+        .withColumn("_norm2", norm_sq_dec("_vec"))
     )
 
     # ingest-time half: coarse assignment + m codeword indexes per
@@ -1124,7 +1159,7 @@ def ivfpq_topk(
         .withColumn(
             "cosine",
             pround_expr(
-                dot_dec(F.col("_qvec"), F.col("_vec"))
+                dot_dec("_qvec", "_vec")
                 / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
                 6,
             ),
@@ -1183,8 +1218,8 @@ def sq8_encode(
     mn_e, mx_e = _sq_stats_exprs(dim)
     stats = base.agg(mn_e.alias("_mn"), mx_e.alias("_mx"))
     enc = base.crossJoin(F.broadcast(stats))
-    code = sq8_quant_expr(
-        F.col("_vec"), F.col("_mn"), F.col("_mx"), levels=(1 << bits) - 1
+    code = F.expr(
+        sq8_quant_sql("_vec", "_mn", "_mx", levels=(1 << bits) - 1)
     )
     return enc.select(
         "_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx"
@@ -1220,11 +1255,12 @@ def _sq_base(
     with a NaN/null component are dropped (NaN cannot quantize)."""
     return (
         emb.select(
-            F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+            F.col(id_col).alias("_vid"), _as_double(f"`{vec_col}`").alias("_vec")
         )
         .filter(F.col("_vec").isNotNull() & (F.size("_vec") == dim))
-        .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
-        .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+        # parsed-SQL twin of ~F.exists(..., isnan | isNull) — same tree
+        .filter(F.expr("NOT exists(_vec, x -> isnan(x) OR (x IS NULL))"))
+        .withColumn("_norm2", norm_sq_dec("_vec"))
     )
 
 
@@ -1273,6 +1309,25 @@ def sq8_quant_expr(
             mn, mx, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))
         ),
         q,
+    )
+
+
+def sq8_quant_sql(
+    vec: str, mn: str, mx: str, clamp: bool = False, levels: int = 255
+) -> str:
+    """Parsed-SQL twin of :func:`sq8_quant_expr` over SQL fragments —
+    identical tree (same zip_with/struct/CASE/floor shape, D-suffixed
+    double literals), ONE py4j parse instead of ~30 lambda round trips
+    (r11 build-wall cut; each input interpolated once, so no
+    combinatorial expansion)."""
+    lv = f"{float(levels)!r}D"
+    raw = f"CAST(floor((x - s.mn) / (s.mx - s.mn) * {lv} + 0.5D) AS INT)"
+    if clamp:
+        raw = f"greatest(0, least({levels}, {raw}))"
+    return (
+        f"zip_with({vec}, zip_with({mn}, {mx},"
+        " (a, b) -> struct(a AS mn, b AS mx)),"
+        f" (x, s) -> CASE WHEN s.mx = s.mn THEN 0 ELSE {raw} END)"
     )
 
 
@@ -1355,15 +1410,46 @@ def sq8_index_add(
             import warnings
 
             warnings.warn(msg, UserWarning, stacklevel=2)
-    frozen = index.select("_mn", "_mx").limit(1)
-    enc = batch.crossJoin(F.broadcast(frozen))
-    code = sq8_quant_expr(
-        F.col("_vec"), F.col("_mn"), F.col("_mx"), clamp=True,
-        levels=(1 << bits) - 1,  # must match the index build's bits
-    )
-    out = enc.select(
-        "_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx"
-    )
+    # r11 (the 860e84d literal recipe): the frozen stats are ALREADY on
+    # the driver (stats_row head above) — ship them into the batch
+    # encode as two parsed-SQL literal arrays (repr() round-trips each
+    # double exactly) instead of a limit(1)+broadcast+crossJoin that
+    # re-reads the index checkpoint at exec time. The batch encode
+    # becomes map-only: one BroadcastExchange job and one index pass
+    # fewer per add. Values identical — the literals ARE the values the
+    # broadcast delivered. Falls back to the broadcast form iff a
+    # hand-built index carries null stats elements (no literal
+    # spelling distinguishes them portably).
+    mn_v, mx_v = stats_row["_mn"], stats_row["_mx"]
+    if (
+        mn_v is not None
+        and mx_v is not None
+        and all(v is not None for v in mn_v)
+        and all(v is not None for v in mx_v)
+    ):
+        mn_sql = "array(" + ", ".join(_sql_double(v) for v in mn_v) + ")"
+        mx_sql = "array(" + ", ".join(_sql_double(v) for v in mx_v) + ")"
+        code = F.expr(
+            sq8_quant_sql(
+                "_vec", mn_sql, mx_sql, clamp=True,
+                levels=(1 << bits) - 1,  # must match the index build
+            )
+        )
+        out = batch.select(
+            "_vid", "_vec", "_norm2", code.alias("_codes"),
+            F.expr(mn_sql).alias("_mn"), F.expr(mx_sql).alias("_mx"),
+        )
+    else:  # pragma: no cover - exotic hand-built index
+        enc = batch.crossJoin(
+            F.broadcast(index.select("_mn", "_mx").limit(1))
+        )
+        code = sq8_quant_expr(
+            F.col("_vec"), F.col("_mn"), F.col("_mx"), clamp=True,
+            levels=(1 << bits) - 1,
+        )
+        out = enc.select(
+            "_vid", "_vec", "_norm2", code.alias("_codes"), "_mn", "_mx"
+        )
     if "_cid" in index.columns:
         if n_centroids is None:
             raise ValueError(
@@ -1413,6 +1499,17 @@ def sq8_dequant_expr(
         ),
         lambda q, s: s["mn"]
         + (q.cast("double") * (s["mx"] - s["mn"])) / F.lit(float(levels)),
+    )
+
+
+def sq8_dequant_sql(codes: str, mn: str, mx: str, levels: int = 255) -> str:
+    """Parsed-SQL twin of :func:`sq8_dequant_expr` — identical tree,
+    one parse (see :func:`sq8_quant_sql`)."""
+    lv = f"{float(levels)!r}D"
+    return (
+        f"zip_with({codes}, zip_with({mn}, {mx},"
+        " (a, b) -> struct(a AS mn, b AS mx)),"
+        f" (q, s) -> s.mn + (CAST(q AS DOUBLE) * (s.mx - s.mn)) / {lv})"
     )
 
 
@@ -1480,16 +1577,15 @@ def sq8_topk(
             eager=False
         )
     )
-    deq = sq8_dequant_expr(
-        F.col("_codes"), F.col("_mn"), F.col("_mx"),
-        levels=(1 << bits) - 1,
+    deq = F.expr(
+        sq8_dequant_sql("_codes", "_mn", "_mx", levels=(1 << bits) - 1)
     )
     # a pre-assigned index (ivf_assign output) carries _cid — keep it
     # so the n_centroids branch skips the per-call N·C assignment
     pre_cid = ["_cid"] if "_cid" in assigned.columns else []
     corpus = assigned.select(
         "_vid", "_vec", "_norm2", *pre_cid, deq.alias("_dq")
-    ).withColumn("_dqn2", norm_sq_dec(F.col("_dq")))
+    ).withColumn("_dqn2", norm_sq_dec("_dq"))
 
     queries = (
         assigned.filter(
@@ -1526,7 +1622,7 @@ def sq8_topk(
     scored = cand.withColumn(
         "sq_cosine",
         pround_expr(
-            dot_dec(F.col("_qvec"), F.col("_dq"))
+            dot_dec("_qvec", "_dq")
             / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_dqn2"))),
             6,
         ),
@@ -1553,7 +1649,7 @@ def sq8_topk(
     ).withColumn(
         "cosine",
         pround_expr(
-            dot_dec(F.col("_qvec"), F.col("_vec"))
+            dot_dec("_qvec", "_vec")
             / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
             6,
         ),
@@ -1638,7 +1734,7 @@ def hard_negatives(
         F.col(id_col).alias("_vid"),
         F.col(label_col).cast("int").alias("_lbl"),
         F.col(vec_col).alias("_vec"),
-    ).withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+    ).withColumn("_norm2", norm_sq_dec("_vec"))
     probes = (base.filter(query_pred) if query_pred is not None else base).select(
         F.col("_vid").alias("query_id"),
         F.col("_lbl").alias("query_label"),
@@ -1682,7 +1778,7 @@ def hard_negatives(
     scored = pairs.withColumn(
         "cosine",
         pround_expr(
-            dot_dec(F.col("_qvec"), F.col("_vec"))
+            dot_dec("_qvec", "_vec")
             / (F.sqrt(F.col("_qnorm2")) * F.sqrt(F.col("_norm2"))),
             6,
         ),
@@ -1762,7 +1858,7 @@ def mmr_rerank(
         else cosine_topk(emb, id_col, vec_col, query_pred, k=shortlist_n)
     )
     base = emb.select(
-        F.col(id_col).alias("_bid"), _as_double(F.col(vec_col)).alias("_bvec")
+        F.col(id_col).alias("_bid"), _as_double(f"`{vec_col}`").alias("_bvec")
     )
     cand = (
         short.select("query_id", "neighbor_id", F.col("cosine").alias("relevance"))
@@ -1778,17 +1874,33 @@ def mmr_rerank(
     lam_f, one_m, kk = float(lam), 1.0 - float(lam), int(k)
 
     def _greedy(pdf):
-        # Bit-exact Python twins of the expression recipe this kernel
-        # replaced (every op below is the same IEEE double op the
-        # Column form compiled to; CPython floats ARE C doubles):
-        # - dot/norm: sequential left-to-right fold (dot_dec/norm_sq_dec)
+        # Bit-exact twins of the expression recipe this kernel replaced
+        # (every op below is the same IEEE double op the Column form
+        # compiled to; CPython floats and numpy float64 ARE C doubles):
+        # - dot/norm: sequential left-to-right fold (dot_dec/norm_sq_dec).
+        #   r11: vectorized ACROSS pairs, not across dimensions — the
+        #   d-loop accumulates `S += outer(V[:,d], V[:,d])` so every
+        #   S[i,j] is the identical ((0+x0·y0)+x1·y1)+... sequential
+        #   fold (numpy elementwise +/· are single IEEE ops; np.dot's
+        #   pairwise/SIMD summation would NOT be — deliberately avoided).
+        #   Guide §4.2: the O(n²·d) pairwise loop was the kernel's pure-
+        #   Python cost. Measured per-group (300-trial byte-identical
+        #   parity lap): flat at the registered shortlist n=10 (numpy
+        #   per-call overhead ≈ the loop), ~13× at n=50, ~13–15× at
+        #   n=200 — the win is for the large-shortlist deployments the
+        #   operator documents, not the sf0.1 bench.
         # - pround6:  signum(x)·floor(|x|·1e6 + 0.5)/1e6 (pround_expr;
-        #   Math.signum keeps ±0.0, floor's long result is exact in a
-        #   double for |cosine| ≤ 1)
+        #   copysign/where keeps ±0.0, floor's long result is exact in a
+        #   double for |cosine| ≤ 1; NaN flows through floor as NaN)
         # - DESC sort: NaN above every double (Spark ordering), ties id ASC
         # - max penalty: NaN-dominant (Spark Greatest/Max semantics)
+        # - null guard (r10 advice): a NULL vector element arrives as
+        #   None and maps to NaN (np.float64 cast), mirroring SQL
+        #   null-in-arithmetic → the cosine goes NaN instead of the
+        #   whole query dying on float(None)
         import math
 
+        import numpy as np
         import pandas as pd
 
         def pround6(x: float) -> float:
@@ -1803,25 +1915,26 @@ def mmr_rerank(
 
         ids = pdf["neighbor_id"].tolist()
         rels = [float(r) for r in pdf["relevance"]]
-        vecs = [[float(x) for x in v] for v in pdf["_bvec"]]
-        norm2 = []
-        for v in vecs:
-            acc = 0.0
-            for x in v:
-                acc = acc + x * x
-            norm2.append(acc)
+        raw = pdf["_bvec"].tolist()
         n = len(ids)
-        sim = [[0.0] * n for _ in range(n)]
-        for i in range(n):
-            vi, ni = vecs[i], norm2[i]
-            for j in range(n):
-                if i == j:
-                    continue
-                vj = vecs[j]
-                acc = 0.0
-                for d in range(len(vi)):
-                    acc = acc + vi[d] * vj[d]
-                sim[i][j] = pround6(acc / (math.sqrt(ni) * math.sqrt(norm2[j])))
+        d = next((len(v) for v in raw if v is not None), 0)
+        V = np.array(
+            [v if v is not None else [None] * d for v in raw],
+            dtype=np.float64,
+        )
+        norm2 = np.zeros(n)
+        S = np.zeros((n, n))
+        for dd in range(d):
+            col = V[:, dd]
+            norm2 += col * col
+            S += np.multiply.outer(col, col)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sq = np.sqrt(norm2)
+            sim = S / np.multiply.outer(sq, sq)
+        np.fill_diagonal(sim, 0.0)  # unused (i never in sel) — parity
+        sg = np.where(sim != 0.0, np.copysign(1.0, sim), sim)
+        with np.errstate(invalid="ignore"):
+            sim = sg * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
         qid = pdf["query_id"].iloc[0]
         remaining = list(range(n))
         out_rank, out_id, out_rel, out_score = [], [], [], []
@@ -1951,7 +2064,7 @@ def rp_topk(
             F.col(id_col).alias("_vid"),
             F.col(vec_col).alias("_vec"),
             rp_project_expr(F.col(vec_col), out_dim, in_dim).alias("_rvec"),
-        ).withColumn("_rnorm2", norm_sq_dec(F.col("_rvec")))
+        ).withColumn("_rnorm2", norm_sq_dec("_rvec"))
     queries = base.filter(
         query_pred if query_pred is not None else (F.col("_vid") % 100 == 0)
     ).select(
@@ -1967,7 +2080,7 @@ def rp_topk(
         "query_id",
         "_vid",
         pround_expr(
-            dot_dec(F.col("_qrvec"), F.col("_rvec"))
+            dot_dec("_qrvec", "_rvec")
             / (F.sqrt(F.col("_qrnorm2")) * F.sqrt(F.col("_rnorm2"))),
             6,
         ).alias("rp_cosine"),
@@ -1982,10 +2095,10 @@ def rp_topk(
     )
     exact_side = emb.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_evec")
-    ).withColumn("_enorm2", norm_sq_dec(F.col("_evec")))
+    ).withColumn("_enorm2", norm_sq_dec("_evec"))
     qexact = queries.select(
         "query_id", F.col("_qvec").alias("_qevec")
-    ).withColumn("_qenorm2", norm_sq_dec(F.col("_qevec")))
+    ).withColumn("_qenorm2", norm_sq_dec("_qevec"))
     refined = (
         short.join(exact_side, "_vid")
         .join(qexact, "query_id")
@@ -1994,7 +2107,7 @@ def rp_topk(
             "_vid",
             "rp_cosine",
             pround_expr(
-                dot_dec(F.col("_qevec"), F.col("_evec"))
+                dot_dec("_qevec", "_evec")
                 / (F.sqrt(F.col("_qenorm2")) * F.sqrt(F.col("_enorm2"))),
                 6,
             ).alias("cosine"),

@@ -432,7 +432,7 @@ def hybrid_rrf(
     ).localCheckpoint(eager=False)  # ≤ k_each rows; reused by seed + fusion
 
     base = emb.select(
-        F.col(vec_id).alias("_vid"), _as_double(F.col(vec_col)).alias("_v")
+        F.col(vec_id).alias("_vid"), _as_double(f"`{vec_col}`").alias("_v")
     ).filter(F.col("_v").isNotNull() & (F.size("_v") == dim))
     seeds = bmrank.filter(F.col("r_bm25") <= n_seed).join(
         base, bmrank._id == base._vid
@@ -459,13 +459,13 @@ def hybrid_rrf(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: F.element_at(F.col("_cm"), i),
         ).alias("_c")
-    ).withColumn("_cn2", norm_sq_dec(F.col("_c")))
+    ).withColumn("_cn2", norm_sq_dec("_c"))
 
     def _exact_cos(vec: str, n2: str):
         # the one scoring expression every route ends in — identical
         # op order keeps the exhaustive-config parity bit-exact
         return pround_expr(
-            dot_dec(F.col(vec), F.col("_c"))
+            dot_dec(f"`{vec}`", "_c")
             / (F.sqrt(F.col(n2)) * F.sqrt(F.col("_cn2"))),
             6,
         )
@@ -473,7 +473,7 @@ def hybrid_rrf(
     if route == "exact":
         dense = (
             base.crossJoin(F.broadcast(cent))
-            .withColumn("_n2", norm_sq_dec(F.col("_v")))
+            .withColumn("_n2", norm_sq_dec("_v"))
             .withColumn("_cos", _exact_cos("_v", "_n2"))
             .filter(~F.isnan("_cos"))
             .orderBy(F.col("_cos").desc(), F.col("_vid").asc())
@@ -483,7 +483,7 @@ def hybrid_rrf(
         from pyield_spark.operators.similarity import (
             _ivf_codebook,
             _ivf_nearest_lists,
-            sq8_dequant_expr,
+            sq8_dequant_sql,
             sq8_encode,
         )
 
@@ -500,7 +500,7 @@ def hybrid_rrf(
             enc = (
                 base.select(F.col("_vid"), F.col("_v").alias("_vec"))
                 .filter(~F.exists("_vec", lambda x: F.isnan(x) | x.isNull()))
-                .withColumn("_norm2", norm_sq_dec(F.col("_vec")))
+                .withColumn("_norm2", norm_sq_dec("_vec"))
             )
         cents = _ivf_codebook(enc, n_centroids)
         # the single PRF centroid probes its n_probe nearest lists —
@@ -526,13 +526,13 @@ def hybrid_rrf(
         else:
             if refine is None:
                 refine = 2 * k_each
-            dq = sq8_dequant_expr(F.col("_codes"), F.col("_mn"), F.col("_mx"))
+            dq = F.expr(sq8_dequant_sql("_codes", "_mn", "_mx"))
             sq = cand.withColumn("_dq", dq).withColumn(
-                "_dqn2", norm_sq_dec(F.col("_dq"))
+                "_dqn2", norm_sq_dec("_dq")
             ).withColumn(
                 "_sqcos",
                 pround_expr(
-                    dot_dec(F.col("_c"), F.col("_dq"))
+                    dot_dec("_c", "_dq")
                     / (F.sqrt(F.col("_cn2")) * F.sqrt(F.col("_dqn2"))),
                     6,
                 ),

@@ -569,7 +569,7 @@ def q_embedding_neardup(spark, sf_dir):
     )
     bucketed = base.withColumn(
         "bucket", lsh_bucket_expr(F.col("v"), n_planes=8, dim=64)
-    ).withColumn("norm2", norm_sq_dec(F.col("v")))
+    ).withColumn("norm2", norm_sq_dec("v"))
     a = bucketed.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
@@ -586,7 +586,7 @@ def q_embedding_neardup(spark, sf_dir):
     scored = pairs.withColumn(
         "cosine",
         pround_expr(
-            dot_dec(F.col("va"), F.col("vb"))
+            dot_dec("va", "vb")
             / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
             6,
         ),
